@@ -1,0 +1,405 @@
+"""Relational operator coverage queries (SURVEY.md §2) over the fixture
+tables, each paired with a DuckDB oracle.
+
+Most queries are written once as dialect-templated SQL: Spark SQL and
+DuckDB SQL are close enough that only date/epoch/JSON functions differ, so
+a tiny placeholder dict per dialect keeps the two sides definitionally
+identical. Float aggregates use the µ-unit recipe
+(functions/deterministic.py) so value hashes match at any parallelism.
+
+Coverage map (reference operator # → query):
+  P1-P3/U1 ingest_cast_ladder     A1 pricing_summary, groupby_ordinal
+  P4/F5    date_parse_filter      A2/J4 scalar_max_crossjoin
+  P5/F7    coalesce_default       A3 distinct_dedup
+  P6/J3    anti_join_new_rows     W1 window_running_total
+  J1       join_left_norm_keys    W2 window_row_number, topk_per_group
+  J2       join_inner             §2.7 union_all / except_ / intersect_,
+  —        join_semi                   order_limit
+  F1-F3    normalize_keys         §2.5+ pivot_conditional, rollup_agg,
+  F4-F8    (inside the above)          cube_agg
+  U2       mask_roundtrip         I2 surrogate_increment
+  §2.10    events_tumbling, events_sliding, events_session, json_extract
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gcp_etl_pipeline_spark.functions.deterministic import (
+    det_avg_expr,
+    det_sum_expr,
+)
+from gcp_etl_pipeline_spark.registry import register
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# Dialect placeholders. Spark side templates into Spark SQL run over temp
+# views; duck side into DuckDB SQL over the driver's pre-registered views.
+SPARK_D = {
+    # ts -> whole epoch seconds (bigint) — DuckDB's epoch() keeps the
+    # fraction, so both sides floor explicitly.
+    "epoch": "unix_timestamp",
+    "fmt_date": "date_format({}, 'yyyy-MM-dd')",
+    "parse_date": "to_date({}, 'yyyy-MM-dd')",
+    "json_int": "CAST(get_json_object({}, '$.{}') AS BIGINT)",
+    "from_epoch": "CAST(from_unixtime({}) AS TIMESTAMP)",
+}
+DUCK_D = {
+    "epoch": "_floor_epoch",  # expanded in _render
+    "fmt_date": "strftime({}, '%Y-%m-%d')",
+    "parse_date": "CAST(strptime({}, '%Y-%m-%d') AS DATE)",
+    "json_int": "CAST(json_extract_string({}, '$.{}') AS BIGINT)",
+    "from_epoch": "to_timestamp({})::TIMESTAMP",
+}
+
+
+def _render(template: str, d: dict) -> str:
+    out = template
+    # {EPOCH}(x) — whole seconds in both dialects
+    while "{EPOCH}(" in out:
+        i = out.index("{EPOCH}(")
+        j = out.index(")", i + len("{EPOCH}("))
+        arg = out[i + len("{EPOCH}(") : j]
+        if d["epoch"] == "_floor_epoch":
+            repl = f"CAST(FLOOR(epoch({arg})) AS BIGINT)"
+        else:
+            repl = f"{d['epoch']}({arg})"
+        out = out[:i] + repl + out[j + 1 :]
+    while "{FMT_DATE(" in out:
+        i = out.index("{FMT_DATE(")
+        j = out.index(")}", i)
+        arg = out[i + len("{FMT_DATE(") : j]
+        out = out[:i] + d["fmt_date"].format(arg) + out[j + 2 :]
+    while "{PARSE_DATE(" in out:
+        i = out.index("{PARSE_DATE(")
+        j = out.index(")}", i)
+        arg = out[i + len("{PARSE_DATE(") : j]
+        out = out[:i] + d["parse_date"].format(arg) + out[j + 2 :]
+    while "{JSON_INT(" in out:
+        i = out.index("{JSON_INT(")
+        j = out.index(")}", i)
+        arg, key = out[i + len("{JSON_INT(") : j].split(",")
+        out = out[:i] + d["json_int"].format(arg.strip(), key.strip()) + out[j + 2 :]
+    while "{FROM_EPOCH(" in out:
+        i = out.index("{FROM_EPOCH(")
+        j = out.index(")}", i)
+        arg = out[i + len("{FROM_EPOCH(") : j]
+        out = out[:i] + d["from_epoch"].format(arg) + out[j + 2 :]
+    return out
+
+
+def ensure_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the fixture tables as temp views (cheap; metadata only)."""
+    if getattr(spark, "_graft_views_dir", None) == sf_dir:
+        return
+    from gcp_etl_pipeline_spark.sources.files import read_parquet
+
+    for t in TABLES:
+        read_parquet(spark, f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    spark._graft_views_dir = sf_dir
+
+
+def shared_sql(name: str, template: str) -> None:
+    """Register a query defined once, rendered per dialect."""
+
+    def fn(spark: SparkSession, sf_dir: str, _t=template) -> DataFrame:
+        ensure_views(spark, sf_dir)
+        return spark.sql(_render(_t, SPARK_D))
+
+    register(name, fn, _render(template, DUCK_D))
+
+
+# --------------------------------------------------------------------------
+# A1 — grouped multi-aggregate (TPC-H Q1 shape; reference thin-layer rollup)
+shared_sql(
+    "pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           {det_sum_expr('l_extendedprice')} AS sum_base_price,
+           {det_sum_expr('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {det_avg_expr('l_quantity')} AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+# A1 variant — GROUP BY ordinals (reference `tl_sm_gosales_overview_01.sql:26`)
+shared_sql(
+    "groupby_ordinal",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+    FROM orders GROUP BY 1, 2
+    """,
+)
+
+# P1-P3/U1 — ingestion-shaped typed projection + cast ladder + normalization
+shared_sql(
+    "ingest_cast_ladder",
+    """
+    SELECT CAST(c_custkey AS BIGINT) AS custkey,
+           lower(trim(c_name)) AS name_norm,
+           CAST(c_nationkey AS INT) AS nationkey,
+           CAST(c_acctbal AS FLOAT) AS acctbal_f,
+           CAST(CAST(FLOOR(c_acctbal) AS INT) AS STRING) AS acctbal_s,
+           upper(c_mktsegment) AS segment
+    FROM customer
+    """,
+)
+
+# P4/F5 — stringify then re-parse dates (reference CAST AS CHAR + PARSE_DATE)
+shared_sql(
+    "date_parse_filter",
+    """
+    SELECT {PARSE_DATE({FMT_DATE(o_orderdate)})} AS order_date,
+           COUNT(*) AS n
+    FROM orders
+    WHERE {FMT_DATE(o_orderdate)} >= '1996-01-01'
+    GROUP BY 1
+    """,
+)
+
+# P5/F7 — COALESCE null-default (reference `jobs/raw/mysql-to-gcs.py:41`)
+shared_sql(
+    "coalesce_default",
+    """
+    SELECT n.n_name,
+           COALESCE(CAST(c.cnt AS BIGINT), 0) AS n_customers
+    FROM nation n
+    LEFT JOIN (SELECT c_nationkey, COUNT(*) AS cnt FROM customer GROUP BY 1) c
+      ON n.n_nationkey = c.c_nationkey
+    """,
+)
+
+# P6/J3 — anti-join new-rows detection (insert-new-only core)
+shared_sql(
+    "anti_join_new_rows",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+
+# J2 + left-semi
+shared_sql(
+    "join_semi",
+    """
+    SELECT p_partkey, p_name FROM part
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
+                  AND l_quantity > 45)
+    """,
+)
+
+# J1/J5 — multi-way left star join on keys (snowflake arm: dim→dim→dim)
+shared_sql(
+    "join_left_star",
+    """
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation_name, r.r_name AS region_name
+    FROM supplier s
+    LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+
+# J4/A2 — 1-row scalar-aggregate cross join (max-key broadcast)
+shared_sql(
+    "scalar_max_crossjoin",
+    """
+    SELECT o_orderkey, o_totalprice, mx.max_price
+    FROM orders
+    CROSS JOIN (SELECT MAX(o_totalprice) AS max_price FROM orders) mx
+    WHERE o_totalprice > mx.max_price * 0.95
+    """,
+)
+
+# A3 — DISTINCT dedup
+shared_sql(
+    "distinct_dedup",
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+
+# W1 — running total over unbounded-preceding frame (integer measure:
+# window-aggregation trees differ between engines, so float running sums
+# are not cross-engine stable; ints are exact)
+shared_sql(
+    "window_running_total",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (
+             PARTITION BY l_orderkey ORDER BY l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS running_qty
+    FROM lineitem
+    WHERE l_orderkey < 1000
+    """,
+)
+
+# W2 — row_number / rank / dense_rank
+shared_sql(
+    "window_row_number",
+    """
+    SELECT c_custkey,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_custkey)
+    """,
+)
+
+# Top-K per group (common OLAP shape; deterministic tiebreak on key)
+shared_sql(
+    "topk_per_group",
+    """
+    SELECT * FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+      FROM customer) t
+    WHERE rn <= 5
+    """,
+)
+
+# §2.7 — set ops + order/limit
+shared_sql(
+    "union_all_sources",
+    """
+    SELECT c_custkey AS entity_key, 'customer' AS kind FROM customer
+    UNION ALL
+    SELECT s_suppkey AS entity_key, 'supplier' AS kind FROM supplier
+    """,
+)
+shared_sql(
+    "except_missing_keys",
+    """
+    SELECT o_custkey AS c_custkey FROM orders
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    """,
+)
+shared_sql(
+    "order_limit_topn",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+
+# Conditional-aggregation pivot (Spark .pivot() compiles to the same plan)
+shared_sql(
+    "pivot_conditional",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_o,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_f
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+
+# ROLLUP / CUBE (engine extras beyond reference parity, SURVEY §2.5)
+shared_sql(
+    "rollup_agg",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS keysum
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+shared_sql(
+    "cube_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+
+# I2/W1 — surrogate-key increment against a pre-populated target: keys for
+# "new" rows continue from the existing max (the full hlp-maintenance shape)
+shared_sql(
+    "surrogate_increment",
+    """
+    WITH target AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS BIGINT) AS cust_key,
+             c_custkey
+      FROM customer WHERE c_custkey <= 500
+    ),
+    new_rows AS (
+      SELECT c.c_custkey, c.c_name FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.c_custkey = c.c_custkey)
+    )
+    SELECT mx.max_key + CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS BIGINT)
+             AS cust_key,
+           c_custkey, c_name
+    FROM new_rows
+    CROSS JOIN (SELECT COALESCE(MAX(cust_key), 0) AS max_key FROM target) mx
+    """,
+)
+
+# §2.10 — tumbling window over the events stream table (batch semantics;
+# the streaming twin lives in gcp_etl_pipeline_spark/streaming/)
+shared_sql(
+    "events_tumbling",
+    """
+    SELECT CAST(FLOOR({EPOCH}(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+
+# Sliding window (1h width, 30m slide) via bucket fan-out — the batch
+# equivalent of window(ts, '1 hour', '30 minutes')
+shared_sql(
+    "events_sliding",
+    """
+    SELECT CAST((FLOOR({EPOCH}(ts) / 1800) - k.k) * 1800 AS BIGINT) AS window_start,
+           COUNT(*) AS n_events
+    FROM events
+    CROSS JOIN (SELECT 0 AS k UNION ALL SELECT 1) k
+    GROUP BY 1
+    """,
+)
+
+# Sessionization: gap > 30 min starts a new session (lag + running flag sum)
+shared_sql(
+    "events_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN {EPOCH}(ts) - LAG({EPOCH}(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    s AS (
+      SELECT user_id,
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS sess_id
+      FROM g
+    )
+    SELECT user_id, sess_id, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sess_id
+    """,
+)
+
+# JSON extraction (§1.3 json type; props is a JSON string column)
+shared_sql(
+    "json_extract_props",
+    """
+    SELECT event_type,
+           CAST(SUM({JSON_INT(props, k)}) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)

@@ -1,0 +1,53 @@
+"""Query registry — the single source of truth for the driver contract.
+
+Each entry pairs a Spark callable ``(spark, sf_dir) -> DataFrame`` with a
+DuckDB oracle SQL string (or None for non-SQL-expressible ops, which get a
+rows-only check). Modules register their queries here; ``__spark_entry__``
+re-exports.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, fn: QueryFn, oracle: str | None) -> None:
+    _QUERIES[name] = fn
+    if oracle is not None:
+        _ORACLES[name] = oracle
+
+
+def queries() -> dict[str, QueryFn]:
+    _load_all()
+    return dict(_QUERIES)
+
+
+def oracles() -> dict[str, str]:
+    _load_all()
+    return dict(_ORACLES)
+
+
+_LOADED = False
+
+
+def _load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from gcp_etl_pipeline_spark.plans import gosales
+
+    for stage, fn in gosales.STAGES.items():
+        register(f"gosales_{stage}", fn, gosales.oracle(stage))
+
+    from gcp_etl_pipeline_spark import queries_relational  # noqa: F401
+    from gcp_etl_pipeline_spark.operators import dedup_queries  # noqa: F401
+
+    _LOADED = True

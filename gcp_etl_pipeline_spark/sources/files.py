@@ -1,0 +1,65 @@
+"""File sources: Parquet (S3) and header CSV (S4).
+
+Reference: `load_parquet_file`/`load_csv_file` helpers repeated in every
+curated job (`...sales_fact_01.py:29-35`). Here they gain:
+  - nanosecond-timestamp tolerance: Spark's vectorized Parquet reader
+    rejects INT64 TIMESTAMP(NANOS); we read those columns as raw nanos
+    (``spark.sql.legacy.parquet.nanosAsLong``) and convert to TIMESTAMP
+    distributedly (integer division — no driver-side materialization, so
+    the path scales to any size);
+  - optional explicit TableSpec schema for CSV instead of all-strings
+    inference (the reference reads CSV with header only, yielding
+    all-string columns it then re-casts in SQL — we keep that behavior as
+    the default for parity and offer the typed read as the upgrade).
+"""
+
+from __future__ import annotations
+
+import pyarrow.dataset as pads
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _nanos_columns(path: str) -> list[str]:
+    """Column names with ns-precision timestamps (from the Parquet footer —
+    metadata only, no data read)."""
+    import pyarrow as pa
+
+    schema = pads.dataset(path).schema
+    return [
+        name
+        for name, typ in zip(schema.names, schema.types)
+        if pa.types.is_timestamp(typ) and typ.unit == "ns"
+    ]
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan; transparently downcasts ns timestamps to µs TIMESTAMP."""
+    nanos = _nanos_columns(path)
+    if not nanos:
+        return spark.read.parquet(path)
+    # Left set for the session: the conf is consulted again at execution
+    # time, so resetting it would break the returned (lazy) DataFrame.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos:
+        # integer DIV keeps full precision (nanos exceed double's 2^53)
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    spec=None,
+    header: bool = True,
+) -> DataFrame:
+    """Header CSV (reference `jobs/curated/dl_ct_job_spark.py:3`): all-string
+    columns unless a TableSpec provides the schema."""
+    if spec is None:
+        return spark.read.option("header", str(header).lower()).csv(path)
+    return (
+        spark.read.option("header", str(header).lower())
+        .schema(spec.struct_type())
+        .csv(path)
+    )

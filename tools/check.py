@@ -1,0 +1,117 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB over the same parquet tables, then compares
+row count, column names, and order-insensitive values (columns sorted by
+name, rows sorted, exact equality; NaN==NaN). Exits nonzero on any
+mismatch.
+
+Usage: python tools/check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _canon(v):
+    if v is None:
+        return ("\x00null",)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("\x01nan",)
+        return ("f", repr(float(v)))
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("f", repr(float(v))) if abs(v) < 2**52 else ("i", v)
+    if isinstance(v, bytes):
+        return ("y", v)
+    if isinstance(v, (list, tuple)):
+        return ("l", tuple(_canon(x) for x in v))
+    if isinstance(v, dict):
+        return ("d", tuple(sorted((k, _canon(x)) for k, x in v.items())))
+    return ("s", str(v))
+
+
+def _rowset(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    from gcp_etl_pipeline_spark.session import get_session
+
+    spark = get_session()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = list(sdf.columns)
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok?  {name}: rows={len(srows)} (no oracle — rows-only check)")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            drows = rel.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        dt = time.time() - t0
+        if sorted(scols) != sorted(dcols):
+            print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
+            failures.append(name)
+            continue
+        if len(srows) != len(drows):
+            print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
+            failures.append(name)
+            continue
+        a, b = _rowset(scols, srows), _rowset(dcols, drows)
+        if a != b:
+            bad = next(i for i, (x, y) in enumerate(zip(a, b)) if x != y)
+            print(f"FAIL {name}: values differ; first diff at sorted row {bad}:")
+            print(f"  spark: {a[bad]}")
+            print(f"  duck : {b[bad]}")
+            failures.append(name)
+            continue
+        print(f"PASS {name}: rows={len(srows)} cols={len(scols)} ({dt:.1f}s)")
+
+    print(f"\n{len(queries) - len(failures)}/{len(queries)} pass")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
