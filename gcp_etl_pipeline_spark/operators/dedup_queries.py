@@ -1,9 +1,372 @@
-"""Driver-facing queries for the dedup / similarity / text operators.
-
-Filled in alongside gcp_etl_pipeline_spark/operators/{dedup,similarity,
-text}.py — each operator gets a queries() entry with a DuckDB oracle where
-SQL can express it (MinHash/SimHash use md5-derived hashes so even the
-sketches are oracle-checkable).
-"""
+"""Driver-facing queries for the dedup / similarity / text operators, each
+paired with a DuckDB oracle that reproduces the operator bit-for-bit
+(md5-derived sketches + µ-unit quantized float math make even MinHash/
+SimHash/LSH differential-testable)."""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_etl_pipeline_spark.operators import dedup, similarity, text
+from gcp_etl_pipeline_spark.queries_relational import ensure_views
+from gcp_etl_pipeline_spark.registry import register
+from gcp_etl_pipeline_spark.sources.files import read_parquet
+
+# Shared DuckDB CTEs: tokens and 3-gram shingles over documents
+_TOK_CTE = """
+tok AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+)
+"""
+_SH_CTE = """
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+  FROM tok WHERE len(toks) >= 3
+)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_parquet(spark, f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+
+
+# ------------------------------------------------------------- text stats
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_features(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "n_chars_obs", "avg_token_len",
+        "alpha_ratio", "uniq_token_ratio",
+    )
+
+
+register(
+    "text_quality_stats",
+    _q_text_stats,
+    f"""
+    WITH {_TOK_CTE}
+    SELECT doc_id,
+      CAST(len(toks) AS BIGINT) AS n_tokens,
+      CAST(length(text) AS BIGINT) AS n_chars_obs,
+      CASE WHEN len(toks) > 0 THEN
+        CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+      ELSE 0.0 END AS avg_token_len,
+      CASE WHEN length(text) > 0 THEN
+        CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+          / length(text)
+      ELSE 0.0 END AS alpha_ratio,
+      CASE WHEN len(toks) > 0 THEN
+        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+      ELSE 0.0 END AS uniq_token_ratio
+    FROM tok
+    """,
+)
+
+
+# ---------------------------------------------------------------- lang id
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .select(text.lang_id("text").alias("lang_detected"))
+        .groupBy("lang_detected")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _lang_oracle() -> str:
+    codes = sorted(text.LANG_MARKERS)  # fold order must match lang_id()
+    hit_cols = ", ".join(
+        "len(list_filter(toks, t -> t IN ({}))) AS h_{}".format(
+            ", ".join(f"'{w}'" for w in text.LANG_MARKERS[c]), c
+        )
+        for c in codes
+    )
+    # sequential fold: winner replaced only on strictly-greater hits
+    steps, prev_h, prev_c = [], f"h_{codes[0]}", f"'{codes[0]}'"
+    for i, c in enumerate(codes[1:], 1):
+        steps.append(
+            f"w{i} AS (SELECT *, CASE WHEN h_{c} > {prev_h} THEN h_{c} ELSE {prev_h} END AS bh{i}, "
+            f"CASE WHEN h_{c} > {prev_h} THEN '{c}' ELSE {prev_c} END AS bc{i} "
+            f"FROM {'hits' if i == 1 else f'w{i-1}'})"
+        )
+        prev_h, prev_c = f"bh{i}", f"bc{i}"
+    n = len(codes) - 1
+    return f"""
+    WITH {_TOK_CTE},
+    hits AS (SELECT doc_id, {hit_cols} FROM tok),
+    {', '.join(steps)}
+    SELECT CASE WHEN bh{n} > 0 THEN bc{n} ELSE 'und' END AS lang_detected,
+           COUNT(*) AS n_docs
+    FROM w{n} GROUP BY 1
+    """
+
+
+register("text_lang_id", _q_lang_id, _lang_oracle())
+
+
+# ------------------------------------------------------------ exact dedup
+
+_FP = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(_docs(spark, sf_dir)).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+register(
+    "dedup_exact",
+    _q_dedup_exact,
+    f"""
+    WITH fp AS (SELECT doc_id, lang, source, n_chars, {_FP} AS f FROM documents),
+    keep AS (SELECT f, MIN(doc_id) AS doc_id FROM fp GROUP BY f)
+    SELECT fp.doc_id, fp.lang, fp.source, fp.n_chars
+    FROM fp JOIN keep ON fp.doc_id = keep.doc_id AND fp.f = keep.f
+    """,
+)
+
+
+def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", text.fingerprint("text").alias("fp"))
+    )
+
+
+register(
+    "doc_fingerprints",
+    _q_fingerprints,
+    f"SELECT doc_id, {_FP} AS fp FROM documents",
+)
+
+
+# --------------------------------------------------------- n-gram jaccard
+
+def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dedup.shingle_sets(_docs(spark, sf_dir))
+    return dedup.jaccard_pairs(sh, threshold=0.5)
+
+
+register(
+    "dedup_ngram_jaccard",
+    _q_jaccard,
+    f"""
+    WITH {_TOK_CTE}, {_SH_CTE},
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    c AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS nc
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT c.a, c.b,
+           CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) AS jaccard
+    FROM c JOIN sz sa ON c.a = sa.doc_id JOIN sz sb ON c.b = sb.doc_id
+    WHERE CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) >= 0.5
+    """,
+)
+
+
+# ------------------------------------------------------------ MinHash LSH
+
+_NUM_HASHES, _BANDS, _ROWS = 12, 4, 3
+
+
+def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_dedup_pairs(
+        _docs(spark, sf_dir), num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.5
+    )
+
+
+def _minhash_oracle() -> str:
+    mins = ", ".join(
+        f"MIN(substring(md5('{k}|' || shingle), 1, 16)) AS mh{k}"
+        for k in range(_NUM_HASHES)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, md5({concat}) AS h FROM sig".format(
+            b=b,
+            concat=" || '|' || ".join(f"mh{b * _ROWS + r}" for r in range(_ROWS)),
+        )
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH {_TOK_CTE}, {_SH_CTE},
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands AS ({band_rows}),
+    cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             FROM bands x JOIN bands y
+               ON x.band_id = y.band_id AND x.h = y.h AND x.doc_id < y.doc_id),
+    c AS (SELECT cand.a, cand.b, COUNT(*) AS nc
+          FROM cand JOIN sh sa ON sa.doc_id = cand.a
+                    JOIN sh sb ON sb.doc_id = cand.b AND sb.shingle = sa.shingle
+          GROUP BY 1, 2),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+    SELECT c.a, c.b, CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) AS jaccard
+    FROM c JOIN sz sa ON c.a = sa.doc_id JOIN sz sb ON c.b = sb.doc_id
+    WHERE CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) >= 0.5
+    """
+
+
+register("dedup_minhash_lsh", _q_minhash, _minhash_oracle())
+
+
+# ---------------------------------------------------------------- SimHash
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash32(_docs(spark, sf_dir))
+
+
+_SIMHASH_CTES = f"""
+{_TOK_CTE},
+tokd AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM tok),
+votes AS (
+  SELECT doc_id, i.i AS i,
+         SUM(CASE WHEN substring(md5(tok), CAST(i.i + 1 AS INT), 1)
+                  IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s
+  FROM tokd CROSS JOIN (SELECT unnest(range(0, 32)) AS i) i
+  GROUP BY 1, 2
+),
+simh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << CAST(i AS INT))
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)
+"""
+
+register(
+    "dedup_simhash",
+    _q_simhash,
+    f"WITH {_SIMHASH_CTES} SELECT doc_id, simhash FROM simh",
+)
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+register(
+    "dedup_simhash_pairs",
+    _q_simhash_pairs,
+    f"""
+    WITH {_SIMHASH_CTES},
+    bands AS (
+      SELECT doc_id, simhash, b.b AS band_id,
+             (simhash >> CAST(b.b * 8 AS INT)) & 255 AS band_val
+      FROM simh CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+             x.simhash AS ha, y.simhash AS hb
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_val = y.band_val
+           AND x.doc_id < y.doc_id
+    )
+    SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+    """,
+)
+
+
+# --------------------------------------------------- embedding similarity
+
+_QDOT = """list_sum(list_transform(range(1, len({a}) + 1),
+  i -> CAST(ROUND(CAST({a}[i] AS DOUBLE) * 1000000, 0) AS BIGINT)
+     * CAST(ROUND(CAST({b}[i] AS DOUBLE) * 1000000, 0) AS BIGINT)))"""
+
+
+def _qcos(a: str, b: str) -> str:
+    return (
+        f"CAST({_QDOT.format(a=a, b=b)} AS DOUBLE) / "
+        f"(sqrt(CAST({_QDOT.format(a=a, b=a)} AS DOUBLE)) * "
+        f"sqrt(CAST({_QDOT.format(a=b, b=b)} AS DOUBLE)))"
+    )
+
+
+def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.knn_bruteforce(embs, queries, k=5)
+
+
+register(
+    "similarity_knn",
+    _q_knn,
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id % 50 = 0),
+    s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                 {_qcos('q.qv', 'e.embedding')} AS cos_sim
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id <> q.query_id),
+    r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rn FROM s)
+    SELECT query_id, neighbor_id, cos_sim, rn FROM r WHERE rn <= 5
+    """,
+)
+
+
+def _q_neardup_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine ≥ 0.4 — correctness baseline for the LSH
+    path (O(n²); fine at test SF, superseded by the bucketed variant at
+    scale)."""
+    embs = _embs(spark, sf_dir)
+    a = embs.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = embs.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", similarity.cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.4)
+    )
+
+
+register(
+    "similarity_neardup_brute",
+    _q_neardup_brute,
+    f"""
+    SELECT e1.vec_id AS a, e2.vec_id AS b,
+           {_qcos('e1.embedding', 'e2.embedding')} AS cos_sim
+    FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+    WHERE {_qcos('e1.embedding', 'e2.embedding')} >= 0.4
+    """,
+)
+
+_PLANES = 4
+
+
+def _q_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.neardup_pairs_bucketed(
+        _embs(spark, sf_dir), threshold=0.4, num_planes=_PLANES
+    )
+
+
+def _lsh_oracle() -> str:
+    # sign of sum_d q(x_d) * (2*nibble(md5(p|d)) - 15), d 0-based
+    sign = """CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
+      d -> CAST(ROUND(CAST(embedding[d] AS DOUBLE) * 1000000, 0) AS BIGINT)
+         * CAST(2 * (strpos('0123456789abcdef',
+               substring(md5({p} || '|' || (d - 1)), 1, 1)) - 1) - 15 AS BIGINT)
+      )) >= 0 THEN '1' ELSE '0' END"""
+    bucket = " || ".join(sign.format(p=f"'{p}'") for p in range(_PLANES))
+    return f"""
+    WITH sig AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
+    SELECT x.vec_id AS a, y.vec_id AS b,
+           {_qcos('x.embedding', 'y.embedding')} AS cos_sim
+    FROM sig x JOIN sig y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    WHERE {_qcos('x.embedding', 'y.embedding')} >= 0.4
+    """
+
+
+register("similarity_neardup_lsh", _q_neardup_lsh, _lsh_oracle())

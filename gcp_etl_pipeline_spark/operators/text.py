@@ -1,0 +1,105 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure JVM-side column expressions (no Python UDFs) — each transform is
+a narrow projection that fuses into whole-stage codegen, so cost is one
+pass over the text column regardless of scale.
+
+Operators: tokenization + token counts, language ID (stopword-hit
+heuristic), quality scoring (length/punctuation/stopword/repetition
+ratios), document fingerprinting (md5 of normalized text — md5 chosen over
+xxhash64 so DuckDB oracles can reproduce it bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+# Tiny per-language stopword marker sets for the n-gram/stopword-hit
+# language heuristic. Deliberately small and disjoint.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "des", "est"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Lowercased alnum tokens (empty strings filtered)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(c)
+
+
+def _marker_hits(toks: Column, markers: list[str]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: the language whose marker-stopword hit count
+    is highest (ties broken by language code order); 'und' when no marker
+    appears. One pass, no shuffle, no UDF."""
+    toks = tokens(text)
+    scored = None
+    for code in sorted(LANG_MARKERS):
+        hits = _marker_hits(toks, LANG_MARKERS[code])
+        cand = F.struct(hits.alias("hits"), F.lit(code).alias("code"))
+        if scored is None:
+            scored = cand
+        else:
+            # keep the earlier code on ties -> strictly-greater comparison
+            scored = F.when(cand["hits"] > scored["hits"], cand).otherwise(scored)
+    return F.when(scored["hits"] > 0, scored["code"]).otherwise(F.lit("und"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append quality-scoring features: n_tokens, n_chars, avg token
+    length, alpha ratio, unique-token ratio (repetition detector)."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_chr = F.length(F.col(text_col))
+    alpha = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+    uniq = F.size(F.array_distinct(toks))
+    return (
+        df.withColumn("n_tokens", n_tok.cast("bigint"))
+        .withColumn("n_chars_obs", n_chr.cast("bigint"))
+        .withColumn(
+            "avg_token_len",
+            F.when(
+                n_tok > 0,
+                (
+                    F.aggregate(
+                        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+                    ).cast("double")
+                    / n_tok
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "alpha_ratio",
+            F.when(n_chr > 0, alpha.cast("double") / n_chr).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "uniq_token_ratio",
+            F.when(n_tok > 0, uniq.cast("double") / n_tok).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 over whitespace-normalized
+    lowercase text. Used for exact dedup at scale (32-byte key vs full
+    document compare)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))

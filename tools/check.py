@@ -65,6 +65,10 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(queries)
+    if unknown:
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        return 2
     failures = []
     for name, fn in queries.items():
         if only and name not in only:
