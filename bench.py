@@ -1,0 +1,73 @@
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value" (total sec), "unit", "queries", "sf"}.
+
+Each query is materialized through the `noop` sink (full execution, no
+collect-to-driver, no disk write) — the closest local analogue of a
+cluster job's scan→transform→sink path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: the BASELINE.md bench shapes (star fact build, semantic
+# rollup, surrogate increment, ingest-shaped scan) + aggregation, state
+# (sessionize), and the LLM-data operators. Brute-force O(n^2) variants
+# are deliberately excluded — the LSH paths are the at-scale ones.
+BENCH_QUERIES = [
+    "gosales_sales_fact",
+    "gosales_sales_overview",
+    "pricing_summary",
+    "surrogate_increment",
+    "ingest_cast_ladder",
+    "events_sessionize",
+    "events_tumbling",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "similarity_knn",
+    "similarity_neardup_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from gcp_etl_pipeline_spark.session import get_session
+    import __spark_entry__ as entrymod
+
+    spark = get_session(app_name="bench")
+    queries = entrymod.queries()
+
+    # untimed warm-up: JVM/codegen/parquet-footer caches
+    queries["pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        df = queries[name](spark, sf_dir)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "bench_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

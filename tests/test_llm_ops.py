@@ -1,0 +1,108 @@
+"""LLM-data operator unit tests: dedup, similarity, text analysis
+(project north-star extension; SURVEY §7 step 9)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_etl_pipeline_spark.operators import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog"),   # near dup of 1
+        (4, "completely different text about spark engines"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_exact_keeps_min_id(docs):
+    kept = {r.doc_id for r in dedup.dedup_exact(docs).select("doc_id").collect()}
+    assert kept == {1, 3, 4, 5}  # doc 2 collapses into doc 1
+
+
+def test_jaccard_pairs_finds_near_dup(docs):
+    shingles = dedup.shingle_sets(docs.filter("text <> ''"), n=3)
+    # one word changed of 9 -> 4 of 10 trigrams shared -> jaccard 0.4
+    pairs = dedup.jaccard_pairs(shingles, threshold=0.35)
+    got = {(r.a, r.b): r.jaccard for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert abs(got[(1, 3)] - 0.4) < 1e-12 and (2, 3) in got
+    assert not any(4 in p for p in got)
+
+
+def test_minhash_lsh_candidates_superset_of_true_dups(docs):
+    pairs = dedup.minhash_dedup_pairs(
+        docs.filter("text <> ''"), n=3, num_hashes=32, bands=8, threshold=0.5
+    )
+    got = {(r.a, r.b) for r in pairs.collect()}
+    assert (1, 2) in got  # identical docs always collide in every band
+    assert not any(4 in p for p in got)
+
+
+def test_simhash_identical_docs_distance_zero(docs):
+    sh = dedup.simhash32(docs.filter("text <> ''")).collect()
+    by_id = {r.doc_id: r.simhash for r in sh}
+    assert by_id[1] == by_id[2]
+    pairs = dedup.simhash_neardup_pairs(docs.filter("text <> ''"), max_hamming=3)
+    got = {(r.a, r.b): r.hamming for r in pairs.collect()}
+    assert got[(1, 2)] == 0
+
+
+def test_text_stats_and_lang_id(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog were friends"),
+         (2, "el gato y el perro eran amigos de la casa")],
+        ["doc_id", "text"],
+    )
+    out = df.select("doc_id", text.lang_id("text").alias("lang"),
+                    text.token_count("text").alias("n"))
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].lang == "en"
+    assert rows[2].lang == "es"
+    assert rows[1].n == 7
+
+
+def test_fingerprint_stable_under_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "other")],
+        ["doc_id", "text"],
+    )
+    fp = df.select("doc_id", text.fingerprint("text").alias("fp")).collect()
+    by_id = {r.doc_id: r.fp for r in fp}
+    assert by_id[1] == by_id[2] != by_id[3]
+
+
+def test_quality_features_empty_doc_is_zero(spark):
+    df = spark.createDataFrame([(1, "")], ["doc_id", "text"])
+    row = text.quality_features(df).first()
+    assert row.n_tokens == 0 and row.avg_token_len == 0.0
+    assert row.alpha_ratio == 0.0 and row.uniq_token_ratio == 0.0
+
+
+def test_knn_bruteforce_excludes_self_and_ranks(spark):
+    rows = [(i, [float(i), 1.0]) for i in range(1, 6)]
+    base = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = base.filter("vec_id = 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.knn_bruteforce(base, queries, k=2).collect()
+    # cos((3,1),·): id4 0.9971 > id5 0.9923 > id2 0.9899 > id1 0.8944
+    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rn)] == [4, 5]
+
+
+def test_neardup_bucketed_identical_vectors_found(spark):
+    rows = [
+        (1, [1.0, 2.0, 3.0]),
+        (2, [1.0, 2.0, 3.0]),       # identical -> same bucket, cos 1.0
+        (3, [-5.0, 0.5, -2.0]),
+    ]
+    base = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {(r.a, r.b) for r in similarity.neardup_pairs_bucketed(base).collect()}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
