@@ -1,0 +1,140 @@
+"""Driver-contract queries that exercise the REAL streaming engine.
+
+Each callable stages the events table into a temp directory, runs a
+Structured Streaming query with an availableNow trigger (full streaming
+machinery: file source, state store, watermark, micro-batches), drains it
+into an in-memory table, and returns that as the result DataFrame. The
+oracles are batch SQL over the same data — streaming results must converge
+to the batch answer once all data is processed, so a DuckDB twin checks
+them exactly.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gcp_etl_pipeline_spark.registry import register
+from gcp_etl_pipeline_spark.streaming import core, stateful
+
+GAP_S = 1800
+WM_S = 7200
+
+
+def _stage(sf_dir: str) -> tuple[str, str]:
+    root = tempfile.mkdtemp(prefix="graft_stream_")
+    src = f"{root}/in"
+    import os
+
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+    return root, src
+
+
+def _drain(stream_df: DataFrame, root: str, mode: str) -> DataFrame:
+    name = f"q_{uuid.uuid4().hex[:10]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", f"{root}/ckpt_{name}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def _q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root, src = _stage(sf_dir)
+    stream = core.tumbling_counts(core.read_events_stream(spark, src)).select(
+        "window_start", "event_type", "n_events"
+    )
+    return _drain(stream, root, "complete")
+
+
+register(
+    "stream_tumbling",
+    _q_stream_tumbling,
+    """
+    SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+           event_type, COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+
+
+def _q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root, src = _stage(sf_dir)
+    stream = core.session_counts(core.read_events_stream(spark, src), gap="30 minutes")
+    return _drain(stream, root, "complete")
+
+
+# built-in session_window: end = last event + gap
+register(
+    "stream_session_window",
+    _q_stream_session_window,
+    f"""
+    WITH g AS (
+      SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS e, event_id,
+             CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                    - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) > {GAP_S}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), s AS (
+      SELECT user_id, e,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY e, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g
+    )
+    SELECT user_id, MIN(e) AS sess_start, MAX(e) + {GAP_S} AS sess_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+
+
+def _q_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root, src = _stage(sf_dir)
+    stream = stateful.sessionize(
+        core.read_events_stream(spark, src), gap_seconds=GAP_S
+    )
+    return _drain(stream, root, "append")
+
+
+# custom applyInPandasWithState sessionizer: emits sessions closed by a
+# later event plus open sessions the final watermark (max ts - WM_S) timed
+# out; each user's newest session stays in state unless timed out.
+register(
+    "stream_sessionize_stateful",
+    _q_stream_sessionize_stateful,
+    f"""
+    WITH g AS (
+      SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS e,
+             CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                    - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER
+                    (PARTITION BY user_id ORDER BY ts) > {GAP_S}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), s AS (
+      SELECT user_id, e,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g
+    ), sess AS (
+      SELECT user_id, sid, MIN(e) AS sess_start, MAX(e) AS sess_end,
+             COUNT(*) AS n_events,
+             MAX(sid) OVER (PARTITION BY user_id) AS last_sid
+      FROM s GROUP BY user_id, sid
+    ), wm AS (
+      SELECT MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) - {WM_S} AS w FROM events
+    )
+    SELECT user_id, sid AS sess_id, sess_start, sess_end, n_events
+    FROM sess, wm
+    WHERE sid < last_sid OR sess_end + {GAP_S} < wm.w
+    """,
+)
