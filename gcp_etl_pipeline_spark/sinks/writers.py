@@ -1,0 +1,67 @@
+"""Table writers (reference K1-K6).
+
+The reference's sinks: Beam WriteToParquet with an explicit schema (K1),
+CSV-with-header text writes (K2), Spark parquet overwrite with
+dynamic-partition mode (K3), parquet append for insert-new-only
+maintenance (K4), and BigQuery truncate-insert / insert-select (K5/K6).
+Here they are the built-in DataFrame writers with the engine's physical-
+design decisions applied:
+
+  - facts partition by a date column (``partition_by``) so dynamic
+    overwrite (`partitionOverwriteMode=dynamic`, set in the session) only
+    replaces touched partitions and downstream scans prune by date —
+    the reference sets the conf but never actually partitions (SURVEY §4);
+  - ``insert_new_rows`` is the K4 append path fused with the P6 anti-join
+    so the append can never double-insert keys already present.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def read_target(spark: SparkSession, path: str) -> DataFrame | None:
+    """Current state of a path-addressed target table; None if absent
+    (first run — the reference's coalesce(MAX(key),0) empty case)."""
+    try:
+        return spark.read.parquet(path)
+    except Exception:  # noqa: BLE001 — [PATH_NOT_FOUND]
+        return None
+
+
+def insert_new_rows(
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    normalize: bool = True,
+) -> int:
+    """Append only rows whose natural key is absent from the target
+    (reference K4 + P6 as one idempotent operation). Returns rows written."""
+    from gcp_etl_pipeline_spark.operators.incremental import insert_new_only
+
+    target = read_target(df.sparkSession, path)
+    new = insert_new_only(df, target, keys, normalize=normalize)
+    new = new.persist()
+    try:
+        n = new.count()
+        if n > 0:  # reference write gate: `if rows_ingested > 0`
+            new.write.mode("append").parquet(path)
+    finally:
+        new.unpersist()
+    return n
