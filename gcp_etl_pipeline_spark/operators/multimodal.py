@@ -1,0 +1,237 @@
+"""Multimodal (image/audio/video) column plumbing for training-data
+pipelines.
+
+Media are opaque ``binary`` columns with a typed metadata struct — the
+at-scale layout: bytes stay in parquet/Arrow pages end to end, Spark never
+interprets them, and all decode/transform work runs as Arrow-batched
+``mapInPandas`` stages that scale with partitions.
+
+The actual codec step is STUBBED: this container ships no image/audio
+libraries, so ``decode_image``/``decode_audio`` default to a deterministic
+fake decoder over the engine's synthetic media format (below), and
+``set_codec`` injects a real one (PIL/libav) in production. Everything
+around the codec — schemas, batch iteration, partitioning, fan-out row
+yields — is real and tested.
+
+Synthetic media format (``make_fake_media``): a 16-byte header
+``b"GRFT" | kind(1B) | width(2B) | height(2B) | sample_rate(3B) |
+n_frames(2B) | seed(2B)`` followed by seed-derived payload bytes. Real
+enough to exercise parsing, wrong-magic error paths, and per-frame
+sampling.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MAGIC = b"GRFT"
+KINDS = {0: "image", 1: "audio", 2: "video"}
+KIND_IDS = {v: k for k, v in KINDS.items()}
+
+MEDIA_SCHEMA = (
+    "media_id BIGINT, kind STRING, content BINARY, "
+    "meta STRUCT<width: INT, height: INT, sample_rate: INT, n_frames: INT, "
+    "format: STRING>"
+)
+
+
+def _payload(seed: int, n: int = 256) -> bytes:
+    out = b""
+    counter = 0
+    while len(out) < n:
+        out += hashlib.md5(f"{seed}|{counter}".encode()).digest()
+        counter += 1
+    return out[:n]
+
+
+_HEADER_FMT = ">BHHIH"  # kind(1) width(2) height(2) sample_rate(4) frames(2)
+
+
+def encode_fake(kind: str, width: int, height: int, sample_rate: int,
+                n_frames: int, seed: int) -> bytes:
+    """16-byte header: MAGIC(4) + packed fields(11) + pad(1), then payload."""
+    head = MAGIC + struct.pack(
+        _HEADER_FMT, KIND_IDS[kind], width, height, sample_rate, n_frames
+    ) + b"\x00"
+    assert len(head) == 16
+    return head + _payload(seed)
+
+
+def make_fake_media(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic synthetic media table for tests/benchmarks."""
+    rows = []
+    for i in range(n):
+        kind = KINDS[i % 3]
+        w, h = 16 + (i % 8) * 16, 16 + (i % 5) * 16
+        sr = 8000 + (i % 4) * 8000
+        frames = 1 if kind == "image" else 4 + i % 13
+        rows.append(
+            (i, kind, encode_fake(kind, w, h, sr, frames, seed=i),
+             (w, h, sr, frames, "grft"))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ------------------------------------------------------------------ codecs
+
+def _fake_decode(content: bytes) -> dict[str, Any]:
+    """Deterministic stand-in for a real codec. Raises on bad magic the way
+    PIL raises on a corrupt file. Replace via ``set_codec``."""
+    if content[:4] != MAGIC:
+        raise ValueError("not a GRFT blob")
+    kind_id, w, h, sr, frames = struct.unpack(_HEADER_FMT, content[4:15])
+    payload = content[16:]
+    mean = sum(payload) / max(len(payload), 1)
+    return {
+        "kind": KINDS.get(kind_id, "unknown"),
+        "width": w,
+        "height": h,
+        "sample_rate": sr,
+        "n_frames": frames,
+        "mean_byte": float(mean),
+    }
+
+
+_CODEC: Callable[[bytes], dict[str, Any]] = _fake_decode
+
+
+def set_codec(fn: Callable[[bytes], dict[str, Any]]) -> None:
+    """Inject a real decoder, e.g. PIL: ``lambda b: {...Image.open(...)}``.
+
+    In this container real codecs are unavailable; attempting to import
+    one should ``raise NotImplementedError`` at the call site.
+    """
+    global _CODEC
+    _CODEC = fn
+
+
+# -------------------------------------------------------- decode / features
+
+DECODED_SCHEMA = (
+    "media_id BIGINT, kind STRING, width INT, height INT, sample_rate INT, "
+    "n_frames INT, mean_byte DOUBLE, decode_error STRING"
+)
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Arrow-batched decode: one Python process per partition, pandas
+    batches in/out, bad blobs become ``decode_error`` rows instead of
+    failing the stage (at 100 TB some blobs WILL be corrupt)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    d = _CODEC(bytes(content))
+                    out.append(
+                        (mid, d["kind"], d["width"], d["height"],
+                         d["sample_rate"], d["n_frames"], d["mean_byte"], None)
+                    )
+                except Exception as e:  # noqa: BLE001
+                    out.append((mid, None, None, None, None, None, None, str(e)[:200]))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "kind", "width", "height", "sample_rate",
+                         "n_frames", "mean_byte", "decode_error"],
+            )
+
+    return df.select("media_id", "content").mapInPandas(run, DECODED_SCHEMA)
+
+
+EMBED_DIM = 16
+EMBED_SCHEMA = f"media_id BIGINT, embedding ARRAY<FLOAT>"
+
+
+def media_embeddings(df: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
+    """Feature-extract stub: a deterministic ``dim``-float embedding from
+    the payload bytes (md5-chunk hash → [0,1) floats). The Spark shape —
+    binary in, array<float> out, Arrow batches — is exactly what a real
+    CLIP/wav2vec extractor uses; swap the inner function."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vecs = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                vec = []
+                for k in range(dim):
+                    h = hashlib.md5(b[16:] + k.to_bytes(2, "big")).digest()
+                    vec.append(int.from_bytes(h[:4], "big") / 2**32)
+                ids.append(mid)
+                vecs.append(vec)
+            yield pd.DataFrame({"media_id": ids, "embedding": vecs})
+
+    return df.select("media_id", "content").mapInPandas(run, EMBED_SCHEMA)
+
+
+FRAMES_SCHEMA = (
+    "media_id BIGINT, frame_no INT, frame_ms BIGINT, frame_bytes BINARY"
+)
+
+
+def sample_frames(df: DataFrame, every_n: int = 2, fps: int = 10) -> DataFrame:
+    """Video frame sampling: FAN-OUT mapInPandas (one input row → many
+    frame rows). Frame "decode" slices the payload deterministically; a
+    real implementation calls the codec per keyframe."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                try:
+                    d = _CODEC(b)
+                except Exception:  # noqa: BLE001
+                    continue
+                if d["kind"] != "video":
+                    continue
+                payload = b[16:]
+                for fno in range(0, d["n_frames"], every_n):
+                    lo = (fno * 16) % max(len(payload) - 16, 1)
+                    out.append(
+                        (mid, fno, int(fno * 1000 / fps), payload[lo:lo + 16])
+                    )
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_no", "frame_ms", "frame_bytes"]
+            )
+
+    return df.select("media_id", "content").mapInPandas(run, FRAMES_SCHEMA)
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stub: re-encodes the header with new dims (payload kept).
+    A real implementation decodes, resamples, re-encodes inside the same
+    batch loop — the plumbing (binary→binary, meta update) is identical."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                d = _CODEC(b)
+                if d["kind"] != "image":
+                    blobs.append(b)
+                else:
+                    blobs.append(
+                        MAGIC
+                        + struct.pack(
+                            _HEADER_FMT, KIND_IDS[d["kind"]], width, height,
+                            d["sample_rate"], d["n_frames"],
+                        )
+                        + b"\x00"
+                        + b[16:]
+                    )
+                ids.append(mid)
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return df.select("media_id", "content").mapInPandas(
+        run, "media_id BIGINT, content BINARY"
+    )

@@ -51,4 +51,20 @@ def _load_all() -> None:
     from gcp_etl_pipeline_spark.operators import dedup_queries  # noqa: F401
     from gcp_etl_pipeline_spark.streaming import queries  # noqa: F401
 
+    from gcp_etl_pipeline_spark.operators import multimodal
+
+    def _q_multimodal(spark, sf_dir, _n=256):
+        media = multimodal.make_fake_media(spark, n=_n)
+        dec = multimodal.decode_media(media)
+        emb = multimodal.media_embeddings(media)
+        return dec.join(emb, "media_id").select(
+            "media_id", "kind", "width", "height", "n_frames", "mean_byte",
+            "embedding",
+        )
+
+    # no SQL oracle: binary decode + mapInPandas feature extraction is not
+    # SQL-expressible; the driver applies the rows-only check. Unit tests
+    # cover determinism (tests/test_multimodal.py).
+    register("multimodal_decode_embed", _q_multimodal, None)
+
     _LOADED = True
