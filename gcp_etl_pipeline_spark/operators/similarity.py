@@ -4,22 +4,35 @@ Two paths:
   - ``knn_bruteforce``: exact top-k cosine for a (small, broadcast) query
     set against the full corpus — the correctness baseline. Scales
     linearly in corpus size with zero shuffle of the corpus (queries are
-    broadcast; the window for top-k partitions by query id).
+    broadcast; per-partition partial top-k caps the shuffle at
+    partitions × queries × k rows before the final window).
   - ``neardup_pairs_bucketed``: all-pairs cosine ≥ threshold via sign-bit
     LSH bucketing (deterministic md5-derived hyperplanes), so candidate
-    generation is a bucket equi-join instead of O(n²); brute-force
-    verification only inside buckets.
+    generation is a bucket equi-join instead of O(n²); verification only
+    inside buckets.
 
 Determinism contract: components are quantized to µ-units (round(x*1e6)
-as bigint) before any dot product, so similarity values are exact integer
-math + one final division — identical on any engine, any partitioning,
-any parallelism (and differential-testable against DuckDB).
+as bigint) IN CATALYST — the same expression the DuckDB oracles use — and
+all dot products are exact int64 sums. The heavy math runs as
+Arrow-batched numpy (int64 matmul; associative, overflow-safe for
+|x|≤~1, dim≤~9000), followed by the same double division/sqrt the SQL
+form applies, so values are bit-identical on any engine, any
+partitioning, any parallelism. The earlier all-Catalyst higher-order-
+function formulation produced the same numbers ~30× slower (per-element
+expression interpretation); this keeps its semantics and its oracles.
 """
 
 from __future__ import annotations
 
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 MICRO = 1_000_000
 
@@ -29,28 +42,34 @@ def _q(x: Column) -> Column:
     return F.round(x.cast("double") * MICRO, 0).cast("long")
 
 
-def _qdot(a: Column, b: Column) -> Column:
-    """Exact integer dot product of two quantized vectors."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: _q(x) * _q(y)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+def quantized(vec: Column | str) -> Column:
+    """Whole-vector quantization (array<long>), evaluated JVM-side so the
+    float->int rounding is byte-identical to the SQL oracles."""
+    c = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(c, _q)
 
 
-def _qnorm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: _q(x) * _q(x)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ).cast("double")
-    )
+def _mat(series: pd.Series) -> np.ndarray:
+    return np.array(series.tolist(), dtype=np.int64)
+
+
+def _cos_qq_fn(a: pd.Series, b: pd.Series) -> pd.Series:
+    """cos over two quantized vectors: exact int64 dots, one double
+    division — same op order as the SQL form."""
+    A, B = _mat(a), _mat(b)
+    dot = np.einsum("ij,ij->i", A, B)
+    na = np.sqrt(np.einsum("ij,ij->i", A, A).astype(np.float64))
+    nb = np.sqrt(np.einsum("ij,ij->i", B, B).astype(np.float64))
+    return pd.Series(dot.astype(np.float64) / (na * nb))
+
+
+# DataType instance (not DDL string): keeps module import session-free
+_cos_qq = pandas_udf(_cos_qq_fn, DoubleType())
 
 
 def cosine(a: Column, b: Column) -> Column:
     """Quantized cosine similarity (double), deterministic cross-engine."""
-    return _qdot(a, b) / (_qnorm(a) * _qnorm(b))
+    return _cos_qq(quantized(a), quantized(b))
 
 
 def knn_bruteforce(
@@ -63,60 +82,69 @@ def knn_bruteforce(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
-    ``queries``: (query_id, embedding) — small; broadcast against the
-    corpus scan. Ties broken by corpus id for determinism."""
-    q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qvec")
-    )
-    joined = corpus.crossJoin(F.broadcast(q)).where(
-        F.col(id_col) != F.col(query_id_col)
-    )
-    scored = joined.select(
-        F.col(query_id_col),
-        F.col(id_col).alias("neighbor_id"),
-        cosine(F.col("__qvec"), F.col(vec_col)).alias("cos_sim"),
-    )
+    ``queries``: (query_id, embedding) — small by contract; collected and
+    shipped to every partition (the broadcast-dims pattern). Each corpus
+    partition computes one int64 matmul against the query matrix and
+    emits only its local top-k per query; the final window sees
+    partitions × queries × k rows, never the corpus. Ties broken by
+    corpus id for determinism.
+    """
+    q_rows = queries.select(
+        F.col(query_id_col), quantized(vec_col).alias("__qv")
+    ).collect()
+    if not q_rows:
+        raise ValueError("empty query set")
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.int64)
+    qn = np.sqrt(np.einsum("ij,ij->i", Q, Q).astype(np.float64))
+
+    out_schema = f"{query_id_col} BIGINT, neighbor_id BIGINT, cos_sim DOUBLE"
+
+    def topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = _mat(pdf["__cv"])
+            ids = pdf["__id"].to_numpy(dtype=np.int64)
+            xn = np.sqrt(np.einsum("ij,ij->i", X, X).astype(np.float64))
+            # cos[i, j] = (X·Qj) / (xn_i * qn_j): exact dot, one division
+            cos = (X @ Q.T).astype(np.float64) / np.outer(xn, qn)
+            qcol, ncol, ccol = [], [], []
+            for j in range(len(qids)):
+                mask = ids != qids[j]
+                c, i = cos[mask, j], ids[mask]
+                take = np.lexsort((i, -c))[:k]  # cos desc, id asc
+                qcol.extend([qids[j]] * len(take))
+                ncol.extend(i[take])
+                ccol.extend(c[take])
+            yield pd.DataFrame(
+                {query_id_col: qcol, "neighbor_id": ncol, "cos_sim": ccol}
+            )
+
+    partial = corpus.select(
+        F.col(id_col).alias("__id"), quantized(vec_col).alias("__cv")
+    ).mapInPandas(topk, out_schema)
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        partial.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .where(F.col("rn") <= k)
         .select(query_id_col, "neighbor_id", "cos_sim", "rn")
     )
 
 
-def _hyperplane_sign(vec: Column, plane_id: int) -> Column:
-    """Sign bit of ⟨vec, plane⟩ for a deterministic pseudo-random
-    hyperplane: component d of plane p has integer weight
-    2*md5_nibble(p|d) - 15 ∈ {-15..15}, always odd. Quantized components
-    × integer weights keep the vote sum exact, so the sign (and thus the
-    bucket) is identical on any engine/partitioning."""
-    return (
-        F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda x, d: _q(x)
-                * (
-                    F.conv(
-                        F.substring(
-                            F.md5(F.concat(F.lit(f"{plane_id}|"), d.cast("string"))),
-                            1,
-                            1,
-                        ),
-                        16,
-                        10,
-                    ).cast("long")
-                    * 2
-                    - 15
-                ),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        >= 0
-    ).cast("int")
+def _plane_weights(num_planes: int, dim: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes: component d of plane p has
+    integer weight 2*nibble(md5(f"{p}|{d}")[0]) - 15 ∈ {-15..15}, always
+    odd (never 0, so a sign never depends on a zero vote). Identical to
+    the SQL oracle's conv(substring(md5(...),1,1),16,10)*2-15."""
+    w = np.empty((num_planes, dim), dtype=np.int64)
+    for p in range(num_planes):
+        for d in range(dim):
+            nib = int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[0], 16)
+            w[p, d] = 2 * nib - 15
+    return w
 
 
 def neardup_pairs_bucketed(
@@ -130,19 +158,38 @@ def neardup_pairs_bucketed(
     (random-hyperplane LSH); verify quantized cosine ≥ threshold only
     within buckets. Recall is bounded by LSH (documented operator
     contract: near-identical vectors land in the same bucket with
-    P = (1 - θ/π)^planes); raise recall with multiple tables if needed."""
+    P = (1 - θ/π)^planes); raise recall with multiple tables if needed.
+
+    The sign bits come from one int64 matmul per batch against the
+    (planes × dim) weight matrix — exact, so buckets are identical to the
+    SQL formulation's."""
+    sig_schema = "__id BIGINT, __cv ARRAY<BIGINT>, bucket STRING"
+    state: dict[str, np.ndarray] = {}
+
+    def buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = _mat(pdf["__cv"])
+            if "W" not in state:
+                state["W"] = _plane_weights(num_planes, X.shape[1])
+            bits = (X @ state["W"].T) >= 0  # exact int64 votes
+            labels = [
+                "".join("1" if b else "0" for b in row) for row in bits
+            ]
+            yield pd.DataFrame(
+                {"__id": pdf["__id"], "__cv": pdf["__cv"], "bucket": labels}
+            )
+
+    # persist: the bucket self-join would otherwise run the matmul twice
     sig = corpus.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.concat_ws(
-            "", *[_hyperplane_sign(F.col(vec_col), p).cast("string") for p in range(num_planes)]
-        ).alias("bucket"),
-    )
-    a = sig.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket")
-    b = sig.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket")
+        F.col(id_col).alias("__id"), quantized(vec_col).alias("__cv")
+    ).mapInPandas(buckets, sig_schema).persist()
+    a = sig.select(F.col("__id").alias("a"), F.col("__cv").alias("__va"), "bucket")
+    b = sig.select(F.col("__id").alias("b"), F.col("__cv").alias("__vb"), "bucket")
     return (
         a.join(b, "bucket")
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .select("a", "b", _cos_qq(F.col("__va"), F.col("__vb")).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
