@@ -403,3 +403,25 @@ shared_sql(
     FROM events GROUP BY event_type
     """,
 )
+
+
+# U2 — masked-column encryption roundtrip: aes_encrypt/decrypt is Spark-only,
+# so the oracle checks the INVARIANT (decrypt(encrypt(x)) == x) via identity
+def _q_mask_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gcp_etl_pipeline_spark.operators.masking import (
+        mask_columns,
+        unmask_columns,
+    )
+
+    ensure_views(spark, sf_dir)
+    key = "0123456789abcdef"
+    df = spark.table("customer").select("c_custkey", "c_name", "c_mktsegment")
+    masked = mask_columns(df, ["c_name", "c_mktsegment"], key)
+    return unmask_columns(masked, ["c_name", "c_mktsegment"], key)
+
+
+register(
+    "mask_roundtrip",
+    _q_mask_roundtrip,
+    "SELECT c_custkey, c_name, c_mktsegment FROM customer",
+)
