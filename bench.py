@@ -32,7 +32,10 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "similarity_knn",
+    "similarity_knn_ivf",
     "similarity_neardup_lsh",
+    "stream_tumbling",
+    "mask_roundtrip",
 ]
 
 
@@ -53,8 +56,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        df = queries[name](spark, sf_dir)
+        # time construction + execution: some operators (streaming drains,
+        # sketch builds) do real work before the final action
         t0 = time.time()
+        df = queries[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 

@@ -370,3 +370,45 @@ def _lsh_oracle() -> str:
 
 
 register("similarity_neardup_lsh", _q_neardup_lsh, _lsh_oracle())
+
+
+_IVF_LISTS, _IVF_PROBE = 16, 4
+
+
+def _q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.knn_ivf(
+        embs, queries, k=5, n_lists=_IVF_LISTS, n_probe=_IVF_PROBE
+    )
+
+
+def _ivf_oracle() -> str:
+    return f"""
+    WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                   ORDER BY vec_id LIMIT {_IVF_LISTS}),
+    asg AS (SELECT e.vec_id, e.embedding, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY {_qcos('e.embedding', 'c.cv')} DESC, c.cid) AS rk
+            FROM embeddings e CROSS JOIN cents c),
+    lists AS (SELECT vec_id, embedding, cid AS list_id FROM asg WHERE rk = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id % 50 = 0),
+    qp AS (SELECT query_id, qv, cid AS list_id FROM (
+             SELECT q.query_id, q.qv, c.cid,
+                    ROW_NUMBER() OVER (PARTITION BY q.query_id
+                      ORDER BY {_qcos('q.qv', 'c.cv')} DESC, c.cid) AS rk
+             FROM q CROSS JOIN cents c) t WHERE rk <= {_IVF_PROBE}),
+    s AS (SELECT p.query_id, l.vec_id AS neighbor_id,
+                 {_qcos('p.qv', 'l.embedding')} AS cos_sim
+          FROM qp p JOIN lists l
+            ON l.list_id = p.list_id AND l.vec_id <> p.query_id),
+    r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rn FROM s)
+    SELECT query_id, neighbor_id, cos_sim, rn FROM r WHERE rn <= 5
+    """
+
+
+register("similarity_knn_ivf", _q_knn_ivf, _ivf_oracle())

@@ -134,6 +134,102 @@ def knn_bruteforce(
     )
 
 
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into ``n_lists``
+    inverted lists (nearest-centroid assignment), probe only the
+    ``n_probe`` lists nearest each query, exact cosine inside them.
+
+    The at-scale shape: assignment is one matmul pass over the corpus;
+    search shuffles on list_id, touching ~n_probe/n_lists of the data —
+    the probe set shrinks the scan instead of the broadcast-everything
+    brute force. Recall < 1 by design (neighbors assigned to unprobed
+    lists are missed); raise ``n_probe`` to trade speed for recall.
+
+    Centroids are DETERMINISTIC: the ``n_lists`` lowest-id corpus vectors
+    (an engine-defined seed choice, stated in the operator contract so a
+    SQL oracle reproduces the exact result; swapping in k-means centroids
+    changes only this step). All scoring is quantized-exact with ties
+    broken by id, so the output is bit-stable across engines.
+    """
+    cent_rows = (
+        corpus.select(F.col(id_col), quantized(vec_col).alias("__cv"))
+        .orderBy(F.col(id_col))
+        .limit(n_lists)
+        .collect()
+    )
+    C = np.array([list(r[1]) for r in cent_rows], dtype=np.int64)
+    cent_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    cn = np.sqrt(np.einsum("ij,ij->i", C, C).astype(np.float64))
+
+    def _nearest_lists(X: np.ndarray, n: int) -> np.ndarray:
+        """Row-wise: indices of the n nearest centroids (cos desc, centroid
+        position asc — position == id order, deterministic)."""
+        xn = np.sqrt(np.einsum("ij,ij->i", X, X).astype(np.float64))
+        cos = (X @ C.T).astype(np.float64) / np.outer(xn, cn)
+        order = np.lexsort(
+            (np.broadcast_to(np.arange(C.shape[0]), cos.shape), -cos), axis=1
+        )
+        return order[:, :n]
+
+    assign_schema = "__id BIGINT, __cv ARRAY<BIGINT>, list_id BIGINT"
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = _mat(pdf["__cv"])
+            lists = cent_ids[_nearest_lists(X, 1)[:, 0]]
+            yield pd.DataFrame(
+                {"__id": pdf["__id"], "__cv": pdf["__cv"], "list_id": lists}
+            )
+
+    assigned = corpus.select(
+        F.col(id_col).alias("__id"), quantized(vec_col).alias("__cv")
+    ).mapInPandas(assign, assign_schema)
+
+    q_rows = queries.select(
+        F.col(query_id_col), quantized(vec_col).alias("__qv")
+    ).collect()
+    if not q_rows:
+        raise ValueError("empty query set")
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.int64)
+    probes = _nearest_lists(Q, min(n_probe, len(cent_rows)))
+    probe_rows = [
+        (int(r[0]), list(r[1]), int(cent_ids[j]))
+        for r, pr in zip(q_rows, probes)
+        for j in pr
+    ]
+    probe_df = corpus.sparkSession.createDataFrame(
+        probe_rows, f"{query_id_col} BIGINT, __qv ARRAY<BIGINT>, list_id BIGINT"
+    )
+
+    cand = assigned.join(F.broadcast(probe_df), "list_id").where(
+        F.col("__id") != F.col(query_id_col)
+    )
+    scored = cand.select(
+        F.col(query_id_col),
+        F.col("__id").alias("neighbor_id"),
+        _cos_qq(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= k)
+        .select(query_id_col, "neighbor_id", "cos_sim", "rn")
+    )
+
+
 def _plane_weights(num_planes: int, dim: int) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes: component d of plane p has
     integer weight 2*nibble(md5(f"{p}|{d}")[0]) - 15 ∈ {-15..15}, always

@@ -96,6 +96,29 @@ def test_knn_bruteforce_excludes_self_and_ranks(spark):
     assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rn)] == [4, 5]
 
 
+def test_knn_ivf_full_probe_equals_bruteforce(spark):
+    """Probing every list degenerates IVF to exact search — results must
+    equal knn_bruteforce row for row."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(1, 41)
+    ]
+    base = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = base.filter("vec_id IN (5, 17)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.knn_bruteforce(base, queries, k=3).collect()
+    ivf = similarity.knn_ivf(
+        base, queries, k=3, n_lists=4, n_probe=4
+    ).collect()
+    key = lambda r: (r.query_id, r.rn)
+    assert sorted(map(tuple, sorted(exact, key=key))) == sorted(
+        map(tuple, sorted(ivf, key=key))
+    )
+
+
 def test_neardup_bucketed_identical_vectors_found(spark):
     rows = [
         (1, [1.0, 2.0, 3.0]),

@@ -1,0 +1,72 @@
+"""Physical-plan assertions (SURVEY §4): the scale-critical properties —
+dim broadcasts, predicate pushdown, column pruning, map-side partial
+aggregation — must actually appear in the executed plan, not just be
+hoped for. These tests pin them so a regression (e.g. a lost broadcast
+hint or a cast that blocks pushdown) fails loudly."""
+
+from __future__ import annotations
+
+import pytest
+
+from gcp_etl_pipeline_spark import registry
+
+
+def _plan(df, execute: bool = False) -> str:
+    if execute:
+        # AQE finalizes the plan (and inserts codegen stages) at execution;
+        # collect() drives THIS DataFrame's QueryExecution (a .write would
+        # plan a separate one)
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return registry.queries()
+
+
+def test_sales_fact_broadcasts_all_dims(spark, sf_dir, queries):
+    plan = _plan(queries["gosales_sales_fact"](spark, sf_dir))
+    # 4 dim-side joins (retailer_hlp, product_lkp, go_methods, method_hlp):
+    # every one must be a broadcast join — the fact side is the 100 TB
+    # table and must never shuffle for enrichment
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+def test_pricing_summary_pushes_filter_and_prunes_columns(spark, sf_dir, queries):
+    plan = _plan(queries["pricing_summary"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan reads only the 5 referenced columns
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in rs and "l_partkey" not in rs
+    assert "l_quantity" in rs and "l_returnflag" in rs
+
+
+def test_pricing_summary_partial_aggregation(spark, sf_dir, queries):
+    plan = _plan(queries["pricing_summary"](spark, sf_dir))
+    # map-side combine before the exchange: two HashAggregates with the
+    # shuffle between them
+    assert "partial_sum" in plan or "partial_count" in plan, plan
+
+
+def test_ingest_scan_prunes_to_projection(spark, sf_dir, queries):
+    plan = _plan(queries["ingest_cast_ladder"](spark, sf_dir))
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "c_address" not in rs and "c_comment" not in rs
+
+
+def test_scalar_max_crossjoin_broadcasts_one_row(spark, sf_dir, queries):
+    plan = _plan(queries["scalar_max_crossjoin"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_whole_stage_codegen_on_relational_core(spark, sf_dir, queries):
+    plan = _plan(queries["pricing_summary"](spark, sf_dir), execute=True)
+    # codegen stages appear as "*(n)" markers in the simple plan string
+    assert "isFinalPlan=true" in plan and "*(" in plan, plan
+
+
+def test_anti_join_is_not_cartesian(spark, sf_dir, queries):
+    plan = _plan(queries["anti_join_new_rows"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
