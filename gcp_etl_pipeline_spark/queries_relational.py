@@ -425,3 +425,40 @@ register(
     _q_mask_roundtrip,
     "SELECT c_custkey, c_name, c_mktsegment FROM customer",
 )
+
+
+# Skew-mitigation salted join: lineitem's l_returnflag has 3 hot values —
+# the canonical skewed key. The oracle is the PLAIN join: salting must be
+# semantically invisible.
+def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from gcp_etl_pipeline_spark.operators.skew import salted_join
+
+    ensure_views(spark, sf_dir)
+    li = spark.table("lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    flag_stats = spark.sql(
+        """SELECT l_returnflag, COUNT(*) AS flag_rows,
+                  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS flag_qty
+           FROM lineitem GROUP BY l_returnflag"""
+    )
+    joined = salted_join(li, flag_stats, on=["l_returnflag"], salt_factor=8)
+    return joined.groupBy("l_returnflag", "flag_rows", "flag_qty").agg(
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+register(
+    "skew_salted_join",
+    _q_salted_join,
+    """
+    WITH fs AS (SELECT l_returnflag, COUNT(*) AS flag_rows,
+                       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS flag_qty
+                FROM lineitem GROUP BY l_returnflag)
+    SELECT li.l_returnflag, fs.flag_rows, fs.flag_qty, COUNT(*) AS n
+    FROM lineitem li JOIN fs ON li.l_returnflag = fs.l_returnflag
+    GROUP BY 1, 2, 3
+    """,
+)
