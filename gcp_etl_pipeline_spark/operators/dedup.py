@@ -49,25 +49,32 @@ def _shingle_batch_fn(n: int):
     return run
 
 
+def shingle_arrays(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Per-document DISTINCT shingle array: (id, __sh array<string>).
+
+    Tokenization runs JVM-side (locale-exact vs the SQL oracles); the
+    n-gram assembly — pure slicing/joining, no locale semantics — runs in
+    an Arrow batch (the Catalyst sequence→slice→concat_ws higher-order
+    chain interpreted per element was the profile's hotspot). The batch fn
+    dedups within the doc, so downstream needs no distinct shuffle."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    mk = pandas_udf(_shingle_batch_fn(n), ArrayType(StringType()))
+    return df.select(F.col(id_col), mk(tokens(text_col)).alias("__sh"))
+
+
 def shingle_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle) rows.
     The exploded layout is the scalable one — set ops become joins/groupBys
-    instead of per-pair array intersections.
-
-    Tokenization runs JVM-side (locale-exact vs the SQL oracles); the
-    n-gram assembly — pure slicing/joining, no locale semantics — runs in
-    an Arrow batch (the Catalyst sequence→slice→concat_ws higher-order
-    chain interpreted per element was the profile's hotspot)."""
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, StringType
-
-    mk = pandas_udf(_shingle_batch_fn(n), ArrayType(StringType()))
-    return (
-        df.select(F.col(id_col), mk(tokens(text_col)).alias("__sh"))
-        .select(F.col(id_col), F.explode("__sh").alias("shingle"))
-        .distinct()
+    instead of per-pair array intersections. Already distinct per doc (the
+    batch shingler dedups) — no shuffle here."""
+    return shingle_arrays(df, text_col, id_col, n).select(
+        F.col(id_col), F.explode("__sh").alias("shingle")
     )
 
 
@@ -115,6 +122,50 @@ def minhash_signatures(
     """MinHash signature per document — one groupBy computing all K mins."""
     return shingles.groupBy(id_col).agg(
         *[_minhash_expr(k).alias(f"mh{k}") for k in range(num_hashes)]
+    )
+
+
+def _minhash_batch_fn(num_hashes: int):
+    def run(sh_series: _pd.Series) -> _pd.Series:
+        import hashlib
+
+        prefixes = [f"{k}|" for k in range(num_hashes)]
+        sentinel = "￿"  # > every hex char
+        out = []
+        for shingles in sh_series:
+            if shingles is None or len(shingles) == 0:
+                out.append(None)
+                continue
+            mins = [sentinel] * num_hashes
+            for s in shingles:
+                for k, p in enumerate(prefixes):
+                    h = hashlib.md5((p + s).encode("utf-8")).hexdigest()[:16]
+                    if h < mins[k]:
+                        mins[k] = h
+            out.append(mins)
+        return _pd.Series(out, dtype="object")
+
+    return run
+
+
+def minhash_signatures_from_arrays(
+    arrays: DataFrame, id_col: str = "doc_id", num_hashes: int = 12
+) -> DataFrame:
+    """MinHash signatures computed per document in one Arrow batch from
+    the per-doc shingle array — identical values to minhash_signatures
+    (same md5(k|shingle) 16-hex-min; lowercase-hex string order ==
+    lexicographic in both engines) without the K-aggregate groupBy
+    shuffle. Empty-shingle docs are dropped (groupBy parity)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    mh = pandas_udf(_minhash_batch_fn(num_hashes), ArrayType(StringType()))
+    sig = arrays.where(F.size("__sh") > 0).select(
+        F.col(id_col), mh(F.col("__sh")).alias("__mh")
+    )
+    return sig.select(
+        F.col(id_col),
+        *[F.col("__mh")[k].alias(f"mh{k}") for k in range(num_hashes)],
     )
 
 
@@ -166,11 +217,14 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band →
-    candidates → exact-Jaccard verify ≥ threshold."""
-    sh = shingle_sets(df, text_col, id_col, n)
-    sh.persist()
+    candidates → exact-Jaccard verify ≥ threshold. The per-doc shingle
+    array is built once (persisted); signatures derive from it in one
+    Arrow pass and the exploded verify set by a plain explode — no
+    groupBy before the candidate join."""
+    arr = shingle_arrays(df, text_col, id_col, n).persist()
+    sh = arr.select(F.col(id_col), F.explode("__sh").alias("shingle"))
     # sketches feed self-joins: persist or every join side recomputes them
-    sig = minhash_signatures(sh, id_col, num_hashes).persist()
+    sig = minhash_signatures_from_arrays(arr, id_col, num_hashes).persist()
     cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
     # verify candidates only: join candidate pairs back to shingle sets
     a_sh = sh.select(F.col(id_col).alias("a"), "shingle")

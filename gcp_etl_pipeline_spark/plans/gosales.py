@@ -37,6 +37,23 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+# Reference R1: every curated job persists its reused inputs
+# (`...sales_fact_01.py:156`). The star queries reuse the small helpings/
+# lookups several times within one tree (fact build + overview joins), so
+# they are persisted once per (session, sf_dir) — dims are KB-to-MB sized,
+# and on a cluster this is exactly the table you'd broadcast anyway.
+_DIM_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _cached(name: str, fn, spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _DIM_CACHE.get(key)
+    if df is None:
+        df = fn(spark, sf_dir).persist()
+        _DIM_CACHE[key] = df
+    return df
+
+
 # ---------------------------------------------------------------- raw layer
 
 def go_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -141,7 +158,7 @@ def retailer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """raw retailers ⋈ retailer_hlp on lower(retailer_code)
     (`...retailer_dim_01.py:51-64`)."""
     r = go_retailers(spark, sf_dir)
-    rh = retailer_hlp(spark, sf_dir)
+    rh = _cached("retailer_hlp", retailer_hlp, spark, sf_dir)
     return r.join(
         F.broadcast(rh), norm_key(r.retailer_code) == norm_key(rh.retailer_code)
     ).select("retailer_key", "retailer_name", "retailer_type", "country")
@@ -152,10 +169,10 @@ def sales_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`...sales_fact_01.py:55-73`). Dim sides broadcast: the fact side (the
     100 TB table) is never shuffled by these joins."""
     src = go_daily_sales(spark, sf_dir)
-    rh = retailer_hlp(spark, sf_dir)
-    pl = product_lkp(spark, sf_dir)
-    mt = go_methods(spark, sf_dir)
-    mh = method_hlp(spark, sf_dir)
+    rh = _cached("retailer_hlp", retailer_hlp, spark, sf_dir)
+    pl = _cached("product_lkp", product_lkp, spark, sf_dir)
+    mt = _cached("go_methods", go_methods, spark, sf_dir)
+    mh = _cached("method_hlp", method_hlp, spark, sf_dir)
     return (
         src.join(
             F.broadcast(rh),
@@ -196,9 +213,9 @@ def sales_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 8 dimensions. Float sums via exact µ-unit integers (deterministic
     at any parallelism)."""
     sf = sales_fact(spark, sf_dir).alias("sf")
-    rd = retailer_dim(spark, sf_dir).alias("rd")
-    pl = product_lkp(spark, sf_dir).alias("pl")
-    mh = method_hlp(spark, sf_dir).alias("mh")
+    rd = _cached("retailer_dim", retailer_dim, spark, sf_dir).alias("rd")
+    pl = _cached("product_lkp", product_lkp, spark, sf_dir).alias("pl")
+    mh = _cached("method_hlp", method_hlp, spark, sf_dir).alias("mh")
     joined = (
         sf.join(F.broadcast(rd), F.col("sf.retailer_key") == F.col("rd.retailer_key"), "left")
         .join(F.broadcast(pl), F.col("sf.product_key") == F.col("pl.product_key"), "left")

@@ -284,6 +284,14 @@ shared_sql(
     """,
 )
 shared_sql(
+    "intersect_active_keys",
+    """
+    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+shared_sql(
     "order_limit_topn",
     """
     SELECT o_orderkey, o_totalprice FROM orders
@@ -448,6 +456,36 @@ def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("l_returnflag", "flag_rows", "flag_qty").agg(
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# S4/K2 — CSV sink + source roundtrip (reference writes header CSV from
+# Beam and reads it back in Spark with all-string inference, then re-casts
+# in SQL — the full shape reproduced here; oracle reads the parquet truth)
+def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from gcp_etl_pipeline_spark.sinks.writers import write_csv
+    from gcp_etl_pipeline_spark.sources.files import read_csv
+
+    ensure_views(spark, sf_dir)
+    src = spark.sql(
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+    )
+    path = tempfile.mkdtemp(prefix="graft_csv_") + "/nation"
+    write_csv(src, path)
+    back = read_csv(spark, path)  # header, all-string columns (reference S4)
+    return back.selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey",
+        "n_name",
+        "CAST(n_regionkey AS BIGINT) AS n_regionkey",
+    )
+
+
+register(
+    "csv_roundtrip",
+    _q_csv_roundtrip,
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
 
 
 register(
