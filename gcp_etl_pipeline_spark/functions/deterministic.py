@@ -25,8 +25,13 @@ MICRO = 1_000_000
 
 
 def micro_sum_expr(x: str, scale: int = MICRO) -> str:
-    """Exact integer sum in µ-units (bigint). Same text for both dialects."""
-    return f"SUM(CAST(ROUND(({x}) * {scale}, 0) AS BIGINT))"
+    """Exact integer sum in µ-units (bigint). Same text for both dialects.
+
+    The CAST to DOUBLE before scaling is load-bearing for FLOAT inputs:
+    without it DuckDB multiplies in float32 (rounding 1075.0*1e6 to
+    1075000064) while Spark promotes to double — found by the hypothesis
+    property test. Double inputs are unaffected."""
+    return f"SUM(CAST(ROUND(CAST(({x}) AS DOUBLE) * {scale}, 0) AS BIGINT))"
 
 
 def det_sum_expr(x: str, scale: int = MICRO) -> str:

@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis) for determinism-critical invariants.
+
+Pure-Python surfaces run hundreds of cases; Spark-backed properties use a
+handful of examples (each roundtrip costs a job)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from gcp_etl_pipeline_spark import sql as esql
+from gcp_etl_pipeline_spark.spec import sql_type_to_spark
+
+# ------------------------------------------------------------- pure python
+
+@given(st.text(min_size=1, max_size=30))
+@settings(max_examples=200)
+def test_type_ladder_total(anything):
+    """The ladder never raises — unknown types fall back to string."""
+    sql_type_to_spark(anything)
+
+
+@given(
+    st.dictionaries(
+        st.from_regex(r"[a-z_]{1,10}", fullmatch=True),
+        st.from_regex(r"[A-Za-z0-9_\-]{0,12}", fullmatch=True),
+        max_size=4,
+    ),
+    st.text(alphabet=st.characters(blacklist_characters="{}"), max_size=80),
+)
+@settings(max_examples=200)
+def test_substitute_params_only_touches_placeholders(params, body):
+    """Text without {placeholders} passes through untouched."""
+    assert esql.substitute_params(body, params) == body
+
+
+@given(st.from_regex(r"%Y-%m-%d|%d/%m/%Y|%Y%m%d", fullmatch=True))
+@settings(max_examples=50)
+def test_parse_date_shim_always_translates(fmt):
+    out = esql.translate(f"SELECT PARSE_DATE('{fmt}', c) FROM t")
+    assert "PARSE_DATE" not in out and "to_date(" in out
+    assert "%" not in out.split("to_date")[1].split(")")[0]
+
+
+# ------------------------------------------------- spark-backed properties
+
+FLOATS = st.lists(
+    st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False,
+        width=32,
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@given(values=FLOATS)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_det_sum_matches_duckdb_exactly(spark, values):
+    """The µ-unit SUM produces bit-identical doubles in Spark and DuckDB
+    for arbitrary float32 inputs — the foundation of every float oracle."""
+    from gcp_etl_pipeline_spark.functions.deterministic import det_sum_expr
+
+    df = spark.createDataFrame([(float(v),) for v in values], "x FLOAT")
+    df.createOrReplaceTempView("prop_vals")
+    expr = det_sum_expr("x")
+    got = spark.sql(f"SELECT {expr} AS s FROM prop_vals").first().s
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE prop_vals (x FLOAT)")
+    con.executemany("INSERT INTO prop_vals VALUES (?)", [(v,) for v in values])
+    want = con.sql(f"SELECT {expr} AS s FROM prop_vals").fetchone()[0]
+    assert (got == want) or (math.isnan(got) and math.isnan(want))
+
+
+@pytest.mark.usefixtures("spark")
+@given(
+    codes=st.lists(
+        st.from_regex(r"[A-Za-z0-9 ]{1,8}", fullmatch=True),
+        min_size=1, max_size=12, unique=True,
+    )
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_surrogate_keys_dense_and_permutation_invariant(spark, codes):
+    """Keys are exactly 1..n and independent of input row order."""
+    from gcp_etl_pipeline_spark.operators.keys import surrogate_keys
+
+    fwd = spark.createDataFrame([(c,) for c in codes], ["code"])
+    rev = spark.createDataFrame([(c,) for c in reversed(codes)], ["code"])
+    a = {(r.code, r.k) for r in surrogate_keys(fwd, None, "k", ["code"]).collect()}
+    b = {(r.code, r.k) for r in surrogate_keys(rev, None, "k", ["code"]).collect()}
+    assert a == b
+    assert sorted(k for _, k in a) == list(range(1, len(codes) + 1))
