@@ -114,6 +114,39 @@ def _lang_oracle() -> str:
 register("text_lang_id", _q_lang_id, _lang_oracle())
 
 
+# BPE-ish regex token counting (GPT-2-style pre-tokenizer shape: leading-
+# space word/number/punct runs). Same RE2-safe pattern both engines —
+# verified char-identical between Java regex and DuckDB RE2.
+_BPE_PAT = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\r\n]+|[ \t\r\n]+"
+_WS_PAT = "[ \t\r\n]+"
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    all_m = F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)
+    ws_m = F.regexp_extract_all("text", F.lit(_WS_PAT), 0)
+    return docs.select(
+        "doc_id",
+        text.token_count("text").cast("bigint").alias("n_ws_tokens"),
+        (F.size(all_m) - F.size(ws_m)).cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
+register(
+    "text_token_counts",
+    _q_token_counts,
+    f"""
+    WITH {_TOK_CTE}
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_PAT}', 0))
+              - len(regexp_extract_all(text, '{_WS_PAT}', 0)) AS BIGINT)
+             AS n_bpe_tokens
+    FROM tok
+    """,
+)
+
+
 # ------------------------------------------------------------ exact dedup
 
 _FP = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"

@@ -36,6 +36,29 @@ def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwr
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Bucketed (and optionally sorted) catalog table: rows are hash-
+    distributed into ``num_buckets`` files per partition by
+    ``bucket_cols``. Two tables bucketed the same way join WITHOUT a
+    shuffle (co-located sort-merge; asserted in tests/test_bucketing.py) —
+    the physical-design answer for repeated large-x-large joins on a
+    stable key, e.g. fact-to-fact on order keys, where broadcast is
+    impossible and per-query exchanges would dominate at 100 TB."""
+    w = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(name)
+
+
 def read_target(spark: SparkSession, path: str) -> DataFrame | None:
     """Current state of a path-addressed target table; None if absent
     (first run — the reference's coalesce(MAX(key),0) empty case)."""
