@@ -38,8 +38,63 @@ def _audited(df: DataFrame, ctx: RunContext, table_id: int) -> DataFrame:
     )
 
 
+from gcp_etl_pipeline_spark.spec import ColumnSpec, TableSpec
+
+# EP1 ingestion contract for the daily-sales feed (reference
+# `jobs/raw/mysql_to_gcs_parquet.py:38-60`): date stringified at source,
+# watermark-driven increments, retailer code masked at rest.
+DAILY_SALES_SPEC = TableSpec(
+    name="raw.go_daily_sales",
+    columns=(
+        ColumnSpec("retailer_code", "varchar(32)"),
+        ColumnSpec("product_number", "varchar(32)"),
+        ColumnSpec("order_method_code", "varchar(32)"),
+        ColumnSpec("sale_date", "date"),
+        ColumnSpec("quantity", "double"),
+        ColumnSpec("unit_price", "double"),
+        ColumnSpec("unit_sale_price", "double"),
+    ),
+    watermark_column="sale_date",
+    masking_columns=("retailer_code",),
+)
+
+
 def build_pipeline(sf_dir: str, warehouse: str, spark: SparkSession) -> Pipeline:
     p = Pipeline(spark, ledger_path=f"{warehouse}/ops/run_log")
+
+    # ---------------------------------------------------------- raw layer
+    # EP1: contract-driven ingest — string hygiene, spec casts, masked
+    # column, audit stamps, watermark-incremental append + metadata update.
+    def build_raw(spark: SparkSession, ctx: RunContext) -> DataFrame:
+        from gcp_etl_pipeline_spark.operators.masking import mask_columns
+        from gcp_etl_pipeline_spark.operators.normalize import (
+            cast_to_spec,
+            normalize_strings,
+        )
+
+        df = gosales.go_daily_sales(spark, sf_dir)
+        df = cast_to_spec(normalize_strings(df), DAILY_SALES_SPEC)
+        key = ctx.params.get("mask_key", "0123456789abcdef")
+        df = mask_columns(df, list(DAILY_SALES_SPEC.masking_columns), key)
+        return _audited(df, ctx, 100)
+
+    def write_raw(df: DataFrame, spark: SparkSession, ctx: RunContext) -> int:
+        from gcp_etl_pipeline_spark.sources.incremental_ingest import (
+            IngestionCatalog,
+            ingest_incremental,
+        )
+
+        cat = IngestionCatalog(spark, f"{warehouse}/ops/ingestion_metadata")
+        return ingest_incremental(
+            DAILY_SALES_SPEC, df, f"{warehouse}/raw/go_daily_sales", cat
+        )
+
+    p.add(
+        Job(
+            name="raw_go_daily_sales", layer="RAW", build=build_raw,
+            write=write_raw, table_name="go_daily_sales",
+        )
+    )
 
     def maintenance_job(
         name: str, table_id: int, stage_fn, keys: list[str], deps: tuple[str, ...] = ()

@@ -27,6 +27,7 @@ def test_pipeline_runs_all_jobs_in_dependency_order(warehouse):
     _, rows = warehouse
     names = [r["job_name"] for r in rows]
     assert set(names) == {
+        "raw_go_daily_sales",
         "method_hlp", "retailer_hlp", "product_lkp", "retailer_dim",
         "sales_fact", "tl_sales_overview",
     }
@@ -68,9 +69,31 @@ def test_rerun_is_idempotent_for_dims(spark, sf_dir, warehouse):
     assert after == before  # no double inserts (SURVEY §7 hard part 2)
     dim_rows = {r["job_name"]: r for r in rows2}
     assert dim_rows["method_hlp"]["rows_ingested"] == 0
+    # raw layer: watermark advanced in run 1 -> rerun ingests nothing
+    assert dim_rows["raw_go_daily_sales"]["rows_ingested"] == 0
     # ledger now holds both runs
     ledger = spark.read.parquet(f"{wh}/ops/run_log")
     assert ledger.select("batch_id").distinct().count() == 2
+
+
+def test_raw_layer_masked_and_typed(spark, sf_dir, warehouse):
+    wh, _ = warehouse
+    from gcp_etl_pipeline_spark.operators.masking import unmask_columns
+    from gcp_etl_pipeline_spark.plans.gosales import go_daily_sales
+
+    raw = spark.read.parquet(f"{wh}/raw/go_daily_sales")
+    assert dict(raw.dtypes)["sale_date"] == "string"  # date-as-CHAR ladder
+    assert dict(raw.dtypes)["quantity"] == "double"
+    src_codes = {
+        r.retailer_code for r in go_daily_sales(spark, sf_dir).select(
+            "retailer_code").distinct().collect()
+    }
+    # at rest: ciphertext only
+    raw_codes = {r.retailer_code for r in raw.select("retailer_code").distinct().collect()}
+    assert raw_codes.isdisjoint(src_codes)
+    # unmask recovers the plaintext domain
+    back = unmask_columns(raw, ["retailer_code"], "0123456789abcdef")
+    assert {r.retailer_code for r in back.select("retailer_code").distinct().collect()} == src_codes
 
 
 def test_overview_matches_registry_query(spark, sf_dir, warehouse):
