@@ -322,6 +322,15 @@ shared_sql(
     """,
 )
 shared_sql(
+    "grouping_sets_agg",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS keysum
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+shared_sql(
     "cube_agg",
     """
     SELECT l_returnflag, l_linestatus,
