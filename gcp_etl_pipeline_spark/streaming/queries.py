@@ -67,6 +67,30 @@ register(
 )
 
 
+def _q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root, src = _stage(sf_dir)
+    stream = core.sliding_counts(
+        core.read_events_stream(spark, src), width="1 hour", slide="30 minutes"
+    )
+    return _drain(stream, root, "complete")
+
+
+# sliding window = each event in width/slide overlapping windows; the
+# batch twin fans out via a 2-row cross join
+register(
+    "stream_sliding",
+    _q_stream_sliding,
+    """
+    SELECT CAST((FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 1800) - k.k) * 1800
+               AS BIGINT) AS window_start,
+           COUNT(*) AS n_events
+    FROM events
+    CROSS JOIN (SELECT 0 AS k UNION ALL SELECT 1) k
+    GROUP BY 1
+    """,
+)
+
+
 def _q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     root, src = _stage(sf_dir)
     stream = core.session_counts(core.read_events_stream(spark, src), gap="30 minutes")
