@@ -83,7 +83,9 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lang_oracle() -> str:
+def _lang_ctes() -> str:
+    """CTE chain (appended after tok) ending in ``langd(doc_id, lang_det)``
+    — the per-doc DuckDB twin of text.lang_id's strictly-greater fold."""
     codes = sorted(text.LANG_MARKERS)  # fold order must match lang_id()
     hit_cols = ", ".join(
         "len(list_filter(toks, t -> t IN ({}))) AS h_{}".format(
@@ -101,13 +103,19 @@ def _lang_oracle() -> str:
         )
         prev_h, prev_c = f"bh{i}", f"bc{i}"
     n = len(codes) - 1
+    return (
+        f"hits AS (SELECT doc_id, {hit_cols} FROM tok),\n"
+        + ",\n".join(steps)
+        + f",\nlangd AS (SELECT doc_id, CASE WHEN bh{n} > 0 THEN bc{n} "
+        f"ELSE 'und' END AS lang_det FROM w{n})"
+    )
+
+
+def _lang_oracle() -> str:
     return f"""
-    WITH {_TOK_CTE},
-    hits AS (SELECT doc_id, {hit_cols} FROM tok),
-    {', '.join(steps)}
-    SELECT CASE WHEN bh{n} > 0 THEN bc{n} ELSE 'und' END AS lang_detected,
-           COUNT(*) AS n_docs
-    FROM w{n} GROUP BY 1
+    WITH {_TOK_CTE}, {_lang_ctes()}
+    SELECT lang_det AS lang_detected, COUNT(*) AS n_docs
+    FROM langd GROUP BY 1
     """
 
 
@@ -445,3 +453,46 @@ def _ivf_oracle() -> str:
 
 
 register("similarity_knn_ivf", _q_knn_ivf, _ivf_oracle())
+
+
+# --------------------------------------------------- corpus curation (composite)
+
+def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-set selection pipeline end to end: quality features →
+    threshold filter → language filter → exact dedup (keep min id). One
+    composed lazy plan — Catalyst fuses the filters into the scan and the
+    only shuffle is the dedup fingerprint groupBy."""
+    docs = _docs(spark, sf_dir)
+    q = text.quality_features(docs)
+    filtered = q.where(
+        (F.col("n_tokens") >= 10)
+        & (F.col("alpha_ratio") >= 0.5)
+        & (F.col("uniq_token_ratio") >= 0.3)
+        & (text.lang_id("text") == "en")
+    )
+    return dedup.dedup_exact(filtered).select("doc_id", "n_tokens", "alpha_ratio")
+
+
+def _curation_oracle() -> str:
+    return f"""
+    WITH {_TOK_CTE}, {_lang_ctes()},
+    q AS (SELECT doc_id, text,
+            CAST(len(toks) AS BIGINT) AS n_tokens,
+            CASE WHEN length(text) > 0 THEN
+              CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                / length(text) ELSE 0.0 END AS alpha_ratio,
+            CASE WHEN len(toks) > 0 THEN
+              CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+            ELSE 0.0 END AS uniq_token_ratio
+          FROM tok),
+    f AS (SELECT q.* FROM q JOIN langd USING (doc_id)
+          WHERE n_tokens >= 10 AND alpha_ratio >= 0.5
+            AND uniq_token_ratio >= 0.3 AND lang_det = 'en'),
+    fp AS (SELECT doc_id, n_tokens, alpha_ratio, {_FP} AS fhash FROM f),
+    keep AS (SELECT fhash, MIN(doc_id) AS doc_id FROM fp GROUP BY fhash)
+    SELECT fp.doc_id, fp.n_tokens, fp.alpha_ratio
+    FROM fp JOIN keep ON fp.doc_id = keep.doc_id AND fp.fhash = keep.fhash
+    """
+
+
+register("corpus_curation", _q_corpus_curation, _curation_oracle())
