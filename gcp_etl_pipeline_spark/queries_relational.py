@@ -509,3 +509,28 @@ register(
     GROUP BY 1, 2, 3
     """,
 )
+
+
+# Exact grouped quantiles (engine extra, §2.5): percentile() and DuckDB's
+# quantile_cont share the linear-interpolation definition — verified
+# bit-identical including interpolated midpoints.
+def _q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_views(spark, sf_dir)
+    return spark.sql(
+        """SELECT o_orderstatus,
+                  percentile(o_totalprice, array(0.25, 0.5, 0.75)) AS price_quartiles,
+                  COUNT(*) AS n
+           FROM orders GROUP BY 1"""
+    )
+
+
+register(
+    "quantiles_grouped",
+    _q_quantiles,
+    """
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS price_quartiles,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
