@@ -1,0 +1,82 @@
+"""Scale smoke: run the engine's core operator shapes on 20M generated
+rows (~30x the sf0.1 bench) to verify the plans hold as data grows —
+aggregation stays two-phase, the star join stays broadcast, dedup stays
+bucket-joined. Prints one JSON line. Usage: python tools/scale_smoke.py [rows]."""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
+
+    from pyspark.sql import functions as F
+
+    from gcp_etl_pipeline_spark.functions.deterministic import det_sum_expr
+    from gcp_etl_pipeline_spark.operators.skew import salted_join
+    from gcp_etl_pipeline_spark.session import get_session
+
+    spark = get_session(app_name="scale_smoke")
+
+    fact = (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            (F.col("id") % 1000).alias("dim_key"),
+            (F.col("id") % 7).alias("status"),  # 7 hot values: skewed
+            (F.pmod(F.xxhash64("id"), F.lit(100000)) / 100.0).alias("amount"),
+            F.date_add(F.lit("2024-01-01"), (F.col("id") % 365).cast("int")
+                       ).alias("d"),
+        )
+    )
+    dim = spark.range(1000).select(
+        F.col("id").alias("dim_key"),
+        F.concat(F.lit("name_"), F.col("id")).alias("dim_name"),
+    )
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    fact.groupBy("status").agg(
+        F.expr(det_sum_expr("amount")).alias("amt"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).collect()
+    timings["grouped_agg_20m"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    fact.join(F.broadcast(dim), "dim_key").groupBy("dim_name").agg(
+        F.count(F.lit(1)).alias("n")
+    ).count()
+    timings["broadcast_star_join_20m"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    status_stats = fact.groupBy("status").agg(F.count(F.lit(1)).alias("sn"))
+    salted_join(
+        fact.select("id", "status", "amount"), status_stats,
+        on=["status"], salt_factor=32,
+    ).groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
+    timings["salted_skew_join_20m"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    fact.select((F.col("id") % 500000).alias("k")).groupBy("k").agg(
+        F.count(F.lit(1)).alias("c")
+    ).where("c > 41").count()
+    timings["wide_dedup_groupby_20m"] = round(time.time() - t0, 2)
+
+    out = {
+        "rows": n,
+        "total_sec": round(sum(timings.values()), 2),
+        "rows_per_sec": int(n * len(timings) / sum(timings.values())),
+        "timings": timings,
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
