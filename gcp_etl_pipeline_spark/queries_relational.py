@@ -534,3 +534,18 @@ register(
     FROM orders GROUP BY 1
     """,
 )
+
+
+# W1 extra — RANGE frame (value-based window; peers by key distance, not
+# row position). Integer measure keeps the in-frame sum order-free.
+shared_sql(
+    "window_range_frame",
+    """
+    SELECT o_orderkey,
+           CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderkey
+             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS nearby_sum
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)

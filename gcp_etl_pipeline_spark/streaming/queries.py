@@ -162,3 +162,27 @@ register(
     WHERE sid < last_sid OR sess_end + {GAP_S} < wm.w
     """,
 )
+
+
+def _q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once delivery simulation: the same events file lands twice;
+    the foreachBatch insert-new-only sink must keep exactly one copy of
+    every event (reference I2 maintenance, streaming form)."""
+    root, src = _stage(sf_dir)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/replay.parquet")
+    target = f"{root}/target"
+    stream = core.read_events_stream(spark, src).select(
+        "event_id", "user_id", "event_type"
+    )
+    q = core.foreach_batch_insert_new(
+        stream, target, keys=["event_id"], checkpoint=f"{root}/ckpt_upsert"
+    )
+    q.awaitTermination()
+    return spark.read.parquet(target)
+
+
+register(
+    "stream_upsert_dedup",
+    _q_stream_upsert,
+    "SELECT event_id, user_id, event_type FROM events",
+)
