@@ -10,9 +10,9 @@ declared watermark columns unused. Here the TableSpec drives:
   - partitioned parallel extraction via partitionColumn/numPartitions —
     required for any table that doesn't fit one executor's pipe.
 
-No database ships in the test container, so this module is exercised by
-unit tests through query *generation* plus a Derby/SQLite-less fake; the
-read itself is a thin ``spark.read.format("jdbc")`` call.
+Runtime-tested against embedded Derby (the JDBC driver Spark ships for
+its Hive metastore): tests/test_jdbc.py covers projection pushdown, the
+watermark predicate, and partitioned parallel extraction end to end.
 """
 
 from __future__ import annotations
@@ -37,18 +37,23 @@ def read_jdbc(
     """Read ``spec.source_table`` through JDBC with source-side projection,
     casts, and the watermark predicate."""
     query = spec.extraction_query(last_watermark)
-    reader = spark.read.format("jdbc").option("url", url).option("query", query)
+    reader = spark.read.format("jdbc").option("url", url)
     if driver:
         reader = reader.option("driver", driver)
     if partition_column is not None:
         if lower_bound is None or upper_bound is None:
             raise ValueError("partitioned JDBC read needs lower/upper bounds")
+        # Spark rejects 'query' + partitionColumn; the pushed query rides
+        # as a derived-table dbtable instead (same source-side execution)
         reader = (
-            reader.option("partitionColumn", partition_column)
+            reader.option("dbtable", f"({query}) SPARK_GRAFT_SUBQ")
+            .option("partitionColumn", partition_column)
             .option("numPartitions", str(num_partitions))
             .option("lowerBound", str(lower_bound))
             .option("upperBound", str(upper_bound))
         )
+    else:
+        reader = reader.option("query", query)
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     return reader.load()
