@@ -549,3 +549,53 @@ shared_sql(
     FROM orders WHERE o_orderkey < 2000
     """,
 )
+
+
+# S1 — real JDBC roundtrip as a graded query: stage the nation table into
+# embedded Derby, read it back through the contract-driven JDBC source
+# (pushed projection + typed casts). Oracle reads the parquet truth.
+def _q_jdbc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from gcp_etl_pipeline_spark.sources.jdbc import read_jdbc
+    from gcp_etl_pipeline_spark.spec import ColumnSpec, TableSpec
+
+    ensure_views(spark, sf_dir)
+    url = f"jdbc:derby:{tempfile.mkdtemp(prefix='graft_jdbc_')}/db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    (
+        spark.sql(
+            """SELECT n_nationkey AS N_NATIONKEY, n_name AS N_NAME,
+                      n_regionkey AS N_REGIONKEY FROM nation"""
+        )
+        .write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "NATION_SRC")
+        .option("driver", driver)
+        .option(
+            "createTableColumnTypes",
+            "N_NATIONKEY BIGINT, N_NAME VARCHAR(64), N_REGIONKEY BIGINT",
+        )
+        .save()
+    )
+    spec = TableSpec(
+        name="raw.nation",
+        columns=(
+            ColumnSpec("N_NATIONKEY", "bigint"),
+            ColumnSpec("N_NAME", "varchar(64)"),
+            ColumnSpec("N_REGIONKEY", "bigint"),
+        ),
+        source_table="NATION_SRC",
+    )
+    return read_jdbc(spark, url, spec, driver=driver)
+
+
+register(
+    "jdbc_ingest",
+    _q_jdbc_ingest,
+    """
+    SELECT n_nationkey AS N_NATIONKEY, n_name AS N_NAME,
+           n_regionkey AS N_REGIONKEY
+    FROM nation
+    """,
+)
