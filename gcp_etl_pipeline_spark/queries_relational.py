@@ -599,3 +599,35 @@ register(
     FROM nation
     """,
 )
+
+
+# W extras — lag/lead/first_value analytics (sessionize uses LAG
+# internally; this pins the full analytic family directly)
+shared_sql(
+    "window_lag_lead",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(LAG(o_orderkey) OVER w AS BIGINT) AS prev_key,
+           CAST(LEAD(o_orderkey) OVER w AS BIGINT) AS next_key,
+           CAST(FIRST_VALUE(o_orderkey) OVER w AS BIGINT) AS first_key
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+)
+
+# Ingestion hygiene — TRY_CAST turns malformed values into NULLs instead
+# of failing the job (the at-scale requirement: some rows WILL be bad),
+# plus the conditional-function family.
+shared_sql(
+    "safe_cast_conditionals",
+    """
+    SELECT c_custkey,
+           TRY_CAST(c_name AS DOUBLE) AS bad_cast,
+           TRY_CAST(CAST(c_acctbal AS VARCHAR(32)) AS DOUBLE) AS good_cast,
+           NULLIF(c_mktsegment, 'BUILDING') AS seg_nullif,
+           GREATEST(CAST(c_acctbal AS DOUBLE), 0.0) AS bal_floor,
+           LEAST(CAST(c_nationkey AS BIGINT), 10) AS nk_cap
+    FROM customer
+    """,
+)
