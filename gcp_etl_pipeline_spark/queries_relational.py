@@ -631,3 +631,44 @@ shared_sql(
     FROM customer
     """,
 )
+
+
+# K3/R2 — partitioned layout end to end: write orders partitioned by
+# year, read back with a partition filter (pruned scan: only that year's
+# directory is touched). Oracle computes the same filter on the parquet
+# truth.
+def _q_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gcp_etl_pipeline_spark.sinks.writers import write_parquet
+
+    ensure_views(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="graft_part_") + "/orders_by_year"
+    orders = spark.table("orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("int")
+    )
+    write_parquet(orders, path, mode="overwrite", partition_by=["order_year"])
+    back = spark.read.parquet(path)
+    return (
+        back.where(F.col("order_year") == 1995)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_orderkey").cast("bigint")).cast("bigint").alias("keysum"),
+        )
+    )
+
+
+register(
+    "partitioned_write_prune",
+    _q_partitioned_write_prune,
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS keysum
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) = 1995
+    GROUP BY 1
+    """,
+)
