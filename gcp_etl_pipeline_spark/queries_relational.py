@@ -672,3 +672,73 @@ register(
     GROUP BY 1
     """,
 )
+
+
+# F extras — string-function suite (names and semantics verified identical
+# across engines; see tests for the probe methodology)
+def _q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               substring(c_name, 3, 5) AS sub,
+               replace(c_name, 'Customer', 'Cust') AS rep,
+               lpad(CAST(c_nationkey AS STRING), 4, '0') AS pad,
+               reverse(c_mktsegment) AS rev,
+               split_part(c_name, '#', 2) AS sp,
+               CAST(position('#' IN c_name) AS BIGINT) AS pos,
+               concat_ws('-', c_mktsegment, CAST(c_custkey AS STRING)) AS cw,
+               left(c_name, 4) AS l4, right(c_name, 3) AS r3
+        FROM customer
+        """
+    )
+
+
+register(
+    "string_functions",
+    _q_string_functions,
+    """
+    SELECT c_custkey,
+           substring(c_name, 3, 5) AS sub,
+           replace(c_name, 'Customer', 'Cust') AS rep,
+           lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS pad,
+           reverse(c_mktsegment) AS rev,
+           split_part(c_name, '#', 2) AS sp,
+           CAST(position('#' IN c_name) AS BIGINT) AS pos,
+           concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS cw,
+           left(c_name, 4) AS l4, right(c_name, 3) AS r3
+    FROM customer
+    """,
+)
+
+
+# F extras — date-arithmetic suite (DuckDB INTERVAL addition yields a
+# timestamp, so both sides CAST back to DATE)
+def _q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               date_add(o_orderdate, 30) AS plus30,
+               CAST(datediff(o_orderdate, DATE '1995-01-01') AS BIGINT) AS dd,
+               last_day(o_orderdate) AS ld,
+               CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS mon
+        FROM orders
+        """
+    )
+
+
+register(
+    "date_functions",
+    _q_date_functions,
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS dd,
+           last_day(o_orderdate) AS ld,
+           CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS mon
+    FROM orders
+    """,
+)
