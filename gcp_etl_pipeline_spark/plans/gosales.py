@@ -211,19 +211,50 @@ def sales_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic thin layer (`tl_sm_gosales_overview_01.sql:5-26`): parse the
     stringified date, 3-way surrogate-key star join, 4 aggregates, GROUP BY
     the 8 dimensions. Float sums via exact µ-unit integers (deterministic
-    at any parallelism)."""
-    sf = sales_fact(spark, sf_dir).alias("sf")
+    at any parallelism).
+
+    Physical shape: the fact is PRE-aggregated on its narrow integer keys
+    (+ date string) BEFORE the dim joins — the big shuffle carries 4 ints
+    and integer partials instead of 8 display strings, the broadcasts see
+    key-group rows instead of raw fact rows, and a second (tiny) aggregate
+    after the joins groups by the display attributes. Exact under the
+    µ-unit recipe: integer partial sums re-sum associatively, identical to
+    the single-level grouping (dim keys → attributes is functional, and
+    attribute collisions merge in the outer aggregate exactly as they
+    would have in a direct GROUP BY)."""
+    sf = sales_fact(spark, sf_dir)
     rd = _cached("retailer_dim", retailer_dim, spark, sf_dir).alias("rd")
     pl = _cached("product_lkp", product_lkp, spark, sf_dir).alias("pl")
     mh = _cached("method_hlp", method_hlp, spark, sf_dir).alias("mh")
-    joined = (
-        sf.join(F.broadcast(rd), F.col("sf.retailer_key") == F.col("rd.retailer_key"), "left")
-        .join(F.broadcast(pl), F.col("sf.product_key") == F.col("pl.product_key"), "left")
-        .join(F.broadcast(mh), F.col("sf.method_key") == F.col("mh.method_key"), "left")
+
+    micro = "CAST(ROUND(CAST(({x}) AS DOUBLE) * 1000000, 0) AS BIGINT)"
+    pre = (
+        sf.select(
+            "sale_date", "retailer_key", "product_key", "method_key",
+            F.col("sell_quantity").cast("bigint").alias("q"),
+            F.expr(micro.format(x="CAST(selling_unit_price AS DOUBLE)")).alias("p_u"),
+            F.expr(
+                micro.format(x="CAST(selling_unit_price AS DOUBLE) * sell_quantity")
+            ).alias("pq_u"),
+        )
+        .groupBy("sale_date", "retailer_key", "product_key", "method_key")
+        .agg(
+            F.sum("q").alias("q_s"),
+            F.sum("p_u").alias("p_us"),
+            F.sum("pq_u").alias("pq_us"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .alias("pre")
     )
+    joined = (
+        pre.join(F.broadcast(rd), F.col("pre.retailer_key") == F.col("rd.retailer_key"), "left")
+        .join(F.broadcast(pl), F.col("pre.product_key") == F.col("pl.product_key"), "left")
+        .join(F.broadcast(mh), F.col("pre.method_key") == F.col("mh.method_key"), "left")
+    )
+    unmicro = "CAST(FLOOR(CAST(SUM({c}) AS DOUBLE) / 1000000.0) AS BIGINT)"
     return (
         joined.select(
-            F.to_date("sf.sale_date", "yyyy-MM-dd").alias("sale_date"),
+            F.to_date("pre.sale_date", "yyyy-MM-dd").alias("sale_date"),
             F.col("rd.retailer_name").alias("retailer_name"),
             F.col("rd.retailer_type").alias("retailer_type"),
             F.col("rd.country").alias("country"),
@@ -231,8 +262,7 @@ def sales_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pl.product_type").alias("product_type"),
             F.col("pl.product_brand").alias("product_brand"),
             F.col("mh.method_name").alias("method_name"),
-            F.col("sf.sell_quantity").alias("q"),
-            F.col("sf.selling_unit_price").cast("double").alias("p"),
+            "pre.q_s", "pre.p_us", "pre.pq_us", "pre.cnt",
         )
         .groupBy(
             "sale_date",
@@ -245,10 +275,10 @@ def sales_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
             "method_name",
         )
         .agg(
-            F.sum("q").cast("bigint").alias("sell_quantity"),
-            F.expr(det_sum_bigint_expr("p")).alias("selling_unit_price"),
-            F.expr(det_sum_bigint_expr("p * q")).alias("sales_amount"),
-            F.count(F.lit(1)).alias("no_of_transactions"),
+            F.sum("q_s").cast("bigint").alias("sell_quantity"),
+            F.expr(unmicro.format(c="p_us")).alias("selling_unit_price"),
+            F.expr(unmicro.format(c="pq_us")).alias("sales_amount"),
+            F.sum("cnt").cast("bigint").alias("no_of_transactions"),
         )
     )
 
