@@ -167,7 +167,11 @@ def retailer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sales_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-way lower()-normalized left star join + casts
     (`...sales_fact_01.py:55-73`). Dim sides broadcast: the fact side (the
-    100 TB table) is never shuffled by these joins."""
+    100 TB table) is never shuffled by these joins. Deliberately NOT
+    persisted: an A/B at sf0.1 showed caching the full fact costs more to
+    materialize (~2 s) than its one recompute inside sales_overview
+    (~1.6 s); at 100 TB the semantic layer would read the WRITTEN curated
+    table instead (see plans/gosales_pipeline.py)."""
     src = go_daily_sales(spark, sf_dir)
     rh = _cached("retailer_hlp", retailer_hlp, spark, sf_dir)
     pl = _cached("product_lkp", product_lkp, spark, sf_dir)
