@@ -50,6 +50,7 @@ def _load_all() -> None:
     from gcp_etl_pipeline_spark import queries_relational  # noqa: F401
     from gcp_etl_pipeline_spark.operators import dedup_queries  # noqa: F401
     from gcp_etl_pipeline_spark.operators import temporal_queries  # noqa: F401
+    from gcp_etl_pipeline_spark.sources import kafka_queries  # noqa: F401
     from gcp_etl_pipeline_spark.streaming import queries  # noqa: F401
 
     from gcp_etl_pipeline_spark.operators import multimodal
