@@ -742,3 +742,28 @@ register(
     FROM orders
     """,
 )
+
+
+# Hypertable-style multi-resolution rollup: one scan + one shuffle
+# produces hourly, daily, and per-type grand totals via GROUPING SETS,
+# with GROUPING() flags tagging the resolution of each output row — the
+# continuous-aggregate shape (at 100 TB: 3 rollup resolutions for the
+# price of one, instead of 3 scans).
+shared_sql(
+    "time_rollup_multires",
+    f"""
+    WITH b AS (
+      SELECT CAST(FLOOR({{EPOCH}}(ts) / 3600) * 3600 AS BIGINT) AS hour_b,
+             CAST(FLOOR({{EPOCH}}(ts) / 86400) * 86400 AS BIGINT) AS day_b,
+             event_type, value
+      FROM events
+    )
+    SELECT hour_b, day_b, event_type,
+           CAST(GROUPING(hour_b) * 2 + GROUPING(day_b) AS BIGINT) AS resolution,
+           COUNT(*) AS n,
+           {det_sum_expr('value')} AS sum_value_u
+    FROM b
+    GROUP BY GROUPING SETS ((hour_b, event_type), (day_b, event_type),
+                            (event_type))
+    """,
+)
