@@ -67,6 +67,45 @@ def main() -> int:
     ).where("c > 41").count()
     timings["wide_dedup_groupby_20m"] = round(time.time() - t0, 2)
 
+    # as-of join: 20M left rows, 100k right rows, 10k keys — one shuffle
+    from gcp_etl_pipeline_spark.operators.asof import asof_join
+
+    left = fact.select(
+        "id", (F.col("id") % 10000).alias("k"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") % 864000).alias("ts"),
+    )
+    right = spark.range(100_000).select(
+        (F.col("id") % 10000).alias("k"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + (F.col("id") * 97) % 864000
+        ).alias("ts"),
+        (F.col("id") % 1000).alias("payload"),
+    ).groupBy("k", "ts").agg(F.max("payload").alias("payload"))
+    t0 = time.time()
+    asof_join(left, right, on=["k"], left_ts="ts").where(
+        F.col("payload").isNotNull()
+    ).count()
+    timings["asof_join_20m"] = round(time.time() - t0, 2)
+
+    # range join: 20M probes against 64 quadratic bands — broadcast, no
+    # probe-side shuffle
+    from gcp_etl_pipeline_spark.operators.rangejoin import range_join
+
+    # amounts span 0..1000 → 7 quadratic bands; chunk ≈ narrow-band width
+    # so each probe sees ~1-2 candidates (chunk tuning is the operator's
+    # documented knob: too-coarse chunks multiply candidates per probe)
+    bands = spark.range(7).select(
+        F.col("id").alias("band_id"),
+        (25.0 * F.col("id") * F.col("id")).alias("lo"),
+        (25.0 * (F.col("id") + 1) * (F.col("id") + 1)).alias("hi"),
+    )
+    t0 = time.time()
+    range_join(
+        fact.select("id", "amount"), bands,
+        value_col="amount", lo_col="lo", hi_col="hi", chunk=64.0,
+    ).groupBy("band_id").agg(F.count(F.lit(1)).alias("n")).count()
+    timings["range_join_20m"] = round(time.time() - t0, 2)
+
     out = {
         "rows": n,
         "total_sec": round(sum(timings.values()), 2),
