@@ -1,0 +1,75 @@
+"""Slowly-changing-dimension type-2 builder.
+
+The reference maintains dimensions as insert-new-only snapshots
+(`jobs/curated/dimensions/retailer_dim/dl_ct_gosales_retailer_dim_01.py:52-63`)
+and declares a ``merge_column`` upsert intent it never implements
+(`commons/utilities.py:193`). This operator is the engine's full-history
+upgrade of that capability: given a change stream (one row per key per
+effective timestamp), produce the versioned dimension with
+``valid_from`` / ``valid_to`` / ``is_current``, collapsing consecutive
+rows whose tracked attributes did not change.
+
+Scale shape: two windows over the SAME (key) partitioning — Catalyst
+plans one ``Exchange hashpartitioning(key)`` and sorts once per window
+within the partition. No global window, no driver collect; skewed keys
+are bounded by per-key history length, not table size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_build(
+    changes: DataFrame,
+    keys: Sequence[str],
+    attrs: Sequence[str],
+    ts_col: str,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Versioned dimension from a change stream.
+
+    Parameters
+    ----------
+    changes: one row per observed state; duplicates in ``attrs`` across
+        consecutive timestamps are collapsed (SCD2 change compression).
+    keys: natural-key columns (the dimension identity).
+    attrs: tracked attribute columns — a version closes when any changes.
+    ts_col: effective timestamp/date of the observation.
+    tiebreak: extra ORDER BY columns making same-``ts_col`` observations
+        deterministic (pass a unique id; required for reproducible runs).
+
+    Returns the input columns ``keys + attrs`` plus ``valid_from``,
+    ``valid_to`` (null = open) and ``is_current`` (int 0/1).
+    """
+    order = [F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak]]
+    w = Window.partitionBy(*keys).orderBy(*order)
+
+    # change detection: null-safe inequality vs the previous observation
+    changed = F.lit(False)
+    for a in attrs:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+    is_first = F.row_number().over(w) == 1
+
+    compressed = changes.withColumn(
+        "__scd2_keep", is_first | changed
+    ).where("__scd2_keep")
+
+    # valid_to = next version's valid_from (within the compressed set);
+    # same partitioning key -> Catalyst reuses the exchange, sorting only.
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        compressed.withColumn("valid_to", F.lead(ts_col).over(w2))
+        .select(
+            *keys,
+            *attrs,
+            F.col(ts_col).alias("valid_from"),
+            "valid_to",
+            F.when(F.col("valid_to").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_current"),
+        )
+    )

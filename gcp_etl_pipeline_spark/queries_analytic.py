@@ -1,0 +1,250 @@
+"""Analytic-coverage queries: window value/distribution functions, SCD2,
+correlated subqueries, array/explode, ordered string aggregation, exact
+math suite, histogram bucketing, and time-spine gap fill.
+
+These extend SURVEY.md §2's inventory with the analytics a warehouse user
+expects on top of the reference's semantics (the reference itself stops at
+row_number/rank — `...retailer_hlp_01.py:51`, `punjabcencus_tehsil_hlp_01.sql:4`).
+Every query keeps cross-engine determinism: unique-key tiebreaks in every
+ORDER BY, µ-unit quantization for derived doubles, and exact integer math
+elsewhere (see functions/deterministic.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gcp_etl_pipeline_spark.functions.deterministic import det_sum_expr
+from gcp_etl_pipeline_spark.queries_relational import ensure_views, shared_sql
+from gcp_etl_pipeline_spark.registry import register
+
+# ---------------------------------------------------------------- windows
+# Distribution functions. percent_rank/cume_dist are single IEEE divisions
+# of exact integers — deterministic cross-engine; quantized to µ-units so
+# the value hash is byte-stable anyway.
+shared_sql(
+    "window_ntile_ranks",
+    """
+    SELECT c_custkey,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           CAST(ROUND(PERCENT_RANK() OVER w * 1000000, 0) AS BIGINT)
+             AS pct_rank_u,
+           CAST(ROUND(CUME_DIST() OVER w * 1000000, 0) AS BIGINT) AS cume_u
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+
+# first/last/nth value over explicit full frames (LAST_VALUE on the default
+# frame is a classic footgun — pin ROWS UNBOUNDED..UNBOUNDED in both engines)
+shared_sql(
+    "window_value_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(FIRST_VALUE(l_quantity) OVER wf AS BIGINT) AS first_qty,
+           CAST(LAST_VALUE(l_quantity) OVER wf AS BIGINT) AS last_qty,
+           CAST(NTH_VALUE(l_quantity, 2) OVER wf AS BIGINT) AS second_qty
+    FROM lineitem
+    WHERE l_orderkey < 2000
+    WINDOW wf AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+
+# ------------------------------------------------- ordered-arg aggregates
+# max_by/min_by (DuckDB aliases of arg_max/arg_min). Second arg is the
+# unique key, so ties cannot occur and both engines agree.
+shared_sql(
+    "minby_maxby",
+    """
+    SELECT c_nationkey,
+           MAX_BY(c_name, c_custkey) AS newest_name,
+           MIN_BY(c_name, c_custkey) AS oldest_name,
+           COUNT(*) AS n
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+
+# --------------------------------------------- correlated scalar subquery
+# Per-order max detection; exact integer comparison, no float thresholds.
+shared_sql(
+    "correlated_max_lineitem",
+    """
+    SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty
+    FROM lineitem l1
+    WHERE l_orderkey < 20000
+      AND l_quantity = (SELECT MAX(l_quantity) FROM lineitem l2
+                        WHERE l2.l_orderkey = l1.l_orderkey)
+    """,
+)
+
+# ----------------------------------------------------- exact math suite
+# Only functions whose doubles come from single correctly-rounded IEEE ops
+# (abs/ceil/floor on products, sign, mod, greatest/least, small int powers)
+# — libm-backed functions (exp/ln/sin) are NOT cross-engine exact and stay
+# out of the differential surface.
+shared_sql(
+    "math_exact_suite",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ABS(CAST(l_quantity AS BIGINT) - 25) AS abs_dev,
+           CAST(SIGN(CAST(l_quantity AS BIGINT) - 25) AS INT) AS sgn,
+           CAST(CEIL(l_discount * 100) AS BIGINT) AS disc_ceil,
+           CAST(FLOOR(l_tax * 100) AS BIGINT) AS tax_floor,
+           MOD(CAST(l_quantity AS BIGINT), 7) AS qty_mod7,
+           GREATEST(CAST(l_quantity AS BIGINT), 30) AS qty_hi,
+           LEAST(CAST(l_quantity AS BIGINT), 30) AS qty_lo,
+           CAST(POWER(MOD(CAST(l_quantity AS BIGINT), 10), 2) AS BIGINT)
+             AS qty_sq
+    FROM lineitem WHERE l_orderkey < 5000
+    """,
+)
+
+# -------------------------------------------------- histogram bucketing
+# Integer bucket via FLOOR of one exact IEEE division — the width_bucket
+# shape without relying on either engine's width_bucket internals.
+shared_sql(
+    "histogram_price_buckets",
+    f"""
+    SELECT CAST(FLOOR(o_totalprice / 30000.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           {det_sum_expr('o_totalprice')} AS sum_price
+    FROM orders GROUP BY 1
+    """,
+)
+
+# ------------------------------------------------- ordered string agg
+# Spark has no ORDER BY inside string_agg; sort_array(collect_list(...))
+# reproduces it exactly for unique elements.
+register(
+    "string_agg_sorted",
+    lambda spark, sf_dir: (
+        ensure_views(spark, sf_dir),
+        spark.sql(
+            """
+            SELECT c_nationkey,
+                   array_join(sort_array(collect_list(c_name)), '|') AS names
+            FROM customer WHERE c_custkey <= 500 GROUP BY c_nationkey
+            """
+        ),
+    )[1],
+    """
+    SELECT c_nationkey, string_agg(c_name, '|' ORDER BY c_name) AS names
+    FROM customer WHERE c_custkey <= 500 GROUP BY 1
+    """,
+)
+
+# --------------------------------------------------- explode / unnest
+# Word frequency over part names: Spark explode(split()) vs DuckDB
+# unnest(string_split()). Tokenization (split on space) is pure string
+# work — locale-safe in both engines.
+register(
+    "explode_word_counts",
+    lambda spark, sf_dir: (
+        ensure_views(spark, sf_dir),
+        spark.sql(
+            """
+            SELECT word, COUNT(*) AS n
+            FROM (SELECT explode(split(p_name, ' ')) AS word FROM part) t
+            GROUP BY word
+            """
+        ),
+    )[1],
+    """
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part) t
+    GROUP BY 1
+    """,
+)
+
+# --------------------------------------------------- time-spine gap fill
+# Zero-filled daily counts between the observed min/max day. Spark:
+# sequence() + explode; DuckDB: generate_series + unnest. The spine is
+# derived from the data, broadcast (1-row bounds), and joined — no
+# driver-side date loop.
+def _q_time_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH bounds AS (
+          SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+          FROM events
+        ),
+        days AS (
+          SELECT explode(sequence(lo, hi)) AS d FROM bounds
+        ),
+        daily AS (
+          SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+          FROM events GROUP BY 1
+        )
+        SELECT days.d, COALESCE(daily.n, 0) AS n_events
+        FROM days LEFT JOIN daily ON days.d = daily.d
+        """
+    )
+
+
+register(
+    "time_spine_gapfill",
+    _q_time_spine,
+    """
+    WITH bounds AS (
+      SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+      FROM events
+    ),
+    days AS (
+      SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                         CAST(hi AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n FROM events GROUP BY 1
+    )
+    SELECT days.d, COALESCE(daily.n, 0) AS n_events
+    FROM days LEFT JOIN daily ON days.d = daily.d
+    """,
+)
+
+# ------------------------------------------------------------- SCD2
+# Orders as a change stream: each customer's order priority over time,
+# compressed to versions with valid_from/valid_to/is_current.
+def _q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gcp_etl_pipeline_spark.operators.scd2 import scd2_build
+
+    ensure_views(spark, sf_dir)
+    changes = spark.table("orders").select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+    return scd2_build(
+        changes,
+        keys=["o_custkey"],
+        attrs=["o_orderpriority"],
+        ts_col="o_orderdate",
+        tiebreak=["o_orderkey"],
+    )
+
+
+register(
+    "scd2_priority_history",
+    _q_scd2,
+    """
+    WITH ch AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             LAG(o_orderpriority) OVER w AS prev,
+             ROW_NUMBER() OVER w AS rn
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    versions AS (
+      SELECT * FROM ch
+      WHERE rn = 1 OR prev IS DISTINCT FROM o_orderpriority
+    )
+    SELECT o_custkey, o_orderpriority,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER w2 AS valid_to,
+           CASE WHEN LEAD(o_orderdate) OVER w2 IS NULL THEN 1 ELSE 0 END
+             AS is_current
+    FROM versions
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)

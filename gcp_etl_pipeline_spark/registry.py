@@ -47,6 +47,7 @@ def _load_all() -> None:
     for stage, fn in gosales.STAGES.items():
         register(f"gosales_{stage}", fn, gosales.oracle(stage))
 
+    from gcp_etl_pipeline_spark import queries_analytic  # noqa: F401
     from gcp_etl_pipeline_spark import queries_relational  # noqa: F401
     from gcp_etl_pipeline_spark.operators import dedup_queries  # noqa: F401
     from gcp_etl_pipeline_spark.operators import temporal_queries  # noqa: F401
