@@ -1,0 +1,68 @@
+"""Distributed connected components by min-label propagation.
+
+Near-dup detection (dedup.py) emits PAIRS; production dedup needs
+CLUSTERS — transitive closure over the pair graph — to pick one
+representative per group. This is the standard iterative Spark approach
+(the same shape GraphFrames uses): each round, every node adopts the
+smallest label seen in its neighborhood; converged when no label moves.
+Rounds ≈ graph diameter — near-dup clusters are shallow (usually 2-4).
+
+Scale shape per round: one shuffle join (edges ⋈ labels on src) + one
+groupBy-min. Labels/edges are persisted and swapped between rounds; the
+driver only sees a per-round change COUNT (one scalar), never the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Return (node, component): component = min node id reachable.
+
+    ``nodes`` must contain every vertex (isolated ones become singleton
+    components). Node ids must be orderable (int/string).
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("label")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    for _ in range(max_iter):
+        # neighborhood minimum: what each node hears from its neighbors
+        heard = (
+            sym.join(labels, sym["s"] == labels["node"])
+            .select(F.col("d").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(heard)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("node", F.col("label").alias("component"))

@@ -1,0 +1,89 @@
+"""Data-layout clustering: Z-order (Morton) keys for multi-column locality.
+
+At 100 TB, scan cost is dominated by how many files a filter can skip.
+Partitioning prunes on ONE column; Z-ordering interleaves the bits of
+several quantized columns so that range filters on ANY of them map to a
+compact key range — parquet min/max footer stats then skip most files.
+(The reference has no layout optimizer; its curated writes are unsorted
+overwrites, `...sales_fact_01.py:170`. Same idea as Delta OPTIMIZE
+ZORDER BY, built here from plain Spark primitives.)
+
+The key is exact integer math (quantize -> interleave via shifts), so it
+is reproducible cross-engine and differential-testable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BITS = 16
+
+
+def quantize(col: Column, lo: float, hi: float, bits: int = DEFAULT_BITS) -> Column:
+    """Map a numeric column onto the [0, 2^bits) integer grid.
+
+    FLOOR of one IEEE division — deterministic; values at ``hi`` clamp to
+    the top cell.
+    """
+    cells = 1 << bits
+    scaled = F.floor(
+        (col.cast("double") - F.lit(float(lo)))
+        / F.lit((float(hi) - float(lo)) / cells)
+    ).cast("bigint")
+    return F.least(F.greatest(scaled, F.lit(0)), F.lit(cells - 1))
+
+
+def zorder_key(cols: Sequence[Column], bits: int = DEFAULT_BITS) -> Column:
+    """Interleave the low ``bits`` bits of already-quantized columns.
+
+    Bit i of column j lands at position i*len(cols)+j — the Morton curve.
+    Pure shift/mask arithmetic: stays in whole-stage codegen.
+    """
+    n = len(cols)
+    key = F.lit(0).cast("bigint")
+    for j, c in enumerate(cols):
+        for i in range(bits):
+            bit = F.shiftright(c, i).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return key
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    quantized: Sequence[Column],
+    num_files: int,
+    bits: int = DEFAULT_BITS,
+) -> DataFrame:
+    """Layout pass before a write: range-partition by the Z-key so each
+    output file covers a compact multi-dimensional cell, then sort within
+    partitions so parquet row-group stats are tight too.
+
+    One range-exchange (sampled boundaries) + local sort — the standard
+    OPTIMIZE-shaped job; run it on the cold path, reads repay it.
+    """
+    keyed = df.withColumn("__zkey", zorder_key(quantized, bits))
+    return (
+        keyed.repartitionByRange(num_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+    )
+
+
+def zorder_sql_expr(
+    quantized_exprs: Sequence[str], bits: int, shiftl, shiftr
+) -> str:
+    """The same Morton key as ``zorder_key``, rendered as SQL text.
+
+    ``shiftl(expr, n)`` / ``shiftr(expr, n)`` format one shift in the
+    target dialect (Spark ``shiftleft(x, n)``, DuckDB ``(x << n)``), so
+    the differential oracle runs the bit-identical computation.
+    """
+    n = len(quantized_exprs)
+    terms = []
+    for j, e in enumerate(quantized_exprs):
+        for i in range(bits):
+            terms.append(shiftl(f"({shiftr(e, i)} & 1)", i * n + j))
+    return " | ".join(terms)

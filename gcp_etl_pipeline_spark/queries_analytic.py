@@ -248,3 +248,100 @@ register(
     WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
 )
+
+# ------------------------------------------------------------ UNPIVOT
+# Wide->long measure reshaping, SQL-standard syntax in both engines.
+# Measures are µ-unit quantized BEFORE unpivoting so the long column is
+# a single exact integer type.
+shared_sql(
+    "unpivot_measures",
+    """
+    SELECT l_orderkey, l_linenumber, measure, val_u
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             CAST(ROUND(CAST(l_quantity AS DOUBLE) * 1000000, 0) AS BIGINT)
+               AS qty_u,
+             CAST(ROUND(CAST(l_extendedprice AS DOUBLE) * 1000000, 0) AS BIGINT)
+               AS price_u,
+             CAST(ROUND(CAST(l_discount AS DOUBLE) * 1000000, 0) AS BIGINT)
+               AS disc_u
+      FROM lineitem WHERE l_orderkey < 3000
+    ) src
+    UNPIVOT (val_u FOR measure IN (qty_u, price_u, disc_u))
+    """,
+)
+
+# ------------------------------------------------------ LATERAL join
+# Correlated per-row subquery with ORDER BY + LIMIT: top-2 suppliers per
+# nation. Spark plans this as a lateral join; deterministic via the
+# unique-key tiebreak.
+shared_sql(
+    "lateral_top2_suppliers",
+    """
+    SELECT n.n_name, s.s_name, s.acctbal_u
+    FROM nation n, LATERAL (
+      SELECT s_name,
+             CAST(ROUND(CAST(s_acctbal AS DOUBLE) * 1000000, 0) AS BIGINT)
+               AS acctbal_u
+      FROM supplier WHERE s_nationkey = n.n_nationkey
+      ORDER BY s_acctbal DESC, s_suppkey LIMIT 2
+    ) s
+    """,
+)
+
+# ----------------------------------------------------- Z-order layout
+# The layout operator's Morton key, graded: per zkey-bucket row counts
+# and per-dimension quantized ranges — tight ranges in BOTH dimensions
+# per bucket are exactly the property that lets parquet footer stats
+# skip files for filters on either column. Spark side runs the real
+# operator (operators/layout.py); the oracle re-derives the key with
+# DuckDB's native bit operators.
+_ZBITS = 8
+_QX = "LEAST(GREATEST(CAST(FLOOR(CAST(l_quantity AS DOUBLE) / 0.25) AS BIGINT), 0), 255)"
+_QY = "LEAST(GREATEST(CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) / 512.0) AS BIGINT), 0), 255)"
+
+
+def _q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from gcp_etl_pipeline_spark.operators.layout import quantize, zorder_key
+
+    ensure_views(spark, sf_dir)
+    li = spark.table("lineitem")
+    qx = quantize(F.col("l_quantity"), 0.0, 64.0, _ZBITS)
+    qy = quantize(F.col("l_extendedprice"), 0.0, 131072.0, _ZBITS)
+    keyed = li.select(qx.alias("qx"), qy.alias("qy")).withColumn(
+        "zkey", zorder_key([F.col("qx"), F.col("qy")], _ZBITS)
+    )
+    return keyed.groupBy(
+        F.shiftright("zkey", 10).cast("bigint").alias("zbucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("qx").alias("qx_lo"),
+        F.max("qx").alias("qx_hi"),
+        F.min("qy").alias("qy_lo"),
+        F.max("qy").alias("qy_hi"),
+    )
+
+
+def _zorder_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators.layout import zorder_sql_expr
+
+    zexpr = zorder_sql_expr(
+        ["qx", "qy"], _ZBITS,
+        shiftl=lambda e, n: f"({e} << {n})",
+        shiftr=lambda e, n: f"({e} >> {n})",
+    )
+    return f"""
+    WITH q AS (
+      SELECT {_QX} AS qx, {_QY} AS qy FROM lineitem
+    ),
+    z AS (SELECT qx, qy, ({zexpr}) AS zkey FROM q)
+    SELECT CAST((zkey >> 10) AS BIGINT) AS zbucket, COUNT(*) AS n,
+           MIN(qx) AS qx_lo, MAX(qx) AS qx_hi,
+           MIN(qy) AS qy_lo, MAX(qy) AS qy_hi
+    FROM z GROUP BY 1
+    """
+
+
+register("zorder_locality", _q_zorder, _zorder_oracle())

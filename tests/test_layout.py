@@ -1,0 +1,61 @@
+"""Z-order layout operator: locality property and plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from gcp_etl_pipeline_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame([(0b101, 0b011)], "x long, y long")
+    got = df.select(
+        zorder_key([F.col("x"), F.col("y")], bits=3).alias("z")
+    ).collect()[0].z
+    # x bits at even positions, y bits at odd: x=101,y=011 ->
+    # pos0=x0=1, pos1=y0=1, pos2=x1=0, pos3=y1=1, pos4=x2=1, pos5=y2=0
+    assert got == 0b011011
+
+
+def test_quantize_clamps_and_grids(spark):
+    from gcp_etl_pipeline_spark.operators.layout import quantize
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (31.9,), (64.0,), (999.0,)], "v double"
+    )
+    got = [
+        r.q for r in df.select(
+            quantize(F.col("v"), 0.0, 64.0, bits=8).alias("q")
+        ).collect()
+    ]
+    assert got == [0, 0, 127, 255, 255]
+
+
+def test_cluster_by_zorder_partitions_are_key_ranges(spark):
+    from gcp_etl_pipeline_spark.operators.layout import (
+        cluster_by_zorder,
+        quantize,
+        zorder_key,
+    )
+
+    df = spark.range(4096).select(
+        (F.col("id") % 64).cast("double").alias("x"),
+        (F.col("id") / 64).cast("double").alias("y"),
+    )
+    qx = quantize(F.col("x"), 0.0, 64.0, 6)
+    qy = quantize(F.col("y"), 0.0, 64.0, 6)
+    out = cluster_by_zorder(df, [qx, qy], num_files=8, bits=6)
+
+    # each output partition must cover a disjoint z-key range
+    zk = zorder_key([qx, qy], 6)
+    ranges = (
+        out.withColumn("z", zk)
+        .withColumn("p", F.spark_partition_id())
+        .groupBy("p")
+        .agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(ranges) > 1
+    for a, b in zip(ranges, ranges[1:]):
+        assert a.hi <= b.lo
