@@ -1,0 +1,126 @@
+"""Graded queries for connected components, column profiling, and rule
+validation.
+
+The components oracle is a DuckDB RECURSIVE CTE computing the same
+transitive closure the Spark label-propagation loop converges to — a
+strong differential check of an iterative distributed algorithm against
+a declarative fixpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_etl_pipeline_spark.operators import dedup
+from gcp_etl_pipeline_spark.operators.components import connected_components
+from gcp_etl_pipeline_spark.operators.dedup_queries import _SIMHASH_CTES
+from gcp_etl_pipeline_spark.operators.quality import profile, validate
+from gcp_etl_pipeline_spark.queries_relational import ensure_views
+from gcp_etl_pipeline_spark.registry import register
+from gcp_etl_pipeline_spark.sources.files import read_parquet
+
+
+# ------------------------------------------------- dedup cluster closure
+
+def _q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    pairs = dedup.simhash_neardup_pairs(docs, max_hamming=3)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    comp = connected_components(nodes, edges)
+    return comp.select(F.col("node").alias("doc_id"), "component")
+
+
+register(
+    "dedup_components",
+    _q_components,
+    f"""
+    WITH RECURSIVE {_SIMHASH_CTES},
+    bands AS (
+      SELECT doc_id, simhash, b.b AS band_id,
+             (simhash >> CAST(b.b * 8 AS INT)) & 255 AS band_val
+      FROM simh CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b
+    ),
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_val = y.band_val
+           AND x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+    ),
+    edges AS (
+      SELECT a AS s, b AS d FROM pairs
+      UNION ALL SELECT b AS s, a AS d FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.d, w.label FROM edges e JOIN walk w ON e.s = w.node
+    )
+    SELECT node AS doc_id, MIN(label) AS component FROM walk GROUP BY node
+    """,
+)
+
+
+# ------------------------------------------------------ column profiling
+
+_PROFILE_COLS = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+
+
+def _q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_views(spark, sf_dir)
+    return profile(spark.table("customer"), _PROFILE_COLS)
+
+
+def _profile_oracle() -> str:
+    arms = []
+    for c in _PROFILE_COLS:
+        arms.append(
+            f"""
+            SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+                   COUNT(*) - COUNT({c}) AS n_null,
+                   COUNT(DISTINCT {c}) AS n_distinct,
+                   CAST(MIN({c}) AS VARCHAR) AS min_value,
+                   CAST(MAX({c}) AS VARCHAR) AS max_value
+            FROM customer
+            """
+        )
+    return " UNION ALL ".join(arms)
+
+
+register("profile_customer", _q_profile, _profile_oracle())
+
+
+# ------------------------------------------------------- rule validation
+
+_RULES = {
+    "qty_in_1_50": "l_quantity BETWEEN 1 AND 50",
+    "price_positive": "l_extendedprice > 0",
+    "shipdate_present": "l_shipdate IS NOT NULL",
+    "linestatus_domain": "l_linestatus IN ('O', 'F')",
+    "discount_in_0_01": "l_discount BETWEEN 0 AND 0.1",
+    "returnflag_domain": "l_returnflag IN ('A', 'N', 'R')",
+}
+
+
+def _q_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_views(spark, sf_dir)
+    return validate(spark.table("lineitem"), _RULES)
+
+
+def _validate_oracle() -> str:
+    arms = []
+    for name, pred in _RULES.items():
+        arms.append(
+            f"""
+            SELECT '{name}' AS rule, COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN ({pred}) THEN 0 ELSE 1 END) AS BIGINT)
+                     AS n_violations
+            FROM lineitem
+            """
+        )
+    return " UNION ALL ".join(arms)
+
+
+register("validate_lineitem_rules", _q_validate, _validate_oracle())

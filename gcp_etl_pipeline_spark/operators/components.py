@@ -10,6 +10,13 @@ Rounds ≈ graph diameter — near-dup clusters are shallow (usually 2-4).
 Scale shape per round: one shuffle join (edges ⋈ labels on src) + one
 groupBy-min. Labels/edges are persisted and swapped between rounds; the
 driver only sees a per-round change COUNT (one scalar), never the data.
+
+Lineage is truncated with ``localCheckpoint`` every round — without it
+each round's logical plan nests all previous rounds and Catalyst
+analysis time grows superlinearly (a ~10-round loop stops converging in
+wall-clock terms). This is the standard iterative-Spark discipline; on a
+cluster with lineage-loss concerns, swap in ``checkpoint()`` with a
+checkpoint dir.
 """
 
 from __future__ import annotations
@@ -40,7 +47,7 @@ def connected_components(
     )
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("label")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint()
 
     for _ in range(max_iter):
         # neighborhood minimum: what each node hears from its neighbors
@@ -48,11 +55,13 @@ def connected_components(
             sym.join(labels, sym["s"] == labels["node"])
             .select(F.col("d").alias("node"), "label")
         )
+        # eager localCheckpoint: materializes AND cuts lineage, so round
+        # k's plan is O(1), not O(k)
         new_labels = (
             labels.unionByName(heard)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -60,7 +69,6 @@ def connected_components(
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

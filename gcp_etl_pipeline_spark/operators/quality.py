@@ -42,9 +42,9 @@ def profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
     return row.selectExpr(
         "__n AS n_rows",
         f"stack({len(names)}, {parts}) AS "
-        "(column, n_non_null, n_distinct, min_value, max_value)",
+        "(col_name, n_non_null, n_distinct, min_value, max_value)",
     ).select(
-        "column",
+        "col_name",
         "n_rows",
         (F.col("n_rows") - F.col("n_non_null")).alias("n_null"),
         "n_distinct",
