@@ -345,3 +345,86 @@ def _zorder_oracle() -> str:
 
 
 register("zorder_locality", _q_zorder, _zorder_oracle())
+
+# -------------------------------------------------------- funnel analysis
+# Ordered-stage conversion over the event log: one grouped pass builds
+# per-user stage timestamps, one tiny aggregate scores the funnel.
+# NULL-comparison semantics (missing stage -> FALSE) are identical in
+# both engines.
+shared_sql(
+    "funnel_events",
+    """
+    WITH m AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS stage_view,
+           CAST(SUM(CASE WHEN t_click >= t_view THEN 1 ELSE 0 END)
+                AS BIGINT) AS stage_click,
+           CAST(SUM(CASE WHEN t_click >= t_view AND t_purchase >= t_click
+                    THEN 1 ELSE 0 END) AS BIGINT) AS stage_purchase
+    FROM m
+    """,
+)
+
+# ------------------------------------------------------- cohort retention
+# Classic cohort x age matrix via integer month indexes (year*12+month) —
+# pure integer arithmetic, no engine-specific month-diff semantics.
+shared_sql(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT))
+               AS cohort_m
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT f.cohort_m,
+           CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS BIGINT)
+             - f.cohort_m AS age_months,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS active_customers
+    FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+
+# --------------------------------------------- deterministic hash sample
+# Reproducible ~10% sample via md5 prefix — the cross-engine, cross-run
+# stable alternative to TABLESAMPLE (whose RNG differs per engine/seed).
+# At 100 TB this is the only sampling that is re-runnable and joinable
+# across tables (sample the same keys everywhere).
+shared_sql(
+    "hash_sample_orders",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+    FROM orders
+    WHERE substring(md5(CAST(o_orderkey AS STRING)), 1, 2) < '1a'
+    GROUP BY o_orderstatus
+    """,
+)
+
+# ----------------------------------------------------- percent of total
+# ratio_to_report shape: exact integer group sums, then one window total
+# and one deterministic division.
+shared_sql(
+    "pct_of_total_sales",
+    """
+    SELECT o_orderpriority,
+           sum_u,
+           CAST(ROUND(CAST(sum_u AS DOUBLE)
+                      / CAST(SUM(sum_u) OVER () AS DOUBLE) * 1000000, 0)
+                AS BIGINT) AS pct_u
+    FROM (
+      SELECT o_orderpriority,
+             SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 1000000, 0)
+                      AS BIGINT)) AS sum_u
+      FROM orders GROUP BY o_orderpriority
+    ) g
+    """,
+)
