@@ -428,3 +428,55 @@ shared_sql(
     ) g
     """,
 )
+
+# ----------------------------------------------------------- CDC apply
+# I/U/D change stream folded into a snapshot (operators/cdc.py). The
+# change stream is synthesized deterministically from orders — EVERY
+# order is a change event (latest per customer wins), plus 'I' rows for
+# unseen keys — so the operator's latest-pick, delete, and upsert paths
+# all carry weight. Oracle implements the same semantics declaratively.
+_CDC_CHANGES = """
+    SELECT o_custkey AS c_custkey,
+           'upd-' || CAST(o_orderkey AS STRING) AS c_name,
+           o_orderpriority AS c_mktsegment,
+           CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+           o_orderdate AS seq_d, o_orderkey AS seq_k
+    FROM orders
+    UNION ALL
+    SELECT 1000000 + o_orderkey, 'new-' || CAST(o_orderkey AS STRING),
+           o_orderpriority, 'I', o_orderdate, o_orderkey
+    FROM orders WHERE o_orderkey < 100
+"""
+
+
+def _q_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gcp_etl_pipeline_spark.operators.cdc import apply_changes
+
+    ensure_views(spark, sf_dir)
+    snapshot = spark.table("customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    changes = spark.sql(_CDC_CHANGES)
+    return apply_changes(
+        snapshot, changes, keys=["c_custkey"], seq_cols=["seq_d", "seq_k"]
+    )
+
+
+register(
+    "cdc_apply_changes",
+    _q_cdc,
+    f"""
+    WITH ch AS ({_CDC_CHANGES}),
+    lat AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                ORDER BY seq_d DESC, seq_k DESC) AS rn
+      FROM ch
+    ),
+    l1 AS (SELECT * FROM lat WHERE rn = 1)
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM l1 WHERE l1.c_custkey = c.c_custkey)
+    UNION ALL
+    SELECT c_custkey, c_name, c_mktsegment FROM l1 WHERE op <> 'D'
+    """,
+)

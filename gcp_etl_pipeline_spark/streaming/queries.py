@@ -186,3 +186,68 @@ register(
     _q_stream_upsert,
     "SELECT event_id, user_id, event_type FROM events",
 )
+
+
+def _q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: click→purchase attribution within one
+    hour, both sides watermarked (bounded join state; late data beyond 2h
+    dropped from state). Inner-join matches emit without waiting for the
+    watermark — the drain then aggregates batch-side to a compact result."""
+    from pyspark.sql import functions as F
+
+    root, src = _stage(sf_dir)
+    clicks = (
+        core.read_events_stream(spark, src)
+        .where("event_type = 'click'")
+        .select(
+            "user_id",
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    buys = (
+        core.read_events_stream(spark, src)
+        .where("event_type = 'purchase'")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        buys,
+        (clicks.user_id == buys.p_user)
+        & (buys.p_ts >= clicks.c_ts)
+        & (buys.p_ts <= clicks.c_ts + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    drained = _drain(
+        joined.select("user_id", "click_id", "purchase_id"), root, "append"
+    )
+    return drained.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("click_id").alias("first_click"),
+    )
+
+
+register(
+    "stream_stream_join",
+    _q_stream_stream_join,
+    """
+    WITH c AS (
+      SELECT user_id, ts AS c_ts, event_id AS click_id
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, ts AS p_ts, event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(click_id) AS BIGINT) AS first_click
+    FROM c JOIN p ON c.user_id = p.user_id
+       AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR
+    GROUP BY 1
+    """,
+)
