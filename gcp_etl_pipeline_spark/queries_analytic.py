@@ -13,6 +13,7 @@ elsewhere (see functions/deterministic.py).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from gcp_etl_pipeline_spark.functions.deterministic import det_sum_expr
 from gcp_etl_pipeline_spark.queries_relational import ensure_views, shared_sql
@@ -478,5 +479,55 @@ register(
     WHERE NOT EXISTS (SELECT 1 FROM l1 WHERE l1.c_custkey = c.c_custkey)
     UNION ALL
     SELECT c_custkey, c_name, c_mktsegment FROM l1 WHERE op <> 'D'
+    """,
+)
+
+# ------------------------------------------- incremental view maintenance
+# The rollup is maintained as mergeable partials: aggregate only each
+# delta, merge states (operators/ivm.py). Splitting orders at a date
+# boundary and merging the two states must be bit-identical to the
+# from-scratch aggregate — which is exactly what the oracle computes.
+def _q_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gcp_etl_pipeline_spark.operators.ivm import (
+        aggregate_partials,
+        merge_partials,
+    )
+
+    ensure_views(spark, sf_dir)
+    orders = spark.table("orders").select(
+        "o_orderstatus", "o_orderdate", "o_orderkey",
+        F.expr(
+            "CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 1000000, 0) AS BIGINT)"
+        ).alias("price_u"),
+    )
+    spec = dict(
+        keys=["o_orderstatus"], sums=["price_u"],
+        mins=["o_orderkey"], maxs=["o_orderdate"],
+    )
+    old = aggregate_partials(
+        orders.where("o_orderdate < DATE '1996-01-01'"), **spec
+    )
+    new = aggregate_partials(
+        orders.where("o_orderdate >= DATE '1996-01-01'"), **spec
+    )
+    return merge_partials([old, new], **spec).select(
+        "o_orderstatus",
+        F.col("__cnt").alias("n"),
+        F.col("s_price_u").alias("sum_price_u"),
+        F.col("mn_o_orderkey").alias("min_key"),
+        F.col("mx_o_orderdate").alias("max_date"),
+    )
+
+
+register(
+    "ivm_incremental_rollup",
+    _q_ivm,
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 1000000, 0)
+                AS BIGINT)) AS BIGINT) AS sum_price_u,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           MAX(o_orderdate) AS max_date
+    FROM orders GROUP BY 1
     """,
 )

@@ -70,3 +70,32 @@ def test_anti_join_is_not_cartesian(spark, sf_dir, queries):
     plan = _plan(queries["anti_join_new_rows"](spark, sf_dir))
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_scd2_single_key_exchange(spark, sf_dir, queries):
+    plan = _plan(queries["scd2_priority_history"](spark, sf_dir))
+    # change compression + validity chaining share one hash exchange
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("SortMergeJoin") == 0, plan
+
+
+def test_cdc_snapshot_never_sorts(spark, sf_dir, queries):
+    plan = _plan(queries["cdc_apply_changes"](spark, sf_dir))
+    # the window sorts only the changes side; the snapshot goes through
+    # a join (broadcast at this scale) — no sort on the customer scan side
+    head = plan.split("Window")[0]
+    assert "Sort" not in head.split("FileScan parquet")[0], plan
+
+
+def test_zorder_stays_in_codegen(spark, sf_dir, queries):
+    plan = _plan(queries["zorder_locality"](spark, sf_dir))
+    # the Morton key is pure shift/mask arithmetic: no python UDF, no
+    # extra exchange beyond the final aggregation
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_ivm_merge_is_two_level_aggregate(spark, sf_dir, queries):
+    plan = _plan(queries["ivm_incremental_rollup"](spark, sf_dir))
+    assert "partial_sum" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
