@@ -106,6 +106,41 @@ def main() -> int:
     ).groupBy("band_id").agg(F.count(F.lit(1)).alias("n")).count()
     timings["range_join_20m"] = round(time.time() - t0, 2)
 
+    # SCD2: 20M change observations over 1M keys — one keyed exchange,
+    # per-key history length 20 (bounded memory per group)
+    from gcp_etl_pipeline_spark.operators.scd2 import scd2_build
+
+    changes = fact.select(
+        (F.col("id") % 1_000_000).alias("k"),
+        (F.col("id") % 5).cast("string").alias("attr"),
+        F.col("d").alias("ts"),
+        F.col("id").alias("obs_id"),
+    )
+    t0 = time.time()
+    scd2_build(changes, ["k"], ["attr"], "ts", ["obs_id"]).where(
+        "is_current = 1"
+    ).count()
+    timings["scd2_20m"] = round(time.time() - t0, 2)
+
+    # CDC: 20M-row snapshot + 2M changes — window on changes only, the
+    # snapshot passes through one join
+    from gcp_etl_pipeline_spark.operators.cdc import apply_changes
+
+    snap = fact.select("id", "status", "amount")
+    cdc_changes = (
+        spark.range(2_000_000)
+        .select(
+            (F.col("id") * 10).alias("id"),
+            (F.col("id") % 7).alias("status"),
+            F.lit(0.0).alias("amount"),
+            F.when(F.col("id") % 5 == 0, "D").otherwise("U").alias("op"),
+            F.col("id").alias("seq"),
+        )
+    )
+    t0 = time.time()
+    apply_changes(snap, cdc_changes, ["id"], ["seq"]).count()
+    timings["cdc_apply_20m"] = round(time.time() - t0, 2)
+
     out = {
         "rows": n,
         "total_sec": round(sum(timings.values()), 2),
