@@ -767,3 +767,111 @@ shared_sql(
                             (event_type))
     """,
 )
+
+# --------------------------------------------------------------------------
+# TPC-H classic join shapes, adapted to the fixture schema. These exercise
+# the planner paths a 100 TB star query lives on: filter pushdown into the
+# dim-side scan, broadcast of the filtered dims, partial aggregation before
+# the final shuffle, and a deterministic top-N. Revenue uses the µ-unit
+# integer SUM so the value hash is parallelism-independent.
+
+# Q3 shape — shipping priority: selective dim filter joined through a
+# fact-fact chain, grouped top-10 by revenue. (o_shippriority is not in
+# the fixture schema; o_orderpriority stands in.)
+shared_sql(
+    "tpch_q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           {det_sum_expr('l_extendedprice * (1 - l_discount)')} AS revenue_u,
+           CAST(o_orderdate AS DATE) AS order_date,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue_u DESC, order_date, l_orderkey
+    LIMIT 10
+    """,
+)
+
+# Q5 shape — local supplier volume: 6-way snowflake join where customer
+# and supplier must share a nation (join-reorder + broadcast showcase).
+shared_sql(
+    "tpch_q5_local_supplier",
+    f"""
+    SELECT n_name,
+           {det_sum_expr('l_extendedprice * (1 - l_discount)')} AS revenue_u,
+           COUNT(*) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+
+# Q10 shape — returned-item report: quarter of orders x returned lines,
+# per-customer revenue, deterministic top-20.
+shared_sql(
+    "tpch_q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name, n_name,
+           {det_sum_expr('l_extendedprice * (1 - l_discount)')} AS revenue_u
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue_u DESC, c_custkey
+    LIMIT 20
+    """,
+)
+
+# Multiple COUNT(DISTINCT) over different columns in one aggregate —
+# Spark plans this via Expand (one row per distinct-column group), so a
+# single scan serves all three counts; no per-column re-scan at scale.
+shared_sql(
+    "multi_distinct_agg",
+    """
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           COUNT(DISTINCT o_orderpriority) AS n_prios,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+
+# Q18 shape — large-volume orders: semi-join against a grouped-HAVING
+# subquery, then re-aggregate. The inner aggregate shuffles once on
+# l_orderkey; the outer join is key-aligned with it.
+shared_sql(
+    "tpch_q18_large_orders",
+    """
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > 150
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 100
+    """,
+)
