@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from gcp_etl_pipeline_spark.operators.parallel import spread
 from gcp_etl_pipeline_spark.operators.text import fingerprint, tokens
 
 HEX_HIGH = tuple("89abcdef")  # md5 nibbles whose high bit is set
@@ -63,7 +64,7 @@ def shingle_arrays(
     from pyspark.sql.types import ArrayType, StringType
 
     mk = pandas_udf(_shingle_batch_fn(n), ArrayType(StringType()))
-    return df.select(F.col(id_col), mk(tokens(text_col)).alias("__sh"))
+    return spread(df, id_col).select(F.col(id_col), mk(tokens(text_col)).alias("__sh"))
 
 
 def shingle_sets(
@@ -311,7 +312,7 @@ def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     sh = pandas_udf(_simhash_batch, LongType())
     toks = F.array_distinct(tokens(text_col))
     return (
-        df.select(F.col(id_col), toks.alias("__toks"))
+        spread(df, id_col).select(F.col(id_col), toks.alias("__toks"))
         .where(F.size("__toks") > 0)
         .select(id_col, sh(F.col("__toks")).alias("simhash"))
     )

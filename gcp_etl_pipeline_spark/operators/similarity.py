@@ -34,6 +34,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
+from gcp_etl_pipeline_spark.operators.parallel import spread
+
 MICRO = 1_000_000
 
 
@@ -121,7 +123,7 @@ def knn_bruteforce(
                 {query_id_col: qcol, "neighbor_id": ncol, "cos_sim": ccol}
             )
 
-    partial = corpus.select(
+    partial = spread(corpus, id_col).select(
         F.col(id_col).alias("__id"), quantized(vec_col).alias("__cv")
     ).mapInPandas(topk, out_schema)
     w = Window.partitionBy(query_id_col).orderBy(
@@ -192,7 +194,7 @@ def knn_ivf(
                 {"__id": pdf["__id"], "__cv": pdf["__cv"], "list_id": lists}
             )
 
-    assigned = corpus.select(
+    assigned = spread(corpus, id_col).select(
         F.col(id_col).alias("__id"), quantized(vec_col).alias("__cv")
     ).mapInPandas(assign, assign_schema)
 
@@ -278,7 +280,7 @@ def neardup_pairs_bucketed(
             )
 
     # persist: the bucket self-join would otherwise run the matmul twice
-    sig = corpus.select(
+    sig = spread(corpus, id_col).select(
         F.col(id_col).alias("__id"), quantized(vec_col).alias("__cv")
     ).mapInPandas(buckets, sig_schema).persist()
     a = sig.select(F.col("__id").alias("a"), F.col("__cv").alias("__va"), "bucket")
