@@ -875,3 +875,205 @@ shared_sql(
     LIMIT 100
     """,
 )
+
+# Q4 shape — order-priority check via correlated EXISTS: orders in a
+# quarter that have at least one line shipped 60+ days after the order
+# date. Spark rewrites the EXISTS to a left-semi join on l_orderkey; the
+# date predicate stays in the join condition, so the lineitem scan is
+# pruned before the shuffle. (The fixture has no l_commitdate /
+# l_receiptdate; ship-lag stands in for late delivery.)
+shared_sql(
+    "tpch_q4_priority_exists",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+
+# Q6 shape — forecast-revenue: single-table scan with a 3-predicate
+# conjunctive filter and a global aggregate. All three predicates push to
+# the parquet reader (PushedFilters), so only matching row groups decode.
+shared_sql(
+    "tpch_q6_band_revenue",
+    f"""
+    SELECT {det_sum_expr('l_extendedprice * l_discount')} AS revenue_u,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+
+# Q7 shape — volume shipping between two nations: the nation dim joins
+# TWICE (supplier side and customer side) under a symmetric pair filter,
+# grouped by ship year. Both nation joins broadcast; the pair filter
+# collapses the n1 x n2 space before the fact join.
+shared_sql(
+    "tpch_q7_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {det_sum_expr('volume')} AS revenue_u
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+
+# Q8 shape — market share: 8-way snowflake (nation joined twice, region
+# once) with the share returned as two exact µ-unit sums per year rather
+# than a float ratio, keeping the hash parallelism-independent. The
+# selective p_type filter prunes the part scan before its fact join.
+shared_sql(
+    "tpch_q8_market_share",
+    f"""
+    SELECT o_year,
+           {det_sum_expr("CASE WHEN nation = 'NATION_3' THEN volume ELSE 0.0 END")}
+             AS nation_volume_u,
+           {det_sum_expr('volume')} AS total_volume_u
+    FROM (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+
+# Q14 shape — promo revenue: conditional aggregate over a fact-dim join,
+# returned as (promo, total) µ-unit sums instead of the float percentage
+# so the comparison is exact. part broadcasts; lineitem's date filter
+# pushes to the scan.
+shared_sql(
+    "tpch_q14_promo_revenue",
+    f"""
+    SELECT {det_sum_expr("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+             AS promo_revenue_u,
+           {det_sum_expr('l_extendedprice * (1 - l_discount)')} AS total_revenue_u
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+
+# Q19 shape — disjunctive predicate pushdown: OR of AND-groups mixing
+# dim attributes (brand, size) with fact attributes (quantity). Catalyst
+# extracts the common-fact residual (l_quantity <= 30) below the join and
+# keeps the cross-table disjunction as the join filter.
+shared_sql(
+    "tpch_q19_disjunctive",
+    f"""
+    SELECT {det_sum_expr('l_extendedprice * (1 - l_discount)')} AS revenue_u,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size >= 1 AND p_size <= 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#12' AND p_size >= 1 AND p_size <= 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#13' AND p_size >= 1 AND p_size <= 50
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+
+# Q21 shape — the "last shipper" in multi-supplier orders: correlated
+# EXISTS (another supplier participated) + NOT EXISTS (nobody else shipped
+# on/after my date). Spark plans these as one left-semi and one left-anti
+# join against the same lineitem scan, both key-aligned on l_orderkey —
+# at scale all three legs shuffle once on the same key. (No
+# l_commitdate/l_receiptdate in the fixture; strictly-latest ship date
+# stands in for "the supplier everyone waited on".)
+shared_sql(
+    "tpch_q21_last_shipper",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND n_name = 'NATION_5'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate >= l1.l_shipdate
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 25
+    """,
+)
+
+# Q22 shape — dormant rich customers: above-average balance (computed as
+# an exact integer cross-product comparison, bal_cents * n > sum_cents,
+# so the boundary is engine-independent) with NOT EXISTS recent orders.
+# The 1-row stats side broadcasts; NOT EXISTS becomes a left-anti join on
+# o_custkey against an orders scan pruned by the pushed date filter.
+# (Classic Q22 anti-joins ALL orders; at this fixture's order density
+# that selects zero rows, so the anti-join is scoped to the last year of
+# order history to keep the check non-vacuous.)
+shared_sql(
+    "tpch_q22_dormant_customers",
+    """
+    WITH stats AS (
+      SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS s,
+             COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 0.0
+    ),
+    eligible AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+      FROM customer CROSS JOIN stats
+      WHERE CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) * n > s
+    )
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(bal_cents) AS BIGINT) AS total_bal_cents
+    FROM eligible
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '2000-08-01 00:00:00'
+    )
+    GROUP BY c_nationkey
+    """,
+)

@@ -99,3 +99,46 @@ def test_ivm_merge_is_two_level_aggregate(spark, sf_dir, queries):
     plan = _plan(queries["ivm_incremental_rollup"](spark, sf_dir))
     assert "partial_sum" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_q4_exists_becomes_semi_join(spark, sf_dir, queries):
+    plan = _plan(queries["tpch_q4_priority_exists"](spark, sf_dir))
+    # correlated EXISTS must decorrelate to one semi join on l_orderkey,
+    # with the ship-lag predicate carried as the join condition — never a
+    # per-row subquery or cartesian product
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 2, plan
+
+
+def test_q19_disjunction_stays_in_join_filter(spark, sf_dir, queries):
+    plan = _plan(queries["tpch_q19_disjunctive"](spark, sf_dir))
+    # part is the small side: must broadcast; both scans keep pushed
+    # filters (IsNotNull at minimum; quantity/size residuals when the
+    # planner extracts the common ranges)
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("PushedFilters: [Is") >= 2 or plan.count("PushedFilters: [") >= 2, plan
+
+
+def test_q21_double_correlation_is_semi_plus_anti(spark, sf_dir, queries):
+    plan = _plan(queries["tpch_q21_last_shipper"](spark, sf_dir))
+    # EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti, both keyed on
+    # l_orderkey against lineitem — three key-aligned legs, no cartesian
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_stats_side_broadcasts(spark, sf_dir, queries):
+    plan = _plan(queries["tpch_q22_dormant_customers"](spark, sf_dir))
+    # the 1-row stats aggregate must broadcast (nested-loop over 1 row is
+    # O(n)); the NOT EXISTS must be a LeftAnti on o_custkey
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_q7_nation_pair_filter_prunes_before_fact(spark, sf_dir, queries):
+    plan = _plan(queries["tpch_q7_volume_shipping"](spark, sf_dir))
+    # nation joined twice, both broadcast; the symmetric pair predicate
+    # lives in a join condition, not a post-join filter over the fact
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    assert "CartesianProduct" not in plan

@@ -70,9 +70,11 @@ def main() -> int:
         print(f"ERROR: unknown query name(s): {sorted(unknown)}")
         return 2
     failures = []
+    n_ran = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        n_ran += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -112,7 +114,7 @@ def main() -> int:
             continue
         print(f"PASS {name}: rows={len(srows)} cols={len(scols)} ({dt:.1f}s)")
 
-    print(f"\n{len(queries) - len(failures)}/{len(queries)} pass")
+    print(f"\n{n_ran - len(failures)}/{n_ran} pass")
     spark.stop()
     return 1 if failures else 0
 
