@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from gcp_etl_pipeline_spark.functions.deterministic import (
     det_avg_expr,
     det_sum_expr,
+    micro_sum_expr,
 )
 from gcp_etl_pipeline_spark.registry import register
 
@@ -1075,5 +1076,219 @@ shared_sql(
         AND o_orderdate >= TIMESTAMP '2000-08-01 00:00:00'
     )
     GROUP BY c_nationkey
+    """,
+)
+
+# Q2 shape — minimum-cost supplier: correlated scalar MIN subquery over a
+# derived offers table, decorrelated by Spark into an aggregate + join
+# (never a per-row loop). The fixture has no partsupp, so the offer book
+# is derived from lineitem: a supplier's unit cost for a part is its
+# cheapest observed µ-unit price-per-unit. Equality against the
+# correlated MIN is exact because both sides quantize to bigint µ-units
+# first. ORDER BY is a total order (s_name unique per supplier, pair
+# unique per offer), so the LIMIT cut is deterministic.
+shared_sql(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(ROUND(CAST(l_extendedprice / l_quantity AS DOUBLE) * 1000000, 0) AS BIGINT))
+               AS unit_cost_u
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, unit_cost_u
+    FROM part
+    JOIN offers   ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE p_size = 15 AND p_type = 'LARGE' AND r_name = 'ASIA'
+      AND unit_cost_u = (
+        SELECT MIN(o2.unit_cost_u)
+        FROM offers o2
+        JOIN supplier s2 ON s2.s_suppkey = o2.l_suppkey
+        JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+        WHERE o2.l_partkey = p_partkey AND r2.r_name = 'ASIA'
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+
+# Q9 shape — product-type profit: 4-way join grouped by supplier nation
+# and ship year, with a LIKE filter pruning the part dim before its fact
+# join. No partsupp supplycost in the fixture, so cost is proxied as half
+# the part's retail price per unit (documented deviation; the join/agg
+# shape is what's under test).
+shared_sql(
+    "tpch_q9_product_profit",
+    f"""
+    SELECT nation, o_year, {det_sum_expr('amount')} AS profit_u
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity
+               AS amount
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+
+# Q11 shape — important stock: per-part value for one nation's suppliers,
+# kept only where the part's share exceeds 1/10000 of the nation total.
+# The threshold is evaluated entirely in integer µ-units
+# (value_u * 10000 > total_u) so the boundary is engine-independent; the
+# 1-row global total broadcasts. partsupp availqty is proxied by shipped
+# value from lineitem.
+shared_sql(
+    "tpch_q11_important_stock",
+    f"""
+    WITH supplied AS (
+      SELECT l_partkey,
+             {micro_sum_expr('l_extendedprice * (1 - l_discount)')} AS value_u
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_1'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, value_u
+    FROM supplied
+    WHERE value_u * 10000 > (SELECT SUM(value_u) FROM supplied)
+    """,
+)
+
+# Q12 shape — shipping-class priority split: fact-dim join with an IN
+# filter on the fact and two complementary conditional counts. l_shipmode
+# doesn't exist in the fixture; l_returnflag stands in as the class
+# column. Counts are exact integers.
+shared_sql(
+    "tpch_q12_ship_priority",
+    """
+    SELECT l_returnflag AS ship_class,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag IN ('R', 'A')
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+
+# Q13 shape — customer order-count distribution: LEFT OUTER join with an
+# extra predicate in the ON clause (kept orders only), then a two-level
+# aggregate — count per customer, then a histogram of those counts.
+# Customers with no qualifying orders land in the c_count=0 bucket, which
+# only a true left join preserves.
+shared_sql(
+    "tpch_q13_order_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+
+# Q15 shape — top supplier: quarterly revenue per supplier in a CTE, then
+# an exact bigint-µ equality against the global MAX (scalar subquery, 1
+# row, broadcast). Ties all surface — no arbitrary pick.
+shared_sql(
+    "tpch_q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {micro_sum_expr('l_extendedprice * (1 - l_discount)')} AS total_revenue_u
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue_u
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue_u = (SELECT MAX(total_revenue_u) FROM revenue)
+    """,
+)
+
+# Q16 shape — supplier-part relationship count: distinct (part, supplier)
+# pairs (the fixture's stand-in for partsupp), an IN list on p_size, and
+# a NOT IN subquery excluding overdrawn suppliers. s_suppkey is non-null
+# so the NOT IN plans as a regular (not null-aware) anti join; the
+# COUNT(DISTINCT) rides the same grouping shuffle.
+shared_sql(
+    "tpch_q16_supplier_cnt",
+    """
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 7, 10, 14, 23, 36, 45)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+
+# Q17 shape — small-quantity-order revenue: two correlated scalar
+# aggregates (per-part count and quantity sum) decorrelated into
+# aggregate+join legs. The classic `l_quantity < 0.2 * AVG(l_quantity)`
+# is restated as the exact integer cross-product
+# qty * 5 * n < sum_qty, so no float boundary exists.
+shared_sql(
+    "tpch_q17_small_qty_revenue",
+    f"""
+    SELECT {det_sum_expr('l_extendedprice')} AS small_qty_revenue_u,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
+      AND CAST(l_quantity AS BIGINT) * 5 *
+            (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+          < (SELECT SUM(CAST(l_quantity AS BIGINT))
+             FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+
+# Q20 shape — potential part promotion: nested IN subqueries (supplier IN
+# shippers-of parts IN name-filtered parts) with a HAVING volume floor —
+# two stacked semi joins after decorrelation. availqty>half-shipped from
+# classic Q20 is proxied by the HAVING threshold on shipped quantity.
+shared_sql(
+    "tpch_q20_promotion_suppliers",
+    """
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_2'
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        WHERE l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE '%red%'
+          )
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey
+        HAVING SUM(CAST(l_quantity AS BIGINT)) > 100
+      )
+    ORDER BY s_name
     """,
 )

@@ -142,3 +142,35 @@ def test_q7_nation_pair_filter_prunes_before_fact(spark, sf_dir, queries):
     # lives in a join condition, not a post-join filter over the fact
     assert plan.count("BroadcastHashJoin") >= 5, plan
     assert "CartesianProduct" not in plan
+
+
+def test_q2_correlated_min_decorrelates(spark, sf_dir, queries):
+    plan = _plan(queries["tpch_q2_min_cost_supplier"](spark, sf_dir))
+    # the correlated MIN must become an aggregate joined back on
+    # l_partkey — never a per-row subquery or cartesian product
+    assert "CartesianProduct" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_q16_not_in_is_anti_join(spark, sf_dir, queries):
+    plan = _plan(queries["tpch_q16_supplier_cnt"](spark, sf_dir))
+    # NOT IN on a non-null key must plan as an anti join (broadcast: the
+    # overdrawn-supplier list is tiny), not a nested-loop filter
+    assert "Anti" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_double_scalar_agg_decorrelates(spark, sf_dir, queries):
+    plan = _plan(queries["tpch_q17_small_qty_revenue"](spark, sf_dir))
+    # both correlated aggregates decorrelate to per-part aggregate legs
+    # joined on l_partkey; part is the small side and broadcasts
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_nested_in_is_stacked_semi_joins(spark, sf_dir, queries):
+    plan = _plan(queries["tpch_q20_promotion_suppliers"](spark, sf_dir))
+    # supplier IN (... l_partkey IN (...)) — two stacked semi joins after
+    # decorrelation
+    assert plan.count("LeftSemi") >= 2, plan
+    assert "CartesianProduct" not in plan
