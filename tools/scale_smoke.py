@@ -141,6 +141,31 @@ def main() -> int:
     apply_changes(snap, cdc_changes, ["id"], ["seq"]).count()
     timings["cdc_apply_20m"] = round(time.time() - t0, 2)
 
+    # TPC-H q21 shape: correlated EXISTS + NOT EXISTS over the same fact.
+    # After decorrelation all three legs hash-partition on the same join
+    # key (okey), so the query is one shuffle alignment — the property
+    # that keeps it viable when the fact is 100 TB. ~5 lines per okey
+    # group bounds per-reducer state.
+    li = fact.select(
+        (F.col("id") % (n // 5)).alias("okey"),
+        (F.col("id") % 97).alias("skey"),
+        F.col("d").alias("ship"),
+    )
+    li.createOrReplaceTempView("li_smoke")
+    t0 = time.time()
+    spark.sql(
+        """
+        SELECT skey, COUNT(*) AS n FROM li_smoke l1
+        WHERE EXISTS (SELECT 1 FROM li_smoke l2
+                      WHERE l2.okey = l1.okey AND l2.skey <> l1.skey)
+          AND NOT EXISTS (SELECT 1 FROM li_smoke l3
+                          WHERE l3.okey = l1.okey AND l3.skey <> l1.skey
+                            AND l3.ship >= l1.ship)
+        GROUP BY skey
+        """
+    ).count()
+    timings["exists_decorrelation_20m"] = round(time.time() - t0, 2)
+
     out = {
         "rows": n,
         "total_sec": round(sum(timings.values()), 2),
