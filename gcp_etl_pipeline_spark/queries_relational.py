@@ -498,6 +498,91 @@ register(
 )
 
 
+# S3-family — ORC sink + source roundtrip. ORC is the second columnar
+# format the engine supports (built-in vectorized reader/writer, same
+# pushdown/pruning behavior as Parquet); types including TIMESTAMP
+# survive the roundtrip unchanged, so the oracle reads the parquet truth.
+def _q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gcp_etl_pipeline_spark.sinks.writers import write_orc
+    from gcp_etl_pipeline_spark.sources.files import read_orc
+
+    ensure_views(spark, sf_dir)
+    src = spark.sql(
+        """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+           FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'"""
+    )
+    path = tempfile.mkdtemp(prefix="graft_orc_") + "/orders"
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr(det_sum_expr("o_totalprice")).alias("total_u"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+register(
+    "orc_roundtrip",
+    _q_orc_roundtrip,
+    f"""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           {det_sum_expr('o_totalprice')} AS total_u,
+           MAX(o_orderdate) AS last_order
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY o_orderstatus
+    """,
+)
+
+
+# JSONL sink + source roundtrip: the interchange format a training-data
+# pipeline actually exchanges with annotation/inference systems. Written
+# with full types, read back with an EXPLICIT schema (inference costs an
+# extra full pass at 100 TB — the helper's documented contract).
+def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from gcp_etl_pipeline_spark.sinks.writers import write_json_lines
+    from gcp_etl_pipeline_spark.sources.files import read_json_lines
+
+    ensure_views(spark, sf_dir)
+    src = spark.sql(
+        "SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer"
+    )
+    path = tempfile.mkdtemp(prefix="graft_jsonl_") + "/customer"
+    write_json_lines(src, path)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.LongType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+        ]
+    )
+    back = read_json_lines(spark, path, schema=schema)
+    return back.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.expr(det_sum_expr("c_acctbal")).alias("bal_u"),
+    )
+
+
+register(
+    "jsonl_roundtrip",
+    _q_jsonl_roundtrip,
+    f"""
+    SELECT c_nationkey, COUNT(*) AS n_customers,
+           {det_sum_expr('c_acctbal')} AS bal_u
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+
+
 register(
     "skew_salted_join",
     _q_salted_join,

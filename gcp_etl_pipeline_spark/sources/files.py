@@ -48,6 +48,24 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (built-in vectorized reader; same predicate-pushdown and
+    column-pruning behavior as Parquet — asserted in tests)."""
+    return spark.read.orc(path)
+
+
+def read_json_lines(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Newline-delimited JSON scan. Schema inference costs one extra pass
+    over the data, so callers on large inputs should pass an explicit
+    schema/TableSpec (the inference default mirrors the reference's
+    schema-on-read CSV stance)."""
+    reader = spark.read
+    if schema is not None:
+        struct = schema.struct_type() if hasattr(schema, "struct_type") else schema
+        reader = reader.schema(struct)
+    return reader.json(path)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
