@@ -68,3 +68,109 @@ def hll_estimate(
         .cast("bigint")
         .alias(out_col)
     )
+
+
+# ---------------------------------------------------------------- quantiles
+
+# KLL k=200 ≈ 1.65% normalized rank error, ~KB-sized sketches.
+DEFAULT_KLL_K = 200
+
+
+def kll_partials(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = DEFAULT_KLL_K,
+    sketch_col: str = "kll_sketch",
+) -> DataFrame:
+    """Per-group KLL quantile sketch of a DOUBLE column (mergeable).
+
+    The 100 TB pattern for percentiles: exact quantiles need a full sort
+    (or exact `percentile`, which shuffles every value); a KLL sketch is
+    KBs per group, merges associatively across batches/partitions, and
+    answers any quantile with bounded RANK error. Note KLL compaction is
+    randomized — merged partials answer within the same rank-error bound
+    as a direct sketch, not bit-identically (unlike HLL/Theta union)."""
+    return df.groupBy(*group_cols).agg(
+        F.expr(f"kll_sketch_agg_double({value_col}, {k})").alias(sketch_col)
+    )
+
+
+def kll_quantiles(
+    partials: DataFrame,
+    group_cols: list[str],
+    quantiles: list[float],
+    sketch_col: str = "kll_sketch",
+) -> DataFrame:
+    """Merge per-batch KLL sketches and read off quantile estimates."""
+    merged = partials.groupBy(*group_cols).agg(
+        F.expr(f"kll_merge_agg_double({sketch_col})").alias(sketch_col)
+    )
+    return merged.select(
+        *group_cols,
+        *[
+            F.expr(f"kll_sketch_get_quantile_double({sketch_col}, {q})")
+            .alias(f"q{int(round(q * 100)):02d}")
+            for q in quantiles
+        ],
+    )
+
+
+# --------------------------------------------------------- set expressions
+
+def theta_partials(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    sketch_col: str = "theta_sketch",
+) -> DataFrame:
+    """Per-group Theta sketch (mergeable; supports set EXPRESSIONS).
+
+    Unlike HLL, Theta sketches compose under intersection and difference
+    too — "distinct users in segment A AND B (or A\\B)" without joining
+    the raw 100 TB segments: sketch each segment once, combine KB-sized
+    sketches. Union is set-deterministic (k smallest hashes of the union
+    are a subset of the per-side retained hashes), so per-batch partials
+    merged with theta_union_agg estimate identically to a direct sketch;
+    below the sketch's k (4096 default) estimates are exact."""
+    return df.groupBy(*group_cols).agg(
+        F.expr(f"theta_sketch_agg({value_col})").alias(sketch_col)
+    )
+
+
+def theta_union_estimate(
+    partials: DataFrame,
+    group_cols: list[str],
+    sketch_col: str = "theta_sketch",
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Merge per-batch Theta sketches and estimate the distinct count."""
+    return partials.groupBy(*group_cols).agg(
+        F.expr(f"theta_sketch_estimate(theta_union_agg({sketch_col}))")
+        .cast("bigint")
+        .alias(out_col)
+    )
+
+
+def theta_set_estimates(
+    left: DataFrame,
+    right: DataFrame,
+    join_cols: list[str],
+    sketch_col: str = "theta_sketch",
+) -> DataFrame:
+    """Join two per-group sketch tables and estimate |A∪B|, |A∩B|, |A\\B|
+    per group — three set cardinalities from two KB-sized columns, no
+    scan of the underlying data."""
+    l = left.select(*join_cols, F.col(sketch_col).alias("_sk_l"))
+    r = right.select(*join_cols, F.col(sketch_col).alias("_sk_r"))
+    est = "CAST(theta_sketch_estimate({e}) AS BIGINT)"
+    return l.join(r, join_cols).select(
+        *join_cols,
+        F.expr(est.format(e="theta_union(_sk_l, _sk_r)")).alias("union_distinct"),
+        F.expr(est.format(e="theta_intersection(_sk_l, _sk_r)")).alias(
+            "intersect_distinct"
+        ),
+        F.expr(est.format(e="theta_difference(_sk_l, _sk_r)")).alias(
+            "diff_distinct"
+        ),
+    )
