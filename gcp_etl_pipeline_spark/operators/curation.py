@@ -1,0 +1,178 @@
+"""Corpus-curation operators: PII redaction, TF-IDF term weighting,
+bigram collocation mining.
+
+All JVM-side column expressions (regexp_*, explode, window) — no Python
+UDFs anywhere, so each transform stays inside whole-stage codegen and
+costs one pass over the text column regardless of corpus size.
+
+Scale notes (100 TB corpus):
+- Redaction is a narrow map — no shuffle, fuses with the scan.
+- TF-IDF needs two aggregations (per-doc term counts, corpus document
+  frequency). The DF side is a small table (|vocabulary| rows) that
+  broadcasts back onto the per-doc counts, so the only wide exchange is
+  the (doc_id, term) partial-count shuffle, which AQE coalesces.
+- Collocations aggregate on the bigram itself; partial (map-side)
+  aggregation collapses each partition to its local vocabulary before the
+  shuffle, so exchange volume is bounded by vocabulary, not corpus size.
+
+The reference has no text pipeline (its documents never leave BigQuery);
+this module is part of the LLM-training-data extension surface alongside
+operators/dedup.py and operators/text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gcp_etl_pipeline_spark.operators.text import tokens
+
+# Patterns are kept to the syntax subset where Java regex (Spark) and RE2
+# (DuckDB oracle) agree character-for-character.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+URL_RE = "https?://[^ ]+"
+PHONE_RE = "[0-9]{3}-[0-9]{3,4}"
+
+REDACTIONS = [
+    ("email", EMAIL_RE, "<EMAIL>"),
+    ("url", URL_RE, "<URL>"),
+    ("phone", PHONE_RE, "<PHONE>"),
+]
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace email → url → phone matches with typed placeholder tokens.
+
+    Order matters: emails and URLs are redacted before the bare phone
+    pattern so a digit run inside an already-redacted span can't be
+    double-matched. Pure regexp_replace chain — narrow, no shuffle."""
+    c = F.col(text) if isinstance(text, str) else text
+    for _, pat, repl in REDACTIONS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_counts(text: Column | str) -> list[Column]:
+    """One count column per PII class (before redaction)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return [
+        F.regexp_count(c, F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in REDACTIONS
+    ]
+
+
+def tfidf(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-(doc, term) TF-IDF, µ-unit quantized for determinism.
+
+    tf = term_count / doc_tokens; idf = ln(N / df). The two counts are
+    exact integers under any partitioning; the float product is quantized
+    to `score_u = round(tf * idf * scale)` so results hash-match the
+    DuckDB oracle (one ln + one multiply + one round per output row).
+
+    Plan shape: one (doc_id, term) count shuffle; the document-frequency
+    aggregate produces a vocabulary-sized table that Spark broadcasts
+    back onto the counts (plan-asserted in tests/test_curation.py).
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    term_counts = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    doc_lens = term_counts.groupBy(id_col).agg(F.sum("cnt").alias("n_toks"))
+    df_counts = term_counts.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = docs.select(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    return (
+        term_counts.join(doc_lens, id_col)
+        .join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            F.round(
+                (F.col("cnt") / F.col("n_toks"))
+                * F.log(F.col("n_docs") / F.col("df"))
+                * scale
+            )
+            .cast("bigint")
+            .alias("score_u"),
+        )
+    )
+
+
+def top_terms(scored: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
+    """Top-k terms per document by (score desc, term asc) — the
+    deterministic tie-break makes the result differential-testable."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(F.desc("score_u"), F.asc("term"))
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def bigram_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 20,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Corpus-level bigram mining with a PMI association score.
+
+    pmi = ln(n_bigram * total_bigrams / (n_first_any * n_any_second))
+    where the unigram counts are positional (times the word appears as a
+    bigram head / tail), all exact integers; the single ln is µ-unit
+    quantized. Aggregations are on the bigram/unigram key itself, so
+    map-side partial aggregation bounds the shuffle by vocabulary size.
+    """
+    toks = docs.select(tokens(text_col).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.transform(
+                F.slice("toks", 1, F.size("toks") - 1),
+                lambda t, i: F.struct(
+                    t.alias("w1"), F.element_at("toks", i + 2).alias("w2")
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    pair = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    heads = pair.groupBy("w1").agg(F.sum("n").alias("n_head"))
+    tails = pair.groupBy("w2").agg(F.sum("n").alias("n_tail"))
+    total = pair.select(F.sum("n").alias("n_total"))
+    return (
+        pair.filter(F.col("n") >= min_count)
+        .join(F.broadcast(heads), "w1")
+        .join(F.broadcast(tails), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "n",
+            F.round(
+                F.log(
+                    F.col("n")
+                    * F.col("n_total")
+                    / (F.col("n_head") * F.col("n_tail"))
+                )
+                * scale
+            )
+            .cast("bigint")
+            .alias("pmi_u"),
+        )
+    )

@@ -1,0 +1,268 @@
+"""Driver-facing queries for the curation / frequent-items / fuzzy-match
+/ embedding-centroid operators, each with a DuckDB oracle.
+
+Determinism recipes reused from the rest of the suite: exact integer
+counts, µ-unit quantization for the single ln/division per row, md5 for
+cross-engine hashing, (score desc, key asc) tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_etl_pipeline_spark.operators import curation, freq
+from gcp_etl_pipeline_spark.operators.text import tokens
+from gcp_etl_pipeline_spark.queries_relational import ensure_views, shared_sql
+from gcp_etl_pipeline_spark.registry import register
+from gcp_etl_pipeline_spark.sources.files import read_parquet
+
+_TOK_CTE = """
+tok AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_parquet(spark, f"{sf_dir}/documents.parquet")
+
+
+# ------------------------------------------------------------ PII redaction
+# The fixture corpus carries no natural PII, so the query synthesizes a
+# contact string from customer fields IDENTICALLY in both engines, then
+# exercises the real redaction chain (email → url → phone) against it.
+
+_CONTACT = (
+    "concat(c_name, ' <', lower(c_mktsegment), '@example.com> call 555-', "
+    "CAST(c_custkey AS STRING), ' https://ex.org/', lower(c_mktsegment))"
+)
+
+
+def _q_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_views(spark, sf_dir)
+    contacts = spark.sql(
+        f"SELECT c_custkey, {_CONTACT} AS contact FROM customer"
+    )
+    return contacts.select(
+        "c_custkey",
+        *curation.pii_counts("contact"),
+        curation.redact_pii("contact").alias("redacted"),
+    )
+
+
+def _pii_oracle() -> str:
+    cnts = ", ".join(
+        f"CAST(len(regexp_extract_all(contact, '{pat}')) AS INT) AS n_{name}"
+        for name, pat, _ in curation.REDACTIONS
+    )
+    red = "contact"
+    for _, pat, repl in curation.REDACTIONS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""
+    WITH c AS (SELECT c_custkey, {_CONTACT} AS contact FROM customer)
+    SELECT c_custkey, {cnts}, {red} AS redacted FROM c
+    """
+
+
+register("pii_redact_contacts", _q_pii, _pii_oracle())
+
+
+# ------------------------------------------------------------ TF-IDF top-k
+
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = curation.tfidf(_docs(spark, sf_dir))
+    return curation.top_terms(scored, k=3).select(
+        "doc_id", "rk", "term", "score_u"
+    )
+
+
+register(
+    "tfidf_top_terms",
+    _q_tfidf,
+    f"""
+    WITH {_TOK_CTE},
+    tc AS (
+      SELECT doc_id, unnest(toks) AS term FROM tok
+    ),
+    term_counts AS (
+      SELECT doc_id, term, COUNT(*) AS cnt FROM tc GROUP BY 1, 2
+    ),
+    doc_lens AS (
+      SELECT doc_id, SUM(cnt) AS n_toks FROM term_counts GROUP BY 1
+    ),
+    dfreq AS (
+      SELECT term, COUNT(*) AS df FROM term_counts GROUP BY 1
+    ),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.term,
+             CAST(ROUND(
+               (CAST(t.cnt AS DOUBLE) / l.n_toks)
+               * ln(CAST(n.n_docs AS DOUBLE) / f.df) * 1000000, 0)
+             AS BIGINT) AS score_u
+      FROM term_counts t
+      JOIN doc_lens l USING (doc_id)
+      JOIN dfreq f USING (term), nd n
+    ),
+    ranked AS (
+      SELECT doc_id, term, score_u,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score_u DESC, term ASC) AS rk
+      FROM scored
+    )
+    SELECT doc_id, CAST(rk AS INT) AS rk, term, score_u
+    FROM ranked WHERE rk <= 3
+    """,
+)
+
+
+# ----------------------------------------------------- bigram collocations
+
+def _q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.bigram_collocations(_docs(spark, sf_dir), min_count=20)
+
+
+register(
+    "bigram_collocations",
+    _q_collocations,
+    f"""
+    WITH {_TOK_CTE},
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+               i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS s
+      FROM tok WHERE len(toks) >= 2
+    ),
+    pair AS (
+      SELECT s.w1 AS w1, s.w2 AS w2, COUNT(*) AS n FROM bg GROUP BY 1, 2
+    ),
+    heads AS (SELECT w1, SUM(n) AS n_head FROM pair GROUP BY 1),
+    tails AS (SELECT w2, SUM(n) AS n_tail FROM pair GROUP BY 1),
+    tot AS (SELECT SUM(n) AS n_total FROM pair)
+    SELECT p.w1, p.w2, p.n,
+           CAST(ROUND(ln(CAST(p.n AS DOUBLE) * t.n_total
+                         / (h.n_head * tl.n_tail)) * 1000000, 0)
+                AS BIGINT) AS pmi_u
+    FROM pair p
+    JOIN heads h USING (w1) JOIN tails tl USING (w2), tot t
+    WHERE p.n >= 20
+    """,
+)
+
+
+# ------------------------------------------- frequent items (Misra-Gries)
+# capacity 512 ≫ the fixture vocabulary → the summary never evicts and
+# the lower bounds are exact counts, so the sketch path differentially
+# matches the exact GROUP BY oracle. The eviction (lossy) path is
+# unit-tested in tests/test_curation.py with capacity < vocabulary.
+
+_FREQ_CAPACITY = 512
+
+
+def _q_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        F.explode(tokens("text")).alias("item")
+    )
+    total = toks.count()
+    return freq.frequent_items(
+        toks, "item", capacity=_FREQ_CAPACITY, min_count=total // 100
+    ).select(F.col("item").alias("term"), F.col("cnt").alias("est_count"))
+
+
+register(
+    "sketch_frequent_items",
+    _q_frequent,
+    f"""
+    WITH {_TOK_CTE},
+    tc AS (SELECT unnest(toks) AS term FROM tok),
+    counts AS (SELECT term, COUNT(*) AS est_count FROM tc GROUP BY 1),
+    tot AS (SELECT SUM(est_count) AS n FROM counts)
+    SELECT term, est_count FROM counts, tot
+    WHERE est_count >= CAST(n AS BIGINT) // 100
+    """,
+)
+
+
+# ------------------------------------------------------ stratified sample
+# Per-stratum deterministic md5 sampling: high-priority orders kept at
+# ~50%, the rest at ~10% — the reproducible, cross-engine, joinable
+# alternative to per-stratum TABLESAMPLE.
+
+shared_sql(
+    "stratified_sample_orders",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_sampled,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+    FROM orders
+    WHERE substring(md5(CAST(o_orderkey AS STRING)), 1, 2)
+          < CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN '80' ELSE '1a' END
+    GROUP BY o_orderpriority
+    """,
+)
+
+
+# ------------------------------------------------- fuzzy match (blocked)
+# Edit-distance self-join with equality blocking (brand + first name
+# token): the blocking keys turn an O(n²) comparison into a shuffle-
+# partitioned equi-join whose per-block candidate sets stay small — the
+# standard entity-resolution shape at scale.
+
+shared_sql(
+    "fuzzy_pairs_parts",
+    """
+    SELECT a.p_brand, COUNT(*) AS n_pairs,
+           CAST(MIN(a.p_partkey) AS BIGINT) AS min_key
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand
+     AND split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    GROUP BY a.p_brand
+    """,
+)
+
+
+# ---------------------------------------------------- embedding centroids
+# Per-label mean vector, one row per (label, dimension) so every output
+# cell is a scalar bigint: each float is µ-quantized FIRST, summed
+# exactly as integers, and one deterministic division closes it out.
+
+def _q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    exploded = embs.select(
+        "label", F.posexplode("embedding").alias("i", "v")
+    ).select(
+        "label",
+        (F.col("i") + 1).alias("i"),
+        F.round(F.col("v").cast("double") * 1_000_000)
+        .cast("bigint")
+        .alias("v_u"),
+    )
+    return exploded.groupBy("label", "i").agg(
+        F.round(F.sum("v_u") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("avg_u")
+    )
+
+
+register(
+    "embedding_centroids",
+    _q_centroids,
+    """
+    SELECT label, CAST(i AS INT) AS i,
+           CAST(ROUND(CAST(SUM(v_u) AS DOUBLE) / COUNT(*), 0) AS BIGINT)
+             AS avg_u
+    FROM (
+      SELECT label,
+             unnest(range(1, len(embedding) + 1)) AS i,
+             CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
+                  AS BIGINT) AS v_u
+      FROM embeddings
+    ) q
+    GROUP BY label, i
+    """,
+)

@@ -1,0 +1,92 @@
+"""Curation operators: PII redaction, TF-IDF plan shape, Misra-Gries
+frequent items — including the lossy (eviction) path the DuckDB oracle
+can't exercise."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from gcp_etl_pipeline_spark.operators import curation, freq
+from gcp_etl_pipeline_spark.sources.files import read_parquet
+
+
+def test_redact_pii_all_classes(spark):
+    df = spark.createDataFrame(
+        [("write a@b.com or see https://x.io/page, call 555-1234 now",)],
+        ["t"],
+    )
+    out = df.select(
+        curation.redact_pii("t").alias("r"), *curation.pii_counts("t")
+    ).first()
+    assert out.r == "write <EMAIL> or see <URL> call <PHONE> now"
+    assert (out.n_email, out.n_url, out.n_phone) == (1, 1, 1)
+
+
+def test_redact_order_email_before_phone(spark):
+    # digits inside an email local part must not leak a <PHONE> token
+    df = spark.createDataFrame([("user555-1234@example.com",)], ["t"])
+    assert df.select(curation.redact_pii("t").alias("r")).first().r == "<EMAIL>"
+
+
+def test_tfidf_df_join_broadcasts(spark, sf_dir):
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    df = curation.tfidf(docs)
+    df.collect()  # let AQE finalize the plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # document-frequency and corpus-size sides must broadcast back onto
+    # the (doc_id, term) counts — never a sort-merge join
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_misra_gries_exact_when_capacity_exceeds_vocab(spark):
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 5
+    df = spark.createDataFrame(rows, ["item"]).repartition(4)
+    got = {
+        r.item: r.cnt
+        for r in freq.frequent_items(df, "item", capacity=16).collect()
+    }
+    assert got == {"a": 50, "b": 30, "c": 5}
+
+
+def test_misra_gries_eviction_keeps_heavy_hitters(spark):
+    # 1000 singleton items + two heavy items; capacity far below the
+    # distinct count forces eviction in every partition.
+    rows = (
+        [("heavy1",)] * 400
+        + [("heavy2",)] * 300
+        + [(f"noise{i}",) for i in range(1000)]
+    )
+    df = spark.createDataFrame(rows, ["item"]).repartition(8)
+    n = len(rows)
+    capacity = 32
+    got = {
+        r.item: r.cnt
+        for r in freq.mg_merge(
+            freq.mg_partials(df, "item", capacity), capacity
+        ).collect()
+    }
+    exact = Counter(r[0] for r in rows)
+    # guarantee 1: every item with true count > N/capacity survives
+    for item, true_cnt in exact.items():
+        if true_cnt > n / capacity:
+            assert item in got, f"heavy hitter {item} evicted"
+    # guarantee 2: estimates are lower bounds within N/capacity of truth
+    for item, est in got.items():
+        assert est <= exact[item]
+        assert exact[item] - est <= n / capacity
+
+
+def test_mg_partials_bounded_output(spark):
+    rows = [(f"u{i}",) for i in range(5000)]
+    df = spark.createDataFrame(rows, ["item"]).repartition(4)
+    partials = freq.mg_partials(df, "item", capacity=64)
+    per_part = (
+        partials.withColumn("p", F.spark_partition_id())
+        .groupBy("p")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= 64 for r in per_part)
