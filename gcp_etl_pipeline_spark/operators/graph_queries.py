@@ -1,0 +1,101 @@
+"""Graph query: integer-deterministic PageRank over the customer–supplier
+bipartite graph, differentially tested against the same algorithm
+unrolled as DuckDB CTEs (3 iterations).
+
+The Spark side is genuinely iterative (a Python loop over DataFrame
+joins, persist-per-generation); the oracle is the same integer
+recurrence written declaratively — if any iteration's shuffle order,
+join, or division semantics diverged, the hash would catch it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_etl_pipeline_spark.operators.pagerank import SCALE, pagerank
+from gcp_etl_pipeline_spark.registry import register
+from gcp_etl_pipeline_spark.sources.files import read_parquet
+
+_ITER = 3
+_DAMP = 85
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    lineitem = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    # deterministic 25% customer sample (same md5 recipe as
+    # hash_sample_orders) keeps the gate's graph small; the operator
+    # itself is size-agnostic
+    orders = orders.filter(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 2) < "40"
+    )
+    fwd = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return pagerank(edges, iterations=_ITER, damping_pct=_DAMP)
+
+
+def _oracle() -> str:
+    iters = []
+    prev = "r0"
+    for i in range(1, _ITER + 1):
+        iters.append(
+            f"""
+    c{i} AS (
+      SELECT e.dst AS node, SUM(r.pr_u // d.outdeg) AS in_u
+      FROM edges e
+      JOIN {prev} r ON e.src = r.node
+      JOIN deg d ON e.src = d.src
+      GROUP BY 1
+    ),
+    r{i} AS (
+      SELECT nd.node,
+             CAST((SELECT base FROM consts)
+                  + (COALESCE(c.in_u, 0) * {_DAMP}) // 100 AS BIGINT) AS pr_u
+      FROM nodes nd LEFT JOIN c{i} c ON nd.node = c.node
+    )"""
+        )
+        prev = f"r{i}"
+    return f"""
+    WITH e0 AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS STRING) AS src,
+                      's' || CAST(l_suppkey AS STRING) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE substring(md5(CAST(o_custkey AS STRING)), 1, 2) < '40'
+    ),
+    edges AS (
+      SELECT src, dst FROM e0
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM e0
+    ),
+    nodes AS (
+      SELECT src AS node FROM edges
+      UNION
+      SELECT dst AS node FROM edges
+    ),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+    consts AS (
+      SELECT CAST({SCALE} // COUNT(*) AS BIGINT) AS pr0,
+             CAST(({SCALE} * (100 - {_DAMP})) // 100 // COUNT(*) AS BIGINT)
+               AS base
+      FROM nodes
+    ),
+    r0 AS (
+      SELECT node, (SELECT pr0 FROM consts) AS pr_u FROM nodes
+    ),{",".join(iters)}
+    SELECT node, pr_u FROM {prev}
+    """
+
+
+register("graph_pagerank", _q_pagerank, _oracle())

@@ -1,0 +1,89 @@
+"""Iterative PageRank over a DataFrame edge list, in exact integer
+arithmetic so every iteration is deterministic under any partitioning
+(and differentially testable against an unrolled SQL oracle).
+
+Floating-point PageRank sums contributions in shuffle order — last-ulp
+nondeterminism that compounds per iteration. Here rank mass is held in
+integer "rank units" (scale 1e12); per-edge contributions use floor
+division by out-degree and the damping mix uses integer div by 100, so
+every operation is associative/commutative integer math. The cost is a
+sub-ulp systematic underestimate per hop (bounded by out_degree·N per
+iteration over the whole graph) — irrelevant for ranking, decisive for
+reproducibility at 1000-executor scale.
+
+Plan shape per iteration: one shuffle (groupBy dst) + one broadcast-able
+join of ranks onto edges keyed by src. Ranks and degrees are node-sized
+(≪ edges); Spark broadcasts them when small and AQE handles the rest.
+Checkpoint/persist every few iterations in long runs to cut lineage —
+the loop below persists each rank generation and unpersists the last.
+
+The reference has no graph operators; this extends the engine the same
+way operators/components.py (connected components) does, with the
+iterative-algorithm pattern the streaming/batch suite otherwise lacks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000_000  # rank units per unit of probability mass
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Integer-deterministic PageRank; returns (node, pr_u) in rank units.
+
+    ``edges`` is a directed edge list; dangling nodes (no out-edges)
+    contribute nothing (their mass evaporates, as in the classic
+    formulation without dangling redistribution).
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    degrees = (
+        edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    )
+
+    base_u = (SCALE * (100 - damping_pct)) // 100 // n
+    ranks = nodes.select("node", F.lit(SCALE // n).alias("pr_u")).persist()
+
+    for _ in range(iterations):
+        contribs = (
+            edges.join(ranks, edges[src] == ranks["node"])
+            .join(degrees, src)
+            .select(
+                F.col(dst).alias("node"),
+                # integer DIV, not float `/`: double division of bigints
+                # can round across an integer boundary before the cast
+                F.expr("pr_u DIV outdeg").alias("contrib_u"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib_u").alias("in_u"))
+        )
+        new_ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"{base_u} + (coalesce(in_u, 0L) * {damping_pct}) DIV 100"
+                ).alias("pr_u"),
+            )
+            .persist()
+        )
+        new_ranks.count()  # materialize before dropping the parent
+        ranks.unpersist()
+        ranks = new_ranks
+
+    nodes.unpersist()
+    degrees.unpersist()
+    return ranks

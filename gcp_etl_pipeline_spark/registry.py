@@ -51,6 +51,7 @@ def _load_all() -> None:
     from gcp_etl_pipeline_spark import queries_relational  # noqa: F401
     from gcp_etl_pipeline_spark.operators import curation_queries  # noqa: F401
     from gcp_etl_pipeline_spark.operators import dedup_queries  # noqa: F401
+    from gcp_etl_pipeline_spark.operators import graph_queries  # noqa: F401
     from gcp_etl_pipeline_spark.operators import (  # noqa: F401
         cluster_quality_queries,
     )
