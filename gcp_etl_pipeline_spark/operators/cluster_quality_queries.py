@@ -124,3 +124,86 @@ def _validate_oracle() -> str:
 
 
 register("validate_lineitem_rules", _q_validate, _validate_oracle())
+
+
+# --------------------------------------------------- z-score outliers
+# Per-priority z-score on o_totalprice in exact integer arithmetic:
+# milli-unit prices, floor-div mean, centered squared deviations summed
+# as bigints (whole units, so Σd² stays < 2^63 up to ~1e9-row groups —
+# beyond that, pre-aggregate per partition or widen to DECIMAL(38,0)),
+# then ONE double division + sqrt + division + µ-round per row. sqrt is
+# IEEE-correctly-rounded in both engines, so hashes match exactly.
+# Plan: one shuffle for the per-group stats, broadcast join back onto
+# the rows (stats table is |groups| rows).
+
+def _q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from gcp_etl_pipeline_spark.sources.files import read_parquet
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    x = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice").cast("double") * 1000)
+        .cast("bigint")
+        .alias("x_m"),
+    )
+    means = x.groupBy("o_orderpriority").agg(
+        F.expr("sum(x_m) DIV count(*)").alias("mean_m"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    centered = x.join(F.broadcast(means), "o_orderpriority").withColumn(
+        "d_m", F.col("x_m") - F.col("mean_m")
+    )
+    ssd = centered.groupBy("o_orderpriority").agg(
+        F.expr("sum((d_m DIV 1000) * (d_m DIV 1000))").alias("ssd_1")
+    )
+    return (
+        centered.join(F.broadcast(ssd), "o_orderpriority")
+        .withColumn(
+            "z_u",
+            F.expr(
+                "cast(round((cast(d_m as double) / 1000.0)"
+                " / sqrt(cast(ssd_1 as double) / n) * 1000000, 0) as bigint)"
+            ),
+        )
+        .filter(F.abs(F.col("z_u")) > 1_500_000)
+        .select("o_orderkey", "o_orderpriority", "z_u")
+    )
+
+
+def _zscore_oracle() -> str:
+    return """
+    WITH x AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 1000, 0) AS BIGINT)
+               AS x_m
+      FROM orders
+    ),
+    m AS (
+      SELECT o_orderpriority,
+             CAST(SUM(x_m) AS BIGINT) // COUNT(*) AS mean_m,
+             COUNT(*) AS n
+      FROM x GROUP BY 1
+    ),
+    c AS (
+      SELECT x.*, x.x_m - m.mean_m AS d_m, m.n
+      FROM x JOIN m USING (o_orderpriority)
+    ),
+    v AS (
+      SELECT o_orderpriority,
+             CAST(SUM((d_m // 1000) * (d_m // 1000)) AS BIGINT) AS ssd_1
+      FROM c GROUP BY 1
+    )
+    SELECT c.o_orderkey, c.o_orderpriority,
+           CAST(ROUND((CAST(c.d_m AS DOUBLE) / 1000.0)
+                 / sqrt(CAST(v.ssd_1 AS DOUBLE) / c.n) * 1000000, 0)
+                AS BIGINT) AS z_u
+    FROM c JOIN v USING (o_orderpriority)
+    WHERE abs(CAST(ROUND((CAST(c.d_m AS DOUBLE) / 1000.0)
+                 / sqrt(CAST(v.ssd_1 AS DOUBLE) / c.n) * 1000000, 0)
+               AS BIGINT)) > 1500000
+    """
+
+
+register("outlier_zscore_orders", _q_zscore, _zscore_oracle())

@@ -54,6 +54,10 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # runtime Bloom-filter pruning: selective dim filters propagate a
+        # might_contain pre-filter onto the fact scan before the shuffle
+        # (pinned, not left to version defaults; tests/test_bloom_filter.py)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
