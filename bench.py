@@ -31,6 +31,9 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
+    "tfidf_top_terms",
+    "sketch_frequent_items",
+    "pii_redact_contacts",
     "similarity_knn",
     "similarity_knn_ivf",
     "similarity_neardup_lsh",

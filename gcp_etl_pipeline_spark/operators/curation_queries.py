@@ -186,6 +186,44 @@ register(
 )
 
 
+# JVM-side twin of the MG path: Spark 4's approx_top_k (a DataSketches
+# frequent-items aggregate — partial/merge inside whole-stage codegen, no
+# Python). maxItemsTracked 8192 ≫ vocabulary keeps it in exact mode, so
+# it shares the MG query's oracle; at scale it degrades gracefully to
+# lower-bound counts exactly like the MG operator.
+
+def _q_approx_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        F.explode(tokens("text")).alias("item")
+    )
+    total = toks.count()
+    return (
+        toks.select(
+            F.expr("approx_top_k(item, 200, 8192)").alias("tk")
+        )
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("term"),
+            F.col("e.count").alias("est_count"),
+        )
+        .filter(F.col("est_count") >= total // 100)
+    )
+
+
+register(
+    "approx_top_terms",
+    _q_approx_top,
+    f"""
+    WITH {_TOK_CTE},
+    tc AS (SELECT unnest(toks) AS term FROM tok),
+    counts AS (SELECT term, COUNT(*) AS est_count FROM tc GROUP BY 1),
+    tot AS (SELECT SUM(est_count) AS n FROM counts)
+    SELECT term, est_count FROM counts, tot
+    WHERE est_count >= CAST(n AS BIGINT) // 100
+    """,
+)
+
+
 # ------------------------------------------------------ stratified sample
 # Per-stratum deterministic md5 sampling: high-priority orders kept at
 # ~50%, the rest at ~10% — the reproducible, cross-engine, joinable

@@ -293,6 +293,22 @@ shared_sql(
     """,
 )
 shared_sql(
+    "except_all_multiset",
+    """
+    SELECT o_orderstatus FROM orders
+    EXCEPT ALL
+    SELECT o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+shared_sql(
+    "intersect_all_multiset",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    """,
+)
+shared_sql(
     "order_limit_topn",
     """
     SELECT o_orderkey, o_totalprice FROM orders

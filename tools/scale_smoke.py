@@ -166,6 +166,71 @@ def main() -> int:
     ).count()
     timings["exists_decorrelation_20m"] = round(time.time() - t0, 2)
 
+    # Misra-Gries heavy hitters: 100k distinct items, capacity 4096 —
+    # the EVICTION path at scale (per-partition state stays ≤4096
+    # counters; the three hot items must survive with tight bounds)
+    from gcp_etl_pipeline_spark.operators.freq import frequent_items
+
+    items = fact.select(
+        F.when(
+            F.col("id") % 10 < 3, F.concat(F.lit("hot"), F.col("id") % 3)
+        )
+        .otherwise(
+            F.concat(F.lit("t"), F.pmod(F.xxhash64("id"), F.lit(100_000)))
+        )
+        .alias("item")
+    )
+    t0 = time.time()
+    hh = frequent_items(items, "item", capacity=4096, min_count=n // 20)
+    hot = {r.item for r in hh.collect()}
+    assert {"hot0", "hot1", "hot2"} <= hot, hot
+    timings["mg_heavy_hitters_20m"] = round(time.time() - t0, 2)
+
+    # PageRank: 20M edges over 100k nodes, 3 integer-deterministic
+    # iterations — per iteration one contribution shuffle + one
+    # node-sized join (ranks/degrees ≪ edges, broadcast-able)
+    from gcp_etl_pipeline_spark.operators.pagerank import pagerank
+
+    edges = fact.select(
+        (F.col("id") % 100_000).cast("string").alias("src"),
+        ((F.col("id") * 7 + 13) % 100_000).cast("string").alias("dst"),
+    )
+    t0 = time.time()
+    pagerank(edges, iterations=3).count()
+    timings["pagerank_3iter_20m"] = round(time.time() - t0, 2)
+
+    # Bloom-pruned fact join: selective dim (1% of keys) should prune
+    # fact rows at the scan, before the shuffle
+    sel_dim = dim.where("dim_key % 100 = 0")
+    t0 = time.time()
+    fact.join(sel_dim.hint("merge"), "dim_key").count()
+    timings["bloom_pruned_join_20m"] = round(time.time() - t0, 2)
+
+    # z-score outliers: two grouped aggregates + broadcast-back of
+    # group-sized stats tables onto 20M rows
+    t0 = time.time()
+    x = fact.select(
+        "id", "status",
+        F.round(F.col("amount") * 1000).cast("bigint").alias("x_m"),
+    )
+    means = x.groupBy("status").agg(
+        F.expr("sum(x_m) DIV count(*)").alias("mean_m"),
+        F.count(F.lit(1)).alias("n_g"),
+    )
+    cent = x.join(F.broadcast(means), "status").withColumn(
+        "d_m", F.col("x_m") - F.col("mean_m")
+    )
+    ssd = cent.groupBy("status").agg(
+        F.expr("sum((d_m DIV 1000) * (d_m DIV 1000))").alias("ssd_1")
+    )
+    cent.join(F.broadcast(ssd), "status").where(
+        F.expr(
+            "abs(cast(d_m as double) / 1000.0"
+            " / sqrt(cast(ssd_1 as double) / n_g)) > 1.7"
+        )
+    ).count()
+    timings["zscore_outliers_20m"] = round(time.time() - t0, 2)
+
     out = {
         "rows": n,
         "total_sec": round(sum(timings.values()), 2),
