@@ -1393,3 +1393,33 @@ shared_sql(
     ORDER BY s_name
     """,
 )
+
+
+# §2.7+ — recursive CTE (Spark 4 WITH RECURSIVE; hierarchy traversal).
+# A synthetic binary hierarchy over customer keys (parent = key DIV 2,
+# rooted at 1; key 0 excluded to avoid the 0→0 self-loop). Per-level
+# breadth plus the level's key range — the org-chart/BOM recursion shape.
+# Only the integer-division operator differs between dialects.
+
+def _recursive_sql(idiv: str) -> str:
+    return f"""
+    WITH RECURSIVE h AS (
+      SELECT CAST(1 AS BIGINT) AS node, 0 AS depth
+      UNION ALL
+      SELECT c.c_custkey AS node, h.depth + 1 AS depth
+      FROM customer c JOIN h ON (c.c_custkey {idiv} 2) = h.node
+      WHERE c.c_custkey >= 2
+    )
+    SELECT depth, COUNT(*) AS n_nodes,
+           CAST(MIN(node) AS BIGINT) AS min_key,
+           CAST(MAX(node) AS BIGINT) AS max_key
+    FROM h GROUP BY depth
+    """
+
+
+def _q_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_views(spark, sf_dir)
+    return spark.sql(_recursive_sql("DIV"))
+
+
+register("recursive_hierarchy_levels", _q_recursive, _recursive_sql("//"))
