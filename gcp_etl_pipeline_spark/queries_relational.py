@@ -1423,3 +1423,34 @@ def _q_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("recursive_hierarchy_levels", _q_recursive, _recursive_sql("//"))
+
+
+# J2+ — null-safe equi-join (Spark `<=>` / DuckDB IS NOT DISTINCT FROM).
+# Nullable keys synthesized with NULLIF so the null-matches-null path
+# carries real rows; only the operator spelling differs per dialect.
+
+def _nullsafe_sql(op_join: str) -> str:
+    return f"""
+    SELECT a.c_mktsegment AS seg, COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN a.seg_n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_matches
+    FROM (SELECT c_custkey, c_mktsegment,
+                 NULLIF(c_mktsegment, 'BUILDING') AS seg_n
+          FROM customer WHERE c_custkey < 500) a
+    JOIN (SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg_n
+          FROM customer WHERE c_custkey >= 500 AND c_custkey < 1000) b
+      ON {op_join}
+    GROUP BY a.c_mktsegment
+    """
+
+
+def _q_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_views(spark, sf_dir)
+    return spark.sql(_nullsafe_sql("a.seg_n <=> b.seg_n"))
+
+
+register(
+    "join_null_safe",
+    _q_nullsafe,
+    _nullsafe_sql("a.seg_n IS NOT DISTINCT FROM b.seg_n"),
+)
