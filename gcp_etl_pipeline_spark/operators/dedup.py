@@ -80,15 +80,31 @@ def shingle_sets(
 
 
 def jaccard_pairs(
-    shingles: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with shingle-set Jaccard ≥ threshold, computed by
     shared-shingle join + per-pair common counts (never a full cross join;
     the join key is the shingle, so only docs sharing content meet).
 
-    Skew note: stopword-heavy shingles create hot keys; at scale, drop
-    shingles with document frequency above a cap first (they cannot push
-    Jaccard of large sets on their own). Kept exact here."""
+    ``max_df`` is the hot-shingle skew guard: shingles appearing in more
+    than ``max_df`` documents are dropped BEFORE the self-join (the hot set
+    is tiny, so Catalyst broadcasts the anti-join side on its own). With a
+    cap the result is Jaccard over the CAPPED shingle sets — both the
+    common counts and the set sizes use the filtered sets, so the ratio
+    stays internally consistent, but a pair held together only by
+    ubiquitous shingles can score differently than the exact answer.
+    ``max_df=None`` (default) keeps it exact.
+
+    The sizes joins are plain joins — ``sizes`` has one row per document,
+    so a broadcast hint would ship the whole corpus to every executor at
+    scale; AQE still broadcasts it when it actually fits."""
+    if max_df is not None:
+        sh_df = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        hot = sh_df.where(F.col("__df") > max_df).select("shingle")
+        shingles = shingles.join(hot, "shingle", "left_anti")
     a = shingles.select(F.col(id_col).alias("a"), "shingle")
     b = shingles.select(F.col(id_col).alias("b"), "shingle")
     common = (
@@ -99,8 +115,8 @@ def jaccard_pairs(
     )
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     return (
-        common.join(F.broadcast(sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na"))), "a")
-        .join(F.broadcast(sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb"))), "b")
+        common.join(sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb")), "b")
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")

@@ -615,14 +615,19 @@ register(
 
 # Exact grouped quantiles (engine extra, §2.5): percentile() and DuckDB's
 # quantile_cont share the linear-interpolation definition — verified
-# bit-identical including interpolated midpoints.
+# bit-identical including interpolated midpoints. Emitted as three scalar
+# columns (not array<double>): scalar outputs keep the result hashable for
+# any downstream canonicalizer, and one percentile() call still computes
+# all three cut points in a single grouped pass.
 def _q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_views(spark, sf_dir)
     return spark.sql(
         """SELECT o_orderstatus,
-                  percentile(o_totalprice, array(0.25, 0.5, 0.75)) AS price_quartiles,
-                  COUNT(*) AS n
-           FROM orders GROUP BY 1"""
+                  q[0] AS p25, q[1] AS p50, q[2] AS p75, n
+           FROM (SELECT o_orderstatus,
+                        percentile(o_totalprice, array(0.25, 0.5, 0.75)) AS q,
+                        COUNT(*) AS n
+                 FROM orders GROUP BY 1)"""
     )
 
 
@@ -631,7 +636,9 @@ register(
     _q_quantiles,
     """
     SELECT o_orderstatus,
-           quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS price_quartiles,
+           quantile_cont(o_totalprice, 0.25) AS p25,
+           quantile_cont(o_totalprice, 0.50) AS p50,
+           quantile_cont(o_totalprice, 0.75) AS p75,
            COUNT(*) AS n
     FROM orders GROUP BY 1
     """,

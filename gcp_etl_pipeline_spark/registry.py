@@ -62,12 +62,25 @@ def _load_all() -> None:
     from gcp_etl_pipeline_spark.operators import multimodal
 
     def _q_multimodal(spark, sf_dir, _n=256):
+        from pyspark.sql import functions as F
+
         media = multimodal.make_fake_media(spark, n=_n)
         dec = multimodal.decode_media(media)
         emb = multimodal.media_embeddings(media)
+        # flatten the array<float> to scalar digests: driver harnesses
+        # canonicalize rows by hashing/sorting cells, which list-valued
+        # cells break; dim + first component + sum summarize it losslessly
+        # enough for a determinism check
         return dec.join(emb, "media_id").select(
             "media_id", "kind", "width", "height", "n_frames", "mean_byte",
-            "embedding",
+            F.size("embedding").alias("emb_dim"),
+            F.round(F.element_at("embedding", 1), 6).alias("emb_first"),
+            F.round(
+                F.aggregate(
+                    "embedding", F.lit(0.0), lambda acc, x: acc + x
+                ),
+                4,
+            ).alias("emb_sum"),
         )
 
     # no SQL oracle: binary decode + mapInPandas feature extraction is not

@@ -20,17 +20,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _nanos_columns(path: str) -> list[str]:
-    """Column names with ns-precision timestamps (from the Parquet footer —
-    metadata only, no data read)."""
+def timestamp_units(path: str) -> dict[str, str]:
+    """Map of timestamp-column name → physical unit (``ns``/``us``/``ms``/
+    ``s``), read from the Parquet footer — metadata only, no data read.
+    Shared by the batch reader below and the streaming reader
+    (streaming/core.py), so both paths agree on how a fixture's
+    timestamps are stored regardless of which writer produced it."""
     import pyarrow as pa
 
     schema = pads.dataset(path).schema
-    return [
-        name
+    return {
+        name: typ.unit
         for name, typ in zip(schema.names, schema.types)
-        if pa.types.is_timestamp(typ) and typ.unit == "ns"
-    ]
+        if pa.types.is_timestamp(typ)
+    }
+
+
+def _nanos_columns(path: str) -> list[str]:
+    """Column names with ns-precision timestamps."""
+    return [c for c, unit in timestamp_units(path).items() if unit == "ns"]
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:

@@ -28,9 +28,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# to_json/from_json default to millisecond timestamps — this format keeps
-# full microsecond precision through the JSON roundtrip (test-verified)
-_JSON_OPTS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+# to_json/from_json default to millisecond timestamps — these formats keep
+# full microsecond precision through the JSON roundtrip (test-verified).
+# NTZ columns get their own pattern (no offset): to_json consults
+# timestampNTZFormat, not timestampFormat, for TIMESTAMP_NTZ.
+_JSON_OPTS = {
+    "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+}
 
 KAFKA_SCHEMA = T.StructType(
     [
@@ -86,12 +91,20 @@ def encode_kafka(
     w = Window.partitionBy("partition").orderBy(
         F.col(ts_col).asc(), F.col(order_col).asc()
     )
+    # normalize the event-time column to TIMESTAMP (LTZ) inside the payload:
+    # a TIMESTAMP_NTZ source column would otherwise serialize in the NTZ
+    # format while consumers parse payload schemas declared TIMESTAMP.
+    # Under the engine's UTC session timezone the cast is value-identity.
+    payload = F.struct(
+        *[
+            F.col(c).cast("timestamp").alias(c) if c == ts_col else F.col(c)
+            for c in df.columns
+        ]
+    )
     return (
         df.withColumn("partition", F.expr(partition_expr).cast("int"))
         .withColumn("key", F.col(key_col).cast("string").cast("binary"))
-        .withColumn(
-            "value", F.to_json(F.struct(*df.columns), _JSON_OPTS).cast("binary")
-        )
+        .withColumn("value", F.to_json(payload, _JSON_OPTS).cast("binary"))
         .withColumn("topic", F.lit(topic))
         .withColumn("timestamp", F.col(ts_col).cast("timestamp"))
         .withColumn("timestampType", F.lit(0))

@@ -19,24 +19,40 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-EVENTS_SCHEMA = (
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+_EVENTS_COLS = (
+    "event_id BIGINT, {ts}, user_id BIGINT, event_type STRING, "
     "value DOUBLE, props STRING"
 )
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream over events parquet (ns timestamps read as raw
-    nanos and converted distributedly — same recipe as the batch reader in
-    sources/files.py). ``path`` must be a DIRECTORY that files land in
-    (Spark's file stream source rejects bare file paths)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    """File-source stream over events parquet. ``path`` must be a DIRECTORY
+    that files land in (Spark's file stream source rejects bare file paths).
+
+    The stream schema is built from the Parquet footer's actual timestamp
+    unit (`sources.files.timestamp_units` — the same sniffing the batch
+    reader uses), so the reader is correct whether the fixture stores
+    ``ts`` as INT64 TIMESTAMP(NANOS) (read as raw nanos + distributed
+    divide) or µs/ms TIMESTAMP[_NTZ] (read directly as TIMESTAMP; with the
+    engine's UTC session timezone the NTZ wall-clock equals the instant)."""
+    from gcp_etl_pipeline_spark.sources.files import timestamp_units
+
+    unit = timestamp_units(path).get("ts")
+    if unit == "ns":
+        # Spark's vectorized reader rejects TIMESTAMP(NANOS): read raw
+        # int64 nanos, convert distributedly (integer div keeps precision)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = (
+            spark.readStream.schema(_EVENTS_COLS.format(ts="ts BIGINT"))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        spark.readStream.schema(_EVENTS_COLS.format(ts="ts TIMESTAMP"))
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def tumbling_counts(

@@ -36,6 +36,30 @@ def test_jaccard_pairs_finds_near_dup(docs):
     assert not any(4 in p for p in got)
 
 
+def test_jaccard_pairs_max_df_drops_hot_shingles(docs):
+    shingles = dedup.shingle_sets(docs.filter("text <> ''"), n=3)
+    # every shingle of docs 1/2 appears in ≥2 docs; cap df at 1 → only
+    # shingles unique to one doc survive → no pair can share any shingle
+    capped = dedup.jaccard_pairs(shingles, threshold=0.0, max_df=1)
+    assert capped.count() == 0
+    # a permissive cap (≥ total docs) must reproduce the exact answer
+    exact = {(r.a, r.b): r.jaccard for r in
+             dedup.jaccard_pairs(shingles, threshold=0.35).collect()}
+    loose = {(r.a, r.b): r.jaccard for r in
+             dedup.jaccard_pairs(shingles, threshold=0.35, max_df=10).collect()}
+    assert loose == exact
+    # no broadcast HINT on the per-doc sizes table: with auto-broadcast
+    # disabled the plan must contain no BroadcastHashJoin at all
+    spark = docs.sparkSession
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = dedup.jaccard_pairs(shingles, threshold=0.35)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_minhash_lsh_candidates_superset_of_true_dups(docs):
     pairs = dedup.minhash_dedup_pairs(
         docs.filter("text <> ''"), n=3, num_hashes=32, bands=8, threshold=0.5

@@ -106,11 +106,10 @@ def test_sessionize_cross_batch_closure(spark, sf_dir, tmp_path):
         F.lit(0.0).alias("value"),
         F.lit("{}").alias("props"),
     )
-    # write with ns-compatible schema: use plain parquet (µs) — reader casts
+    # append the sentinel file in the same µs-timestamp layout as the
+    # staged fixture (the stream reader sniffs the directory's unit once)
     sentinel.select(
-        "event_id",
-        (F.unix_timestamp("ts") * 1000000000).alias("ts"),
-        "user_id", "event_type", "value", "props",
+        "event_id", "ts", "user_id", "event_type", "value", "props"
     ).write.mode("append").parquet(str(src))
 
     cumulative = _run(spark, str(src), ckpt, out)
