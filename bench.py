@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "similarity_knn_ivf",
     "similarity_neardup_lsh",
     "stream_tumbling",
+    "stream_sessionize_stateful",
+    "stream_kafka_parse",
     "mask_roundtrip",
 ]
 
@@ -83,6 +85,15 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     spark.stop()
+    # cross-round history (stable query keys): each run appends one line,
+    # so regressions are diffable without digging per-round BENCH files
+    try:
+        hist = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_HISTORY.jsonl")
+        with open(hist, "a") as fh:
+            fh.write(json.dumps({"ts": int(time.time()), **out}) + "\n")
+    except OSError:
+        pass
     print(json.dumps(out))
 
 

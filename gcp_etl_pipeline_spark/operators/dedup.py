@@ -191,10 +191,31 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 12,
     bands: int = 4,
+    salt_factor: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signature and bucket-join: docs sharing any band hash are
     candidates. Shuffle is on (band_id, band_hash) — the only fan-out is
-    within buckets of near-identical documents."""
+    within buckets of near-identical documents.
+
+    Duplicate-heavy corpora (crawl snapshots, boilerplate farms) make
+    pathological buckets: B docs sharing a band hash emit B(B-1)/2
+    candidate pairs IN ONE REDUCER, so a single million-doc bucket stalls
+    the stage. Two independent mitigations:
+
+    - ``salt_factor``: run the bucket self-join through the engine's
+      salted join (operators/skew.py) — probe rows get a content salt,
+      the other side replicates per salt, so one bucket's pair fan-out
+      spreads across ``salt_factor`` reducers. Result set IDENTICAL to
+      the unsalted join (each pair still meets exactly once); cost is
+      replicating the stacked band table salt_factor×. Use when buckets
+      are hot but every pair is still wanted.
+    - ``max_bucket``: drop buckets with more than ``max_bucket`` docs
+      before pairing. Quadratic blow-up is capped, but pairs that only
+      collide in mega-buckets are lost — acceptable because a bucket
+      that size is a near-identical cluster, which exact dedup or the
+      cluster-closure pass (operators/components.py) already collapses.
+    """
     rows = num_hashes // bands
     band_cols = [
         F.md5(
@@ -214,11 +235,24 @@ def lsh_candidate_pairs(
             )
         ).alias("bh"),
     ).select(F.col(id_col), F.col("bh.band_id"), F.col("bh.h"))
+    if max_bucket is not None:
+        big = (
+            stacked.groupBy("band_id", "h")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .where(F.col("__bn") > max_bucket)
+            .select("band_id", "h")
+        )
+        stacked = stacked.join(big, ["band_id", "h"], "left_anti")
     a = stacked.select(F.col(id_col).alias("a"), "band_id", "h")
     b = stacked.select(F.col(id_col).alias("b"), "band_id", "h")
+    if salt_factor is not None:
+        from gcp_etl_pipeline_spark.operators.skew import salted_join
+
+        joined = salted_join(a, b, on=["band_id", "h"], salt_factor=salt_factor)
+    else:
+        joined = a.join(b, ["band_id", "h"])
     return (
-        a.join(b, ["band_id", "h"])
-        .where(F.col("a") < F.col("b"))
+        joined.where(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
     )
@@ -232,17 +266,23 @@ def minhash_dedup_pairs(
     num_hashes: int = 12,
     bands: int = 4,
     threshold: float = 0.5,
+    salt_factor: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band →
     candidates → exact-Jaccard verify ≥ threshold. The per-doc shingle
     array is built once (persisted); signatures derive from it in one
     Arrow pass and the exploded verify set by a plain explode — no
-    groupBy before the candidate join."""
+    groupBy before the candidate join. ``salt_factor``/``max_bucket``
+    pass through to the candidate join's skew guards (see
+    lsh_candidate_pairs) for duplicate-heavy corpora."""
     arr = shingle_arrays(df, text_col, id_col, n).persist()
     sh = arr.select(F.col(id_col), F.explode("__sh").alias("shingle"))
     # sketches feed self-joins: persist or every join side recomputes them
     sig = minhash_signatures_from_arrays(arr, id_col, num_hashes).persist()
-    cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
+    cand = lsh_candidate_pairs(
+        sig, id_col, num_hashes, bands, salt_factor=salt_factor, max_bucket=max_bucket
+    )
     # verify candidates only: join candidate pairs back to shingle sets
     a_sh = sh.select(F.col(id_col).alias("a"), "shingle")
     b_sh = sh.select(F.col(id_col).alias("b"), "shingle")

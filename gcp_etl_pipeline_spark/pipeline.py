@@ -114,7 +114,17 @@ class Pipeline:
         return order
 
     def run(self, ctx: RunContext) -> list[dict]:
-        """Execute the DAG; returns the ledger rows written this run."""
+        """Execute the DAG; returns the ledger rows written this run.
+        Releases the plan-layer dim cache afterwards so a long-lived
+        service doesn't pin executor storage between batches."""
+        try:
+            return self._run(ctx)
+        finally:
+            from gcp_etl_pipeline_spark.plans.gosales import clear_dim_cache
+
+            clear_dim_cache()
+
+    def _run(self, ctx: RunContext) -> list[dict]:
         results: list[dict] = []
         for job in self._topo_order():
             started = datetime.now(timezone.utc)

@@ -42,16 +42,38 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # lookups several times within one tree (fact build + overview joins), so
 # they are persisted once per (session, sf_dir) — dims are KB-to-MB sized,
 # and on a cluster this is exactly the table you'd broadcast anyway.
+# Bounded: entries beyond _DIM_CACHE_MAX evict (and unpersist) oldest-
+# first, and `clear_dim_cache()` releases everything — a long-lived
+# service calls it between batches (pipeline.py runner hook).
 _DIM_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_DIM_CACHE_MAX = 64
 
 
 def _cached(name: str, fn, spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, name)
     df = _DIM_CACHE.get(key)
     if df is None:
+        while len(_DIM_CACHE) >= _DIM_CACHE_MAX:
+            oldest = next(iter(_DIM_CACHE))
+            try:
+                _DIM_CACHE.pop(oldest).unpersist()
+            except Exception:  # noqa: BLE001 — session may be gone
+                pass
         df = fn(spark, sf_dir).persist()
         _DIM_CACHE[key] = df
     return df
+
+
+def clear_dim_cache() -> None:
+    """Unpersist and drop every cached dim (between-batch hygiene for
+    long-lived sessions; also keeps repeated test sessions from pinning
+    executor storage)."""
+    while _DIM_CACHE:
+        _, df = _DIM_CACHE.popitem()
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001
+            pass
 
 
 # ---------------------------------------------------------------- raw layer

@@ -461,6 +461,34 @@ register(
 )
 
 
+# U2 envelope mode — per-stripe DEKs wrapped by a (stubbed) KMS client:
+# O(num_deks) wrap calls total instead of the reference's per-cell RPC.
+# Same identity oracle: decrypt(encrypt(x)) == x.
+def _q_mask_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gcp_etl_pipeline_spark.operators.masking import (
+        LocalKmsStub,
+        mask_columns_envelope,
+        unmask_columns_envelope,
+    )
+
+    ensure_views(spark, sf_dir)
+    kms = LocalKmsStub()
+    df = spark.table("customer").select("c_custkey", "c_name", "c_mktsegment")
+    masked, keyring = mask_columns_envelope(
+        df, ["c_name", "c_mktsegment"], kms, num_deks=8
+    )
+    return unmask_columns_envelope(
+        masked, ["c_name", "c_mktsegment"], keyring, kms
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+register(
+    "mask_envelope_roundtrip",
+    _q_mask_envelope,
+    "SELECT c_custkey, c_name, c_mktsegment FROM customer",
+)
+
+
 # Skew-mitigation salted join: lineitem's l_returnflag has 3 hot values —
 # the canonical skewed key. The oracle is the PLAIN join: salting must be
 # semantically invisible.

@@ -69,6 +69,22 @@ def test_minhash_lsh_candidates_superset_of_true_dups(docs):
     assert not any(4 in p for p in got)
 
 
+def test_lsh_salted_join_identical_and_bucket_cap_drops(docs):
+    live = docs.filter("text <> ''")
+    plain = {(r.a, r.b) for r in
+             dedup.minhash_dedup_pairs(live, n=3, num_hashes=32, bands=8,
+                                       threshold=0.5).collect()}
+    salted = {(r.a, r.b) for r in
+              dedup.minhash_dedup_pairs(live, n=3, num_hashes=32, bands=8,
+                                        threshold=0.5, salt_factor=4).collect()}
+    assert salted == plain  # salting must not change the result set
+    # docs 1 and 2 are identical → they share every band bucket; a cap of
+    # 1 doc per bucket removes every collision
+    capped = dedup.minhash_dedup_pairs(live, n=3, num_hashes=32, bands=8,
+                                       threshold=0.5, max_bucket=1)
+    assert capped.count() == 0
+
+
 def test_simhash_identical_docs_distance_zero(docs):
     sh = dedup.simhash32(docs.filter("text <> ''")).collect()
     by_id = {r.doc_id: r.simhash for r in sh}

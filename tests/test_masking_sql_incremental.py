@@ -36,6 +36,38 @@ def test_mask_ecb_deterministic_joinable(spark):
     assert m.distinct().count() == 2
 
 
+def test_mask_envelope_roundtrip_and_keyring(spark):
+    from gcp_etl_pipeline_spark.operators.masking import (
+        DEK_ID_COL,
+        LocalKmsStub,
+        mask_columns_envelope,
+        unmask_columns_envelope,
+    )
+
+    kms = LocalKmsStub()
+    df = spark.createDataFrame(
+        [(i, f"user{i}") for i in range(100)], ["id", "name"]
+    ).repartition(8)
+    masked, keyring = mask_columns_envelope(df, ["name"], kms, num_deks=4)
+    assert len(keyring) == 4  # exactly num_deks KMS wrap calls, not per-row
+    assert DEK_ID_COL in masked.columns
+    assert masked.filter(F.col("name") == "user7").count() == 0  # ciphertext
+    back = unmask_columns_envelope(masked, ["name"], keyring, kms)
+    assert DEK_ID_COL not in back.columns
+    assert {r.name for r in back.collect()} == {f"user{i}" for i in range(100)}
+    # a wrong keyring (tampered wrap) must NOT decrypt: GCM auth either
+    # errors the job or yields no plaintext — never silently wrong data
+    bad = {i: w[:-4] + "AAA=" for i, w in keyring.items()}
+    try:
+        names = {
+            r.name
+            for r in unmask_columns_envelope(masked, ["name"], bad, kms).collect()
+        }
+        assert "user7" not in names
+    except Exception:  # noqa: BLE001 — Spark raises on GCM tag mismatch
+        pass
+
+
 # ------------------------------------------------------------ SQL dialect
 
 def test_substitute_params_reference_style():

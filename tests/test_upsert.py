@@ -2,7 +2,12 @@
 
 from __future__ import annotations
 
-from gcp_etl_pipeline_spark.operators.upsert import upsert
+import sys
+import types
+
+import pytest
+
+from gcp_etl_pipeline_spark.operators.upsert import delta_available, upsert
 
 
 def test_upsert_first_write_creates_table(spark, tmp_path):
@@ -26,6 +31,69 @@ def test_upsert_idempotent_replay(spark, tmp_path):
     upsert(src, path, ["id"])
     upsert(src, path, ["id"])  # replay: same keys, same values
     assert spark.read.parquet(path).count() == 2
+
+
+def test_delta_merge_branch_wiring(spark, tmp_path, monkeypatch):
+    """Execute the Delta MERGE branch against a recording stub of
+    delta.tables — proves the branch's call chain (forPath → alias →
+    merge(cond) → whenMatchedUpdateAll → whenNotMatchedInsertAll →
+    execute) and the null-safe key condition, without the Delta engine.
+    The real-engine twin below runs wherever delta-spark is installed."""
+    calls = {}
+
+    class FakeMerge:
+        def whenMatchedUpdateAll(self):
+            calls["matched"] = True
+            return self
+
+        def whenNotMatchedInsertAll(self):
+            calls["not_matched"] = True
+            return self
+
+        def execute(self):
+            calls["executed"] = True
+
+    class FakeTable:
+        @staticmethod
+        def forPath(sp, path):
+            calls["path"] = path
+            return FakeTable()
+
+        def alias(self, a):
+            calls.setdefault("aliases", []).append(a)
+            return self
+
+        def merge(self, src, cond):
+            calls["cond"] = cond
+            return FakeMerge()
+
+    fake_tables = types.ModuleType("delta.tables")
+    fake_tables.DeltaTable = FakeTable
+    fake_delta = types.ModuleType("delta")
+    fake_delta.tables = fake_tables
+    monkeypatch.setitem(sys.modules, "delta", fake_delta)
+    monkeypatch.setitem(sys.modules, "delta.tables", fake_tables)
+
+    src = spark.createDataFrame([(1, "a")], ["id", "v"])
+    assert upsert(src, "/tmp/fake_delta_target", ["id", "part"]) == 1
+    assert calls["path"] == "/tmp/fake_delta_target"
+    assert calls["cond"] == "t.id <=> s.id AND t.part <=> s.part"
+    assert calls["executed"] and calls["matched"] and calls["not_matched"]
+
+
+def test_delta_merge_real_engine(spark, tmp_path):
+    """Real MERGE INTO integration — runs only where delta-spark + the
+    Delta jars are installed (reference clusters provision them,
+    `commons/install-delta.sh:19-20`); skips in this sandbox."""
+    if not delta_available(spark):
+        pytest.skip("delta-spark not installed in this environment")
+    path = str(tmp_path / "dtab")
+    spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]).write.format(
+        "delta"
+    ).save(path)
+    upsert(spark.createDataFrame([(2, "B"), (3, "c")], ["id", "v"]), path, ["id"])
+    got = {r.id: r.v for r in spark.read.format("delta").load(path).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
 
 
 def test_upsert_null_key_matches(spark, tmp_path):

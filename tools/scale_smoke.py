@@ -231,6 +231,58 @@ def main() -> int:
     ).count()
     timings["zscore_outliers_20m"] = round(time.time() - t0, 2)
 
+    # Multimodal decode + fan-out at scale: n/10 synthetic blobs generated
+    # DISTRIBUTEDLY (Arrow batches, cheap payloads), ~5% deliberately
+    # corrupt (bad magic / truncated). The property under test: corrupt
+    # blobs become decode_error rows — never a failed stage — and the
+    # frame fan-out yields rows per video without materializing frames
+    # driver-side.
+    import struct as _struct
+
+    from gcp_etl_pipeline_spark.operators import multimodal as mm
+
+    n_media = max(n // 10, 100_000)
+
+    def _gen_media(batches):
+        import pandas as _p
+
+        for pdf in batches:
+            ids, kinds, blobs = [], [], []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                kind_id = mid % 3
+                head = mm.MAGIC + _struct.pack(
+                    mm._HEADER_FMT, kind_id, 32, 32, 8000, 4 + mid % 13
+                ) + b"\x00"
+                payload = (mid % 251).to_bytes(1, "big") * 32
+                blob = head + payload
+                if mid % 20 == 7:  # 5%: corrupt magic
+                    blob = b"XXXX" + blob[4:]
+                elif mid % 20 == 13:  # 5%: truncated header
+                    blob = blob[:8]
+                ids.append(mid)
+                kinds.append(mm.KINDS[kind_id])
+                blobs.append(blob)
+            yield _p.DataFrame(
+                {"media_id": ids, "kind": kinds, "content": blobs}
+            )
+
+    media = spark.range(n_media).mapInPandas(
+        _gen_media, "media_id BIGINT, kind STRING, content BINARY"
+    )
+    t0 = time.time()
+    decoded = mm.decode_media(media).persist()
+    n_err = decoded.where("decode_error IS NOT NULL").count()
+    n_ok = decoded.where("decode_error IS NULL").count()
+    decoded.unpersist()
+    # exactly the two corrupt residue classes fail, every other row decodes
+    expect_err = sum(1 for i in range(20) if i % 20 in (7, 13)) * (n_media // 20)
+    assert abs(n_err - expect_err) <= 2, (n_err, expect_err)
+    assert n_ok == n_media - n_err, (n_ok, n_err)
+    n_frames = mm.sample_frames(media, every_n=2).count()
+    assert n_frames > 0
+    timings["multimodal_decode_fanout"] = round(time.time() - t0, 2)
+
     out = {
         "rows": n,
         "total_sec": round(sum(timings.values()), 2),
