@@ -72,6 +72,47 @@ def cluster_by_zorder(
     )
 
 
+def compact_small_files(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    zorder_quantized: Sequence[Column] | None = None,
+) -> tuple[int, int]:
+    """Lakehouse maintenance: rewrite a parquet path into ~target-sized
+    files (the OPTIMIZE/compaction job every streaming or incremental
+    sink eventually needs — micro-batch appends and per-key inserts leave
+    thousands of KB-sized files whose open/footer cost dominates scans at
+    scale).
+
+    Sizing comes from the Hadoop FileSystem API (works unchanged on
+    HDFS/GCS/S3 once the FS jar is present), the rewrite is one
+    repartition — or a Z-order range exchange when ``zorder_quantized``
+    columns are given, folding layout clustering into the same pass.
+    Staged-then-swapped like operators/upsert.py (a path can't be
+    overwritten while being read). Returns (files_before, files_after).
+    """
+    import math
+
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(jpath).getLength()
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+
+    df = spark.read.parquet(path)
+    files_before = df.select(F.input_file_name()).distinct().count()
+    if zorder_quantized is not None:
+        out = cluster_by_zorder(df, zorder_quantized, n_out)
+    else:
+        out = df.repartition(n_out)
+    staging = path.rstrip("/") + "__compact"
+    out.write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging).write.mode("overwrite").parquet(path)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+    compacted = spark.read.parquet(path)
+    return files_before, compacted.select(F.input_file_name()).distinct().count()
+
+
 def zorder_sql_expr(
     quantized_exprs: Sequence[str], bits: int, shiftl, shiftr
 ) -> str:

@@ -542,6 +542,38 @@ register(
 )
 
 
+# Lakehouse maintenance — small-files compaction: fragment orders into 64
+# tiny files (the streaming-sink pathology), compact to size-targeted
+# files, prove content identity against the parquet truth and that the
+# file count actually dropped.
+def _q_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gcp_etl_pipeline_spark.operators.layout import compact_small_files
+
+    ensure_views(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="graft_compact_") + "/orders"
+    spark.table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    ).repartition(64).write.parquet(path)
+    before, after = compact_small_files(
+        spark, path, target_file_bytes=8 * 1024 * 1024
+    )
+    assert after < before, (before, after)
+    return spark.read.parquet(path).select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+
+
+register(
+    "compact_roundtrip",
+    _q_compact,
+    "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders",
+)
+
+
 # S3-family — ORC sink + source roundtrip. ORC is the second columnar
 # format the engine supports (built-in vectorized reader/writer, same
 # pushdown/pruning behavior as Parquet); types including TIMESTAMP

@@ -85,7 +85,13 @@ register(
 def _q_stream_kafka(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="graft_kafka_")
     src = f"{root}/records"
-    _encoded_events(spark, sf_dir).write.mode("overwrite").parquet(src)
+    # one staged file per Kafka partition — the real topic layout (a Spark
+    # Kafka source maps one task per partition); also bounds the number of
+    # availableNow micro-batches to N_PARTS/maxFilesPerTrigger instead of
+    # shuffle.partitions/maxFilesPerTrigger
+    _encoded_events(spark, sf_dir).repartition(N_PARTS, "partition").write.mode(
+        "overwrite"
+    ).parquet(src)
 
     records = (
         spark.readStream.schema(kafka.KAFKA_SCHEMA)

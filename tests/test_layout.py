@@ -59,3 +59,50 @@ def test_cluster_by_zorder_partitions_are_key_ranges(spark):
     assert len(ranges) > 1
     for a, b in zip(ranges, ranges[1:]):
         assert a.hi <= b.lo
+
+
+def test_compact_small_files_reduces_count_keeps_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from gcp_etl_pipeline_spark.operators.layout import compact_small_files
+
+    path = str(tmp_path / "frag")
+    spark.range(10_000).selectExpr("id", "id % 7 AS g").repartition(
+        32
+    ).write.parquet(path)
+    before, after = compact_small_files(
+        spark, path, target_file_bytes=64 * 1024 * 1024
+    )
+    assert before == 32 and after < before
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("id")).first()[0] == 10_000 * 9_999 // 2
+    # staging dir must be cleaned up
+    import os
+
+    assert not os.path.exists(path + "__compact")
+
+
+def test_compact_with_zorder_clusters(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from gcp_etl_pipeline_spark.operators.layout import (
+        compact_small_files,
+        quantize,
+    )
+
+    path = str(tmp_path / "fragz")
+    spark.range(5_000).selectExpr(
+        "id", "CAST(id % 100 AS DOUBLE) AS x", "CAST((id * 37) % 100 AS DOUBLE) AS y"
+    ).repartition(16).write.parquet(path)
+    before, after = compact_small_files(
+        spark,
+        path,
+        target_file_bytes=64 * 1024 * 1024,
+        zorder_quantized=[
+            quantize(F.col("x"), 0, 100, bits=6),
+            quantize(F.col("y"), 0, 100, bits=6),
+        ],
+    )
+    assert after < before
+    assert spark.read.parquet(path).count() == 5_000
