@@ -188,6 +188,41 @@ register(
 )
 
 
+def _q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same events file lands twice (at-least-once delivery);
+    dropDuplicatesWithinWatermark keeps one copy per event_id with state
+    bounded by the watermark horizon — the streaming dedup primitive for
+    unbounded topics (a plain dropDuplicates would grow state forever).
+    Drained counts then aggregate batch-side to a compact graded shape."""
+    from pyspark.sql import functions as F
+
+    root, src = _stage(sf_dir)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/replay.parquet")
+    deduped = core.dedup_within_watermark(
+        core.read_events_stream(spark, src), watermark="2 hours"
+    )
+    drained = _drain(
+        deduped.select("event_id", "user_id", "event_type"), root, "append"
+    )
+    return drained.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("event_id").alias("n_ids"),
+        F.sum("event_id").cast("bigint").alias("idsum"),
+    )
+
+
+register(
+    "stream_dedup_watermark",
+    _q_stream_dedup_watermark,
+    """
+    SELECT event_type, COUNT(*) AS n,
+           COUNT(DISTINCT event_id) AS n_ids,
+           CAST(SUM(event_id) AS BIGINT) AS idsum
+    FROM events GROUP BY 1
+    """,
+)
+
+
 def _q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: click→purchase attribution within one
     hour, both sides watermarked (bounded join state; late data beyond 2h
