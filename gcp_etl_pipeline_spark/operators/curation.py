@@ -176,3 +176,76 @@ def bigram_collocations(
             .alias("pmi_u"),
         )
     )
+
+
+def decontaminate_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_overlap: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-set decontamination: flag docs sharing at least
+    ``min_overlap`` distinct word n-gram shingles with ANY benchmark
+    document (the standard eval-leakage guard run before training).
+
+    Scale shape: the benchmark shingle set is eval-suite-sized (thousands
+    of docs — tiny next to a 100 TB corpus), so the join broadcasts it;
+    the corpus side streams through one shingle explode with no
+    self-join, no shuffle of corpus text. Returns (id, n_hits) for
+    flagged docs.
+    """
+    from gcp_etl_pipeline_spark.operators.dedup import shingle_sets
+
+    d_sh = shingle_sets(docs, text_col=text_col, id_col=id_col, n=n)
+    b_sh = (
+        shingle_sets(benchmark, text_col=text_col, id_col=id_col, n=n)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        d_sh.join(b_sh, "shingle")  # bench side tiny: AQE broadcasts
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))  # shingles distinct per doc
+        .where(F.col("n_hits") >= min_overlap)
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic corpus-mixture downsampling: keep each stratum at its
+    target ``rates[stratum]`` fraction (the data-mixture step of a
+    training pipeline — e.g. cap low-quality web text at 10%, keep code
+    at 100%).
+
+    Membership is a pure function of the row key (first 4 md5 hex digits
+    of ``key_col`` < rate * 16^4), so the sample is reproducible across
+    runs/engines, stable under re-partitioning, and join-consistent
+    across tables sharing the key. Zero shuffle — a scan-level filter.
+
+    Thresholds are compared as 4-char lowercase-hex strings; rate >= 1.0
+    maps to the sentinel "g" (lexicographically above every hex string),
+    so a full-keep stratum really keeps all rows.
+    """
+    expr = F.lit(_hex_threshold(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        expr = (
+            F.when(F.col(stratum_col) == stratum, F.lit(_hex_threshold(rate)))
+            .otherwise(expr)
+        )
+    bucket = F.substring(F.md5(F.col(key_col).cast("string")), 1, 4)
+    return df.where(bucket < expr)
+
+
+def _hex_threshold(rate: float) -> str:
+    """4-hex-digit keep threshold; 'g' = keep-everything sentinel."""
+    thr = int(rate * 65536)
+    if thr >= 65536:
+        return "g"
+    return f"{max(thr, 0):04x}"

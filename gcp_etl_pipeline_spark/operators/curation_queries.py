@@ -304,3 +304,116 @@ register(
     GROUP BY label, i
     """,
 )
+
+
+# ------------------------------------------------------ decontamination
+# Benchmark = every 97th doc (deterministic eval-suite stand-in); flag
+# corpus docs sharing >= 2 distinct trigram shingles with it. Benchmark
+# members flag themselves (trivially full overlap) — kept, the oracle
+# agrees, and real runs pass a disjoint eval set.
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bench = docs.where("doc_id % 97 = 0")
+    return curation.decontaminate_overlap(docs, bench, n=3, min_overlap=2)
+
+
+register(
+    "decontaminate_overlap",
+    _q_decontaminate,
+    f"""
+    WITH {_TOK_CTE},
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+      FROM tok WHERE len(toks) >= 3
+    ),
+    b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+    SELECT sh.doc_id, COUNT(*) AS n_hits
+    FROM sh JOIN b ON sh.shingle = b.shingle
+    GROUP BY sh.doc_id
+    HAVING COUNT(*) >= 2
+    """,
+)
+
+
+# --------------------------------------------------- repetition filtering
+# Gopher/C4-style repetition signals: duplicate-token fraction and
+# top-token fraction per document (high values => boilerplate/spam).
+# Computed via explode + two keyed aggregates — the (doc, token) shuffle
+# is the same shape as TF-IDF and scales the same way; all ratios are
+# single IEEE divisions of exact integers (bit-identical cross-engine).
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("t"))
+    per = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    agg = per.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").cast("bigint").alias("top_count"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "top_count",
+        (
+            F.lit(1.0)
+            - F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")
+        ).alias("dup_frac"),
+        (
+            F.col("top_count").cast("double") / F.col("n_tokens").cast("double")
+        ).alias("top_frac"),
+    )
+
+
+register(
+    "text_repetition_stats",
+    _q_repetition,
+    f"""
+    WITH {_TOK_CTE},
+    t AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+    per AS (SELECT doc_id, t, COUNT(*) AS c FROM t GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_distinct,
+           CAST(MAX(c) AS BIGINT) AS top_count,
+           1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup_frac,
+           CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_frac
+    FROM per GROUP BY doc_id
+    """,
+)
+
+
+# ------------------------------------------------------- mixture sampling
+# Data-mixture step: downsample per language toward a target mix (en
+# dominant, zh capped hard). Membership is md5(doc_id)-derived, so the
+# DuckDB oracle reproduces the exact sample.
+_MIX_RATES = {"en": 0.9, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.125}
+
+
+def _q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sampled = curation.mixture_sample(
+        _docs(spark, sf_dir), "lang", _MIX_RATES, key_col="doc_id"
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("doc_id").cast("bigint").alias("idsum"),
+    )
+
+
+def _mix_oracle() -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN '{curation._hex_threshold(r)}'"
+        for s, r in sorted(_MIX_RATES.items())
+    )
+    return f"""
+    SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(doc_id) AS BIGINT) AS idsum
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+          < CASE lang {cases} ELSE '0000' END
+    GROUP BY lang
+    """
+
+
+register("corpus_mixture_sample", _q_mixture, _mix_oracle())

@@ -531,3 +531,56 @@ register(
     FROM orders GROUP BY 1
     """,
 )
+
+
+# ------------------------------------------------------- event analytics
+# Funnel conversion (ordered-sequence detection): users advance
+# view → click → purchase only if each stage's FIRST event is at or after
+# the previous stage's first event. Stage sets shrink monotonically, so
+# each CTE joins only the previous survivors — three keyed aggregates, no
+# window state, scales as three shuffles on user_id at any corpus size.
+shared_sql(
+    "funnel_conversion",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN({EPOCH}(ts)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id AS user_id, MIN({EPOCH}(e.ts)) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND {EPOCH}(e.ts) >= s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id AS user_id, MIN({EPOCH}(e.ts)) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND {EPOCH}(e.ts) >= s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+           (SELECT COUNT(*) FROM s2) AS n_view_click,
+           (SELECT COUNT(*) FROM s3) AS n_full_funnel
+    """,
+)
+
+# Cohort retention: users grouped by first-activity week; one row per
+# (cohort_week, week_offset) with the count still active. Two keyed
+# aggregates + one join — the first-activity table is users-sized (small
+# relative to events), broadcast-able at scale.
+shared_sql(
+    "cohort_retention",
+    """
+    WITH f AS (
+      SELECT user_id,
+             CAST(FLOOR(MIN({EPOCH}(ts)) / 604800.0) AS BIGINT) AS cohort_w
+      FROM events GROUP BY user_id
+    ), a AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR({EPOCH}(ts) / 604800.0) AS BIGINT) AS w
+      FROM events
+    )
+    SELECT f.cohort_w AS cohort_week, a.w - f.cohort_w AS week_offset,
+           COUNT(*) AS n_users
+    FROM a JOIN f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)

@@ -90,3 +90,46 @@ def test_mg_partials_bounded_output(spark):
         .collect()
     )
     assert all(r["count"] <= 64 for r in per_part)
+
+
+def test_decontaminate_overlap_flags_shared_ngrams(spark):
+    from gcp_etl_pipeline_spark.operators.curation import decontaminate_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a completely unrelated sentence about databases"),
+            (3, "quick brown fox jumps high"),  # shares trigrams with bench
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over fences")], ["doc_id", "text"]
+    )
+    flagged = {r.doc_id: r.n_hits for r in
+               decontaminate_overlap(docs, bench, n=3, min_overlap=2).collect()}
+    assert 1 in flagged and 3 in flagged and 2 not in flagged
+    # doc 1 shares 'the quick brown','quick brown fox','brown fox jumps'
+    assert flagged[1] >= 3
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    from gcp_etl_pipeline_spark.operators.curation import mixture_sample
+
+    df = spark.range(20_000).selectExpr(
+        "id AS doc_id", "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'zh' END AS lang"
+    )
+    rates = {"en": 1.0, "zh": 0.25}
+    s1 = mixture_sample(df, "lang", rates, key_col="doc_id")
+    counts = {r.lang: r.n for r in
+              s1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["en"] == 10_000  # rate 1.0 keeps everything
+    assert abs(counts["zh"] - 2_500) < 300  # ~25% +- sampling noise
+    # deterministic: a second evaluation yields the identical sample
+    ids1 = {r.doc_id for r in s1.collect()}
+    ids2 = {r.doc_id for r in
+            mixture_sample(df, "lang", rates, key_col="doc_id").collect()}
+    assert ids1 == ids2
+    # unlisted stratum defaults to dropped
+    df2 = spark.createDataFrame([(1, "xx")], ["doc_id", "lang"])
+    assert mixture_sample(df2, "lang", rates, key_col="doc_id").count() == 0
