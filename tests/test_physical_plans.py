@@ -174,3 +174,38 @@ def test_q20_nested_in_is_stacked_semi_joins(spark, sf_dir, queries):
     # decorrelation
     assert plan.count("LeftSemi") >= 2, plan
     assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_bench_side_broadcasts(spark, sf_dir, queries):
+    # the benchmark shingle set is eval-suite-sized; the corpus side must
+    # not shuffle for the overlap join — AQE/Catalyst should broadcast the
+    # bench side after the distinct
+    plan = _plan(queries["decontaminate_overlap"](spark, sf_dir), execute=True)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_mixture_sample_is_pure_scan_filter(spark, sf_dir, queries):
+    # mixture sampling must add no exchange before the (tiny) final agg:
+    # the md5-bucket membership test is a scan-level filter
+    from gcp_etl_pipeline_spark.operators import curation
+    from gcp_etl_pipeline_spark.sources.files import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    sampled = curation.mixture_sample(
+        docs, "lang", {"en": 0.5}, key_col="doc_id"
+    )
+    plan = _plan(sampled)
+    assert "Exchange" not in plan, plan
+    assert "Filter" in plan, plan
+
+
+def test_compaction_write_plan_has_single_exchange(spark, tmp_path):
+    # the compaction rewrite is exactly one round-robin exchange (the
+    # repartition) over the scan — no accidental sort or extra shuffle
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "cfrag")
+    spark.range(1000).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path).repartition(2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
