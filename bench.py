@@ -37,6 +37,9 @@ BENCH_QUERIES = [
     "similarity_knn",
     "similarity_knn_ivf",
     "similarity_neardup_lsh",
+    "decontaminate_overlap",
+    "corpus_mixture_sample",
+    "funnel_conversion",
     "stream_tumbling",
     "stream_sessionize_stateful",
     "stream_kafka_parse",

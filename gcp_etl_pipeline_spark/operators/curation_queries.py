@@ -417,3 +417,30 @@ def _mix_oracle() -> str:
 
 
 register("corpus_mixture_sample", _q_mixture, _mix_oracle())
+
+
+# ------------------------------------------------------ sequence packing
+# Pretraining-style packing: per source shard, documents concatenate in
+# doc_id order and split into fixed 4096-char budget sequences; each doc
+# belongs to the sequence its starting offset falls in. One window cumsum
+# PER SOURCE (shard-parallel — the global-order variant would serialize
+# on a single partition at 100 TB, so packing is deliberately sharded,
+# matching how training data is actually packed per input shard).
+shared_sql(
+    "sequence_packing",
+    """
+    WITH c AS (
+      SELECT source, doc_id, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM documents
+    )
+    SELECT source,
+           CAST(FLOOR((cum - n_chars) / 4096.0) AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS seq_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM c
+    GROUP BY source, CAST(FLOOR((cum - n_chars) / 4096.0) AS BIGINT)
+    """,
+)

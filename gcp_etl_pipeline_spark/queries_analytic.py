@@ -562,12 +562,13 @@ shared_sql(
     """,
 )
 
-# Cohort retention: users grouped by first-activity week; one row per
+# Weekly event-log cohorts (the monthly orders-table variant above is
+# `cohort_retention`): users grouped by first-activity week; one row per
 # (cohort_week, week_offset) with the count still active. Two keyed
 # aggregates + one join — the first-activity table is users-sized (small
 # relative to events), broadcast-able at scale.
 shared_sql(
-    "cohort_retention",
+    "cohort_retention_weekly",
     """
     WITH f AS (
       SELECT user_id,
