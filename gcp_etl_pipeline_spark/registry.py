@@ -19,6 +19,10 @@ _ORACLES: dict[str, str] = {}
 
 
 def register(name: str, fn: QueryFn, oracle: str | None) -> None:
+    # a duplicate name silently replacing an earlier query once cost a
+    # whole registered query (two modules both claiming cohort_retention)
+    if name in _QUERIES:
+        raise ValueError(f"query {name!r} already registered")
     _QUERIES[name] = fn
     if oracle is not None:
         _ORACLES[name] = oracle

@@ -84,16 +84,36 @@ HEADLINERS = {
         "WITH RECURSIVE hierarchy walk: each level is a join against "
         "the frontier only, not the accumulated result."
     ),
+    "decontaminate_overlap": (
+        "Decontamination: benchmark shingle set broadcasts after its "
+        "distinct; the corpus side streams through one explode with no "
+        "self-join."
+    ),
+    "corpus_mixture_sample": (
+        "Mixture sampling: md5-bucket membership is a scan-level filter "
+        "— zero exchanges before the (tiny) reporting aggregate."
+    ),
+    "sequence_packing": (
+        "Sequence packing: ONE window exchange partitioned by source "
+        "shard — deliberately shard-parallel, no global ordering."
+    ),
+    "mask_envelope_roundtrip": (
+        "Envelope masking: the DEK table (num_deks rows) broadcasts; "
+        "encryption/decryption stay JVM-side on the row stream."
+    ),
 }
 
 
 # Latest `python tools/scale_smoke.py` output, pasted verbatim.
 SMOKE_RESULT = (
-    '{"rows": 20000000, "total_sec": 27.43, "rows_per_sec": 6562158, '
-    '"timings": {"grouped_agg_20m": 3.07, "broadcast_star_join_20m": 1.32, '
-    '"salted_skew_join_20m": 3.08, "wide_dedup_groupby_20m": 1.43, '
-    '"asof_join_20m": 5.11, "range_join_20m": 0.84, "scd2_20m": 2.35, '
-    '"cdc_apply_20m": 2.38, "exists_decorrelation_20m": 7.85}}'
+    '{"rows": 20000000, "total_sec": 137.49, "rows_per_sec": 2036511, '
+    '"timings": {"grouped_agg_20m": 3.53, "broadcast_star_join_20m": 1.36, '
+    '"salted_skew_join_20m": 3.37, "wide_dedup_groupby_20m": 1.81, '
+    '"asof_join_20m": 4.42, "range_join_20m": 0.8, "scd2_20m": 2.04, '
+    '"cdc_apply_20m": 2.57, "exists_decorrelation_20m": 13.69, '
+    '"mg_heavy_hitters_20m": 22.63, "pagerank_3iter_20m": 56.03, '
+    '"bloom_pruned_join_20m": 0.89, "zscore_outliers_20m": 7.08, '
+    '"multimodal_decode_fanout": 17.27}}'
 )
 
 
