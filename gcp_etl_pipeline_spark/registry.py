@@ -51,6 +51,23 @@ def _load_all() -> None:
     for stage, fn in gosales.STAGES.items():
         register(f"gosales_{stage}", fn, gosales.oracle(stage))
 
+    # the CONTINUOUS deployment of the same vertical: stage raw files,
+    # drain through foreachBatch dims+fact maintenance, roll up from the
+    # written tables — must match the BATCH overview oracle exactly
+    def _q_stream_gosales(spark, sf_dir):
+        import tempfile
+
+        from gcp_etl_pipeline_spark.plans import gosales_streaming as gs
+
+        root = tempfile.mkdtemp(prefix="graft_gsstream_")
+        gs.stage_raw_stream(spark, sf_dir, f"{root}/raw", n_files=4)
+        gs.run_streaming_gosales(spark, sf_dir, f"{root}/raw", f"{root}/wh")
+        return gs.overview_from_warehouse(spark, sf_dir, f"{root}/wh")
+
+    register(
+        "stream_gosales_overview", _q_stream_gosales, gosales.oracle("sales_overview")
+    )
+
     from gcp_etl_pipeline_spark import queries_analytic  # noqa: F401
     from gcp_etl_pipeline_spark import queries_relational  # noqa: F401
     from gcp_etl_pipeline_spark.operators import curation_queries  # noqa: F401
