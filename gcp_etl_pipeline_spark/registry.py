@@ -109,4 +109,46 @@ def _load_all() -> None:
     # cover determinism (tests/test_multimodal.py).
     register("multimodal_decode_embed", _q_multimodal, None)
 
+    # custom Python DataSource → binary blobs → Arrow decode, checked
+    # against closed-form arithmetic: the header fields are pure functions
+    # of media_id, so a DuckDB range() oracle reproduces the grouped sums
+    # without ever seeing a blob — any corruption in the encode/decode
+    # loop (or in the source's partitioned row generation) breaks the
+    # hash match.
+    def _q_pysource_media(spark, sf_dir, _n=512):
+        from pyspark.sql import functions as F
+
+        from gcp_etl_pipeline_spark.sources.pysource import register_sources
+
+        register_sources(spark)
+        media = (
+            spark.read.format("graftmedia")
+            .option("n", _n)
+            .option("parts", 8)
+            .load()
+        )
+        dec = multimodal.decode_media(media)
+        return dec.groupBy("kind").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("width").cast("bigint").alias("sum_width"),
+            F.sum("height").cast("bigint").alias("sum_height"),
+            F.sum("n_frames").cast("bigint").alias("sum_frames"),
+        )
+
+    register(
+        "pysource_media_decode",
+        _q_pysource_media,
+        """
+        WITH g AS (SELECT unnest(range(512)) AS i)
+        SELECT CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+               ELSE 'video' END AS kind,
+               COUNT(*) AS n,
+               CAST(SUM(16 + (i % 8) * 16) AS BIGINT) AS sum_width,
+               CAST(SUM(16 + (i % 5) * 16) AS BIGINT) AS sum_height,
+               CAST(SUM(CASE WHEN i % 3 = 0 THEN 1
+                        ELSE 4 + i % 13 END) AS BIGINT) AS sum_frames
+        FROM g GROUP BY 1
+        """,
+    )
+
     _LOADED = True

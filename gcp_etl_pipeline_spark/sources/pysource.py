@@ -1,0 +1,154 @@
+"""Custom Python data sources (Spark 4 `pyspark.sql.datasource` API).
+
+Two sources showcase the engine's integration with the modern Python
+DataSource surface — the sanctioned way to plug a non-JVM system into
+Spark's scan planning (partitioned reads, schema contract, streaming
+offsets) without writing a Java connector:
+
+- ``graftmedia`` (batch): generates the synthetic multimodal corpus
+  DISTRIBUTEDLY — one ``InputPartition`` per shard, rows produced inside
+  executors, byte-identical to `operators.multimodal.make_fake_media`
+  (which builds the same rows driver-side and is therefore bounded by
+  driver memory; this source is the at-scale generator).
+- ``graftevents`` (streaming): a deterministic offset-tracked event
+  stream (rate-source shape, reproducible payloads) for exercising
+  watermarks/windows without staging files. Offsets are plain row
+  counters, so replays after a checkpoint restart yield identical rows —
+  the exactly-once contract a file/Kafka source provides.
+
+Register once per session:
+    spark.dataSource.register(GraftMediaDataSource)
+    spark.read.format("graftmedia").option("n", 4096).load()
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+MEDIA_SCHEMA = (
+    "media_id BIGINT, kind STRING, content BINARY, "
+    "width INT, height INT, sample_rate INT, n_frames INT"
+)
+
+EVENTS_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+    "value DOUBLE"
+)
+
+
+def _media_row(i: int):
+    # import inside the row path: this code runs on executors
+    from gcp_etl_pipeline_spark.operators import multimodal as mm
+
+    kind = mm.KINDS[i % 3]
+    w, h = 16 + (i % 8) * 16, 16 + (i % 5) * 16
+    sr = 8000 + (i % 4) * 8000
+    frames = 1 if kind == "image" else 4 + i % 13
+    return (i, kind, mm.encode_fake(kind, w, h, sr, frames, seed=i), w, h, sr, frames)
+
+
+class _MediaReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", 256))
+        self.parts = int(options.get("parts", 8))
+
+    def partitions(self):
+        return [InputPartition(p) for p in range(self.parts)]
+
+    def read(self, partition):
+        p = partition.value
+        for i in range(p, self.n, self.parts):
+            yield _media_row(i)
+
+
+class GraftMediaDataSource(DataSource):
+    """spark.read.format("graftmedia").option("n", N).option("parts", P)"""
+
+    @classmethod
+    def name(cls):
+        return "graftmedia"
+
+    def schema(self):
+        return MEDIA_SCHEMA
+
+    def reader(self, schema):
+        return _MediaReader(self.options)
+
+
+_EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+_BASE_TS = 1704067200  # 2024-01-01T00:00:00Z — fixed, deterministic
+
+
+def _event_row(i: int):
+    import datetime
+
+    # md5-free cheap determinism: multiplicative hashing
+    h = (i * 2654435761) & 0xFFFFFFFF
+    ts = datetime.datetime.fromtimestamp(
+        _BASE_TS + i * 7 + h % 5, tz=datetime.timezone.utc
+    ).replace(tzinfo=None)
+    return (
+        i,
+        ts,
+        h % 150,
+        _EVENT_TYPES[h % len(_EVENT_TYPES)],
+        round((h % 10_000) / 100.0, 2),
+    )
+
+
+class _EventsStreamReader(DataSourceStreamReader):
+    """Offset = total rows emitted so far; each microbatch advances by
+    ``rows_per_batch``. Reading [start, end) is a pure function of the
+    offsets, so checkpoint replays regenerate identical rows."""
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rows_per_batch", 1000))
+        self.max_rows = int(options.get("max_rows", 10_000))
+        self.parts = int(options.get("parts", 4))
+
+    def initialOffset(self):
+        return {"n": 0}
+
+    def latestOffset(self):
+        # availableNow/processing triggers poll this once per batch
+        return {"n": self.max_rows}
+
+    def partitions(self, start, end):
+        lo, hi = start["n"], end["n"]
+        step = max(1, (hi - lo + self.parts - 1) // self.parts)
+        return [
+            InputPartition((p_lo, min(p_lo + step, hi)))
+            for p_lo in range(lo, hi, step)
+        ]
+
+    def read(self, partition):
+        lo, hi = partition.value
+        for i in range(lo, hi):
+            yield _event_row(i)
+
+    def commit(self, end):
+        pass
+
+
+class GraftEventsDataSource(DataSource):
+    """spark.readStream.format("graftevents").option("max_rows", N)"""
+
+    @classmethod
+    def name(cls):
+        return "graftevents"
+
+    def schema(self):
+        return EVENTS_SCHEMA
+
+    def streamReader(self, schema):
+        return _EventsStreamReader(self.options)
+
+
+def register_sources(spark) -> None:
+    spark.dataSource.register(GraftMediaDataSource)
+    spark.dataSource.register(GraftEventsDataSource)

@@ -1,0 +1,92 @@
+"""Custom Python data sources: partitioned batch generation equal to the
+driver-side builder, and a deterministic offset-tracked stream source."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_etl_pipeline_spark.sources.pysource import register_sources
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register_sources(spark)
+
+
+def test_media_source_matches_driver_builder(spark):
+    from gcp_etl_pipeline_spark.operators.multimodal import make_fake_media
+
+    via_source = (
+        spark.read.format("graftmedia").option("n", 64).option("parts", 4).load()
+    )
+    assert via_source.count() == 64
+    driver_side = make_fake_media(spark, n=64).select(
+        "media_id", "kind", "content"
+    )
+    a = {(r.media_id, r.kind, bytes(r.content)) for r in via_source.collect()}
+    b = {(r.media_id, r.kind, bytes(r.content)) for r in driver_side.collect()}
+    assert a == b  # byte-identical blobs, generated in executors
+
+
+def test_media_source_decodes_through_pipeline(spark):
+    from gcp_etl_pipeline_spark.operators.multimodal import decode_media
+
+    media = spark.read.format("graftmedia").option("n", 128).load()
+    decoded = decode_media(media)
+    assert decoded.where("decode_error IS NOT NULL").count() == 0
+    assert decoded.count() == 128
+
+
+def test_events_stream_source_windows(spark, tmp_path):
+    stream = (
+        spark.readStream.format("graftevents")
+        .option("max_rows", 5000)
+        .option("rows_per_batch", 1000)
+        .load()
+    )
+    counts = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("pysrc_win")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("pysrc_win")
+    total = got.agg(F.sum("n")).first()[0]
+    assert total == 5000  # every generated row landed in exactly one window
+    assert got.select("event_type").distinct().count() == 5
+
+
+def test_events_stream_deterministic_replay(spark, tmp_path):
+    """Two independent drains over the same offset range produce identical
+    row sets — the checkpoint-replay contract."""
+
+    def drain(name):
+        stream = (
+            spark.readStream.format("graftevents")
+            .option("max_rows", 2000)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.event_id, r.ts, r.user_id, r.event_type, r.value)
+            for r in spark.table(name).collect()
+        }
+
+    assert drain("pysrc_a") == drain("pysrc_b")
