@@ -104,3 +104,46 @@ def test_surrogate_keys_dense_and_permutation_invariant(spark, codes):
     b = {(r.code, r.k) for r in surrogate_keys(rev, None, "k", ["code"]).collect()}
     assert a == b
     assert sorted(k for _, k in a) == list(range(1, len(codes) + 1))
+
+
+@given(
+    rate=st.floats(min_value=0.0, max_value=1.5, allow_nan=False),
+)
+@settings(max_examples=200, deadline=None)
+def test_hex_threshold_monotone_and_bounded(rate):
+    from gcp_etl_pipeline_spark.operators.curation import _hex_threshold
+
+    thr = _hex_threshold(rate)
+    if rate >= 1.0:
+        assert thr == "g"  # sentinel above every 4-hex bucket
+    else:
+        assert len(thr) == 4 and all(c in "0123456789abcdef" for c in thr)
+        # monotone: a higher rate never keeps fewer buckets
+        assert _hex_threshold(min(rate + 0.1, 1.0)) >= thr
+
+
+@given(
+    n_chars=st.lists(st.integers(min_value=1, max_value=5000),
+                     min_size=1, max_size=60),
+    budget=st.integers(min_value=64, max_value=8192),
+)
+@settings(max_examples=50, deadline=None)
+def test_sequence_packing_invariants(n_chars, budget):
+    """Pure-python twin of the packing arithmetic: every doc lands in
+    exactly one sequence (by its start offset), chars are conserved,
+    sequence ids start at 0 and never decrease, and each sequence's doc
+    start offsets all fall inside its budget window — for ANY doc-size
+    distribution and budget. (Ids may SKIP when one doc spans several
+    budgets — that is correct, not a gap bug.)"""
+    cum = 0
+    seqs: dict[int, list[tuple[int, int]]] = {}
+    for nc in n_chars:  # doc_id order
+        sid = cum // budget  # floor(start_offset / budget)
+        seqs.setdefault(sid, []).append((cum, nc))
+        cum += nc
+    assert sum(nc for v in seqs.values() for _, nc in v) == sum(n_chars)
+    sids = sorted(seqs)
+    assert sids[0] == 0
+    for sid in sids:
+        for start, _ in seqs[sid]:
+            assert sid * budget <= start < (sid + 1) * budget
