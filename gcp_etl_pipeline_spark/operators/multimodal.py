@@ -99,15 +99,21 @@ def _fake_decode(content: bytes) -> dict[str, Any]:
     }
 
 
-_CODEC: Callable[[bytes], dict[str, Any]] = _fake_decode
+def _default_codec(content: bytes) -> dict[str, Any]:
+    """Default: the stdlib real-format dispatcher (PNG via zlib, WAV via
+    wave — operators/codecs.py), falling back to the synthetic GRFT
+    decoder. Real PNG/WAV blobs decode for real, out of the box."""
+    from gcp_etl_pipeline_spark.operators.codecs import stdlib_codec
+
+    return stdlib_codec(content)
+
+
+_CODEC: Callable[[bytes], dict[str, Any]] = _default_codec
 
 
 def set_codec(fn: Callable[[bytes], dict[str, Any]]) -> None:
-    """Inject a real decoder, e.g. PIL: ``lambda b: {...Image.open(...)}``.
-
-    In this container real codecs are unavailable; attempting to import
-    one should ``raise NotImplementedError`` at the call site.
-    """
+    """Inject a richer decoder (e.g. PIL/libav) for formats beyond the
+    stdlib PNG/WAV/GRFT set the default already handles."""
     global _CODEC
     _CODEC = fn
 

@@ -135,6 +135,66 @@ def _load_all() -> None:
             F.sum("n_frames").cast("bigint").alias("sum_frames"),
         )
 
+    # REAL formats end-to-end: distributed generation of spec-valid PNG
+    # (zlib codec) and WAV (stdlib wave) blobs, decoded by the engine's
+    # default codec inside Arrow batches; grouped sums check against
+    # closed-form range() arithmetic — constant-pixel/sample payloads
+    # make every mean an exact integer.
+    def _q_real_codecs(spark, sf_dir, _n=600):
+        from pyspark.sql import functions as F
+
+        def gen(batches):
+            import pandas as _p
+
+            from gcp_etl_pipeline_spark.operators import codecs
+
+            for pdf in batches:
+                ids, blobs = [], []
+                for i in pdf["id"]:
+                    i = int(i)
+                    if i % 2 == 0:
+                        w, h = 8 + i % 8, 8 + i % 5
+                        blob = codecs.encode_png(w, h, bytes([i % 251]) * (w * h))
+                    else:
+                        nf = 100 + i % 50
+                        blob = codecs.encode_wav(
+                            8000 + (i % 4) * 4000, bytes([i % 200]) * nf
+                        )
+                    ids.append(i)
+                    blobs.append(blob)
+                yield _p.DataFrame({"media_id": ids, "content": blobs})
+
+        media = spark.range(_n).mapInPandas(
+            gen, "media_id BIGINT, content BINARY"
+        )
+        dec = multimodal.decode_media(media)
+        return dec.groupBy("kind").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("width").cast("bigint").alias("sum_width"),
+            F.sum("sample_rate").cast("bigint").alias("sum_rate"),
+            F.sum("n_frames").cast("bigint").alias("sum_frames"),
+            F.sum(F.round("mean_byte", 0)).cast("bigint").alias("sum_mean"),
+        )
+
+    register(
+        "multimodal_real_codecs",
+        _q_real_codecs,
+        """
+        WITH g AS (SELECT unnest(range(600)) AS i)
+        SELECT CASE WHEN i % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+               COUNT(*) AS n,
+               CAST(SUM(CASE WHEN i % 2 = 0 THEN 8 + i % 8 ELSE 0 END)
+                    AS BIGINT) AS sum_width,
+               CAST(SUM(CASE WHEN i % 2 = 0 THEN 0
+                        ELSE 8000 + (i % 4) * 4000 END) AS BIGINT) AS sum_rate,
+               CAST(SUM(CASE WHEN i % 2 = 0 THEN 1
+                        ELSE 100 + i % 50 END) AS BIGINT) AS sum_frames,
+               CAST(SUM(CASE WHEN i % 2 = 0 THEN i % 251
+                        ELSE i % 200 END) AS BIGINT) AS sum_mean
+        FROM g GROUP BY 1
+        """,
+    )
+
     register(
         "pysource_media_decode",
         _q_pysource_media,

@@ -1,0 +1,78 @@
+"""Stdlib PNG/WAV codecs: real-format roundtrips, corrupt rejection, and
+the set_codec upgrade path through the Spark multimodal pipeline."""
+
+from __future__ import annotations
+
+import pytest
+
+from gcp_etl_pipeline_spark.operators import codecs, multimodal
+
+
+def test_png_roundtrip_and_mean():
+    pixels = bytes(range(64)) * 4  # 16x16
+    blob = codecs.encode_png(16, 16, pixels)
+    d = codecs.decode_png(blob)
+    assert (d["width"], d["height"], d["kind"]) == (16, 16, "image")
+    assert abs(d["mean_byte"] - sum(pixels) / 256) < 1e-9
+
+
+def test_png_rejects_corruption():
+    blob = codecs.encode_png(8, 8, bytes(64))
+    with pytest.raises(ValueError):
+        codecs.decode_png(b"XX" + blob[2:])  # magic
+    with pytest.raises(ValueError):
+        codecs.decode_png(blob[:-7])  # truncated IEND
+    flipped = bytearray(blob)
+    flipped[40] ^= 0xFF  # body byte inside IDAT/IHDR region → CRC fails
+    with pytest.raises(ValueError):
+        codecs.decode_png(bytes(flipped))
+
+
+def test_wav_roundtrip():
+    samples = bytes((i * 7) % 256 for i in range(1000))
+    blob = codecs.encode_wav(16000, samples)
+    d = codecs.decode_wav(blob)
+    assert (d["kind"], d["sample_rate"], d["n_frames"]) == ("audio", 16000, 1000)
+    assert abs(d["mean_byte"] - sum(samples) / 1000) < 1e-9
+
+
+def test_set_codec_upgrades_spark_pipeline(spark):
+    """Real PNG and WAV blobs flow through decode_media once the stdlib
+    codec is injected; GRFT blobs keep decoding; garbage becomes an
+    error row, not a stage failure."""
+    rows = [
+        (1, "image", codecs.encode_png(16, 8, bytes(range(128))), None),
+        (2, "audio", codecs.encode_wav(8000, bytes(500)), None),
+        (3, "image", multimodal.encode_fake("image", 32, 32, 0, 1, seed=9), None),
+        (4, "image", b"not media at all", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id BIGINT, kind STRING, content BINARY, pad STRING"
+    )
+    old = multimodal._CODEC
+    try:
+        multimodal.set_codec(codecs.stdlib_codec)
+        out = {r.media_id: r for r in multimodal.decode_media(df).collect()}
+    finally:
+        multimodal.set_codec(old)
+    assert (out[1].width, out[1].height, out[1].kind) == (16, 8, "image")
+    assert (out[2].sample_rate, out[2].n_frames) == (8000, 500)
+    assert out[3].width == 32 and out[3].decode_error is None
+    assert out[4].decode_error is not None
+
+
+def test_png_external_readability():
+    """The emitted PNG must be a spec-valid file — verified by an
+    independent decoder if one exists (PIL), else by strict structural
+    checks (signature, IHDR first, IEND last, CRCs already enforced)."""
+    blob = codecs.encode_png(4, 4, bytes(16))
+    try:
+        from PIL import Image  # pragma: no cover - not in this container
+        import io
+
+        img = Image.open(io.BytesIO(blob))
+        assert img.size == (4, 4)
+    except ImportError:
+        assert blob[:8] == codecs.PNG_SIG
+        assert blob[12:16] == b"IHDR"
+        assert blob[-8:-4] == b"IEND"
