@@ -133,6 +133,53 @@ def decode_wav(data: bytes) -> dict[str, Any]:
     }
 
 
+def png_pixels(data: bytes) -> tuple[int, int, bytes]:
+    """Decode a PNG (the supported subset) to (width, height, pixels)."""
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    meta = decode_png(data)  # validates chunks/CRCs
+    w, h = meta["width"], meta["height"]
+    pos, idat = 8, b""
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            idat += data[pos + 8 : pos + 8 + ln]
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    stride = w + 1
+    pixels = b"".join(raw[y * stride + 1 : (y + 1) * stride] for y in range(h))
+    return w, h, pixels
+
+
+def resize_png(data: bytes, new_w: int, new_h: int) -> bytes:
+    """Real nearest-neighbor resample: decode → gather → re-encode. The
+    output is again a spec-valid PNG."""
+    w, h, px = png_pixels(data)
+    out = bytearray(new_w * new_h)
+    for y in range(new_h):
+        sy = min(h - 1, (y * h) // new_h)
+        row = px[sy * w : (sy + 1) * w]
+        for x in range(new_w):
+            out[y * new_w + x] = row[min(w - 1, (x * w) // new_w)]
+    return encode_png(new_w, new_h, bytes(out))
+
+
+def clip_wav(data: bytes, start_ms: int, dur_ms: int) -> bytes:
+    """Real audio clipping: slice frames by time, re-encode WAV."""
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        sr = w.getframerate()
+        n = w.getnframes()
+        frames = w.readframes(n)
+    lo = min(n, (start_ms * sr) // 1000)
+    hi = min(n, ((start_ms + dur_ms) * sr) // 1000)
+    return encode_wav(sr, frames[lo:hi])
+
+
 def stdlib_codec(content: bytes) -> dict[str, Any]:
     """Magic-sniffing dispatcher: PNG → WAV → GRFT synthetic. The drop-in
     argument for ``multimodal.set_codec``."""

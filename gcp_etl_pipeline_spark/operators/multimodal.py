@@ -213,15 +213,22 @@ def sample_frames(df: DataFrame, every_n: int = 2, fps: int = 10) -> DataFrame:
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stub: re-encodes the header with new dims (payload kept).
-    A real implementation decodes, resamples, re-encodes inside the same
-    batch loop — the plumbing (binary→binary, meta update) is identical."""
+    """Image resize inside the Arrow batch loop. PNG blobs get a REAL
+    nearest-neighbor resample (decode → gather → re-encode, still a
+    spec-valid PNG — operators/codecs.py); synthetic GRFT blobs re-pack
+    the header with the new dims (payload kept). Non-image media pass
+    through untouched."""
+    from gcp_etl_pipeline_spark.operators import codecs
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, blobs = [], []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(content)
+                if b[:8] == codecs.PNG_SIG:
+                    blobs.append(codecs.resize_png(b, width, height))
+                    ids.append(mid)
+                    continue
                 d = _CODEC(b)
                 if d["kind"] != "image":
                     blobs.append(b)

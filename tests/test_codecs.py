@@ -76,3 +76,36 @@ def test_png_external_readability():
         assert blob[:8] == codecs.PNG_SIG
         assert blob[12:16] == b"IHDR"
         assert blob[-8:-4] == b"IEND"
+
+
+def test_resize_png_real_resample():
+    # 4x4 gradient -> 8x8: nearest-neighbor, still a valid PNG
+    src = codecs.encode_png(4, 4, bytes(range(16)))
+    out = codecs.resize_png(src, 8, 8)
+    d = codecs.decode_png(out)
+    assert (d["width"], d["height"]) == (8, 8)
+    _, _, px = codecs.png_pixels(out)
+    # corner pixels map to the source corners
+    assert px[0] == 0 and px[-1] == 15
+
+
+def test_clip_wav_slices_by_time():
+    blob = codecs.encode_wav(1000, bytes(range(250)) * 4)  # 1000 frames @1kHz
+    clip = codecs.clip_wav(blob, start_ms=250, dur_ms=500)
+    d = codecs.decode_wav(clip)
+    assert d["n_frames"] == 500 and d["sample_rate"] == 1000
+
+
+def test_resize_images_spark_handles_png_and_grft(spark):
+    rows = [
+        (1, codecs.encode_png(16, 16, bytes(256))),
+        (2, multimodal.encode_fake("image", 64, 64, 0, 1, seed=3)),
+        (3, multimodal.encode_fake("audio", 0, 0, 8000, 10, seed=4)),
+    ]
+    df = spark.createDataFrame(rows, "media_id BIGINT, content BINARY")
+    out = {r.media_id: bytes(r.content)
+           for r in multimodal.resize_images(df, 8, 8).collect()}
+    assert codecs.decode_png(out[1])["width"] == 8  # real resample
+    from gcp_etl_pipeline_spark.operators.multimodal import _fake_decode
+    assert _fake_decode(out[2])["width"] == 8  # header repack
+    assert out[3] == rows[2][1]  # audio untouched
