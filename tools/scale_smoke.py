@@ -283,6 +283,55 @@ def main() -> int:
     assert n_frames > 0
     timings["multimodal_decode_fanout"] = round(time.time() - t0, 2)
 
+    # Mixture sampling at full scale: a pure scan filter — no exchange.
+    # Rates hold within sampling noise at any n.
+    from gcp_etl_pipeline_spark.operators.curation import mixture_sample
+
+    langs = fact.select(
+        "id",
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("zh")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+    )
+    t0 = time.time()
+    kept = mixture_sample(
+        langs, "lang", {"en": 1.0, "de": 0.5, "zh": 0.1}, key_col="id"
+    ).groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    rates = {r.lang: r.c / (n / 3) for r in kept.collect()}
+    assert abs(rates["en"] - 1.0) < 0.01 and abs(rates["de"] - 0.5) < 0.01
+    assert abs(rates["zh"] - 0.1) < 0.01, rates
+    timings["mixture_sample_20m"] = round(time.time() - t0, 2)
+
+    # Sequence packing at full scale: per-shard window cumsum (1024
+    # shards), then per-sequence stats — parallel across shards, chars
+    # conserved exactly.
+    t0 = time.time()
+    docs = fact.select(
+        "id",
+        (F.col("id") % 1024).alias("source"),
+        (50 + F.col("id") % 450).alias("n_chars"),
+    )
+    from pyspark.sql import Window as _W
+
+    w = (
+        _W.partitionBy("source")
+        .orderBy("id")
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    packed = (
+        docs.withColumn("cum", F.sum("n_chars").over(w))
+        .withColumn(
+            "seq_id",
+            F.floor((F.col("cum") - F.col("n_chars")) / 4096.0).cast("bigint"),
+        )
+        .groupBy("source", "seq_id")
+        .agg(F.sum("n_chars").alias("seq_chars"))
+    )
+    total_chars = packed.agg(F.sum("seq_chars")).first()[0]
+    assert total_chars == docs.agg(F.sum("n_chars")).first()[0]
+    timings["sequence_packing_20m"] = round(time.time() - t0, 2)
+
     out = {
         "rows": n,
         "total_sec": round(sum(timings.values()), 2),
