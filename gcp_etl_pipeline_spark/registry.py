@@ -195,6 +195,65 @@ def _load_all() -> None:
         """,
     )
 
+    # snapshot versioning: write v1, keyed-upsert to v2, read BOTH via
+    # time travel — the oracle recomputes each version's state from the
+    # parquet truth, so a torn write, wrong pointer, or upsert leak
+    # breaks the hash
+    def _q_time_travel(spark, sf_dir):
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from gcp_etl_pipeline_spark.queries_relational import ensure_views
+        from gcp_etl_pipeline_spark.sinks.versioned import VersionedTable
+
+        ensure_views(spark, sf_dir)
+        t = VersionedTable(tempfile.mkdtemp(prefix="graft_vt_") + "/orders")
+        orders = spark.table("orders").select(
+            F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("s")
+        )
+        t.write(orders.where("k < 5000"))
+        t.upsert(
+            orders.where("k >= 2500 AND k < 7500").withColumn("s", F.lit("X")),
+            keys=["k"],
+        )
+        out = []
+        for v in (1, 2):
+            df = t.read(spark, v)
+            out.append(
+                df.agg(
+                    F.lit(v).cast("int").alias("version"),
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.when(F.col("s") == "X", 1).otherwise(0))
+                    .cast("bigint")
+                    .alias("n_x"),
+                    F.sum("k").cast("bigint").alias("keysum"),
+                )
+            )
+        return out[0].unionAll(out[1])
+
+    register(
+        "versioned_time_travel",
+        _q_time_travel,
+        """
+        WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS s FROM orders),
+        v1 AS (SELECT k, s FROM o WHERE k < 5000),
+        v2 AS (SELECT k, CASE WHEN k >= 2500 THEN 'X' ELSE s END AS s
+               FROM o WHERE k < 5000
+               UNION ALL
+               SELECT k, 'X' FROM o WHERE k >= 5000 AND k < 7500)
+        SELECT CAST(1 AS INT) AS version, COUNT(*) AS n,
+               CAST(SUM(CASE WHEN s = 'X' THEN 1 ELSE 0 END) AS BIGINT) AS n_x,
+               CAST(SUM(k) AS BIGINT) AS keysum
+        FROM v1
+        UNION ALL
+        SELECT CAST(2 AS INT), COUNT(*),
+               CAST(SUM(CASE WHEN s = 'X' THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(k) AS BIGINT)
+        FROM v2
+        """,
+    )
+
     register(
         "pysource_media_decode",
         _q_pysource_media,

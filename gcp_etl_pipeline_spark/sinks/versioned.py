@@ -1,0 +1,135 @@
+"""Snapshot-versioned parquet tables: time travel, history, rollback —
+the Delta-shaped capabilities (`commons/install-delta.sh:19-20`
+provisions Delta on the reference's clusters) rebuilt on plain parquet
+for environments without the Delta jars.
+
+Layout:
+    <path>/v=<N>/...parquet     immutable snapshot N (1-based)
+    <path>/_manifest.json       {"latest": N, "versions": [{...}, ...]}
+
+Writes land in a NEW v=N+1 directory first; the manifest flips last via
+an atomic rename, so readers always see a complete snapshot (the classic
+write-new-then-swap-pointer protocol). Reads pin a version directory, so
+long-running queries are never torn by a concurrent writer. Rollback is
+a manifest flip — O(1), no data movement; rolled-back snapshots stay on
+disk until `vacuum()`.
+
+Caveat (documented, not hidden): `os.replace` is atomic on POSIX
+filesystems; object stores without atomic rename need the real Delta /
+Iceberg commit protocol — this module is the parquet-only fallback tier
+of the same seam `operators/upsert.py` uses.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class VersionedTable:
+    def __init__(self, path: str):
+        self.path = path.rstrip("/")
+
+    # ------------------------------------------------------------ manifest
+
+    @property
+    def _manifest_path(self) -> str:
+        return f"{self.path}/_manifest.json"
+
+    def _read_manifest(self) -> dict[str, Any]:
+        try:
+            with open(self._manifest_path) as fh:
+                return json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            return {"latest": 0, "versions": []}
+
+    def _flip_manifest(self, manifest: dict[str, Any]) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, self._manifest_path)  # atomic pointer flip
+
+    # ------------------------------------------------------------ write
+
+    def write(self, df: DataFrame, note: str = "") -> int:
+        """Materialize ``df`` as the next immutable snapshot and flip the
+        pointer. Returns the new version number."""
+        m = self._read_manifest()
+        new_v = max(
+            [m["latest"], *[v["version"] for v in m["versions"]]], default=0
+        ) + 1
+        vdir = f"{self.path}/v={new_v}"
+        df.write.mode("errorifexists").parquet(vdir)
+        rows = df.sparkSession.read.parquet(vdir).count()
+        m["versions"].append({"version": new_v, "rows": rows, "note": note})
+        m["latest"] = new_v
+        self._flip_manifest(m)
+        return new_v
+
+    def upsert(self, source: DataFrame, keys: list[str], note: str = "") -> int:
+        """Keyed merge against the latest snapshot into a NEW snapshot
+        (source rows replace matched keys, append unmatched) — versioned
+        twin of operators/upsert.py."""
+        latest = self.latest_version()
+        if latest is None:
+            return self.write(source, note=note or "initial")
+        spark = source.sparkSession
+        target = self.read(spark, latest)
+        src_keys = source.select(*keys).distinct()
+        cond = [target[k].eqNullSafe(src_keys[k]) for k in keys]
+        kept = target.join(src_keys, on=cond, how="left_anti")
+        merged = kept.unionByName(source.select(*target.columns))
+        return self.write(merged, note=note or f"upsert on {keys}")
+
+    # ------------------------------------------------------------ read
+
+    def latest_version(self) -> int | None:
+        v = self._read_manifest()["latest"]
+        return v or None
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Time travel: ``version=None`` reads the current pointer."""
+        m = self._read_manifest()
+        v = version if version is not None else m["latest"]
+        known = {e["version"] for e in m["versions"]}
+        if not v or v not in known:
+            raise ValueError(f"version {v!r} not in table history {sorted(known)}")
+        return spark.read.parquet(f"{self.path}/v={v}")
+
+    def history(self) -> list[dict[str, Any]]:
+        m = self._read_manifest()
+        return [dict(e, is_latest=(e["version"] == m["latest"]))
+                for e in m["versions"]]
+
+    # ------------------------------------------------------------ admin
+
+    def rollback(self, to_version: int) -> None:
+        """Point the table back at an earlier snapshot (O(1); later
+        snapshots remain readable by explicit version until vacuumed)."""
+        m = self._read_manifest()
+        if to_version not in {e["version"] for e in m["versions"]}:
+            raise ValueError(f"unknown version {to_version}")
+        m["latest"] = to_version
+        self._flip_manifest(m)
+
+    def vacuum(self, keep_last: int = 1) -> list[int]:
+        """Drop snapshot directories older than the ``keep_last`` most
+        recent (never the current pointer). Returns removed versions."""
+        import shutil
+
+        m = self._read_manifest()
+        ordered = sorted(e["version"] for e in m["versions"])
+        keep = set(ordered[-keep_last:]) | {m["latest"]}
+        removed = []
+        for v in ordered:
+            if v in keep:
+                continue
+            shutil.rmtree(f"{self.path}/v={v}", ignore_errors=True)
+            removed.append(v)
+        m["versions"] = [e for e in m["versions"] if e["version"] not in removed]
+        self._flip_manifest(m)
+        return removed
