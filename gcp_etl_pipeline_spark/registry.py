@@ -232,6 +232,50 @@ def _load_all() -> None:
             )
         return out[0].unionAll(out[1])
 
+    # change data feed between snapshots (Delta CDF analogue): the same
+    # v1→v2 scenario, diffed — inserts are the appended key range,
+    # updates the overwritten one, deletes empty (and must stay absent)
+    def _q_versioned_changes(spark, sf_dir):
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from gcp_etl_pipeline_spark.queries_relational import ensure_views
+        from gcp_etl_pipeline_spark.sinks.versioned import VersionedTable
+
+        ensure_views(spark, sf_dir)
+        t = VersionedTable(tempfile.mkdtemp(prefix="graft_vcdf_") + "/orders")
+        orders = spark.table("orders").select(
+            F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("s")
+        )
+        t.write(orders.where("k < 5000"))
+        t.upsert(
+            orders.where("k >= 2500 AND k < 7500").withColumn("s", F.lit("X")),
+            keys=["k"],
+        )
+        return (
+            t.diff(spark, 1, 2, keys=["k"])
+            .groupBy("change_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("k").cast("bigint").alias("keysum"),
+            )
+        )
+
+    register(
+        "versioned_changes",
+        _q_versioned_changes,
+        """
+        WITH o AS (SELECT o_orderkey AS k FROM orders)
+        SELECT 'I' AS change_type, COUNT(*) AS n,
+               CAST(SUM(k) AS BIGINT) AS keysum
+        FROM o WHERE k >= 5000 AND k < 7500
+        UNION ALL
+        SELECT 'U', COUNT(*), CAST(SUM(k) AS BIGINT)
+        FROM o WHERE k >= 2500 AND k < 5000
+        """,
+    )
+
     register(
         "versioned_time_travel",
         _q_time_travel,

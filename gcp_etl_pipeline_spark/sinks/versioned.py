@@ -105,6 +105,58 @@ class VersionedTable:
         return [dict(e, is_latest=(e["version"] == m["latest"]))
                 for e in m["versions"]]
 
+    def diff(
+        self,
+        spark: SparkSession,
+        v_from: int,
+        v_to: int,
+        keys: list[str],
+    ) -> DataFrame:
+        """Change data feed between two snapshots: one row per changed
+        key with ``change_type`` I (inserted), U (updated — any non-key
+        column differs), or D (deleted). Computed as a single full-outer
+        key join of the two snapshots — one shuffle on the key, value
+        comparison via md5 over the canonicalized non-key columns (no
+        per-column plan blow-up at wide schemas)."""
+        from pyspark.sql import functions as F
+
+        old = self.read(spark, v_from)
+        new = self.read(spark, v_to)
+        val_cols = [c for c in new.columns if c not in keys]
+
+        def fp(df: DataFrame) -> DataFrame:
+            return df.select(
+                *keys,
+                F.md5(
+                    F.concat_ws(
+                        "\x00",
+                        *[
+                            F.coalesce(F.col(c).cast("string"), F.lit("\x01"))
+                            for c in val_cols
+                        ],
+                    )
+                ).alias("__fp"),
+            )
+
+        o = fp(old).alias("o")
+        n = fp(new).alias("n")
+        cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys]
+        j = o.join(n, cond, "full_outer")
+        return j.select(
+            *[
+                F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k)
+                for k in keys
+            ],
+            F.when(F.col("o.__fp").isNull(), F.lit("I"))
+            .when(F.col("n.__fp").isNull(), F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("change_type"),
+        ).where(
+            F.col("o.__fp").isNull()
+            | F.col("n.__fp").isNull()
+            | (F.col("o.__fp") != F.col("n.__fp"))
+        )
+
     # ------------------------------------------------------------ admin
 
     def rollback(self, to_version: int) -> None:

@@ -54,3 +54,14 @@ def test_failed_write_leaves_pointer_untouched(spark, tmp_path):
     # reader still sees the intact v1; the torn v2 directory is unreferenced
     assert t.latest_version() == 1
     assert t.read(spark).count() == 7
+
+
+def test_diff_change_data_feed(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "vt5"))
+    t.write(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["id", "v"]))
+    t.write(spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], ["id", "v"]))
+    changes = {(r.id): r.change_type
+               for r in t.diff(spark, 1, 2, keys=["id"]).collect()}
+    assert changes == {2: "U", 3: "D", 4: "I"}  # 1 unchanged -> absent
