@@ -496,3 +496,80 @@ def _curation_oracle() -> str:
 
 
 register("corpus_curation", _q_corpus_curation, _curation_oracle())
+
+
+# ------------------------------------------------- IVF recall evaluation
+# Recall@5 of the IVF probe search against the exact brute-force answer —
+# the evaluation loop an ANN deployment runs when tuning n_lists/n_probe.
+# Both sides are deterministic (quantized int64 cosine, id tie-breaks),
+# so recall itself is exact and the DuckDB oracle reproduces it from the
+# two SQL pipelines joined on (query_id, neighbor_id).
+def _q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.knn_bruteforce(embs, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.knn_ivf(
+        embs, queries, k=5, n_lists=_IVF_LISTS, n_probe=_IVF_PROBE
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"])
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+        )
+    )
+
+
+def _ivf_recall_oracle() -> str:
+    return f"""
+    WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                   ORDER BY vec_id LIMIT {_IVF_LISTS}),
+    asg AS (SELECT e.vec_id, e.embedding, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY {_qcos('e.embedding', 'c.cv')} DESC, c.cid) AS rk
+            FROM embeddings e CROSS JOIN cents c),
+    lists AS (SELECT vec_id, embedding, cid AS list_id FROM asg WHERE rk = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id % 50 = 0),
+    qp AS (SELECT query_id, qv, cid AS list_id FROM (
+             SELECT q.query_id, q.qv, c.cid,
+                    ROW_NUMBER() OVER (PARTITION BY q.query_id
+                      ORDER BY {_qcos('q.qv', 'c.cv')} DESC, c.cid) AS rk
+             FROM q CROSS JOIN cents c) t WHERE rk <= {_IVF_PROBE}),
+    ivf_s AS (SELECT p.query_id, l.vec_id AS neighbor_id,
+                     {_qcos('p.qv', 'l.embedding')} AS cos_sim
+              FROM qp p JOIN lists l
+                ON l.list_id = p.list_id AND l.vec_id <> p.query_id),
+    ivf_r AS (SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id) AS rn FROM ivf_s),
+    ivf5 AS (SELECT query_id, neighbor_id FROM ivf_r WHERE rn <= 5),
+    ex_s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                    {_qcos('q.qv', 'e.embedding')} AS cos_sim
+             FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+    ex_r AS (SELECT query_id, neighbor_id,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos_sim DESC, neighbor_id) AS rn FROM ex_s),
+    ex5 AS (SELECT query_id, neighbor_id FROM ex_r WHERE rn <= 5)
+    SELECT e.query_id, COUNT(*) AS n_exact,
+           CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit
+    FROM ex5 e LEFT JOIN ivf5 i
+      ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+register("similarity_ivf_recall", _q_ivf_recall, _ivf_recall_oracle())
