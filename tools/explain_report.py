@@ -106,14 +106,15 @@ HEADLINERS = {
 
 # Latest `python tools/scale_smoke.py` output, pasted verbatim.
 SMOKE_RESULT = (
-    '{"rows": 20000000, "total_sec": 137.49, "rows_per_sec": 2036511, '
-    '"timings": {"grouped_agg_20m": 3.53, "broadcast_star_join_20m": 1.36, '
-    '"salted_skew_join_20m": 3.37, "wide_dedup_groupby_20m": 1.81, '
-    '"asof_join_20m": 4.42, "range_join_20m": 0.8, "scd2_20m": 2.04, '
-    '"cdc_apply_20m": 2.57, "exists_decorrelation_20m": 13.69, '
-    '"mg_heavy_hitters_20m": 22.63, "pagerank_3iter_20m": 56.03, '
-    '"bloom_pruned_join_20m": 0.89, "zscore_outliers_20m": 7.08, '
-    '"multimodal_decode_fanout": 17.27}}'
+    '{"rows": 20000000, "total_sec": 84.16, "rows_per_sec": 3802281, '
+    '"timings": {"grouped_agg_20m": 4.18, "broadcast_star_join_20m": 1.55, '
+    '"salted_skew_join_20m": 3.47, "wide_dedup_groupby_20m": 1.63, '
+    '"asof_join_20m": 5.16, "range_join_20m": 0.69, "scd2_20m": 2.3, '
+    '"cdc_apply_20m": 2.2, "exists_decorrelation_20m": 7.72, '
+    '"mg_heavy_hitters_20m": 14.62, "pagerank_3iter_20m": 15.38, '
+    '"bloom_pruned_join_20m": 0.46, "zscore_outliers_20m": 2.05, '
+    '"multimodal_decode_fanout": 10.69, "mixture_sample_20m": 7.5, '
+    '"sequence_packing_20m": 4.56}}'
 )
 
 
