@@ -23,11 +23,15 @@ Register once per session:
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 MEDIA_SCHEMA = (
@@ -149,6 +153,87 @@ class GraftEventsDataSource(DataSource):
         return _EventsStreamReader(self.options)
 
 
+# ------------------------------------------------------------ sink side
+#
+# The writer half of the API: executors write task-local shard files and
+# return commit messages; the DRIVER publishes a manifest listing exactly
+# the committed shards (task retries/speculative duplicates never appear —
+# their files exist but are unreferenced, the same two-phase publish
+# protocol sinks/versioned.py uses for snapshots).
+
+
+@dataclass
+class _ShardCommit(WriterCommitMessage):
+    shard: str
+    rows: int
+
+
+class _JsonShardWriter(DataSourceWriter):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("graftsink requires .option('path', ...)")
+
+    def write(self, iterator):
+        import json as _json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        shard = f"shard-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, shard), "w") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _ShardCommit(shard=shard, rows=n)
+
+    def commit(self, messages):
+        import json as _json
+        import os
+
+        manifest = {
+            "shards": sorted(m.shard for m in messages),
+            "rows": sum(m.rows for m in messages),
+        }
+        tmp = os.path.join(self.path, "_manifest.json.tmp")
+        with open(tmp, "w") as fh:
+            _json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(self.path, "_manifest.json"))
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            try:
+                os.remove(os.path.join(self.path, m.shard))
+            except OSError:
+                pass
+
+
+class GraftSinkDataSource(DataSource):
+    """df.write.format("graftsink").option("path", dir).save() — manifest-
+    committed JSONL shards."""
+
+    @classmethod
+    def name(cls):
+        return "graftsink"
+
+    def writer(self, schema, overwrite):
+        return _JsonShardWriter(self.options)
+
+
+def read_manifested_jsonl(spark, path):
+    """Read back ONLY the shards the manifest committed (stray files from
+    failed/speculative tasks are ignored)."""
+    import json as _json
+
+    with open(f"{path}/_manifest.json") as fh:
+        manifest = _json.load(fh)
+    return spark.read.json([f"{path}/{s}" for s in manifest["shards"]])
+
+
 def register_sources(spark) -> None:
     spark.dataSource.register(GraftMediaDataSource)
     spark.dataSource.register(GraftEventsDataSource)
+    spark.dataSource.register(GraftSinkDataSource)

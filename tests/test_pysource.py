@@ -90,3 +90,25 @@ def test_events_stream_deterministic_replay(spark, tmp_path):
         }
 
     assert drain("pysrc_a") == drain("pysrc_b")
+
+
+def test_sink_writes_manifested_shards(spark, tmp_path):
+    from gcp_etl_pipeline_spark.sources.pysource import read_manifested_jsonl
+
+    out = str(tmp_path / "sink")
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v").repartition(6)
+    df.write.format("graftsink").option("path", out).mode("append").save()
+    import json
+    import os
+
+    with open(f"{out}/_manifest.json") as fh:
+        manifest = json.load(fh)
+    assert manifest["rows"] == 1000
+    assert len(manifest["shards"]) == 6  # one shard per task
+    back = read_manifested_jsonl(spark, out)
+    assert back.count() == 1000
+    assert back.agg({"v": "sum"}).first()[0] == 999 * 1000
+    # a stray uncommitted shard must be ignored by the manifested read
+    with open(os.path.join(out, "shard-stray.jsonl"), "w") as fh:
+        fh.write('{"id": 99999, "v": 0}\n')
+    assert read_manifested_jsonl(spark, out).count() == 1000
