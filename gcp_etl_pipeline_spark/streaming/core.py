@@ -154,6 +154,34 @@ def _has_aggregate(stream_df: DataFrame) -> bool:
     return "Aggregate" in plan
 
 
+def foreach_batch_versioned(
+    stream_df: DataFrame,
+    table_path: str,
+    keys: list[str],
+    checkpoint: str,
+):
+    """Stream into a snapshot-versioned table: every non-empty micro-batch
+    becomes one immutable snapshot via a keyed upsert (sinks/versioned.py)
+    — the streaming history/time-travel pattern Delta's streaming sink
+    provides, on plain parquet. Batch id goes into the snapshot note, so
+    the table history doubles as a processing ledger; the atomic manifest
+    flip means readers never observe a half-written batch."""
+    from gcp_etl_pipeline_spark.sinks.versioned import VersionedTable
+
+    table = VersionedTable(table_path)
+
+    def write_version(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            table.upsert(batch_df, keys, note=f"stream batch {batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(write_version)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def foreach_batch_insert_new(
     stream_df: DataFrame,
     target_path: str,

@@ -65,3 +65,36 @@ def test_diff_change_data_feed(spark, tmp_path):
     changes = {(r.id): r.change_type
                for r in t.diff(spark, 1, 2, keys=["id"]).collect()}
     assert changes == {2: "U", 3: "D", 4: "I"}  # 1 unchanged -> absent
+
+
+def test_streaming_into_versioned_table(spark, tmp_path, sf_dir):
+    """Each micro-batch lands as one snapshot; history doubles as the
+    processing ledger and the diff between consecutive versions is that
+    batch's keys."""
+    import shutil
+
+    from gcp_etl_pipeline_spark.streaming import core
+
+    src = tmp_path / "vin"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", src / "b.parquet")  # replay
+
+    table_path = str(tmp_path / "vtab")
+    stream = core.read_events_stream(spark, str(src)).select(
+        "event_id", "user_id", "event_type"
+    )
+    q = core.foreach_batch_versioned(
+        stream, table_path, keys=["event_id"], checkpoint=str(tmp_path / "vck")
+    )
+    q.awaitTermination()
+
+    t = VersionedTable(table_path)
+    hist = t.history()
+    assert len(hist) == 2  # one snapshot per micro-batch (maxFilesPerTrigger=1)
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    # the replayed file upserts the same keys: row count stays constant
+    assert t.read(spark, 1).count() == n_events
+    assert t.read(spark).count() == n_events
+    # and the diff between the versions is empty (identical payloads)
+    assert t.diff(spark, 1, 2, keys=["event_id"]).count() == 0
