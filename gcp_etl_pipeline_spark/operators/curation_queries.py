@@ -444,3 +444,41 @@ shared_sql(
     GROUP BY source, CAST(FLOOR((cum - n_chars) / 4096.0) AS BIGINT)
     """,
 )
+
+
+# ------------------------------------------------- unicode normalization
+# Composed vs decomposed spellings of the same visible string must
+# collapse to ONE dedup key. Both engines synthesize the two byte forms
+# from hex (no literal-escape portability games), Spark normalizes via
+# the Arrow unicodedata operator, DuckDB via nfc_normalize.
+def _q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gcp_etl_pipeline_spark.operators.normalize import normalize_unicode
+
+    ensure_views(spark, sf_dir)
+    df = spark.sql(
+        """SELECT n_nationkey AS k,
+                  CASE WHEN n_nationkey % 2 = 0
+                       THEN concat('caf', decode(unhex('C3A9'), 'UTF-8'))
+                       ELSE concat('cafe', decode(unhex('CC81'), 'UTF-8'))
+                  END AS s
+           FROM nation"""
+    )
+    return (
+        df.select(normalize_unicode("s").alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+register(
+    "unicode_nfc_dedup_key",
+    _q_unicode_nfc,
+    """
+    SELECT nfc_normalize(CASE WHEN n_nationkey % 2 = 0
+                              THEN 'caf' || decode(from_hex('C3A9'))
+                              ELSE 'cafe' || decode(from_hex('CC81'))
+                         END) AS n,
+           COUNT(*) AS c
+    FROM nation GROUP BY 1
+    """,
+)

@@ -55,3 +55,39 @@ def cast_to_spec(df: DataFrame, spec) -> DataFrame:
     return df.select(
         *[F.col(c.name).cast(c.spark_type).alias(c.name) for c in spec.columns]
     )
+
+
+def normalize_unicode(
+    col: Column | str, form: str = "NFC", casefold: bool = False
+) -> Column:
+    """Unicode normalization for text keys/dedup fingerprints: composed
+    vs decomposed byte sequences of the SAME visible string ("é" as one
+    codepoint vs "e"+combining-acute) otherwise hash apart and defeat
+    exact dedup on multilingual corpora. Arrow-batched ``unicodedata``
+    (no JVM builtin exists); optional ``casefold`` applies the full
+    Unicode case folding (ß→ss etc.), which ``lower()`` does not.
+    DuckDB's ``nfc_normalize`` is the differential twin for NFC."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    def norm(s):
+        import unicodedata
+
+        def one(v):
+            if v is None:
+                return None
+            v = unicodedata.normalize(form, v)
+            return v.casefold() if casefold else v
+
+        return s.map(one)
+
+    # `from __future__ import annotations` stringifies hints, which
+    # pandas_udf can't resolve — attach real type objects instead
+    norm.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    fn = pandas_udf(norm, StringType())
+    c = F.col(col) if isinstance(col, str) else col
+    return fn(c)

@@ -110,3 +110,25 @@ def test_audit_columns_pinned_timestamp(spark):
     assert row.ins_tmstmp == row.upd_tmstmp
     assert set(AUDIT_COLUMNS) <= set(out.columns)
     assert set(drop_audit_columns(out).columns) == {"v"}
+
+
+def test_normalize_unicode_nfc_and_casefold(spark):
+    from gcp_etl_pipeline_spark.operators.normalize import normalize_unicode
+    from pyspark.sql import functions as F
+
+    composed = "café"            # é as one codepoint
+    decomposed = "café"         # e + combining acute
+    df = spark.createDataFrame(
+        [(1, composed), (2, decomposed), (3, "STRAßE"), (4, None)],
+        ["id", "s"],
+    )
+    out = {r.id: r.n for r in df.select(
+        "id", normalize_unicode("s").alias("n")).collect()}
+    assert out[1] == out[2] == composed  # NFC unifies the two spellings
+    assert out[4] is None
+    folded = {r.id: r.n for r in df.select(
+        "id", normalize_unicode("s", casefold=True).alias("n")).collect()}
+    assert folded[3] == "strasse"  # full case folding, beyond lower()
+    # dedup integration: the two spellings collapse to ONE distinct key
+    assert df.where("id <= 2").select(
+        normalize_unicode("s").alias("k")).distinct().count() == 1
