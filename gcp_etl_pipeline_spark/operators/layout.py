@@ -107,8 +107,15 @@ def compact_small_files(
         out = df.repartition(n_out)
     staging = path.rstrip("/") + "__compact"
     out.write.mode("overwrite").parquet(staging)
-    spark.read.parquet(staging).write.mode("overwrite").parquet(path)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+    # delete+rename, not a second Spark rewrite: a read-back rewrite would
+    # re-split the staged files at maxPartitionBytes (silently violating
+    # target_file_bytes and cutting Z-order clusters) and double the write
+    # I/O. FileSystem.rename is atomic-enough on HDFS/local; object stores
+    # without atomic rename take the Delta/Iceberg tier instead.
+    jstaging = jvm.org.apache.hadoop.fs.Path(staging)
+    fs.delete(jpath, True)
+    if not fs.rename(jstaging, jpath):
+        raise IOError(f"rename {staging} -> {path} failed")
     compacted = spark.read.parquet(path)
     return files_before, compacted.select(F.input_file_name()).distinct().count()
 

@@ -175,9 +175,11 @@ def unmask_columns_envelope(
     import base64
 
     spark = df.sparkSession
+    # keyrings persisted via JSON come back with STRING dek_ids — accept
+    # both (int(i) is a no-op on ints)
     dek_df = spark.createDataFrame(
         [
-            (i, kms.unwrap(base64.b64decode(w)))
+            (int(i), kms.unwrap(base64.b64decode(w)))
             for i, w in keyring.items()
         ],
         f"{DEK_ID_COL} INT, __dek BINARY",

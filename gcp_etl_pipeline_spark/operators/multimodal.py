@@ -225,11 +225,18 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
             ids, blobs = [], []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(content)
-                if b[:8] == codecs.PNG_SIG:
-                    blobs.append(codecs.resize_png(b, width, height))
+                # corrupt blobs pass through unchanged rather than failing
+                # the stage — same contract as decode_media's error rows
+                try:
+                    if b[:8] == codecs.PNG_SIG:
+                        blobs.append(codecs.resize_png(b, width, height))
+                        ids.append(mid)
+                        continue
+                    d = _CODEC(b)
+                except Exception:  # noqa: BLE001
+                    blobs.append(b)
                     ids.append(mid)
                     continue
-                d = _CODEC(b)
                 if d["kind"] != "image":
                     blobs.append(b)
                 else:

@@ -83,6 +83,7 @@ class Pipeline:
         self.spark = spark
         self.ledger_path = ledger_path
         self.jobs: dict[str, Job] = {}
+        self._finish_hooks: list = []
 
     def add(self, job: Job) -> "Pipeline":
         if job.name in self.jobs:
@@ -113,16 +114,25 @@ class Pipeline:
             visit(name)
         return order
 
+    def on_finish(self, hook) -> "Pipeline":
+        """Register a cleanup callback ``hook(spark)`` invoked (success or
+        failure) after every run — plan modules register their own cache
+        releases here instead of the runner knowing about any plan."""
+        self._finish_hooks.append(hook)
+        return self
+
     def run(self, ctx: RunContext) -> list[dict]:
         """Execute the DAG; returns the ledger rows written this run.
-        Releases the plan-layer dim cache afterwards so a long-lived
-        service doesn't pin executor storage between batches."""
+        Finish hooks fire afterwards so a long-lived service doesn't pin
+        executor storage between batches."""
         try:
             return self._run(ctx)
         finally:
-            from gcp_etl_pipeline_spark.plans.gosales import clear_dim_cache
-
-            clear_dim_cache()
+            for hook in getattr(self, "_finish_hooks", []):
+                try:
+                    hook(self.spark)
+                except Exception:  # noqa: BLE001 — cleanup is best-effort
+                    pass
 
     def _run(self, ctx: RunContext) -> list[dict]:
         results: list[dict] = []

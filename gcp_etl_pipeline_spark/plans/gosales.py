@@ -64,12 +64,16 @@ def _cached(name: str, fn, spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-def clear_dim_cache() -> None:
-    """Unpersist and drop every cached dim (between-batch hygiene for
-    long-lived sessions; also keeps repeated test sessions from pinning
-    executor storage)."""
-    while _DIM_CACHE:
-        _, df = _DIM_CACHE.popitem()
+def clear_dim_cache(spark: SparkSession | None = None) -> None:
+    """Unpersist and drop cached dims (between-batch hygiene for
+    long-lived sessions). With ``spark`` given, only THAT application's
+    entries are evicted — concurrent pipelines in other sessions keep
+    their persisted dims."""
+    app = spark.sparkContext.applicationId if spark is not None else None
+    for key in list(_DIM_CACHE):
+        if app is not None and key[0] != app:
+            continue
+        df = _DIM_CACHE.pop(key)
         try:
             df.unpersist()
         except Exception:  # noqa: BLE001

@@ -158,4 +158,6 @@ def build_pipeline(sf_dir: str, warehouse: str, spark: SparkSession) -> Pipeline
             depends_on=("sales_fact", "retailer_dim"),
         )
     )
+    # plan-owned cleanup: release THIS app's persisted dims after each run
+    p.on_finish(lambda spark: gosales.clear_dim_cache(spark))
     return p

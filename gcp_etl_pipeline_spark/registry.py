@@ -42,10 +42,23 @@ _LOADED = False
 
 
 def _load_all() -> None:
-    """Import every module that registers queries (idempotent)."""
+    """Import every module that registers queries (idempotent). A partial
+    failure rolls the registry back to empty so a retry re-registers from
+    scratch instead of tripping the duplicate-name guard on the entries
+    the failed attempt already added."""
     global _LOADED
     if _LOADED:
         return
+    try:
+        _load_all_inner()
+    except Exception:
+        _QUERIES.clear()
+        _ORACLES.clear()
+        raise
+    _LOADED = True
+
+
+def _load_all_inner() -> None:
     from gcp_etl_pipeline_spark.plans import gosales
 
     for stage, fn in gosales.STAGES.items():
@@ -313,5 +326,3 @@ def _load_all() -> None:
         FROM g GROUP BY 1
         """,
     )
-
-    _LOADED = True

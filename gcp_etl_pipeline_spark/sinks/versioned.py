@@ -57,14 +57,34 @@ class VersionedTable:
 
     def write(self, df: DataFrame, note: str = "") -> int:
         """Materialize ``df`` as the next immutable snapshot and flip the
-        pointer. Returns the new version number."""
+        pointer. Returns the new version number.
+
+        Crash safety: the version counter skips past any torn directory a
+        failed previous write left behind (on-disk ``v=`` dirs count even
+        when the manifest never referenced them), and the write itself
+        overwrites — so a failed job, or a Structured Streaming micro-
+        batch RETRY of the same write, always lands cleanly instead of
+        colliding with its first attempt's partial output. The row count
+        is observed during the write (no second scan of the snapshot)."""
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
         m = self._read_manifest()
+        on_disk = [
+            int(d[2:])
+            for d in (os.listdir(self.path) if os.path.isdir(self.path) else [])
+            if d.startswith("v=") and d[2:].isdigit()
+        ]
         new_v = max(
-            [m["latest"], *[v["version"] for v in m["versions"]]], default=0
+            [m["latest"], *[v["version"] for v in m["versions"]], *on_disk],
+            default=0,
         ) + 1
         vdir = f"{self.path}/v={new_v}"
-        df.write.mode("errorifexists").parquet(vdir)
-        rows = df.sparkSession.read.parquet(vdir).count()
+        obs = Observation()
+        df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(vdir)
+        rows = int(obs.get["n"])
         m["versions"].append({"version": new_v, "rows": rows, "note": note})
         m["latest"] = new_v
         self._flip_manifest(m)
@@ -170,14 +190,20 @@ class VersionedTable:
 
     def vacuum(self, keep_last: int = 1) -> list[int]:
         """Drop snapshot directories older than the ``keep_last`` most
-        recent (never the current pointer). Returns removed versions."""
+        recent (never the current pointer), plus any TORN directory a
+        failed write left unreferenced. Returns removed versions."""
         import shutil
 
         m = self._read_manifest()
         ordered = sorted(e["version"] for e in m["versions"])
         keep = set(ordered[-keep_last:]) | {m["latest"]}
         removed = []
-        for v in ordered:
+        on_disk = [
+            int(d[2:])
+            for d in (os.listdir(self.path) if os.path.isdir(self.path) else [])
+            if d.startswith("v=") and d[2:].isdigit()
+        ]
+        for v in sorted(set(ordered) | set(on_disk)):
             if v in keep:
                 continue
             shutil.rmtree(f"{self.path}/v={v}", ignore_errors=True)

@@ -204,7 +204,11 @@ class _JsonShardWriter(DataSourceWriter):
     def abort(self, messages):
         import os
 
+        # failed tasks contribute None commit messages — skip them, clean
+        # only the shards that successful tasks actually wrote
         for m in messages:
+            if m is None:
+                continue
             try:
                 os.remove(os.path.join(self.path, m.shard))
             except OSError:

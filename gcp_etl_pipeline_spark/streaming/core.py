@@ -37,7 +37,14 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     engine's UTC session timezone the NTZ wall-clock equals the instant)."""
     from gcp_etl_pipeline_spark.sources.files import timestamp_units
 
-    unit = timestamp_units(path).get("ts")
+    try:
+        unit = timestamp_units(path).get("ts")
+    except Exception:  # noqa: BLE001 — landing dir empty or not yet created
+        # no files to sniff: default to the µs/ms TIMESTAMP layout (what
+        # every current producer writes); an ns-fixture deployment that
+        # starts on an empty directory should pre-seed one file or pass
+        # through the batch reader once so the unit is observable
+        unit = None
     if unit == "ns":
         # Spark's vectorized reader rejects TIMESTAMP(NANOS): read raw
         # int64 nanos, convert distributedly (integer div keeps precision)

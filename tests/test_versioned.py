@@ -98,3 +98,47 @@ def test_streaming_into_versioned_table(spark, tmp_path, sf_dir):
     assert t.read(spark).count() == n_events
     # and the diff between the versions is empty (identical payloads)
     assert t.diff(spark, 1, 2, keys=["event_id"]).count() == 0
+
+
+def test_failed_write_does_not_brick_table(spark, tmp_path):
+    """Review finding: a torn v-dir used to collide with the next write
+    forever. The version counter must skip past unreferenced directories
+    and the write must land cleanly; vacuum then clears the torn dir."""
+    import os
+
+    t = VersionedTable(str(tmp_path / "vt6"))
+    t.write(spark.range(5).selectExpr("id"))
+    bad = spark.range(3).selectExpr("CAST(raise_error('boom') AS STRING) AS id")
+    with pytest.raises(Exception):  # noqa: B017
+        t.write(bad)
+    assert os.path.isdir(str(tmp_path / "vt6" / "v=2"))  # torn leftover
+    v = t.write(spark.range(9).selectExpr("id"))  # must NOT collide
+    assert v == 3
+    assert t.read(spark).count() == 9
+    removed = t.vacuum(keep_last=2)
+    assert 2 in removed  # the torn dir is gone
+    assert not os.path.isdir(str(tmp_path / "vt6" / "v=2"))
+
+
+def test_keyring_json_roundtrip_decrypts(spark, tmp_path):
+    """Review finding: JSON-persisted keyrings stringify dek_ids; unmask
+    must still decrypt."""
+    import json
+
+    from gcp_etl_pipeline_spark.operators.masking import (
+        LocalKmsStub,
+        mask_columns_envelope,
+        unmask_columns_envelope,
+    )
+
+    kms = LocalKmsStub()
+    df = spark.createDataFrame([(i, f"u{i}") for i in range(20)], ["id", "name"])
+    masked, keyring = mask_columns_envelope(df, ["name"], kms, num_deks=3)
+    masked.write.parquet(str(tmp_path / "data"))
+    (tmp_path / "keyring.json").write_text(json.dumps(keyring))
+
+    reloaded = json.loads((tmp_path / "keyring.json").read_text())
+    back = unmask_columns_envelope(
+        spark.read.parquet(str(tmp_path / "data")), ["name"], reloaded, kms
+    )
+    assert {r.name for r in back.collect()} == {f"u{i}" for i in range(20)}
