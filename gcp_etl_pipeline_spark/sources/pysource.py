@@ -192,9 +192,18 @@ class _JsonShardWriter(DataSourceWriter):
         import json as _json
         import os
 
+        # append semantics: merge with the previously committed manifest
+        # so earlier writes' shards stay referenced
+        prev = {"shards": [], "rows": 0}
+        try:
+            with open(os.path.join(self.path, "_manifest.json")) as fh:
+                prev = _json.load(fh)
+        except (OSError, ValueError):
+            pass
+        new = [m for m in messages if m is not None]
         manifest = {
-            "shards": sorted(m.shard for m in messages),
-            "rows": sum(m.rows for m in messages),
+            "shards": sorted(set(prev["shards"]) | {m.shard for m in new}),
+            "rows": prev["rows"] + sum(m.rows for m in new),
         }
         tmp = os.path.join(self.path, "_manifest.json.tmp")
         with open(tmp, "w") as fh:

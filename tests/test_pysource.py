@@ -112,3 +112,15 @@ def test_sink_writes_manifested_shards(spark, tmp_path):
     with open(os.path.join(out, "shard-stray.jsonl"), "w") as fh:
         fh.write('{"id": 99999, "v": 0}\n')
     assert read_manifested_jsonl(spark, out).count() == 1000
+
+
+def test_sink_append_merges_manifest(spark, tmp_path):
+    from gcp_etl_pipeline_spark.sources.pysource import read_manifested_jsonl
+
+    out = str(tmp_path / "sink2")
+    spark.range(100).repartition(2).write.format("graftsink").option(
+        "path", out).mode("append").save()
+    spark.range(100, 150).repartition(1).write.format("graftsink").option(
+        "path", out).mode("append").save()
+    back = read_manifested_jsonl(spark, out)
+    assert back.count() == 150  # both writes' shards stay referenced
