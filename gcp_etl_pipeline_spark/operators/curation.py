@@ -239,7 +239,11 @@ def mixture_sample(
             F.when(F.col(stratum_col) == stratum, F.lit(_hex_threshold(rate)))
             .otherwise(expr)
         )
-    bucket = F.substring(F.md5(F.col(key_col).cast("string")), 1, 4)
+    # NULL keys hash as the empty string (one shared bucket) instead of
+    # propagating NULL through the comparison and silently dropping the
+    # row — a full-keep stratum really keeps its null-key rows too
+    key_str = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+    bucket = F.substring(F.md5(key_str), 1, 4)
     return df.where(bucket < expr)
 
 

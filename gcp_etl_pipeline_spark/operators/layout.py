@@ -99,25 +99,40 @@ def compact_small_files(
     total_bytes = fs.getContentSummary(jpath).getLength()
     n_out = max(1, math.ceil(total_bytes / target_file_bytes))
 
+    def _count_data_files(p) -> int:
+        # metadata-only listing — never a table scan just to count files
+        return sum(
+            1
+            for st in fs.listStatus(p)
+            if st.isFile() and st.getPath().getName().startswith("part-")
+        )
+
+    files_before = _count_data_files(jpath)
     df = spark.read.parquet(path)
-    files_before = df.select(F.input_file_name()).distinct().count()
     if zorder_quantized is not None:
         out = cluster_by_zorder(df, zorder_quantized, n_out)
     else:
         out = df.repartition(n_out)
     staging = path.rstrip("/") + "__compact"
     out.write.mode("overwrite").parquet(staging)
-    # delete+rename, not a second Spark rewrite: a read-back rewrite would
-    # re-split the staged files at maxPartitionBytes (silently violating
-    # target_file_bytes and cutting Z-order clusters) and double the write
-    # I/O. FileSystem.rename is atomic-enough on HDFS/local; object stores
-    # without atomic rename take the Delta/Iceberg tier instead.
+    # rename-aside swap, not a second Spark rewrite (a read-back rewrite
+    # would re-split the staged files at maxPartitionBytes, violating
+    # target_file_bytes and cutting Z-order clusters) and not
+    # delete-then-rename (a crash between the two would lose the live
+    # path). The old data stays intact under __pre_compact until the new
+    # data is in place. FileSystem.rename is atomic-enough on HDFS/local;
+    # object stores without atomic rename take the Delta/Iceberg tier.
     jstaging = jvm.org.apache.hadoop.fs.Path(staging)
-    fs.delete(jpath, True)
+    old = path.rstrip("/") + "__pre_compact"
+    jold = jvm.org.apache.hadoop.fs.Path(old)
+    fs.delete(jold, True)  # leftover from an earlier crashed run
+    if not fs.rename(jpath, jold):
+        raise IOError(f"rename {path} -> {old} failed")
     if not fs.rename(jstaging, jpath):
-        raise IOError(f"rename {staging} -> {path} failed")
-    compacted = spark.read.parquet(path)
-    return files_before, compacted.select(F.input_file_name()).distinct().count()
+        fs.rename(jold, jpath)  # roll back: live path restored
+        raise IOError(f"rename {staging} -> {path} failed (rolled back)")
+    fs.delete(jold, True)
+    return files_before, _count_data_files(jpath)
 
 
 def zorder_sql_expr(

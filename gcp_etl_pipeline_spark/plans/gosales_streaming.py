@@ -14,9 +14,12 @@ Design notes (the at-scale contracts):
     dim-sized and broadcast;
   - every micro-batch does bounded work: anti-join against the (small)
     written dim, a window over the NEW rows only for key assignment, and
-    a broadcast-enriched append of the batch's facts — no global state,
-    no growing driver memory; Spark's checkpoint gives exactly-once file
-    processing, and key assignment is deterministic given arrival order;
+    a broadcast-enriched write of the batch's facts into a batch-id-keyed
+    directory — no global state, no growing driver memory. foreachBatch
+    is at-least-once, so every write is replay-idempotent: dim
+    maintenance anti-joins the already-written keys, and the fact write
+    OVERWRITES its own batch=<id> partition, so a crash-and-replay never
+    duplicates rows; key assignment is deterministic given arrival order;
   - the method registry (`go_methods`) is folded into a projection
     (``method_name = split_part(code, '-', 2)``) because the mapping is
     functional on the code — one less maintained table in the hot path,
@@ -145,7 +148,16 @@ def _process_batch(warehouse: str, retailers_static, products_static):
                     ),
                 )
             )
-            fact.write.mode("append").parquet(f"{warehouse}/sales_fact")
+            # batch-id-keyed directory, OVERWRITTEN on write: foreachBatch
+            # is at-least-once, so a plain append would duplicate this
+            # batch's rows when the engine replays it after a crash
+            # between the append and the checkpoint commit; overwriting
+            # batch=<id> makes the replay land on top of the first
+            # attempt. (Dim maintenance is already replay-safe: the
+            # anti-join sees the previously written keys.)
+            fact.write.mode("overwrite").parquet(
+                f"{warehouse}/sales_fact/batch={batch_id}"
+            )
         finally:
             batch.unpersist()
 

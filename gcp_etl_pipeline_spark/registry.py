@@ -41,19 +41,41 @@ def oracles() -> dict[str, str]:
 _LOADED = False
 
 
+# modules whose IMPORT performs top-level register() calls — evicted from
+# sys.modules on a partial-load failure so a retry actually re-runs them
+# (a cached module's top-level code is a no-op on re-import, which would
+# otherwise leave its queries permanently missing after rollback)
+_QUERY_MODULES = (
+    "gcp_etl_pipeline_spark.queries_analytic",
+    "gcp_etl_pipeline_spark.queries_relational",
+    "gcp_etl_pipeline_spark.operators.curation_queries",
+    "gcp_etl_pipeline_spark.operators.dedup_queries",
+    "gcp_etl_pipeline_spark.operators.graph_queries",
+    "gcp_etl_pipeline_spark.operators.cluster_quality_queries",
+    "gcp_etl_pipeline_spark.operators.temporal_queries",
+    "gcp_etl_pipeline_spark.sources.kafka_queries",
+    "gcp_etl_pipeline_spark.streaming.queries",
+)
+
+
 def _load_all() -> None:
     """Import every module that registers queries (idempotent). A partial
-    failure rolls the registry back to empty so a retry re-registers from
-    scratch instead of tripping the duplicate-name guard on the entries
-    the failed attempt already added."""
+    failure rolls the registry back to empty AND evicts the query modules
+    from sys.modules, so a retry re-imports and re-registers everything
+    instead of tripping the duplicate-name guard or silently losing the
+    modules that imported before the failure."""
     global _LOADED
     if _LOADED:
         return
     try:
         _load_all_inner()
     except Exception:
+        import sys
+
         _QUERIES.clear()
         _ORACLES.clear()
+        for mod in _QUERY_MODULES:
+            sys.modules.pop(mod, None)
         raise
     _LOADED = True
 

@@ -145,13 +145,20 @@ class VersionedTable:
         val_cols = [c for c in new.columns if c not in keys]
 
         def fp(df: DataFrame) -> DataFrame:
+            # per-column md5 THEN combine: fixed-width column digests make
+            # the row fingerprint unambiguous (a raw concat_ws fingerprint
+            # lets values slide across column boundaries — ('a\\0b','c')
+            # vs ('a','b\\0c') — and a separator-valued string collide
+            # with the null sentinel). '∅' can never equal an md5 hex.
             return df.select(
                 *keys,
                 F.md5(
                     F.concat_ws(
-                        "\x00",
+                        "|",
                         *[
-                            F.coalesce(F.col(c).cast("string"), F.lit("\x01"))
+                            F.coalesce(
+                                F.md5(F.col(c).cast("string")), F.lit("∅")
+                            )
                             for c in val_cols
                         ],
                     )
@@ -196,7 +203,10 @@ class VersionedTable:
 
         m = self._read_manifest()
         ordered = sorted(e["version"] for e in m["versions"])
-        keep = set(ordered[-keep_last:]) | {m["latest"]}
+        # keep_last=0 must mean "only the pointer" — ordered[-0:] would
+        # slice the WHOLE list and keep everything
+        recent = set(ordered[-keep_last:]) if keep_last > 0 else set()
+        keep = recent | {m["latest"]}
         removed = []
         on_disk = [
             int(d[2:])

@@ -106,25 +106,38 @@ def _event_row(i: int):
 
 
 class _EventsStreamReader(DataSourceStreamReader):
-    """Offset = total rows emitted so far; each microbatch advances by
-    ``rows_per_batch``. Reading [start, end) is a pure function of the
-    offsets, so checkpoint replays regenerate identical rows."""
+    """Offset = total rows emitted so far. Reading [start, end) is a pure
+    function of the offsets, so checkpoint replays regenerate identical
+    rows.
+
+    ``rows_per_batch`` bounds how many rows one latestOffset() poll
+    advances in ``incremental`` mode (processing-time triggers see the
+    stream grow batch by batch); the availableNow default jumps straight
+    to ``max_rows`` — that trigger snapshots the latest offset ONCE at
+    query start, so an incremental answer would silently truncate the
+    drain. In both modes ``rows_per_batch`` also caps the rows per input
+    partition (bounded task memory)."""
 
     def __init__(self, options):
         self.rows_per_batch = int(options.get("rows_per_batch", 1000))
         self.max_rows = int(options.get("max_rows", 10_000))
         self.parts = int(options.get("parts", 4))
+        self.incremental = str(options.get("incremental", "false")).lower() == "true"
+        self._polled = 0
 
     def initialOffset(self):
         return {"n": 0}
 
     def latestOffset(self):
-        # availableNow/processing triggers poll this once per batch
+        if self.incremental:
+            self._polled = min(self._polled + self.rows_per_batch, self.max_rows)
+            return {"n": self._polled}
         return {"n": self.max_rows}
 
     def partitions(self, start, end):
         lo, hi = start["n"], end["n"]
         step = max(1, (hi - lo + self.parts - 1) // self.parts)
+        step = min(step, self.rows_per_batch)
         return [
             InputPartition((p_lo, min(p_lo + step, hi)))
             for p_lo in range(lo, hi, step)
@@ -168,9 +181,26 @@ class _ShardCommit(WriterCommitMessage):
     rows: int
 
 
+def _json_default(v):
+    """JSON-encode the Spark row types json.dumps chokes on: timestamps/
+    dates → ISO strings, binary → base64, Decimal → str (lossless)."""
+    import base64
+    import datetime
+    import decimal
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return base64.b64encode(bytes(v)).decode("ascii")
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    raise TypeError(f"not JSON-serializable: {type(v)}")
+
+
 class _JsonShardWriter(DataSourceWriter):
-    def __init__(self, options):
+    def __init__(self, options, overwrite: bool):
         self.path = options.get("path")
+        self.overwrite = overwrite
         if not self.path:
             raise ValueError("graftsink requires .option('path', ...)")
 
@@ -184,7 +214,7 @@ class _JsonShardWriter(DataSourceWriter):
         n = 0
         with open(os.path.join(self.path, shard), "w") as fh:
             for row in iterator:
-                fh.write(_json.dumps(row.asDict()) + "\n")
+                fh.write(_json.dumps(row.asDict(), default=_json_default) + "\n")
                 n += 1
         return _ShardCommit(shard=shard, rows=n)
 
@@ -192,8 +222,6 @@ class _JsonShardWriter(DataSourceWriter):
         import json as _json
         import os
 
-        # append semantics: merge with the previously committed manifest
-        # so earlier writes' shards stay referenced
         prev = {"shards": [], "rows": 0}
         try:
             with open(os.path.join(self.path, "_manifest.json")) as fh:
@@ -201,14 +229,29 @@ class _JsonShardWriter(DataSourceWriter):
         except (OSError, ValueError):
             pass
         new = [m for m in messages if m is not None]
-        manifest = {
-            "shards": sorted(set(prev["shards"]) | {m.shard for m in new}),
-            "rows": prev["rows"] + sum(m.rows for m in new),
-        }
+        if self.overwrite:
+            # overwrite: the new manifest references ONLY this write; the
+            # superseded shard files are removed after the pointer flip
+            manifest = {
+                "shards": sorted(m.shard for m in new),
+                "rows": sum(m.rows for m in new),
+            }
+        else:
+            # append: merge so earlier writes' shards stay referenced
+            manifest = {
+                "shards": sorted(set(prev["shards"]) | {m.shard for m in new}),
+                "rows": prev["rows"] + sum(m.rows for m in new),
+            }
         tmp = os.path.join(self.path, "_manifest.json.tmp")
         with open(tmp, "w") as fh:
             _json.dump(manifest, fh)
         os.replace(tmp, os.path.join(self.path, "_manifest.json"))
+        if self.overwrite:
+            for s in set(prev["shards"]) - set(manifest["shards"]):
+                try:
+                    os.remove(os.path.join(self.path, s))
+                except OSError:
+                    pass
 
     def abort(self, messages):
         import os
@@ -233,7 +276,7 @@ class GraftSinkDataSource(DataSource):
         return "graftsink"
 
     def writer(self, schema, overwrite):
-        return _JsonShardWriter(self.options)
+        return _JsonShardWriter(self.options, overwrite)
 
 
 def read_manifested_jsonl(spark, path):
