@@ -124,3 +124,37 @@ def test_sink_append_merges_manifest(spark, tmp_path):
         "path", out).mode("append").save()
     back = read_manifested_jsonl(spark, out)
     assert back.count() == 150  # both writes' shards stay referenced
+
+
+def test_sink_overwrite_replaces_and_cleans(spark, tmp_path):
+    import json
+    import os
+
+    from gcp_etl_pipeline_spark.sources.pysource import read_manifested_jsonl
+
+    out = str(tmp_path / "sink3")
+    spark.range(100).repartition(2).write.format("graftsink").option(
+        "path", out).mode("append").save()
+    old_shards = set(json.load(open(f"{out}/_manifest.json"))["shards"])
+    spark.range(500, 530).repartition(1).write.format("graftsink").option(
+        "path", out).mode("overwrite").save()
+    m = json.load(open(f"{out}/_manifest.json"))
+    assert m["rows"] == 30  # not 130: overwrite really overwrites
+    back = read_manifested_jsonl(spark, out)
+    assert back.count() == 30 and back.agg({"id": "min"}).first()[0] == 500
+    # superseded shard files were physically cleaned
+    for s in old_shards:
+        assert not os.path.exists(os.path.join(out, s))
+
+
+def test_sink_serializes_timestamp_and_binary(spark, tmp_path):
+    from gcp_etl_pipeline_spark.sources.pysource import read_manifested_jsonl
+
+    out = str(tmp_path / "sink4")
+    df = spark.sql(
+        """SELECT id, TIMESTAMP'2024-01-01 00:00:01' AS ts,
+                  CAST('blob' AS BINARY) AS b, CAST(1.5 AS DECIMAL(5,2)) AS d
+           FROM range(5)"""
+    )
+    df.write.format("graftsink").option("path", out).mode("append").save()
+    assert read_manifested_jsonl(spark, out).count() == 5
