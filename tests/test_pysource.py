@@ -158,3 +158,24 @@ def test_sink_serializes_timestamp_and_binary(spark, tmp_path):
     )
     df.write.format("graftsink").option("path", out).mode("append").save()
     assert read_manifested_jsonl(spark, out).count() == 5
+
+
+def test_events_stream_incremental_offsets_unit():
+    """Driver-side contract of the incremental mode: latestOffset advances
+    by rows_per_batch up to max_rows; partitions respect the per-task cap."""
+    from gcp_etl_pipeline_spark.sources.pysource import _EventsStreamReader
+
+    r = _EventsStreamReader(
+        {"rows_per_batch": "100", "max_rows": "250", "incremental": "true",
+         "parts": "4"}
+    )
+    assert r.initialOffset() == {"n": 0}
+    assert [r.latestOffset()["n"] for _ in range(4)] == [100, 200, 250, 250]
+    parts = r.partitions({"n": 0}, {"n": 250})
+    spans = [p.value for p in parts]
+    assert all(hi - lo <= 100 for lo, hi in spans)
+    covered = sorted(i for lo, hi in spans for i in range(lo, hi))
+    assert covered == list(range(250))  # exact cover, no gaps/overlaps
+    # non-incremental default: one jump to max_rows (availableNow contract)
+    r2 = _EventsStreamReader({"max_rows": "500"})
+    assert r2.latestOffset() == {"n": 500}
