@@ -332,6 +332,35 @@ def main() -> int:
     assert total_chars == docs.agg(F.sum("n_chars")).first()[0]
     timings["sequence_packing_20m"] = round(time.time() - t0, 2)
 
+    # Decontamination at corpus scale: n/10 synthetic docs (text built
+    # JVM-side — 12 pseudo-words per doc from hashed id arithmetic, no
+    # Python in the generation path), benchmark = every 1000th doc. The
+    # corpus streams through one shingle explode + a broadcast join
+    # against the bench shingles; every bench member must flag itself
+    # (full self-overlap) — proves the shape never degenerates at scale.
+    from gcp_etl_pipeline_spark.operators.curation import decontaminate_overlap
+
+    n_docs = max(n // 10, 100_000)
+    words = F.array(
+        *[
+            F.concat(
+                F.lit("w"),
+                F.pmod(F.xxhash64(F.col("id") * 13 + k), F.lit(5000)),
+            )
+            for k in range(12)
+        ]
+    )
+    corpus = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", words).alias("text")
+    )
+    bench_docs = corpus.where("doc_id % 1000 = 0")
+    t0 = time.time()
+    flagged = decontaminate_overlap(corpus, bench_docs, n=3, min_overlap=2)
+    n_flagged = flagged.count()
+    n_bench = n_docs // 1000
+    assert n_flagged >= n_bench, (n_flagged, n_bench)  # self-overlap floor
+    timings["decontaminate_2m_docs"] = round(time.time() - t0, 2)
+
     out = {
         "rows": n,
         "total_sec": round(sum(timings.values()), 2),
