@@ -106,15 +106,7 @@ HEADLINERS = {
 
 # Latest `python tools/scale_smoke.py` output, pasted verbatim.
 SMOKE_RESULT = (
-    '{"rows": 20000000, "total_sec": 84.16, "rows_per_sec": 3802281, '
-    '"timings": {"grouped_agg_20m": 4.18, "broadcast_star_join_20m": 1.55, '
-    '"salted_skew_join_20m": 3.47, "wide_dedup_groupby_20m": 1.63, '
-    '"asof_join_20m": 5.16, "range_join_20m": 0.69, "scd2_20m": 2.3, '
-    '"cdc_apply_20m": 2.2, "exists_decorrelation_20m": 7.72, '
-    '"mg_heavy_hitters_20m": 14.62, "pagerank_3iter_20m": 15.38, '
-    '"bloom_pruned_join_20m": 0.46, "zscore_outliers_20m": 2.05, '
-    '"multimodal_decode_fanout": 10.69, "mixture_sample_20m": 7.5, '
-    '"sequence_packing_20m": 4.56}}'
+    '{"rows": 20000000, "total_sec": 142.71, "rows_per_sec": 2382453, "timings": {"grouped_agg_20m": 4.22, "broadcast_star_join_20m": 1.49, "salted_skew_join_20m": 3.32, "wide_dedup_groupby_20m": 2.02, "asof_join_20m": 6.14, "range_join_20m": 0.96, "scd2_20m": 2.72, "cdc_apply_20m": 3.33, "exists_decorrelation_20m": 18.99, "mg_heavy_hitters_20m": 46.3, "pagerank_3iter_20m": 20.3, "bloom_pruned_join_20m": 0.46, "zscore_outliers_20m": 1.68, "multimodal_decode_fanout": 13.38, "mixture_sample_20m": 1.21, "sequence_packing_20m": 4.74, "decontaminate_2m_docs": 11.45}}'
 )
 
 
