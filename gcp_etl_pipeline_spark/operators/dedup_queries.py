@@ -573,3 +573,55 @@ def _ivf_recall_oracle() -> str:
 
 
 register("similarity_ivf_recall", _q_ivf_recall, _ivf_recall_oracle())
+
+
+# ------------------------------------------------- C4-style quality gate
+# The classic pre-training corpus filter: token-count band, uniqueness
+# and alphabetic-ratio floors, language allowlist — composed from the
+# same JVM-side expressions text_quality_stats verifies individually.
+# All thresholds compare single-IEEE-division doubles, so the kept set
+# is bit-identical cross-engine.
+def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = text.quality_features(_docs(spark, sf_dir))
+    kept = feats.where(
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_tokens") <= 1000)
+        & (F.col("uniq_token_ratio") > 0.3)
+        & (F.col("alpha_ratio") > 0.7)
+        & (F.col("lang") == "en")
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").cast("bigint").alias("kept_tokens"),
+    )
+
+
+register(
+    "corpus_quality_filter",
+    _q_quality_filter,
+    """
+    WITH t AS (
+      SELECT source, lang,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks,
+             text
+      FROM documents
+    ), f AS (
+      SELECT source, lang, len(toks) AS n_tokens,
+             CASE WHEN len(toks) > 0 THEN
+               CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+             ELSE 0.0 END AS uniq_token_ratio,
+             CASE WHEN length(text) > 0 THEN
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                    AS DOUBLE) / length(text)
+             ELSE 0.0 END AS alpha_ratio
+      FROM t
+    )
+    SELECT source, COUNT(*) AS n_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+    FROM f
+    WHERE n_tokens >= 20 AND n_tokens <= 1000
+      AND uniq_token_ratio > 0.3 AND alpha_ratio > 0.7 AND lang = 'en'
+    GROUP BY source
+    """,
+)
