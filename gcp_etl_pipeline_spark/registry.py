@@ -283,9 +283,12 @@ def _load_all_inner() -> None:
         orders = spark.table("orders").select(
             F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("s")
         )
-        t.write(orders.where("k < 5000"))
+        # modulo-based key ranges: non-empty I/U/unchanged classes at ANY
+        # scale factor (absolute thresholds left the diff empty at
+        # sf0.001, reducing the check to a no-op there)
+        t.write(orders.where("k % 4 < 3"))
         t.upsert(
-            orders.where("k >= 2500 AND k < 7500").withColumn("s", F.lit("X")),
+            orders.where("k % 4 >= 2").withColumn("s", F.lit("X")),
             keys=["k"],
         )
         return (
@@ -304,10 +307,12 @@ def _load_all_inner() -> None:
         WITH o AS (SELECT o_orderkey AS k FROM orders)
         SELECT 'I' AS change_type, COUNT(*) AS n,
                CAST(SUM(k) AS BIGINT) AS keysum
-        FROM o WHERE k >= 5000 AND k < 7500
+        FROM o WHERE k % 4 = 3
+        HAVING COUNT(*) > 0
         UNION ALL
         SELECT 'U', COUNT(*), CAST(SUM(k) AS BIGINT)
-        FROM o WHERE k >= 2500 AND k < 5000
+        FROM o WHERE k % 4 = 2
+        HAVING COUNT(*) > 0
         """,
     )
 
