@@ -14,14 +14,21 @@ from gcp_etl_pipeline_spark.registry import register
 from gcp_etl_pipeline_spark.sources.files import read_parquet
 
 # Shared DuckDB CTEs: tokens and 3-gram shingles over documents
-_TOK_CTE = """
+def _tok_cte(cols: str = "doc_id, text") -> str:
+    """The ONE tokenizer definition every text oracle shares — a regex
+    tweak here must stay the single source of truth (the Spark twin is
+    operators/text.py:tokens)."""
+    return f"""
 tok AS (
-  SELECT doc_id, text,
+  SELECT {cols},
          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                      t -> t <> '') AS toks
   FROM documents
 )
 """
+
+
+_TOK_CTE = _tok_cte()
 _SH_CTE = """
 sh AS (
   SELECT DISTINCT doc_id,
@@ -599,14 +606,8 @@ def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "corpus_quality_filter",
     _q_quality_filter,
-    """
-    WITH t AS (
-      SELECT source, lang,
-             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                         x -> x <> '') AS toks,
-             text
-      FROM documents
-    ), f AS (
+    f"""
+    WITH {_tok_cte("doc_id, text, source, lang")}, f AS (
       SELECT source, lang, len(toks) AS n_tokens,
              CASE WHEN len(toks) > 0 THEN
                CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
@@ -615,7 +616,7 @@ register(
                CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
                     AS DOUBLE) / length(text)
              ELSE 0.0 END AS alpha_ratio
-      FROM t
+      FROM tok
     )
     SELECT source, COUNT(*) AS n_kept,
            CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens

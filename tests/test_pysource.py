@@ -157,7 +157,15 @@ def test_sink_serializes_timestamp_and_binary(spark, tmp_path):
            FROM range(5)"""
     )
     df.write.format("graftsink").option("path", out).mode("append").save()
-    assert read_manifested_jsonl(spark, out).count() == 5
+    back = read_manifested_jsonl(spark, out)
+    assert back.count() == 5
+    # values round-trip through the JSON encodings, not just the count
+    row = back.orderBy("id").first()
+    assert row.ts == "2024-01-01T00:00:01"  # isoformat
+    import base64
+
+    assert base64.b64decode(row.b) == b"blob"
+    assert row.d == "1.50"  # Decimal as lossless string
 
 
 def test_events_stream_incremental_offsets_unit():

@@ -105,8 +105,10 @@ HEADLINERS = {
 
 
 # Latest `python tools/scale_smoke.py` output, pasted verbatim.
+# Measured at load average ~5 (shared host); sub-n stages (media,
+# docs) carry their true row counts in the weighted rows_per_sec.
 SMOKE_RESULT = (
-    '{"rows": 20000000, "total_sec": 142.71, "rows_per_sec": 2382453, "timings": {"grouped_agg_20m": 4.22, "broadcast_star_join_20m": 1.49, "salted_skew_join_20m": 3.32, "wide_dedup_groupby_20m": 2.02, "asof_join_20m": 6.14, "range_join_20m": 0.96, "scd2_20m": 2.72, "cdc_apply_20m": 3.33, "exists_decorrelation_20m": 18.99, "mg_heavy_hitters_20m": 46.3, "pagerank_3iter_20m": 20.3, "bloom_pruned_join_20m": 0.46, "zscore_outliers_20m": 1.68, "multimodal_decode_fanout": 13.38, "mixture_sample_20m": 1.21, "sequence_packing_20m": 4.74, "decontaminate_2m_docs": 11.45}}'
+    '{"rows": 20000000, "total_sec": 81.37, "rows_per_sec": 3736020, "timings": {"grouped_agg_20m": 4.24, "broadcast_star_join_20m": 1.61, "salted_skew_join_20m": 2.84, "wide_dedup_groupby_20m": 1.88, "asof_join_20m": 5.15, "range_join_20m": 0.89, "scd2_20m": 2.42, "cdc_apply_20m": 2.72, "exists_decorrelation_20m": 4.19, "mg_heavy_hitters_20m": 19.06, "pagerank_3iter_20m": 13.8, "bloom_pruned_join_20m": 0.46, "zscore_outliers_20m": 1.65, "multimodal_decode_fanout": 5.19, "mixture_sample_20m": 1.23, "sequence_packing_20m": 3.28, "decontaminate_2000k_docs": 10.76}}'
 )
 
 
