@@ -1,0 +1,12 @@
+#!/usr/bin/env bash
+# Empirical partitioning-invariance proof: re-run the partitioning-
+# sensitive query sample under 7 shuffle partitions (vs the default 32).
+# Different partition boundaries, same oracle hashes — backs the
+# README's determinism claim. Exits nonzero on any mismatch.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+SPARK_GRAFT_CPUS=7 exec python tools/check.py /root/testdata/sf0.01 \
+  dedup_minhash_lsh dedup_simhash_pairs similarity_knn similarity_knn_ivf \
+  similarity_ivf_recall sketch_frequent_items approx_top_terms \
+  pricing_summary stream_tumbling stream_sessionize_stateful \
+  surrogate_increment graph_pagerank corpus_mixture_sample sequence_packing
