@@ -150,6 +150,29 @@ def _register_builtins() -> None:
         Connector("jdbc", reader=_jdbc_reader, schemes=("jdbc",))
     )
 
+    def _versioned_reader(spark: SparkSession, path: str, version=None, **_):
+        from gcp_etl_pipeline_spark.sinks.versioned import VersionedTable
+
+        return VersionedTable(path).read(spark, version)
+
+    def _versioned_writer(df: DataFrame, path: str, keys=None, **opts):
+        from gcp_etl_pipeline_spark.sinks.versioned import VersionedTable
+
+        t = VersionedTable(path)
+        if keys:
+            t.upsert(df, list(keys), note=opts.get("note", ""))
+        else:
+            t.write(df, note=opts.get("note", ""))
+
+    # snapshot-versioned tables resolve like any other format:
+    #   read(spark, path, format="versioned", version=3)
+    #   write(df, path, format="versioned", keys=["id"])
+    register_connector(
+        Connector(
+            "versioned", reader=_versioned_reader, writer=_versioned_writer
+        )
+    )
+
     # Production GCP surfaces — placeholders until a deployment registers
     # the real wiring (each is one register_connector call):
     #   gs://     gcs-connector Hadoop FS jar; reader is then just the

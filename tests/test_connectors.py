@@ -91,3 +91,19 @@ def test_jdbc_scheme_routes_to_jdbc_reader(spark, tmp_path):
     )
     df = read(spark, url, spec=spec, driver=driver)
     assert df.count() == 5
+
+
+def test_versioned_connector_time_travel(spark, tmp_path):
+    path = str(tmp_path / "vtab")
+    write(spark.range(10).selectExpr("id", "id AS v"), path, format="versioned")
+    write(
+        spark.createDataFrame([(3, 99), (50, 1)], ["id", "v"]),
+        path,
+        format="versioned",
+        keys=["id"],
+    )
+    assert read(spark, path, format="versioned").count() == 11
+    assert read(spark, path, format="versioned", version=1).count() == 10
+    got = {r.id: r.v for r in
+           read(spark, path, format="versioned").collect()}
+    assert got[3] == 99 and got[50] == 1
