@@ -6,12 +6,13 @@ at-scale layout: bytes stay in parquet/Arrow pages end to end, Spark never
 interprets them, and all decode/transform work runs as Arrow-batched
 ``mapInPandas`` stages that scale with partitions.
 
-The actual codec step is STUBBED: this container ships no image/audio
-libraries, so ``decode_image``/``decode_audio`` default to a deterministic
-fake decoder over the engine's synthetic media format (below), and
-``set_codec`` injects a real one (PIL/libav) in production. Everything
-around the codec — schemas, batch iteration, partitioning, fan-out row
-yields — is real and tested.
+The DEFAULT codec is real: spec-valid PNG (zlib/CRC, filter 0) and WAV
+(stdlib ``wave``) encode/decode in ``operators/codecs.py`` — no external
+image/audio libraries needed. The engine's synthetic GRFT header format
+(below) remains as a second dispatch target for structure-only tests, and
+``set_codec`` swaps in PIL/libav decoders in production. Everything around
+the codec — schemas, batch iteration, partitioning, fan-out row yields —
+is format-agnostic.
 
 Synthetic media format (``make_fake_media``): a 16-byte header
 ``b"GRFT" | kind(1B) | width(2B) | height(2B) | sample_rate(3B) |

@@ -38,6 +38,37 @@ from gcp_etl_pipeline_spark.operators.parallel import spread
 
 MICRO = 1_000_000
 
+# Hard ceiling on collect-and-broadcast query sets. "Queries are small by
+# contract" (eval workloads: benchmark suites, probe sets) — this makes the
+# contract enforced instead of assumed: a caller handing the operator a
+# million-row query table gets a clear error instead of a driver OOM.
+MAX_QUERY_VECTORS = 100_000
+
+
+def _collect_query_set(
+    queries: DataFrame, query_id_col: str, vec_col: str
+) -> list:
+    """Bounded collect of the (query_id, quantized vector) set.
+
+    Fetches at most MAX_QUERY_VECTORS+1 rows (early-stopping limit, never a
+    full scan) and raises above the ceiling. For genuinely large query
+    sets, don't broadcast: score corpus⋈queries as a shuffle join on an
+    LSH/IVF bucket key (``knn_ivf`` with the roles flipped, or
+    ``neardup_pairs_bucketed`` when queries == corpus).
+    """
+    q_rows = queries.select(
+        F.col(query_id_col), quantized(vec_col).alias("__qv")
+    ).limit(MAX_QUERY_VECTORS + 1).collect()
+    if not q_rows:
+        raise ValueError("empty query set")
+    if len(q_rows) > MAX_QUERY_VECTORS:
+        raise ValueError(
+            f"query set exceeds MAX_QUERY_VECTORS={MAX_QUERY_VECTORS}: the "
+            "broadcast-queries strategy would collect it to the driver. "
+            "Use a bucketed shuffle join instead (see operator docstring)."
+        )
+    return q_rows
+
 
 def _q(x: Column) -> Column:
     """Quantize one component: float -> exact µ-unit bigint."""
@@ -84,18 +115,14 @@ def knn_bruteforce(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
-    ``queries``: (query_id, embedding) — small by contract; collected and
-    shipped to every partition (the broadcast-dims pattern). Each corpus
-    partition computes one int64 matmul against the query matrix and
-    emits only its local top-k per query; the final window sees
-    partitions × queries × k rows, never the corpus. Ties broken by
-    corpus id for determinism.
+    ``queries``: (query_id, embedding) — small by contract, ENFORCED by a
+    MAX_QUERY_VECTORS guard; collected and shipped to every partition (the
+    broadcast-dims pattern). Each corpus partition computes one int64
+    matmul against the query matrix and emits only its local top-k per
+    query; the final window sees partitions × queries × k rows, never the
+    corpus. Ties broken by corpus id for determinism.
     """
-    q_rows = queries.select(
-        F.col(query_id_col), quantized(vec_col).alias("__qv")
-    ).collect()
-    if not q_rows:
-        raise ValueError("empty query set")
+    q_rows = _collect_query_set(queries, query_id_col, vec_col)
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in q_rows], dtype=np.int64)
     qn = np.sqrt(np.einsum("ij,ij->i", Q, Q).astype(np.float64))
@@ -198,11 +225,7 @@ def knn_ivf(
         F.col(id_col).alias("__id"), quantized(vec_col).alias("__cv")
     ).mapInPandas(assign, assign_schema)
 
-    q_rows = queries.select(
-        F.col(query_id_col), quantized(vec_col).alias("__qv")
-    ).collect()
-    if not q_rows:
-        raise ValueError("empty query set")
+    q_rows = _collect_query_set(queries, query_id_col, vec_col)
     Q = np.array([list(r[1]) for r in q_rows], dtype=np.int64)
     probes = _nearest_lists(Q, min(n_probe, len(cent_rows)))
     probe_rows = [

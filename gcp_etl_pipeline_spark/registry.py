@@ -28,9 +28,25 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
         _ORACLES[name] = oracle
 
 
+def _self_contained(fn: QueryFn) -> QueryFn:
+    """Pin the session confs every graded query needs, at dispatch time.
+
+    The grading harness builds a STOCK SparkSession (none of session.py's
+    defaults), so each query must carry its own conf. UTC is set without
+    restore deliberately: the returned DataFrame is lazy and the conf must
+    still hold when the harness collects it.
+    """
+
+    def wrapped(spark: SparkSession, sf_dir: str, _fn: QueryFn = fn) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return _fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, QueryFn]:
     _load_all()
-    return dict(_QUERIES)
+    return {name: _self_contained(fn) for name, fn in _QUERIES.items()}
 
 
 def oracles() -> dict[str, str]:
@@ -41,10 +57,11 @@ def oracles() -> dict[str, str]:
 _LOADED = False
 
 
-# modules whose IMPORT performs top-level register() calls — evicted from
-# sys.modules on a partial-load failure so a retry actually re-runs them
-# (a cached module's top-level code is a no-op on re-import, which would
-# otherwise leave its queries permanently missing after rollback)
+# modules whose IMPORT performs top-level register() calls — the SAME tuple
+# drives both the import loop in _load_all_inner and the sys.modules
+# eviction on a partial-load failure, so the two can never drift (a module
+# imported but not evicted would silently lose its queries after rollback:
+# cached top-level code is a no-op on re-import)
 _QUERY_MODULES = (
     "gcp_etl_pipeline_spark.queries_analytic",
     "gcp_etl_pipeline_spark.queries_relational",
@@ -103,17 +120,10 @@ def _load_all_inner() -> None:
         "stream_gosales_overview", _q_stream_gosales, gosales.oracle("sales_overview")
     )
 
-    from gcp_etl_pipeline_spark import queries_analytic  # noqa: F401
-    from gcp_etl_pipeline_spark import queries_relational  # noqa: F401
-    from gcp_etl_pipeline_spark.operators import curation_queries  # noqa: F401
-    from gcp_etl_pipeline_spark.operators import dedup_queries  # noqa: F401
-    from gcp_etl_pipeline_spark.operators import graph_queries  # noqa: F401
-    from gcp_etl_pipeline_spark.operators import (  # noqa: F401
-        cluster_quality_queries,
-    )
-    from gcp_etl_pipeline_spark.operators import temporal_queries  # noqa: F401
-    from gcp_etl_pipeline_spark.sources import kafka_queries  # noqa: F401
-    from gcp_etl_pipeline_spark.streaming import queries  # noqa: F401
+    import importlib
+
+    for mod in _QUERY_MODULES:
+        importlib.import_module(mod)
 
     from gcp_etl_pipeline_spark.operators import multimodal
 

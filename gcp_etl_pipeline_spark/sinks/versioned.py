@@ -14,6 +14,15 @@ long-running queries are never torn by a concurrent writer. Rollback is
 a manifest flip — O(1), no data movement; rolled-back snapshots stay on
 disk until `vacuum()`.
 
+Concurrency contract: optimistic, single-winner. A writer CLAIMS its
+version number by `os.mkdir(v=N)` (EEXIST ⇒ another writer took N; retry
+with the next number), and verifies at commit time that the manifest
+pointer hasn't moved since it started — if it has, the commit raises
+``ConcurrentWriteError`` instead of silently dropping the other writer's
+snapshot. This serializes writers without locks; losers retry at the
+caller's discretion. It is NOT Delta's full optimistic transaction
+protocol (no conflict-class analysis, no object-store support).
+
 Caveat (documented, not hidden): `os.replace` is atomic on POSIX
 filesystems; object stores without atomic rename need the real Delta /
 Iceberg commit protocol — this module is the parquet-only fallback tier
@@ -27,6 +36,12 @@ import os
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed between this writer's snapshot read and
+    its manifest flip; the losing write's directory is left claimed (it
+    will be skipped by version numbering and removed by vacuum())."""
 
 
 class VersionedTable:
@@ -55,7 +70,9 @@ class VersionedTable:
 
     # ------------------------------------------------------------ write
 
-    def write(self, df: DataFrame, note: str = "") -> int:
+    def write(
+        self, df: DataFrame, note: str = "", expected_latest: int | None = None
+    ) -> int:
         """Materialize ``df`` as the next immutable snapshot and flip the
         pointer. Returns the new version number.
 
@@ -70,21 +87,46 @@ class VersionedTable:
         from pyspark.sql import functions as F
 
         m = self._read_manifest()
-        on_disk = [
-            int(d[2:])
-            for d in (os.listdir(self.path) if os.path.isdir(self.path) else [])
-            if d.startswith("v=") and d[2:].isdigit()
-        ]
-        new_v = max(
-            [m["latest"], *[v["version"] for v in m["versions"]], *on_disk],
-            default=0,
-        ) + 1
-        vdir = f"{self.path}/v={new_v}"
+        # read-modify-write callers (upsert) pass the version their source
+        # state came from, extending conflict detection back to their read
+        base_latest = m["latest"] if expected_latest is None else expected_latest
+        if m["latest"] != base_latest:
+            raise ConcurrentWriteError(
+                f"{self.path}: pointer moved {base_latest} -> {m['latest']} "
+                "before write started; re-derive and retry"
+            )
+        os.makedirs(self.path, exist_ok=True)
+        # claim a version number via mkdir — EEXIST means another writer
+        # (or a torn previous attempt) holds it; take the next one
+        while True:
+            on_disk = [
+                int(d[2:])
+                for d in os.listdir(self.path)
+                if d.startswith("v=") and d[2:].isdigit()
+            ]
+            new_v = max(
+                [m["latest"], *[v["version"] for v in m["versions"]], *on_disk],
+                default=0,
+            ) + 1
+            vdir = f"{self.path}/v={new_v}"
+            try:
+                os.mkdir(vdir)
+                break
+            except FileExistsError:
+                continue
         obs = Observation()
         df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
             "overwrite"
         ).parquet(vdir)
         rows = int(obs.get["n"])
+        # optimistic commit: if the pointer moved while we were writing,
+        # our snapshot (and any upsert state it was derived from) is stale
+        m = self._read_manifest()
+        if m["latest"] != base_latest:
+            raise ConcurrentWriteError(
+                f"{self.path}: pointer moved {base_latest} -> {m['latest']} "
+                f"during write of v={new_v}; retry the operation"
+            )
         m["versions"].append({"version": new_v, "rows": rows, "note": note})
         m["latest"] = new_v
         self._flip_manifest(m)
@@ -103,7 +145,9 @@ class VersionedTable:
         cond = [target[k].eqNullSafe(src_keys[k]) for k in keys]
         kept = target.join(src_keys, on=cond, how="left_anti")
         merged = kept.unionByName(source.select(*target.columns))
-        return self.write(merged, note=note or f"upsert on {keys}")
+        return self.write(
+            merged, note=note or f"upsert on {keys}", expected_latest=latest
+        )
 
     # ------------------------------------------------------------ read
 
@@ -137,12 +181,20 @@ class VersionedTable:
         column differs), or D (deleted). Computed as a single full-outer
         key join of the two snapshots — one shuffle on the key, value
         comparison via md5 over the canonicalized non-key columns (no
-        per-column plan blow-up at wide schemas)."""
+        per-column plan blow-up at wide schemas).
+
+        Schema evolution: fingerprints cover the INTERSECTION of the two
+        snapshots' non-key columns, so a column added or dropped between
+        versions doesn't break the feed (Delta-CDF behavior). When the
+        column sets differ, every key present in both versions is flagged
+        'U' — its schema changed even if the shared values didn't."""
         from pyspark.sql import functions as F
 
         old = self.read(spark, v_from)
         new = self.read(spark, v_to)
-        val_cols = [c for c in new.columns if c not in keys]
+        schema_changed = set(old.columns) != set(new.columns)
+        common = set(old.columns) & set(new.columns)
+        val_cols = [c for c in new.columns if c not in keys and c in common]
 
         def fp(df: DataFrame) -> DataFrame:
             # per-column md5 THEN combine: fixed-width column digests make
@@ -179,7 +231,8 @@ class VersionedTable:
             .otherwise(F.lit("U"))
             .alias("change_type"),
         ).where(
-            F.col("o.__fp").isNull()
+            F.lit(schema_changed)
+            | F.col("o.__fp").isNull()
             | F.col("n.__fp").isNull()
             | (F.col("o.__fp") != F.col("n.__fp"))
         )

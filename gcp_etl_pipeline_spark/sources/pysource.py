@@ -135,6 +135,12 @@ class _EventsStreamReader(DataSourceStreamReader):
         return {"n": self.max_rows}
 
     def partitions(self, start, end):
+        # checkpoint-recovery clamp: after a restart the in-memory _polled
+        # counter is 0 while the recovered offsets may be far ahead;
+        # without this, latestOffset() would REGRESS below the committed
+        # start offset for several polls (offset regression the streaming
+        # engine may reject, or empty negative ranges)
+        self._polled = max(self._polled, end["n"])
         lo, hi = start["n"], end["n"]
         step = max(1, (hi - lo + self.parts - 1) // self.parts)
         step = min(step, self.rows_per_batch)

@@ -172,21 +172,39 @@ def foreach_batch_versioned(
     — the streaming history/time-travel pattern Delta's streaming sink
     provides, on plain parquet. Batch id goes into the snapshot note, so
     the table history doubles as a processing ledger; the atomic manifest
-    flip means readers never observe a half-written batch."""
+    flip means readers never observe a half-written batch.
+
+    Replay idempotency: foreachBatch is at-least-once, so a crash between
+    the upsert and the checkpoint commit replays the batch. The keyed
+    upsert keeps table CONTENT correct either way; to keep the HISTORY
+    ledger exactly-once too, a replayed batch id (already the latest
+    snapshot's note) is skipped as a no-op."""
     from gcp_etl_pipeline_spark.sinks.versioned import VersionedTable
 
     table = VersionedTable(table_path)
-
-    def write_version(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.isEmpty():
-            table.upsert(batch_df, keys, note=f"stream batch {batch_id}")
-
     return (
-        stream_df.writeStream.foreachBatch(write_version)
+        stream_df.writeStream.foreachBatch(versioned_batch_writer(table, keys))
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
+
+
+def versioned_batch_writer(table, keys: list[str]):
+    """The foreachBatch closure for foreach_batch_versioned, exposed for
+    direct testing of the replay-no-op guard."""
+
+    def write_version(batch_df: DataFrame, batch_id: int) -> None:
+        note = f"stream batch {batch_id}"
+        latest = table.latest_version()
+        if latest is not None:
+            hist = {e["version"]: e["note"] for e in table.history()}
+            if hist.get(latest) == note:
+                return  # replay of an already-committed batch
+        if not batch_df.isEmpty():
+            table.upsert(batch_df, keys, note=note)
+
+    return write_version
 
 
 def foreach_batch_insert_new(

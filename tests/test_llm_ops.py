@@ -136,6 +136,25 @@ def test_knn_bruteforce_excludes_self_and_ranks(spark):
     assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rn)] == [4, 5]
 
 
+def test_knn_query_set_guard_fires(spark, monkeypatch):
+    """The broadcast-queries contract is enforced: above MAX_QUERY_VECTORS
+    the collect refuses instead of OOMing the driver."""
+    import pytest
+
+    monkeypatch.setattr(similarity, "MAX_QUERY_VECTORS", 10)
+    base = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 6)], ["vec_id", "embedding"]
+    )
+    queries = spark.range(1, 13).select(
+        F.col("id").alias("query_id"),
+        F.array(F.col("id").cast("double"), F.lit(1.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="MAX_QUERY_VECTORS"):
+        similarity.knn_bruteforce(base, queries, k=2)
+    with pytest.raises(ValueError, match="MAX_QUERY_VECTORS"):
+        similarity.knn_ivf(base, queries, k=2, n_lists=2, n_probe=1)
+
+
 def test_knn_ivf_full_probe_equals_bruteforce(spark):
     """Probing every list degenerates IVF to exact search — results must
     equal knn_bruteforce row for row."""

@@ -45,6 +45,38 @@ def test_surrogate_keys_deterministic_across_runs(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_surrogate_keys_guard_raises_above_window_threshold(spark):
+    import pytest
+
+    new = spark.range(100).selectExpr("CAST(id AS STRING) AS code")
+    with pytest.raises(ValueError, match="monotonic=True"):
+        surrogate_keys(new, None, "k", ["code"], max_window_rows=50)
+    # the same input passes under the parallel path
+    out = surrogate_keys(
+        new, None, "k", ["code"], monotonic=True, num_partitions=8
+    ).collect()
+    assert sorted(r.k for r in out) == list(range(1, 101))
+
+
+def test_surrogate_keys_monotonic_dense_deterministic_and_continues(spark):
+    target = spark.createDataFrame([(40, "seed")], ["k", "code"])
+    new = spark.createDataFrame(
+        [(f"c{i:04d}",) for i in range(1000)], ["code"]
+    )
+    a = surrogate_keys(
+        new, target, "k", ["code"], monotonic=True, num_partitions=16
+    ).collect()
+    b = surrogate_keys(
+        new.repartition(13), target, "k", ["code"], monotonic=True,
+        num_partitions=16,
+    ).collect()
+    # dense range continuing from target max, unique keys
+    assert sorted(r.k for r in a) == list(range(41, 1041))
+    # assignment is a pure function of (natural key, num_partitions):
+    # identical across physical input layouts
+    assert sorted((r.code, r.k) for r in a) == sorted((r.code, r.k) for r in b)
+
+
 # --------------------------------------------------------- insert-new-only
 
 def test_insert_new_only_filters_existing_normalized(spark):

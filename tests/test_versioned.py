@@ -142,3 +142,66 @@ def test_keyring_json_roundtrip_decrypts(spark, tmp_path):
         spark.read.parquet(str(tmp_path / "data")), ["name"], reloaded, kms
     )
     assert {r.name for r in back.collect()} == {f"u{i}" for i in range(20)}
+
+
+def test_concurrent_writer_conflict_detected(spark, tmp_path):
+    """Two writers derived from the same snapshot: the second commit must
+    raise instead of silently dropping the first one's snapshot."""
+    from gcp_etl_pipeline_spark.sinks.versioned import ConcurrentWriteError
+
+    t = VersionedTable(str(tmp_path / "cw"))
+    t.write(spark.range(5).selectExpr("id AS k", "'a' AS s"))
+    base = t.latest_version()
+    # writer A commits v2
+    t.upsert(spark.range(2).selectExpr("id AS k", "'x' AS s"), keys=["k"])
+    # writer B still thinks latest == base; its commit must conflict
+    with pytest.raises(ConcurrentWriteError):
+        t.write(
+            spark.range(1).selectExpr("id AS k", "'y' AS s"),
+            expected_latest=base,
+        )
+    # the winning snapshot is intact
+    assert t.latest_version() == 2
+    assert t.read(spark).where("s = 'x'").count() == 2
+
+
+def test_version_dir_claim_skips_taken_numbers(spark, tmp_path):
+    """mkdir-claimed (but uncommitted) version dirs are skipped, never
+    overwritten."""
+    import os
+
+    t = VersionedTable(str(tmp_path / "claim"))
+    t.write(spark.range(3).selectExpr("id"))
+    os.mkdir(str(tmp_path / "claim" / "v=2"))  # another writer's claim
+    v = t.write(spark.range(4).selectExpr("id"))
+    assert v == 3
+    assert t.read(spark).count() == 4
+
+
+def test_diff_tolerates_schema_evolution(spark, tmp_path):
+    """A column added between versions must not break diff (Delta-CDF
+    tolerance); common keys are flagged U when the column set changed."""
+    t = VersionedTable(str(tmp_path / "evo"))
+    t.write(spark.range(4).selectExpr("id AS k", "'a' AS s"))
+    t.write(
+        spark.range(2, 6).selectExpr("id AS k", "'a' AS s", "id * 2 AS extra")
+    )
+    rows = {(r.k, r.change_type) for r in t.diff(spark, 1, 2, keys=["k"]).collect()}
+    assert rows == {(0, "D"), (1, "D"), (2, "U"), (3, "U"), (4, "I"), (5, "I")}
+
+
+def test_streaming_replay_is_history_noop(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a committed batch id must
+    not mint a duplicate snapshot version."""
+    from gcp_etl_pipeline_spark.streaming.core import versioned_batch_writer
+
+    t = VersionedTable(str(tmp_path / "replay"))
+    writer = versioned_batch_writer(t, keys=["k"])
+    b0 = spark.range(3).selectExpr("id AS k", "'a' AS s")
+    writer(b0, 0)
+    assert t.latest_version() == 1
+    writer(b0, 0)  # crash-replay of the same micro-batch
+    assert t.latest_version() == 1  # no extra snapshot
+    writer(spark.range(2, 5).selectExpr("id AS k", "'b' AS s"), 1)
+    assert t.latest_version() == 2
+    assert t.read(spark).count() == 5

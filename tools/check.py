@@ -6,7 +6,12 @@ row count, column names, and order-insensitive values (columns sorted by
 name, rows sorted, exact equality; NaN==NaN). Exits nonzero on any
 mismatch.
 
-Usage: python tools/check.py [sf_dir] [query ...]
+Runs on a STOCK SparkSession (none of session.py's engine defaults) to
+mirror the driver harness — a query that depends on get_session() conf
+(partitionOverwriteMode, UTC timezone, broadcast thresholds...) must fail
+HERE, not in the driver. Pass --engine-session to use get_session() instead.
+
+Usage: python tools/check.py [--engine-session] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -47,16 +52,36 @@ def _rowset(cols: list[str], rows: list[tuple]) -> list[tuple]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--engine-session"]
+    engine_session = "--engine-session" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import duckdb
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
-    from gcp_etl_pipeline_spark.session import get_session
 
-    spark = get_session()
+    if engine_session:
+        from gcp_etl_pipeline_spark.session import get_session
+
+        spark = get_session()
+    else:
+        # stock session = the driver-harness contract: queries must carry
+        # their own conf (registry._self_contained + per-query try/finally)
+        import os
+
+        from pyspark.sql import SparkSession
+
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        spark = (
+            SparkSession.builder.appName("graft-check-stock")
+            .master(f"local[{cpus}]")
+            .config("spark.ui.enabled", "false")
+            .config("spark.driver.memory",
+                    os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+            .getOrCreate()
+        )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
