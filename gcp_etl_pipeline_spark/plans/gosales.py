@@ -253,10 +253,23 @@ def sales_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
     attribute collisions merge in the outer aggregate exactly as they
     would have in a direct GROUP BY)."""
     sf = sales_fact(spark, sf_dir)
-    rd = _cached("retailer_dim", retailer_dim, spark, sf_dir).alias("rd")
-    pl = _cached("product_lkp", product_lkp, spark, sf_dir).alias("pl")
-    mh = _cached("method_hlp", method_hlp, spark, sf_dir).alias("mh")
+    rd = _cached("retailer_dim", retailer_dim, spark, sf_dir)
+    pl = _cached("product_lkp", product_lkp, spark, sf_dir)
+    mh = _cached("method_hlp", method_hlp, spark, sf_dir)
+    return overview_from_tables(sf, rd, pl, mh)
 
+
+def overview_from_tables(
+    sf: DataFrame, rd: DataFrame, pl: DataFrame, mh: DataFrame
+) -> DataFrame:
+    """The overview rollup over ALREADY-BUILT fact/dim tables — shared by
+    the inline batch plan (above), the streaming warehouse rollup
+    (`plans/gosales_streaming.py`), and the catalog-table vertical
+    (`sinks/catalog.py`). Same physical shape and µ-unit exactness as
+    documented on ``sales_overview``."""
+    rd = rd.alias("rd")
+    pl = pl.alias("pl")
+    mh = mh.alias("mh")
     micro = "CAST(ROUND(CAST(({x}) AS DOUBLE) * 1000000, 0) AS BIGINT)"
     pre = (
         sf.select(

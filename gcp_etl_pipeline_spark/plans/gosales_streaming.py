@@ -202,55 +202,4 @@ def overview_from_warehouse(spark: SparkSession, sf_dir: str, warehouse: str) ->
     rd = r.join(
         F.broadcast(rh), norm_key(r.retailer_code) == norm_key(rh.retailer_code)
     ).select("retailer_key", "retailer_name", "retailer_type", "country")
-
-    micro = "CAST(ROUND(CAST(({x}) AS DOUBLE) * 1000000, 0) AS BIGINT)"
-    pre = (
-        fact.select(
-            "sale_date", "retailer_key", "product_key", "method_key",
-            F.col("sell_quantity").cast("bigint").alias("q"),
-            F.expr(micro.format(x="CAST(selling_unit_price AS DOUBLE)")).alias("p_u"),
-            F.expr(
-                micro.format(x="CAST(selling_unit_price AS DOUBLE) * sell_quantity")
-            ).alias("pq_u"),
-        )
-        .groupBy("sale_date", "retailer_key", "product_key", "method_key")
-        .agg(
-            F.sum("q").alias("q_s"),
-            F.sum("p_u").alias("p_us"),
-            F.sum("pq_u").alias("pq_us"),
-            F.count(F.lit(1)).alias("cnt"),
-        )
-        .alias("pre")
-    )
-    joined = (
-        pre.join(F.broadcast(rd.alias("rd")),
-                 F.col("pre.retailer_key") == F.col("rd.retailer_key"), "left")
-        .join(F.broadcast(pl.alias("pl")),
-              F.col("pre.product_key") == F.col("pl.product_key"), "left")
-        .join(F.broadcast(mh.alias("mh")),
-              F.col("pre.method_key") == F.col("mh.method_key"), "left")
-    )
-    unmicro = "CAST(FLOOR(CAST(SUM({c}) AS DOUBLE) / 1000000.0) AS BIGINT)"
-    return (
-        joined.select(
-            F.to_date("pre.sale_date", "yyyy-MM-dd").alias("sale_date"),
-            F.col("rd.retailer_name").alias("retailer_name"),
-            F.col("rd.retailer_type").alias("retailer_type"),
-            F.col("rd.country").alias("country"),
-            F.col("pl.product").alias("product_name"),
-            F.col("pl.product_type").alias("product_type"),
-            F.col("pl.product_brand").alias("product_brand"),
-            F.col("mh.method_name").alias("method_name"),
-            "pre.q_s", "pre.p_us", "pre.pq_us", "pre.cnt",
-        )
-        .groupBy(
-            "sale_date", "retailer_name", "retailer_type", "country",
-            "product_name", "product_type", "product_brand", "method_name",
-        )
-        .agg(
-            F.sum("q_s").cast("bigint").alias("sell_quantity"),
-            F.expr(unmicro.format(c="p_us")).alias("selling_unit_price"),
-            F.expr(unmicro.format(c="pq_us")).alias("sales_amount"),
-            F.sum("cnt").cast("bigint").alias("no_of_transactions"),
-        )
-    )
+    return gosales.overview_from_tables(fact, rd, pl, mh)

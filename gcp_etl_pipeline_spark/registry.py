@@ -120,6 +120,24 @@ def _load_all_inner() -> None:
         "stream_gosales_overview", _q_stream_gosales, gosales.oracle("sales_overview")
     )
 
+    # the same vertical THROUGH the session catalog (SURVEY §1.1.1):
+    # curated tables written via saveAsTable, every read via spark.table —
+    # the reference's `{project}.{env}_curated.*` dataset addressing
+    # (`tl_sm_gosales_overview_01.sql:22-25`) as catalog namespaces
+    def _q_gosales_catalog(spark, sf_dir):
+        import tempfile
+
+        from gcp_etl_pipeline_spark.sinks.catalog import run_gosales_catalog
+
+        return run_gosales_catalog(
+            spark, sf_dir, tempfile.mkdtemp(prefix="graft_cat_")
+        )
+
+    register(
+        "gosales_catalog_overview", _q_gosales_catalog,
+        gosales.oracle("sales_overview"),
+    )
+
     import importlib
 
     for mod in _QUERY_MODULES:

@@ -1,0 +1,88 @@
+"""Catalog-namespace tables (SURVEY §1.1.1): the reference's medallion
+layers as REAL session-catalog databases — ``raw.*`` / ``curated.*`` /
+``semantic.*`` / ``ops.*`` — instead of bare paths.
+
+The reference addresses layers by bucket prefix (`jobs/raw/dl_rw_job.py:103`,
+`...sales_fact_01.py:121`) and by BigQuery dataset
+(`tl_sm_gosales_overview_01.sql:4,22-25`: `{project}.{env}_curated.*` →
+catalog names here). This module gives the engine the same abstraction:
+jobs write ``saveAsTable("curated.sales_fact")`` and downstream SQL reads
+``spark.table("curated.sales_fact")`` — location, format, and schema come
+from the catalog, not the caller.
+
+Scale notes: a catalog table is the same parquet directory underneath —
+partition pruning, pushdown, and dynamic partition overwrite behave
+identically; what the catalog adds is a single namespace every job and
+ad-hoc query resolves identically (and, on a cluster with a shared
+metastore, across sessions). ``register_external`` points the catalog at
+tables some other job already wrote by path (the gosales_pipeline
+warehouse), so path-writers and catalog-readers compose.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+LAYERS = ("raw", "curated", "semantic", "ops")
+
+
+def ensure_namespaces(
+    spark: SparkSession, root: str, namespaces: tuple[str, ...] = LAYERS
+) -> None:
+    """Create the layer databases (idempotent), rooted under ``root`` so
+    managed tables land in ``<root>/<layer>.db/<table>`` rather than the
+    session-global warehouse dir."""
+    for ns in namespaces:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {ns} LOCATION '{root}/{ns}.db'")
+
+
+def save_table(
+    df: DataFrame,
+    name: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Materialize ``df`` as a managed parquet catalog table
+    (``layer.table``). ``mode='overwrite'`` is the reference's
+    truncate-and-insert (K5); ``'append'`` its insert-select (K6)."""
+    w = df.write.mode(mode).format("parquet")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.saveAsTable(name)
+
+
+def register_external(spark: SparkSession, name: str, path: str) -> None:
+    """Register an existing parquet directory (e.g. a gosales_pipeline
+    warehouse table) as an EXTERNAL catalog table — schema inferred from
+    the files; data stays owned by the path writer (DROP TABLE won't
+    delete it)."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"CREATE TABLE {name} USING parquet LOCATION '{path}'"
+    )
+
+
+def run_gosales_catalog(spark: SparkSession, sf_dir: str, root: str) -> DataFrame:
+    """The GoSales vertical THROUGH the catalog: every curated table is
+    written with ``saveAsTable`` and every downstream read goes through
+    ``spark.table`` — no path strings below this function. Returns the
+    semantic overview read back from ``semantic.tl_sales_overview``
+    (result-identical to the inline `plans/gosales.py` build; differential
+    oracle `gosales.oracle('sales_overview')`)."""
+    from gcp_etl_pipeline_spark.plans import gosales
+
+    ensure_namespaces(spark, root)
+    save_table(gosales.method_hlp(spark, sf_dir), "curated.method_hlp")
+    save_table(gosales.retailer_hlp(spark, sf_dir), "curated.retailer_hlp")
+    save_table(gosales.product_lkp(spark, sf_dir), "curated.product_lkp")
+    save_table(gosales.retailer_dim(spark, sf_dir), "curated.retailer_dim")
+    save_table(gosales.sales_fact(spark, sf_dir), "curated.sales_fact")
+
+    overview = gosales.overview_from_tables(
+        spark.table("curated.sales_fact"),
+        spark.table("curated.retailer_dim"),
+        spark.table("curated.product_lkp"),
+        spark.table("curated.method_hlp"),
+    )
+    save_table(overview, "semantic.tl_sales_overview")
+    return spark.table("semantic.tl_sales_overview")

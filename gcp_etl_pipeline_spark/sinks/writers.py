@@ -8,9 +8,12 @@ Here they are the built-in DataFrame writers with the engine's physical-
 design decisions applied:
 
   - facts partition by a date column (``partition_by``) so dynamic
-    overwrite (`partitionOverwriteMode=dynamic`, set in the session) only
-    replaces touched partitions and downstream scans prune by date —
-    the reference sets the conf but never actually partitions (SURVEY §4);
+    overwrite only replaces touched partitions and downstream scans prune
+    by date — the reference sets the conf but never actually partitions
+    (SURVEY §4). ``write_parquet`` pins ``partitionOverwriteMode=dynamic``
+    around partitioned overwrites ITSELF (restoring the prior value), the
+    reference's per-job scoping (`...sales_fact_01.py:107`) — a caller on
+    a stock session must never get the static-mode full wipe;
   - ``insert_new_rows`` is the K4 append path fused with the P6 anti-join
     so the append can never double-insert keys already present.
 """
@@ -29,7 +32,23 @@ def write_parquet(
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
-    w.parquet(path)
+    if partition_by and mode == "overwrite":
+        # self-contained dynamic partition overwrite (eager write, so the
+        # try/finally restore is safe — unlike lazy query conf, see
+        # registry._self_contained)
+        spark = df.sparkSession
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        prior = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "dynamic")
+        try:
+            w.parquet(path)
+        finally:
+            if prior is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prior)
+    else:
+        w.parquet(path)
 
 
 def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
