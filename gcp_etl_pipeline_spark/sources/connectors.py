@@ -98,7 +98,9 @@ def _unavailable(name: str, needs: str) -> Connector:
         raise RuntimeError(
             f"{name} connector not wired in this environment: {needs}. "
             f"Call register_connector(Connector({name!r}, reader=..., "
-            f"writer=...)) with the real implementation to enable it."
+            f"writer=...)) with the real implementation to enable it — "
+            f"docs/DEPLOY_GCP.md has the exact jar coordinates, session "
+            f"confs, and a worked wiring snippet per connector."
         )
 
     return Connector(name=name, reader=_raise, writer=_raise)
