@@ -253,3 +253,36 @@ def _hex_threshold(rate: float) -> str:
     if thr >= 65536:
         return "g"
     return f"{max(thr, 0):04x}"
+
+
+def stratified_take(
+    df: DataFrame,
+    stratum_col: str,
+    quotas: dict[str, int],
+    key_col: str,
+    default_quota: int = 0,
+) -> DataFrame:
+    """Exact per-stratum quotas (the fixed-budget companion to the
+    rate-based ``mixture_sample``): keep AT MOST ``quotas[stratum]`` rows
+    per stratum, selected deterministically by md5(key) order (tie-broken
+    by the key itself) — reproducible across runs, engines, and physical
+    layouts, like every sampling primitive in this module.
+
+    Physical shape: one ranking window per stratum — parallel across
+    strata, single-task within one. Fine when quotas are eval/training-
+    budget sized; for a quota that is itself huge over a massive stratum,
+    pre-thin with ``mixture_sample`` at ~2× the target rate first, then
+    apply the exact take to the survivors.
+    """
+    from pyspark.sql import Window
+
+    quota = F.lit(int(default_quota))
+    for s, n in sorted(quotas.items()):
+        quota = F.when(F.col(stratum_col) == s, F.lit(int(n))).otherwise(quota)
+    key_str = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+    w = Window.partitionBy(stratum_col).orderBy(F.md5(key_str), F.col(key_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= quota)
+        .drop("__rn")
+    )

@@ -482,3 +482,35 @@ register(
     FROM nation GROUP BY 1
     """,
 )
+
+
+# ------------------------------------------------------- stratified quotas
+
+def _q_stratified_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed per-source training budget: named sources get explicit
+    quotas, everything else the default — deterministic md5(key) pick."""
+    docs = _docs(spark, sf_dir)
+    out = curation.stratified_take(
+        docs,
+        stratum_col="source",
+        quotas={"src0": 10, "src1": 7, "src2": 10},
+        key_col="doc_id",
+        default_quota=5,
+    )
+    return out.select("doc_id", "source")
+
+
+register(
+    "stratified_take_quota",
+    _q_stratified_take,
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 7
+                            WHEN 'src2' THEN 10 ELSE 5 END
+    """,
+)

@@ -626,3 +626,37 @@ register(
     GROUP BY source
     """,
 )
+
+
+# ------------------------------------------------- semantic dedup (SemDeDup)
+
+_SEM_THR, _SEM_LISTS = 0.35, 16
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-prune embedding dedup: drop any vector with a lower-id
+    list-mate at cosine >= threshold; return the kept (vec_id, list_id)."""
+    return similarity.semantic_dedup(
+        _embs(spark, sf_dir), threshold=_SEM_THR, n_lists=_SEM_LISTS
+    )
+
+
+def _semantic_dedup_oracle() -> str:
+    return f"""
+    WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                   ORDER BY vec_id LIMIT {_SEM_LISTS}),
+    asg AS (SELECT e.vec_id, e.embedding, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY {_qcos('e.embedding', 'c.cv')} DESC, c.cid) AS rk
+            FROM embeddings e CROSS JOIN cents c),
+    lists AS (SELECT vec_id, embedding, cid AS list_id FROM asg WHERE rk = 1),
+    dropped AS (SELECT DISTINCT y.vec_id
+                FROM lists x JOIN lists y
+                  ON x.list_id = y.list_id AND x.vec_id < y.vec_id
+                WHERE {_qcos('x.embedding', 'y.embedding')} >= {_SEM_THR})
+    SELECT l.vec_id, l.list_id FROM lists l
+    WHERE l.vec_id NOT IN (SELECT vec_id FROM dropped)
+    """
+
+
+register("semantic_dedup_keep", _q_semantic_dedup, _semantic_dedup_oracle())

@@ -1,0 +1,108 @@
+"""Declarative data-quality expectations (Deequ / dbt-tests / Delta
+CHECK-constraint analogue — the reference's only quality control is its
+``rows_ingested > 0`` write gate, `...sales_fact_01.py:169`; a real
+lakehouse engine needs row-level contracts).
+
+An expectation is (name, boolean Column over one row). The operator
+evaluates ALL expectations in one scan:
+
+  - ``check(df, expectations)`` → per-rule violation counts + pass flag
+    (one aggregate job; no per-rule passes);
+  - ``enforce(df, expectations)`` → (good, bad) split, where ``bad``
+    carries a ``failed_rules`` array naming every rule the row broke —
+    the quarantine-table pattern (bad rows route to a review sink
+    instead of poisoning the target).
+
+Scale notes: everything is JVM-side boolean algebra fused into the scan
+(one WholeStageCodegen span over the batch); ``enforce`` evaluates the
+rule array ONCE via a shared projection, and both splits filter on it —
+no second scan of the rule expressions, no UDFs, no shuffle at all.
+
+Builders cover the reference-relevant constraint classes: not_null,
+unique_key (the only one needing a shuffle — a groupBy on the key),
+in_range, one_of, matches (regex), custom SQL predicate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+Expectations = Mapping[str, Column]
+
+
+def not_null(col: str) -> Column:
+    return F.col(col).isNotNull()
+
+
+def in_range(col: str, lo, hi) -> Column:
+    c = F.col(col)
+    return c.isNotNull() & (c >= F.lit(lo)) & (c <= F.lit(hi))
+
+
+def one_of(col: str, allowed: list) -> Column:
+    return F.col(col).isin(allowed)
+
+
+def matches(col: str, regex: str) -> Column:
+    return F.col(col).rlike(regex)
+
+
+def predicate(sql: str) -> Column:
+    """Arbitrary row-level SQL predicate, e.g. ``predicate("a < b")``."""
+    return F.expr(sql)
+
+
+def check(df: DataFrame, expectations: Expectations) -> DataFrame:
+    """One row per rule: (rule, violations, total, passed). A single
+    aggregate over one scan regardless of rule count."""
+    aggs = [
+        F.sum(F.when(~cond, 1).otherwise(0)).cast("bigint").alias(name)
+        for name, cond in expectations.items()
+    ]
+    totals = df.agg(F.count(F.lit(1)).alias("__total"), *aggs)
+    names = list(expectations)
+    stacked = totals.select(
+        F.col("__total"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(n).alias("rule"), F.col(n).alias("violations"))
+                for n in names
+            ])
+        ).alias("r"),
+    )
+    return stacked.select(
+        F.col("r.rule").alias("rule"),
+        F.col("r.violations").alias("violations"),
+        F.col("__total").cast("bigint").alias("total"),
+        (F.col("r.violations") == 0).alias("passed"),
+    )
+
+
+def unique_key_violations(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Keys appearing more than once (the one constraint that needs a
+    shuffle): (key columns..., n_rows). Empty result = constraint holds."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .where(F.col("n_rows") > 1)
+    )
+
+
+def enforce(
+    df: DataFrame, expectations: Expectations
+) -> tuple[DataFrame, DataFrame]:
+    """Split into (good, bad). ``bad`` rows gain ``failed_rules``
+    (array<string>, the rules they broke, in declaration order); ``good``
+    keeps the original schema."""
+    fails = F.array_compact(
+        F.array(*[
+            F.when(~cond, F.lit(name)) for name, cond in expectations.items()
+        ])
+    )
+    tagged = df.withColumn("failed_rules", fails)
+    good = tagged.where(F.size("failed_rules") == 0).drop("failed_rules")
+    bad = tagged.where(F.size("failed_rules") > 0)
+    return good, bad

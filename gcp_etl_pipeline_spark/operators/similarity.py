@@ -163,6 +163,112 @@ def knn_bruteforce(
     )
 
 
+def _centroids(
+    corpus: DataFrame, n_lists: int, id_col: str, vec_col: str
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Deterministic IVF centroids: the ``n_lists`` lowest-id corpus
+    vectors, quantized (an engine-defined seed choice stated in the
+    operator contract so SQL oracles reproduce exact results; swapping in
+    k-means centroids changes only this function)."""
+    cent_rows = (
+        corpus.select(F.col(id_col), quantized(vec_col).alias("__cv"))
+        .orderBy(F.col(id_col))
+        .limit(n_lists)
+        .collect()
+    )
+    C = np.array([list(r[1]) for r in cent_rows], dtype=np.int64)
+    cent_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    cn = np.sqrt(np.einsum("ij,ij->i", C, C).astype(np.float64))
+    return cent_ids, C, cn
+
+
+def _nearest_lists_fn(C: np.ndarray, cn: np.ndarray):
+    def _nearest_lists(X: np.ndarray, n: int) -> np.ndarray:
+        """Row-wise: indices of the n nearest centroids (cos desc, centroid
+        position asc — position == id order, deterministic)."""
+        xn = np.sqrt(np.einsum("ij,ij->i", X, X).astype(np.float64))
+        cos = (X @ C.T).astype(np.float64) / np.outer(xn, cn)
+        order = np.lexsort(
+            (np.broadcast_to(np.arange(C.shape[0]), cos.shape), -cos), axis=1
+        )
+        return order[:, :n]
+
+    return _nearest_lists
+
+
+def _ivf_assign(
+    corpus: DataFrame,
+    cent_ids: np.ndarray,
+    C: np.ndarray,
+    cn: np.ndarray,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Nearest-centroid list assignment: one matmul pass over the corpus,
+    fully partition-parallel. Returns (__id, __cv, list_id)."""
+    _nearest_lists = _nearest_lists_fn(C, cn)
+    assign_schema = "__id BIGINT, __cv ARRAY<BIGINT>, list_id BIGINT"
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = _mat(pdf["__cv"])
+            lists = cent_ids[_nearest_lists(X, 1)[:, 0]]
+            yield pd.DataFrame(
+                {"__id": pdf["__id"], "__cv": pdf["__cv"], "list_id": lists}
+            )
+
+    return spread(corpus, id_col).select(
+        F.col(id_col).alias("__id"), quantized(vec_col).alias("__cv")
+    ).mapInPandas(assign, assign_schema)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-shaped embedding dedup (Abbas et al. 2023's cluster-then-
+    prune recipe): assign every vector to its nearest IVF list, then DROP
+    any vector that has a lower-id list-mate with cosine ≥ ``threshold``.
+    Returns the KEPT rows as (id_col, list_id).
+
+    Semantics are greedy-by-id within a list (the lowest-id member of
+    every near-dup group survives) and are deliberately simple enough to
+    state in the operator contract: a vector is dropped iff ∃ lower id in
+    ITS list at ≥ threshold. Cross-list near-dups are kept (bounded
+    recall, the standard SemDeDup trade — raise n_lists quality with
+    k-means centroids via _centroids).
+
+    Scale shape: candidate generation is a bucket self-join on list_id
+    (never all-pairs); the signature frame is persisted so the join's two
+    sides don't recompute the assignment matmul."""
+    cent_ids, C, cn = _centroids(corpus, n_lists, id_col, vec_col)
+    assigned = _ivf_assign(corpus, cent_ids, C, cn, id_col, vec_col).persist()
+    a = assigned.select(
+        F.col("__id").alias("a"), F.col("__cv").alias("__va"), "list_id"
+    )
+    b = assigned.select(
+        F.col("__id").alias("b"), F.col("__cv").alias("__vb"), "list_id"
+    )
+    dropped = (
+        a.join(b, "list_id")
+        .where(F.col("a") < F.col("b"))
+        .where(_cos_qq(F.col("__va"), F.col("__vb")) >= threshold)
+        .select(F.col("b").alias("__dup"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped, assigned["__id"] == dropped["__dup"], "left_anti"
+        )
+        .select(F.col("__id").alias(id_col), "list_id")
+    )
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -189,45 +295,13 @@ def knn_ivf(
     changes only this step). All scoring is quantized-exact with ties
     broken by id, so the output is bit-stable across engines.
     """
-    cent_rows = (
-        corpus.select(F.col(id_col), quantized(vec_col).alias("__cv"))
-        .orderBy(F.col(id_col))
-        .limit(n_lists)
-        .collect()
-    )
-    C = np.array([list(r[1]) for r in cent_rows], dtype=np.int64)
-    cent_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
-    cn = np.sqrt(np.einsum("ij,ij->i", C, C).astype(np.float64))
-
-    def _nearest_lists(X: np.ndarray, n: int) -> np.ndarray:
-        """Row-wise: indices of the n nearest centroids (cos desc, centroid
-        position asc — position == id order, deterministic)."""
-        xn = np.sqrt(np.einsum("ij,ij->i", X, X).astype(np.float64))
-        cos = (X @ C.T).astype(np.float64) / np.outer(xn, cn)
-        order = np.lexsort(
-            (np.broadcast_to(np.arange(C.shape[0]), cos.shape), -cos), axis=1
-        )
-        return order[:, :n]
-
-    assign_schema = "__id BIGINT, __cv ARRAY<BIGINT>, list_id BIGINT"
-
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            X = _mat(pdf["__cv"])
-            lists = cent_ids[_nearest_lists(X, 1)[:, 0]]
-            yield pd.DataFrame(
-                {"__id": pdf["__id"], "__cv": pdf["__cv"], "list_id": lists}
-            )
-
-    assigned = spread(corpus, id_col).select(
-        F.col(id_col).alias("__id"), quantized(vec_col).alias("__cv")
-    ).mapInPandas(assign, assign_schema)
+    cent_ids, C, cn = _centroids(corpus, n_lists, id_col, vec_col)
+    _nearest_lists = _nearest_lists_fn(C, cn)
+    assigned = _ivf_assign(corpus, cent_ids, C, cn, id_col, vec_col)
 
     q_rows = _collect_query_set(queries, query_id_col, vec_col)
     Q = np.array([list(r[1]) for r in q_rows], dtype=np.int64)
-    probes = _nearest_lists(Q, min(n_probe, len(cent_rows)))
+    probes = _nearest_lists(Q, min(n_probe, len(cent_ids)))
     probe_rows = [
         (int(r[0]), list(r[1]), int(cent_ids[j]))
         for r, pr in zip(q_rows, probes)

@@ -24,6 +24,7 @@ Coverage map (reference operator # → query):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from gcp_etl_pipeline_spark.functions.deterministic import (
     det_avg_expr,
@@ -1583,4 +1584,120 @@ register(
     "join_null_safe",
     _q_nullsafe,
     _nullsafe_sql("a.seg_n IS NOT DISTINCT FROM b.seg_n"),
+)
+
+
+# --------------------------------------------------------------------------
+# Data-quality expectations (operators/expectations.py): per-rule violation
+# counts in ONE scan, quarantine split with failure provenance, and the
+# unique-key constraint. The reference's only quality gate is
+# `rows_ingested > 0` (`...sales_fact_01.py:169`); these are the row-level
+# contracts a lakehouse engine adds.
+
+def _q_expectations_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gcp_etl_pipeline_spark.operators import expectations as ex
+
+    ensure_views(spark, sf_dir)
+    li = spark.table("lineitem")
+    rules = {
+        "ship_not_null": ex.not_null("l_shipdate"),
+        "qty_in_band": ex.in_range("l_quantity", 1, 45),
+        "flag_known": ex.one_of("l_returnflag", ["A", "N", "R"]),
+        "discount_cap": ex.predicate("l_discount <= 0.08"),
+    }
+    return ex.check(li, rules)
+
+
+register(
+    "expectations_check",
+    _q_expectations_check,
+    """
+    WITH t AS (
+      SELECT COUNT(*) AS total,
+        SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS v1,
+        SUM(CASE WHEN NOT (l_quantity IS NOT NULL
+                           AND l_quantity BETWEEN 1 AND 45)
+                 THEN 1 ELSE 0 END) AS v2,
+        SUM(CASE WHEN NOT (l_returnflag IN ('A','N','R'))
+                 THEN 1 ELSE 0 END) AS v3,
+        SUM(CASE WHEN NOT (l_discount <= 0.08) THEN 1 ELSE 0 END) AS v4
+      FROM lineitem)
+    SELECT 'ship_not_null' AS rule, CAST(v1 AS BIGINT) AS violations,
+           CAST(total AS BIGINT) AS total, v1 = 0 AS passed FROM t
+    UNION ALL SELECT 'qty_in_band', CAST(v2 AS BIGINT),
+           CAST(total AS BIGINT), v2 = 0 FROM t
+    UNION ALL SELECT 'flag_known', CAST(v3 AS BIGINT),
+           CAST(total AS BIGINT), v3 = 0 FROM t
+    UNION ALL SELECT 'discount_cap', CAST(v4 AS BIGINT),
+           CAST(total AS BIGINT), v4 = 0 FROM t
+    """,
+)
+
+
+def _q_expectations_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine split: bad rows grouped by their failure signature (which
+    rules they broke, in declaration order) — checks both the split and the
+    provenance array."""
+    from gcp_etl_pipeline_spark.operators import expectations as ex
+
+    ensure_views(spark, sf_dir)
+    orders = spark.table("orders")
+    rules = {
+        "price_cap": ex.predicate("o_totalprice <= 300000"),
+        "status_known": ex.one_of("o_orderstatus", ["F", "O"]),
+    }
+    good, bad = ex.enforce(orders, rules)
+    sig = bad.groupBy(
+        F.array_join("failed_rules", ",").alias("failed")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("keysum"),
+    )
+    totals = good.agg(
+        F.lit("__good__").alias("failed"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("keysum"),
+    )
+    return sig.unionByName(totals)
+
+
+register(
+    "expectations_quarantine",
+    _q_expectations_quarantine,
+    """
+    WITH tagged AS (
+      SELECT o_orderkey,
+             concat_ws(',',
+               CASE WHEN NOT (o_totalprice <= 300000) THEN 'price_cap' END,
+               CASE WHEN NOT (o_orderstatus IN ('F','O'))
+                    THEN 'status_known' END) AS failed
+      FROM orders)
+    SELECT failed, COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS keysum
+    FROM tagged WHERE failed <> '' GROUP BY failed
+    UNION ALL
+    SELECT '__good__', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+    FROM tagged WHERE failed = ''
+    """,
+)
+
+
+def _q_unique_key_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gcp_etl_pipeline_spark.operators import expectations as ex
+
+    ensure_views(spark, sf_dir)
+    out = ex.unique_key_violations(
+        spark.table("lineitem"), ["l_partkey", "l_suppkey"]
+    )
+    return out.select(
+        "l_partkey", "l_suppkey", F.col("n_rows").cast("bigint").alias("n_rows")
+    )
+
+
+register(
+    "unique_key_violations",
+    _q_unique_key_violations,
+    """
+    SELECT l_partkey, l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) > 1
+    """,
 )

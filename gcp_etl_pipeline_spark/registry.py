@@ -344,6 +344,48 @@ def _load_all_inner() -> None:
         """,
     )
 
+    # GDPR-shaped keyed delete: drop a key set into a new snapshot, then
+    # verify BOTH the post-delete state and that pre-delete time travel
+    # still works (erasure = delete + vacuum, per the operator contract)
+    def _q_versioned_delete(spark, sf_dir):
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from gcp_etl_pipeline_spark.queries_relational import ensure_views
+        from gcp_etl_pipeline_spark.sinks.versioned import VersionedTable
+
+        ensure_views(spark, sf_dir)
+        t = VersionedTable(tempfile.mkdtemp(prefix="graft_vdel_") + "/orders")
+        orders = spark.table("orders").select(
+            F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("s")
+        )
+        t.write(orders.where("k % 3 < 2"))
+        t.delete(orders.where("k % 10 = 3"), keys=["k"])
+        out = []
+        for v in (1, 2):
+            out.append(
+                t.read(spark, v).agg(
+                    F.lit(v).cast("int").alias("version"),
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("k").cast("bigint").alias("keysum"),
+                )
+            )
+        return out[0].unionAll(out[1])
+
+    register(
+        "versioned_delete",
+        _q_versioned_delete,
+        """
+        WITH o AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 3 < 2)
+        SELECT CAST(1 AS INT) AS version, COUNT(*) AS n,
+               CAST(SUM(k) AS BIGINT) AS keysum FROM o
+        UNION ALL
+        SELECT CAST(2 AS INT), COUNT(*), CAST(SUM(k) AS BIGINT)
+        FROM o WHERE k % 10 <> 3
+        """,
+    )
+
     register(
         "versioned_time_travel",
         _q_time_travel,

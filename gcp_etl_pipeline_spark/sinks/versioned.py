@@ -149,6 +149,27 @@ class VersionedTable:
             merged, note=note or f"upsert on {keys}", expected_latest=latest
         )
 
+    def delete(self, source: DataFrame, keys: list[str], note: str = "") -> int:
+        """Keyed delete (GDPR / right-to-be-forgotten shape): rows of the
+        latest snapshot whose key appears in ``source`` are dropped into a
+        NEW snapshot. Null-safe key match, one anti-join.
+
+        Erasure semantics: earlier snapshots still contain the rows (time
+        travel is the point of this table format) — FULL erasure is
+        ``delete(...)`` followed by ``vacuum(keep_last=0)``, which removes
+        every pre-delete snapshot directory."""
+        latest = self.latest_version()
+        if latest is None:
+            raise ValueError(f"{self.path}: delete on an empty table")
+        spark = source.sparkSession
+        target = self.read(spark, latest)
+        del_keys = source.select(*keys).distinct()
+        cond = [target[k].eqNullSafe(del_keys[k]) for k in keys]
+        kept = target.join(del_keys, on=cond, how="left_anti")
+        return self.write(
+            kept, note=note or f"delete on {keys}", expected_latest=latest
+        )
+
     # ------------------------------------------------------------ read
 
     def latest_version(self) -> int | None:

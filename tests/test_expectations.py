@@ -1,0 +1,68 @@
+"""Data-quality expectations operator (operators/expectations.py)."""
+
+from __future__ import annotations
+
+from gcp_etl_pipeline_spark.operators import expectations as ex
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [
+            (1, 10.0, "A"),
+            (2, None, "B"),     # price_not_null fails
+            (3, 500.0, "A"),    # price_cap fails
+            (4, 700.0, "Z"),    # price_cap AND flag_known fail
+        ],
+        "id INT, price DOUBLE, flag STRING",
+    )
+
+
+RULES = lambda: {
+    "price_not_null": ex.not_null("price"),
+    "price_cap": ex.predicate("price <= 100"),
+    "flag_known": ex.one_of("flag", ["A", "B"]),
+}
+
+
+def test_check_counts_all_rules_one_scan(spark):
+    out = {r.rule: (r.violations, r.total, r.passed)
+           for r in ex.check(_df(spark), RULES()).collect()}
+    # NULL predicate results are NOT violations (three-valued logic:
+    # price_cap on a null price is unknown, counted by price_not_null)
+    assert out == {
+        "price_not_null": (1, 4, False),
+        "price_cap": (2, 4, False),
+        "flag_known": (1, 4, False),
+    }
+
+
+def test_enforce_split_and_provenance(spark):
+    good, bad = ex.enforce(_df(spark), RULES())
+    assert {r.id for r in good.collect()} == {1}
+    got = {r.id: list(r.failed_rules) for r in bad.collect()}
+    # declaration order preserved within each row's failure list
+    assert got == {
+        2: ["price_not_null"],
+        3: ["price_cap"],
+        4: ["price_cap", "flag_known"],
+    }
+    assert "failed_rules" not in good.columns
+
+
+def test_unique_key_violations(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "y"), (1, "z")], "k INT, s STRING"
+    )
+    out = ex.unique_key_violations(df, ["k", "s"]).collect()
+    assert [(r.k, r.s, r.n_rows) for r in out] == [(1, "x", 2)]
+
+
+def test_matches_and_in_range_builders(spark):
+    df = spark.createDataFrame(
+        [("Clerk#1", 5), ("nope", 50)], "c STRING, v INT"
+    )
+    out = {r.rule: r.violations for r in ex.check(df, {
+        "fmt": ex.matches("c", "^Clerk#[0-9]+$"),
+        "band": ex.in_range("v", 0, 10),
+    }).collect()}
+    assert out == {"fmt": 1, "band": 1}

@@ -188,3 +188,32 @@ def test_neardup_bucketed_identical_vectors_found(spark):
     got = {(r.a, r.b) for r in similarity.neardup_pairs_bucketed(base).collect()}
     assert (1, 2) in got
     assert not any(3 in p for p in got)
+
+
+def test_semantic_dedup_drops_higher_id_list_mates(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [1.0, 0.001, 0.0]),   # near-dup of 1 -> dropped
+        (4, [0.0, 0.999, 0.01]),  # near-dup of 2 -> dropped
+        (5, [-1.0, -1.0, 0.0]),   # far from everything -> kept
+    ]
+    base = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kept = similarity.semantic_dedup(base, threshold=0.95, n_lists=2)
+    assert {r.vec_id for r in kept.collect()} == {1, 2, 5}
+
+
+def test_stratified_take_quotas_and_determinism(spark):
+    from gcp_etl_pipeline_spark.operators.curation import stratified_take
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(100)], ["k", "s"]
+    )
+    out = stratified_take(df, "s", {"a": 7}, "k", default_quota=3)
+    counts = {r.s: r.n for r in out.groupBy("s").count()
+              .withColumnRenamed("count", "n").collect()}
+    assert counts == {"a": 7, "b": 3}
+    again = stratified_take(
+        df.repartition(13), "s", {"a": 7}, "k", default_quota=3
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))

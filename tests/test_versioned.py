@@ -205,3 +205,20 @@ def test_streaming_replay_is_history_noop(spark, tmp_path):
     writer(spark.range(2, 5).selectExpr("id AS k", "'b' AS s"), 1)
     assert t.latest_version() == 2
     assert t.read(spark).count() == 5
+
+
+def test_delete_then_vacuum_is_full_erasure(spark, tmp_path):
+    import pytest as _pytest
+
+    t = VersionedTable(str(tmp_path / "gdpr"))
+    with _pytest.raises(ValueError, match="empty table"):
+        t.delete(spark.range(1).selectExpr("id AS k"), keys=["k"])
+    t.write(spark.range(10).selectExpr("id AS k", "'u' AS s"))
+    t.delete(spark.range(3, 6).selectExpr("id AS k"), keys=["k"])
+    assert {r.k for r in t.read(spark).collect()} == {0, 1, 2, 6, 7, 8, 9}
+    # pre-delete snapshot still readable (time travel) until vacuumed
+    assert t.read(spark, 1).count() == 10
+    removed = t.vacuum(keep_last=0)
+    assert removed == [1]
+    with _pytest.raises(ValueError):
+        t.read(spark, 1)
