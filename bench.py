@@ -44,6 +44,14 @@ BENCH_QUERIES = [
     "stream_sessionize_stateful",
     "stream_kafka_parse",
     "mask_roundtrip",
+    # round-3 additions
+    "gosales_catalog_overview",
+    "expectations_check",
+    "expectations_quarantine",
+    "semantic_dedup_keep",
+    "stratified_take_quota",
+    "versioned_delete",
+    "unpivot_long",
 ]
 
 
