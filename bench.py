@@ -51,7 +51,6 @@ BENCH_QUERIES = [
     "semantic_dedup_keep",
     "stratified_take_quota",
     "versioned_delete",
-    "unpivot_long",
 ]
 
 

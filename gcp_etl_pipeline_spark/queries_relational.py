@@ -1704,63 +1704,7 @@ register(
 
 
 # --------------------------------------------------------------------------
-# §2.7 extras (round 3): UNPIVOT and the ranking-window family.
-
-# UNPIVOT — wide→long reshape. Spark: native UNPIVOT clause; DuckDB:
-# UNPIVOT ... ON ... INTO. Same output contract (measure name + value),
-# entirely different surface syntax, so the two bodies are dialect-local.
-def _q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_views(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT l_returnflag, metric,
-               CAST(SUM(CAST(ROUND(val * 100, 0) AS BIGINT)) AS BIGINT)
-                 AS cents
-        FROM (
-          SELECT l_returnflag, metric, val
-          FROM lineitem
-          UNPIVOT (val FOR metric IN (
-            l_extendedprice AS price, l_discount AS discount, l_tax AS tax))
-        )
-        GROUP BY l_returnflag, metric
-        """
-    )
-
-
-register(
-    "unpivot_long",
-    _q_unpivot,
-    """
-    WITH long AS (
-      SELECT l_returnflag, metric, val FROM (
-        UNPIVOT (SELECT l_returnflag, l_extendedprice AS price,
-                        l_discount AS discount, l_tax AS tax FROM lineitem)
-        ON price, discount, tax INTO NAME metric VALUE val)
-    )
-    SELECT l_returnflag, metric,
-           CAST(SUM(CAST(ROUND(val * 100, 0) AS BIGINT)) AS BIGINT) AS cents
-    FROM long GROUP BY l_returnflag, metric
-    """,
-)
-
-
-# Ranking family in one query: ntile buckets, percent_rank, cume_dist,
-# dense_rank — identical semantics both engines; values quantized to
-# µ-units so the float ranks hash-match.
-shared_sql(
-    "window_rank_family",
-    """
-    SELECT c_custkey,
-           NTILE(7) OVER w AS bucket,
-           DENSE_RANK() OVER w AS drank,
-           CAST(ROUND(PERCENT_RANK() OVER w * 1000000, 0) AS BIGINT) AS prank_u,
-           CAST(ROUND(CUME_DIST() OVER w * 1000000, 0) AS BIGINT) AS cume_u
-    FROM customer
-    WHERE c_custkey <= 1000
-    WINDOW w AS (ORDER BY c_nationkey, c_custkey)
-    """,
-)
-
+# §2.7/§1.2 extras (round 3).
 
 # Schema evolution on read: two parquet drops with overlapping-but-
 # different schemas (a column added later), merged with mergeSchema=true —

@@ -209,3 +209,26 @@ def test_compaction_write_plan_has_single_exchange(spark, tmp_path):
     df = spark.read.parquet(path).repartition(2)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_expectations_check_single_scan(spark, sf_dir, queries):
+    """All rules evaluate in ONE pass: exactly one scan of lineitem in the
+    plan (a per-rule pass would show N scans)."""
+    plan = _plan(queries["expectations_check"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_semantic_dedup_no_cartesian(spark, sf_dir, queries):
+    """Candidate generation is a bucket equi-join on list_id — never an
+    all-pairs product."""
+    plan = _plan(queries["semantic_dedup_keep"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_take_single_exchange(spark, sf_dir, queries):
+    """One hash exchange on the stratum feeds the ranking window; no
+    global (single-partition) sort of the corpus."""
+    plan = _plan(queries["stratified_take_quota"](spark, sf_dir))
+    assert "hashpartitioning(source" in plan, plan
+    assert "SinglePartition" not in plan, plan
