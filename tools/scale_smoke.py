@@ -368,6 +368,56 @@ def main() -> int:
     timings[f"decontaminate_{n_docs // 1000}k_docs"] = round(time.time() - t0, 2)
     stage_rows[f"decontaminate_{n_docs // 1000}k_docs"] = n_docs
 
+    # -------- round-3 ops: expectations, stratified quotas, semantic dedup
+    from gcp_etl_pipeline_spark.operators import expectations as ex
+    from gcp_etl_pipeline_spark.operators.curation import stratified_take
+
+    t0 = time.time()
+    ex.check(fact, {
+        "amount_band": ex.in_range("amount", 0, 999.99),
+        "status_known": ex.predicate("status BETWEEN 0 AND 6"),
+        "key_not_null": ex.not_null("dim_key"),
+    }).collect()
+    timings["expectations_20m"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    took = stratified_take(
+        fact, "status", {0: 100_000, 1: 50_000}, "id",
+        default_quota=10_000,
+    ).count()
+    assert took == 100_000 + 50_000 + 5 * 10_000, took
+    timings["stratified_take_20m"] = round(time.time() - t0, 2)
+
+    # semantic dedup at 500k x 16-dim vectors / 5000 IVF lists (~100 per
+    # list, the SemDeDup regime where per-list verification stays small);
+    # arrow batches capped so each task's (batch x n_lists) cosine matrix
+    # stays ~80 MB
+    from gcp_etl_pipeline_spark.operators.similarity import semantic_dedup
+
+    n_vec = 500_000
+    vecs = spark.range(n_vec).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[
+            (F.pmod(F.xxhash64(F.col("id"), F.lit(d)), F.lit(2001)) / 1000.0
+             - 1.0).cast("float")
+            for d in range(16)
+        ]).alias("embedding"),
+    )
+    prior_batch = spark.conf.get(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", "10000"
+    )
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+    t0 = time.time()
+    try:
+        n_kept = semantic_dedup(vecs, threshold=0.95, n_lists=5000).count()
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prior_batch
+        )
+    assert 0 < n_kept <= n_vec, n_kept
+    timings["semantic_dedup_500k"] = round(time.time() - t0, 2)
+    stage_rows["semantic_dedup_500k"] = n_vec
+
     out = {
         "rows": n,
         "total_sec": round(sum(timings.values()), 2),
