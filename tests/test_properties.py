@@ -147,3 +147,38 @@ def test_sequence_packing_invariants(n_chars, budget):
     for sid in sids:
         for start, _ in seqs[sid]:
             assert sid * budget <= start < (sid + 1) * budget
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 999), st.sampled_from(["a", "b", "c"])),
+        min_size=1, max_size=60, unique_by=lambda t: t[0],
+    ),
+    st.integers(0, 5),
+    st.integers(0, 5),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_stratified_take_exact_quota_property(spark, rows, qa, dflt):
+    """For ANY input and quota map: per-stratum output size is exactly
+    min(quota, stratum size), and the selection is layout-invariant."""
+    from collections import Counter
+
+    from gcp_etl_pipeline_spark.operators.curation import stratified_take
+
+    df = spark.createDataFrame(rows, "k INT, s STRING")
+    out = stratified_take(df, "s", {"a": qa}, "k", default_quota=dflt)
+    got = Counter(r.s for r in out.collect())
+    sizes = Counter(s for _, s in rows)
+    for stratum, size in sizes.items():
+        quota = qa if stratum == "a" else dflt
+        assert got.get(stratum, 0) == min(quota, size), (stratum, got)
+    again = stratified_take(
+        df.repartition(5), "s", {"a": qa}, "k", default_quota=dflt
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, again.collect())
+    )
