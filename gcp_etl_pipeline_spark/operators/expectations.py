@@ -55,6 +55,30 @@ def predicate(sql: str) -> Column:
     return F.expr(sql)
 
 
+def from_spec(spec) -> dict[str, Column]:
+    """Derive the contract-implied rule set from a TableSpec (spec.py):
+    merge-key columns must be present, date-like columns (stringified at
+    ingestion per the reference's CAST-AS-CHAR ladder) must parse back as
+    ``yyyy-MM-dd``, and the watermark column must be present. Merge-key
+    UNIQUENESS is the shuffle-needing check — run it separately via
+    ``unique_key_violations(df, spec.merge_columns)``."""
+    rules: dict[str, Column] = {}
+    for k in spec.merge_columns:
+        rules[f"{k}_not_null"] = not_null(k)
+    if spec.watermark_column and spec.watermark_column not in spec.merge_columns:
+        rules[f"{spec.watermark_column}_not_null"] = not_null(
+            spec.watermark_column
+        )
+    for c in spec.columns:
+        if c.is_datelike:
+            rules[f"{c.name}_date_parseable"] = F.col(c.name).isNull() | (
+                F.try_to_timestamp(
+                    F.col(c.name).cast("string"), F.lit("yyyy-MM-dd")
+                ).isNotNull()
+            )
+    return rules
+
+
 def check(df: DataFrame, expectations: Expectations) -> DataFrame:
     """One row per rule: (rule, violations, total, passed). A single
     aggregate over one scan regardless of rule count."""

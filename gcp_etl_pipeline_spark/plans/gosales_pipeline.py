@@ -123,7 +123,21 @@ def build_pipeline(sf_dir: str, warehouse: str, spark: SparkSession) -> Pipeline
     )
 
     def build_fact(spark: SparkSession, ctx: RunContext) -> DataFrame:
+        # Backfill support (reference argv parity: optional start_date /
+        # end_date bounds, `jobs/raw/dl_rw_job.py:127-134`): a date-bounded
+        # run rebuilds ONLY the fact slice in [start_date, end_date]; the
+        # partitioned dynamic overwrite below then replaces only the months
+        # that slice touches, leaving every other month's rows (and their
+        # original batch audit stamps) untouched. sale_date is the
+        # reference's stringified yyyy-MM-dd, so string comparison IS date
+        # comparison.
         df = gosales.sales_fact(spark, sf_dir)
+        start = ctx.params.get("start_date")
+        end = ctx.params.get("end_date")
+        if start:
+            df = df.where(F.col("sale_date") >= start)
+        if end:
+            df = df.where(F.col("sale_date") <= end)
         return _audited(df, ctx, 105).withColumn(
             "sale_month", F.substring("sale_date", 1, 7)
         )

@@ -66,3 +66,30 @@ def test_matches_and_in_range_builders(spark):
         "band": ex.in_range("v", 0, 10),
     }).collect()}
     assert out == {"fmt": 1, "band": 1}
+
+
+def test_from_spec_contract_rules(spark):
+    from gcp_etl_pipeline_spark.spec import ColumnSpec, TableSpec
+
+    spec = TableSpec(
+        name="raw.t",
+        columns=(
+            ColumnSpec("id", "bigint"),
+            ColumnSpec("d", "date"),
+            ColumnSpec("v", "double"),
+        ),
+        merge_columns=("id",),
+        watermark_column="d",
+    )
+    rules = ex.from_spec(spec)
+    assert set(rules) == {"id_not_null", "d_not_null", "d_date_parseable"}
+    df = spark.createDataFrame(
+        [(1, "2024-01-02", 1.0),
+         (None, "2024-01-03", 2.0),     # id_not_null violation
+         (3, "01/02/2024", 3.0),        # unparseable date
+         (4, None, 4.0)],               # d_not_null violation (parse rule
+                                        # tolerates null: not its job)
+        "id BIGINT, d STRING, v DOUBLE",
+    )
+    out = {r.rule: r.violations for r in ex.check(df, rules).collect()}
+    assert out == {"id_not_null": 1, "d_not_null": 1, "d_date_parseable": 1}

@@ -133,3 +133,41 @@ def test_cycle_detection(spark, tmp_path):
     p.add(Job(name="b", layer="RAW", build=None, write=None, depends_on=("a",)))
     with pytest.raises(ValueError, match="cycle"):
         p.run(RunContext(batch_id="b-c"))
+
+
+def test_backfill_rebuilds_only_bounded_months(spark, sf_dir, tmp_path):
+    """Date-bounded re-run (reference start_date/end_date argv,
+    dl_rw_job.py:127-134): only the months inside the window get the new
+    batch stamp; every other month keeps its original rows + audit."""
+    from pyspark.sql import functions as F
+
+    wh = str(tmp_path / "wh_backfill")
+    p = build_pipeline(sf_dir, wh, spark)
+    p.run(RunContext(batch_id="b-full", params={"batch_ts": "2026-01-01 00:00:00"}))
+    full = spark.read.parquet(f"{wh}/curated/sales_fact")
+    months_before = {
+        r.sale_month: r.n
+        for r in full.groupBy("sale_month").count().withColumnRenamed("count", "n").collect()
+    }
+    target = sorted(m for m in months_before if m.startswith("1995"))[0]
+
+    p2 = build_pipeline(sf_dir, wh, spark)
+    p2.run(RunContext(
+        batch_id="b-backfill",
+        params={"batch_ts": "2026-02-01 00:00:00",
+                "start_date": f"{target}-01", "end_date": f"{target}-31"},
+    ))
+    after = spark.read.parquet(f"{wh}/curated/sales_fact")
+    months_after = {
+        r.sale_month: r.n
+        for r in after.groupBy("sale_month").count().withColumnRenamed("count", "n").collect()
+    }
+    assert months_after == months_before  # no month lost or resized
+    stamps = {
+        r.sale_month: set(r.b)
+        for r in after.groupBy("sale_month")
+        .agg(F.collect_set("batch_id").alias("b"))
+        .collect()
+    }
+    assert stamps[target] == {"b-backfill"}
+    assert all(v == {"b-full"} for m, v in stamps.items() if m != target)
