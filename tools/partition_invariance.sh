@@ -9,4 +9,6 @@ SPARK_GRAFT_CPUS=7 exec python tools/check.py /root/testdata/sf0.01 \
   dedup_minhash_lsh dedup_simhash_pairs similarity_knn similarity_knn_ivf \
   similarity_ivf_recall sketch_frequent_items approx_top_terms \
   pricing_summary stream_tumbling stream_sessionize_stateful \
-  surrogate_increment graph_pagerank corpus_mixture_sample sequence_packing
+  surrogate_increment graph_pagerank corpus_mixture_sample sequence_packing \
+  semantic_dedup_keep stratified_take_quota expectations_quarantine \
+  versioned_delete gosales_catalog_overview
