@@ -268,6 +268,12 @@ def stratified_take(
     by the key itself) — reproducible across runs, engines, and physical
     layouts, like every sampling primitive in this module.
 
+    PRECONDITION: ``key_col`` must be unique within each stratum (same
+    contract as surrogate_keys' order_by). Duplicate or null-heavy keys
+    make the ordering tie-ambiguous, and WHICH physical row of a tie
+    group survives then depends on layout — the selected (stratum, key)
+    multiset stays deterministic, the carried non-key columns may not.
+
     Physical shape: two-level exact top-q. A LOCAL ranking window keyed on
     (stratum, input partition) keeps at most the quota per partition —
     fully parallel, and correct because the global md5-order top-q of a

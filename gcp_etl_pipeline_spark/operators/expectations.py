@@ -82,6 +82,8 @@ def from_spec(spec) -> dict[str, Column]:
 def check(df: DataFrame, expectations: Expectations) -> DataFrame:
     """One row per rule: (rule, violations, total, passed). A single
     aggregate over one scan regardless of rule count."""
+    if not expectations:
+        raise ValueError("check() needs at least one expectation")
     aggs = [
         F.sum(F.when(~cond, 1).otherwise(0)).cast("bigint").alias(name)
         for name, cond in expectations.items()
@@ -121,6 +123,8 @@ def enforce(
     """Split into (good, bad). ``bad`` rows gain ``failed_rules``
     (array<string>, the rules they broke, in declaration order); ``good``
     keeps the original schema."""
+    if not expectations:
+        raise ValueError("enforce() needs at least one expectation")
     fails = F.array_compact(
         F.array(*[
             F.when(~cond, F.lit(name)) for name, cond in expectations.items()

@@ -24,10 +24,12 @@ Two physical strategies, both dense and deterministic:
     billion-row first load; keys are dense and deterministic but NOT
     globally ordered by natural key (the window path's extra property).
 
-A guard makes the choice explicit: the default path counts (via an
-early-stopping ``limit(n+1)``) and raises above
-``max_window_rows`` so a pathological first load can never silently
-single-thread — the caller must opt into ``monotonic=True``.
+A guard makes the choice explicit: the default path folds an
+``assert_true(count <= max_window_rows)`` into the key expression itself
+— evaluated inside the SAME single-partition window job (no extra pass
+over the input lineage, no eager action at construction) — so a
+pathological first load fails at execution instead of silently
+single-threading; the caller must opt into ``monotonic=True``.
 
 The 1-row max-key aggregate is crossJoin'd; Catalyst broadcasts it.
 ``order_by`` should be a unique natural key: ties are assigned
@@ -43,6 +45,13 @@ from pyspark.sql import functions as F
 # ~5M rows of a slim dim delta is comfortably one-executor territory;
 # beyond it the caller must choose the parallel path explicitly.
 DEFAULT_MAX_WINDOW_ROWS = 5_000_000
+
+# Fixed bucket count for the monotonic path: key assignment is a pure
+# function of (natural key, bucket count), so the default must NOT come
+# from cluster size (defaultParallelism would change the assignment after
+# a resize). 512 buckets keep a billion-row load at ~2M rows per ranking
+# window while staying wider than any realistic executor count.
+DEFAULT_OFFSET_BUCKETS = 512
 
 
 def _max_key_df(new_rows: DataFrame, target: DataFrame | None, key_col: str):
@@ -72,8 +81,9 @@ def surrogate_keys(
     (`...retailer_hlp_01.py:60-61`).
 
     ``monotonic=False`` (default): global-window assignment ordered by
-    ``order_by``; raises if ``new_rows`` exceeds ``max_window_rows`` so the
-    single-partition window is never hit by a huge first load.
+    ``order_by``; raises AT EXECUTION if ``new_rows`` exceeds
+    ``max_window_rows`` (the size check rides in the same window job — an
+    eager pre-count would execute the whole upstream lineage twice).
 
     ``monotonic=True``: parallel partition-offset assignment (see module
     docstring) — dense + deterministic, natural-key-ordered only within
@@ -84,20 +94,29 @@ def surrogate_keys(
             new_rows, target, key_col, order_by, num_partitions
         )
 
-    # early-stopping size probe: scans at most max_window_rows+1 rows
-    probe = new_rows.limit(max_window_rows + 1).count()
-    if probe > max_window_rows:
-        raise ValueError(
+    w = Window.orderBy(*[F.col(c).asc_nulls_last() for c in order_by])
+    # same single partition as `w`, unbounded frame: the count costs no
+    # extra exchange or input pass
+    cnt = F.count(F.lit(1)).over(
+        Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    guard = F.assert_true(
+        cnt <= F.lit(max_window_rows),
+        F.lit(
             f"surrogate_keys: new_rows exceeds max_window_rows="
             f"{max_window_rows}; the global-window path would run "
             f"single-partition. Pass monotonic=True for the parallel "
             f"partition-offset assignment (dense + deterministic)."
-        )
-
-    w = Window.orderBy(*[F.col(c).asc_nulls_last() for c in order_by])
+        ),
+    )
+    key_val = F.col("__max_key") + F.row_number().over(w)
     return (
         new_rows.crossJoin(F.broadcast(_max_key_df(new_rows, target, key_col)))
-        .withColumn(key_col, (F.col("__max_key") + F.row_number().over(w)).cast("long"))
+        # guard is NULL on success; the when() makes the key depend on it
+        # so the optimizer can never prune the assertion away
+        .withColumn(key_col, F.when(guard.isNull(), key_val).cast("long"))
         .drop("__max_key")
     )
 
@@ -120,10 +139,7 @@ def _surrogate_keys_offsets(
     """
     spark = new_rows.sparkSession
     if num_partitions is None:
-        num_partitions = max(
-            spark.sparkContext.defaultParallelism,
-            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
-        )
+        num_partitions = DEFAULT_OFFSET_BUCKETS
 
     bucket = F.pmod(
         F.xxhash64(*[F.col(c) for c in order_by]), F.lit(num_partitions)

@@ -124,20 +124,22 @@ def build_pipeline(sf_dir: str, warehouse: str, spark: SparkSession) -> Pipeline
 
     def build_fact(spark: SparkSession, ctx: RunContext) -> DataFrame:
         # Backfill support (reference argv parity: optional start_date /
-        # end_date bounds, `jobs/raw/dl_rw_job.py:127-134`): a date-bounded
-        # run rebuilds ONLY the fact slice in [start_date, end_date]; the
-        # partitioned dynamic overwrite below then replaces only the months
-        # that slice touches, leaving every other month's rows (and their
-        # original batch audit stamps) untouched. sale_date is the
-        # reference's stringified yyyy-MM-dd, so string comparison IS date
-        # comparison.
+        # end_date bounds, `jobs/raw/dl_rw_job.py:127-134`). The rebuild
+        # window is WIDENED to whole months — the fact's partition grain —
+        # because dynamic overwrite replaces entire sale_month partitions:
+        # filtering on the raw dates would silently drop the out-of-range
+        # rows of a partially-covered month when its partition is
+        # rewritten. Untouched months keep their rows and original batch
+        # stamps. sale_date is the reference's stringified yyyy-MM-dd, so
+        # string prefix comparison IS month comparison.
         df = gosales.sales_fact(spark, sf_dir)
         start = ctx.params.get("start_date")
         end = ctx.params.get("end_date")
+        month = F.substring("sale_date", 1, 7)
         if start:
-            df = df.where(F.col("sale_date") >= start)
+            df = df.where(month >= start[:7])
         if end:
-            df = df.where(F.col("sale_date") <= end)
+            df = df.where(month <= end[:7])
         return _audited(df, ctx, 105).withColumn(
             "sale_month", F.substring("sale_date", 1, 7)
         )

@@ -129,9 +129,15 @@ def _load_all_inner() -> None:
 
         from gcp_etl_pipeline_spark.sinks.catalog import run_gosales_catalog
 
-        return run_gosales_catalog(
-            spark, sf_dir, tempfile.mkdtemp(prefix="graft_cat_")
+        # session-stable root: ensure_namespaces is first-call-wins on the
+        # database LOCATION, so repeat runs (bench warm-up + timed passes)
+        # must target the same root or they'd silently write under the
+        # first call's abandoned tmpdir
+        root = (
+            f"{tempfile.gettempdir()}/graft_cat_"
+            f"{spark.sparkContext.applicationId}"
         )
+        return run_gosales_catalog(spark, sf_dir, root)
 
     register(
         "gosales_catalog_overview", _q_gosales_catalog,

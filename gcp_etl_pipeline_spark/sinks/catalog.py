@@ -31,7 +31,14 @@ def ensure_namespaces(
 ) -> None:
     """Create the layer databases (idempotent), rooted under ``root`` so
     managed tables land in ``<root>/<layer>.db/<table>`` rather than the
-    session-global warehouse dir."""
+    session-global warehouse dir.
+
+    FIRST-CALL-WINS per session: ``CREATE DATABASE IF NOT EXISTS`` ignores
+    the LOCATION when the database already exists, so a later call with a
+    DIFFERENT root keeps writing under the first root (correct data, old
+    directory). Callers needing repeat invocations in one session should
+    derive a session-stable root (see registry's gosales_catalog_overview)
+    or drop the databases first."""
     for ns in namespaces:
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {ns} LOCATION '{root}/{ns}.db'")
 

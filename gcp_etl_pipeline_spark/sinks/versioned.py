@@ -45,6 +45,8 @@ class ConcurrentWriteError(RuntimeError):
 
 
 class VersionedTable:
+    _LOCK_STALE_SEC = 60.0
+
     def __init__(self, path: str):
         self.path = path.rstrip("/")
 
@@ -67,6 +69,49 @@ class VersionedTable:
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
         os.replace(tmp, self._manifest_path)  # atomic pointer flip
+
+    def _commit_lock(self):
+        """O_EXCL lock file serializing manifest read-check-flip critical
+        sections (they are microseconds long: no data writes inside). A
+        crashed holder leaves a stale lock; holders older than
+        _LOCK_STALE_SEC are broken with a warning rather than deadlocking
+        every future commit."""
+        import contextlib
+        import time as _time
+
+        lock = f"{self.path}/_manifest.lock"
+
+        @contextlib.contextmanager
+        def held():
+            os.makedirs(self.path, exist_ok=True)
+            deadline = _time.time() + 30.0
+            while True:
+                try:
+                    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.close(fd)
+                    break
+                except FileExistsError:
+                    try:
+                        age = _time.time() - os.stat(lock).st_mtime
+                    except OSError:
+                        continue  # holder just released
+                    if age > self._LOCK_STALE_SEC:
+                        os.remove(lock)  # break a crashed holder's lock
+                        continue
+                    if _time.time() > deadline:
+                        raise ConcurrentWriteError(
+                            f"{self.path}: commit lock held for {age:.0f}s"
+                        ) from None
+                    _time.sleep(0.01)
+            try:
+                yield
+            finally:
+                try:
+                    os.remove(lock)
+                except OSError:
+                    pass
+
+        return held()
 
     # ------------------------------------------------------------ write
 
@@ -119,17 +164,23 @@ class VersionedTable:
             "overwrite"
         ).parquet(vdir)
         rows = int(obs.get["n"])
-        # optimistic commit: if the pointer moved while we were writing,
-        # our snapshot (and any upsert state it was derived from) is stale
-        m = self._read_manifest()
-        if m["latest"] != base_latest:
-            raise ConcurrentWriteError(
-                f"{self.path}: pointer moved {base_latest} -> {m['latest']} "
-                f"during write of v={new_v}; retry the operation"
+        # optimistic commit under the manifest lock: the fresh re-read,
+        # the staleness check, and the flip form one critical section, so
+        # two writers that both saw the old pointer can never both commit
+        # (the check alone was a TOCTOU window: both could pass it, and
+        # the second flip would erase the first writer's manifest entry)
+        with self._commit_lock():
+            m = self._read_manifest()
+            if m["latest"] != base_latest:
+                raise ConcurrentWriteError(
+                    f"{self.path}: pointer moved {base_latest} -> "
+                    f"{m['latest']} during write of v={new_v}; retry"
+                )
+            m["versions"].append(
+                {"version": new_v, "rows": rows, "note": note}
             )
-        m["versions"].append({"version": new_v, "rows": rows, "note": note})
-        m["latest"] = new_v
-        self._flip_manifest(m)
+            m["latest"] = new_v
+            self._flip_manifest(m)
         return new_v
 
     def upsert(self, source: DataFrame, keys: list[str], note: str = "") -> int:
@@ -269,14 +320,26 @@ class VersionedTable:
         m["latest"] = to_version
         self._flip_manifest(m)
 
-    def vacuum(self, keep_last: int = 1) -> list[int]:
+    def vacuum(
+        self, keep_last: int = 1, grace_seconds: float = 3600.0
+    ) -> list[int]:
         """Drop snapshot directories older than the ``keep_last`` most
-        recent (never the current pointer), plus any TORN directory a
-        failed write left unreferenced. Returns removed versions."""
+        recent (never the current pointer), plus TORN directories failed
+        writes left unreferenced. Returns removed versions.
+
+        ``grace_seconds`` protects in-flight writers (the Delta-vacuum
+        retention idea): an UNREFERENCED dir younger than the grace window
+        might be a concurrent writer's mkdir-claimed snapshot mid-write,
+        so it is skipped; older than that it is treated as torn debris.
+        Referenced old snapshots are removed regardless of age (their
+        writers committed long ago). Pass ``grace_seconds=0`` only when no
+        writer can be active (e.g. single-process tests)."""
         import shutil
+        import time as _time
 
         m = self._read_manifest()
         ordered = sorted(e["version"] for e in m["versions"])
+        referenced = set(ordered)
         # keep_last=0 must mean "only the pointer" — ordered[-0:] would
         # slice the WHOLE list and keep everything
         recent = set(ordered[-keep_last:]) if keep_last > 0 else set()
@@ -287,11 +350,23 @@ class VersionedTable:
             for d in (os.listdir(self.path) if os.path.isdir(self.path) else [])
             if d.startswith("v=") and d[2:].isdigit()
         ]
-        for v in sorted(set(ordered) | set(on_disk)):
+        now = _time.time()
+        for v in sorted(referenced | set(on_disk)):
             if v in keep:
                 continue
-            shutil.rmtree(f"{self.path}/v={v}", ignore_errors=True)
+            vdir = f"{self.path}/v={v}"
+            if v not in referenced and grace_seconds > 0:
+                try:
+                    if now - os.stat(vdir).st_mtime < grace_seconds:
+                        continue  # possibly a writer mid-flight
+                except OSError:
+                    continue
+            shutil.rmtree(vdir, ignore_errors=True)
             removed.append(v)
-        m["versions"] = [e for e in m["versions"] if e["version"] not in removed]
-        self._flip_manifest(m)
+        with self._commit_lock():
+            m = self._read_manifest()
+            m["versions"] = [
+                e for e in m["versions"] if e["version"] not in removed
+            ]
+            self._flip_manifest(m)
         return removed

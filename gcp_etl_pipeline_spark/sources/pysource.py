@@ -128,6 +128,18 @@ class _EventsStreamReader(DataSourceStreamReader):
     def initialOffset(self):
         return {"n": 0}
 
+    def deserializeOffset(self, json_str):
+        # checkpoint-recovery clamp, part 1: EVERY offset the engine hands
+        # back (the committed start on restart, replay bounds) passes
+        # through here — advancing _polled to it guarantees the very first
+        # post-restart latestOffset() can never regress below the
+        # committed position, even when no batch is replayed first.
+        import json as _json
+
+        offset = _json.loads(json_str)
+        self._polled = max(self._polled, int(offset.get("n", 0)))
+        return offset
+
     def latestOffset(self):
         if self.incremental:
             self._polled = min(self._polled + self.rows_per_batch, self.max_rows)
@@ -135,11 +147,9 @@ class _EventsStreamReader(DataSourceStreamReader):
         return {"n": self.max_rows}
 
     def partitions(self, start, end):
-        # checkpoint-recovery clamp: after a restart the in-memory _polled
-        # counter is 0 while the recovered offsets may be far ahead;
-        # without this, latestOffset() would REGRESS below the committed
-        # start offset for several polls (offset regression the streaming
-        # engine may reject, or empty negative ranges)
+        # checkpoint-recovery clamp, part 2 (belt for paths that build
+        # offsets without deserializeOffset): never let the counter sit
+        # below a batch bound we have been asked to plan.
         self._polled = max(self._polled, end["n"])
         lo, hi = start["n"], end["n"]
         step = max(1, (hi - lo + self.parts - 1) // self.parts)

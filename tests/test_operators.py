@@ -49,8 +49,14 @@ def test_surrogate_keys_guard_raises_above_window_threshold(spark):
     import pytest
 
     new = spark.range(100).selectExpr("CAST(id AS STRING) AS code")
-    with pytest.raises(ValueError, match="monotonic=True"):
-        surrogate_keys(new, None, "k", ["code"], max_window_rows=50)
+    # guard fires at EXECUTION (it rides inside the window job — no eager
+    # pre-count of the upstream lineage), so collect() raises, not the call
+    df = surrogate_keys(new, None, "k", ["code"], max_window_rows=50)
+    with pytest.raises(Exception, match="monotonic=True"):
+        df.collect()
+    # under the threshold the same plan executes clean
+    ok = surrogate_keys(new, None, "k", ["code"], max_window_rows=100)
+    assert sorted(r.k for r in ok.collect()) == list(range(1, 101))
     # the same input passes under the parallel path
     out = surrogate_keys(
         new, None, "k", ["code"], monotonic=True, num_partitions=8

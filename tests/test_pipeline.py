@@ -152,10 +152,13 @@ def test_backfill_rebuilds_only_bounded_months(spark, sf_dir, tmp_path):
     target = sorted(m for m in months_before if m.startswith("1995"))[0]
 
     p2 = build_pipeline(sf_dir, wh, spark)
+    # deliberately MID-month bounds: the rebuild window must widen to the
+    # whole partition (month), or the out-of-range rows of the touched
+    # month would be silently dropped by the partition overwrite
     p2.run(RunContext(
         batch_id="b-backfill",
         params={"batch_ts": "2026-02-01 00:00:00",
-                "start_date": f"{target}-01", "end_date": f"{target}-31"},
+                "start_date": f"{target}-10", "end_date": f"{target}-20"},
     ))
     after = spark.read.parquet(f"{wh}/curated/sales_fact")
     months_after = {

@@ -115,7 +115,7 @@ def test_failed_write_does_not_brick_table(spark, tmp_path):
     v = t.write(spark.range(9).selectExpr("id"))  # must NOT collide
     assert v == 3
     assert t.read(spark).count() == 9
-    removed = t.vacuum(keep_last=2)
+    removed = t.vacuum(keep_last=2, grace_seconds=0)
     assert 2 in removed  # the torn dir is gone
     assert not os.path.isdir(str(tmp_path / "vt6" / "v=2"))
 
@@ -222,3 +222,30 @@ def test_delete_then_vacuum_is_full_erasure(spark, tmp_path):
     assert removed == [1]
     with _pytest.raises(ValueError):
         t.read(spark, 1)
+
+
+def test_vacuum_grace_protects_inflight_claims(spark, tmp_path):
+    """An unreferenced young v= dir may be a concurrent writer mid-write:
+    default grace skips it; grace 0 reclaims it."""
+    import os
+
+    t = VersionedTable(str(tmp_path / "grace"))
+    t.write(spark.range(3).selectExpr("id"))
+    os.mkdir(str(tmp_path / "grace" / "v=2"))  # in-flight claim
+    assert t.vacuum(keep_last=1) == []        # young + unreferenced: kept
+    assert os.path.isdir(str(tmp_path / "grace" / "v=2"))
+    assert t.vacuum(keep_last=1, grace_seconds=0) == [2]
+    assert not os.path.isdir(str(tmp_path / "grace" / "v=2"))
+
+
+def test_commit_lock_breaks_stale_holder(spark, tmp_path, monkeypatch):
+    """A crashed writer's leftover lock must not deadlock future commits."""
+    import os
+    import pathlib
+
+    t = VersionedTable(str(tmp_path / "stale"))
+    monkeypatch.setattr(VersionedTable, "_LOCK_STALE_SEC", 0.0)
+    os.makedirs(t.path, exist_ok=True)
+    pathlib.Path(f"{t.path}/_manifest.lock").touch()
+    v = t.write(spark.range(2).selectExpr("id"))  # must not hang
+    assert v == 1 and t.read(spark).count() == 2
