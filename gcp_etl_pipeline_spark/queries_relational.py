@@ -1747,3 +1747,40 @@ register(
     FROM orders GROUP BY 1
     """,
 )
+
+
+# Contract-driven validation (expectations.from_spec over the EP1 ingest
+# contract): the rules come from the TableSpec itself — merge/watermark
+# presence + the stringified-date parse contract of the reference's
+# CAST-AS-CHAR ladder.
+def _q_expectations_from_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gcp_etl_pipeline_spark.operators import expectations as ex
+    from gcp_etl_pipeline_spark.plans import gosales
+    from gcp_etl_pipeline_spark.plans.gosales_pipeline import DAILY_SALES_SPEC
+
+    ensure_views(spark, sf_dir)
+    df = gosales.go_daily_sales(spark, sf_dir)
+    return ex.check(df, ex.from_spec(DAILY_SALES_SPEC))
+
+
+register(
+    "expectations_from_spec",
+    _q_expectations_from_spec,
+    """
+    WITH src AS (
+      SELECT strftime(l_shipdate, '%Y-%m-%d') AS sale_date
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    t AS (
+      SELECT COUNT(*) AS total,
+        SUM(CASE WHEN sale_date IS NULL THEN 1 ELSE 0 END) AS v1,
+        SUM(CASE WHEN sale_date IS NOT NULL
+                  AND try_strptime(sale_date, '%Y-%m-%d') IS NULL
+                 THEN 1 ELSE 0 END) AS v2
+      FROM src)
+    SELECT 'sale_date_not_null' AS rule, CAST(v1 AS BIGINT) AS violations,
+           CAST(total AS BIGINT) AS total, v1 = 0 AS passed FROM t
+    UNION ALL
+    SELECT 'sale_date_date_parseable', CAST(v2 AS BIGINT),
+           CAST(total AS BIGINT), v2 = 0 FROM t
+    """,
+)
