@@ -217,3 +217,40 @@ def test_stratified_take_quotas_and_determinism(spark):
         df.repartition(13), "s", {"a": 7}, "k", default_quota=3
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_kmeans_centroids_improve_ivf_recall_and_are_deterministic(spark):
+    """3 well-separated clusters, but the 3 lowest-id seed vectors all sit
+    in cluster 0 — lowest-id lists misroute probes; Lloyd centroids must
+    recover the true clusters (n_probe=1 IVF == exact brute force) and be
+    invariant to physical layout."""
+    import random
+
+    rng = random.Random(11)
+    anchors = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]]
+    rows = []
+    vid = 1
+    for _ in range(3):  # ids 1..3: all near anchor 0 (degenerate seeds)
+        rows.append((vid, [a + rng.uniform(-0.3, 0.3) for a in anchors[0]]))
+        vid += 1
+    for c in (0, 1, 2):
+        for _ in range(20):
+            rows.append(
+                (vid, [a + rng.uniform(-0.3, 0.3) for a in anchors[c]])
+            )
+            vid += 1
+    base = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = base.filter("vec_id IN (10, 30, 50)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r.query_id, r.rn): r.neighbor_id
+             for r in similarity.knn_bruteforce(base, queries, k=3).collect()}
+    km = {(r.query_id, r.rn): r.neighbor_id
+          for r in similarity.knn_ivf(
+              base, queries, k=3, n_lists=3, n_probe=1, centroids="kmeans"
+          ).collect()}
+    assert km == exact  # density-following lists: full recall at n_probe=1
+
+    a = similarity.kmeans_centroids(base, 3)
+    b = similarity.kmeans_centroids(base.repartition(7), 3)
+    assert (a[1] == b[1]).all()  # centroid matrix is layout-invariant
