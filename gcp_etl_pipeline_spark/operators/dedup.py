@@ -409,3 +409,50 @@ def simhash_neardup_pairs(
         .select("a", "b", F.col("hamming").cast("int").alias("hamming"))
         .distinct()
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide exact paragraph dedup (the C4 recipe, Raffel et al.
+    2020: drop every repeated paragraph, keeping its FIRST occurrence):
+    split each document on ``sep``, keep one copy of each distinct
+    paragraph — the occurrence with the lowest (doc_id, position) —
+    and reassemble the survivors in original order. Documents whose
+    every paragraph was a repeat drop out entirely.
+
+    Scale shape: one explode, one ranking shuffle keyed on the paragraph
+    hash (md5 — the full text never rides the shuffle twice), one
+    group-back by doc. All JVM-side; the reassembly sorts each doc's
+    surviving (pos, paragraph) structs in-memory per doc, bounded by
+    document size.
+    """
+    from pyspark.sql import Window
+
+    parts = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias(
+            "pos", "para"
+        ),
+    ).where(F.col("para") != "")
+    w = Window.partitionBy(F.md5("para")).orderBy(id_col, "pos")
+    kept = (
+        parts.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ).alias(text_col)
+        )
+    )

@@ -660,3 +660,50 @@ def _semantic_dedup_oracle() -> str:
 
 
 register("semantic_dedup_keep", _q_semantic_dedup, _semantic_dedup_oracle())
+
+
+# ------------------------------------------------- paragraph dedup (C4)
+
+def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide paragraph dedup. The fixture text is flat, so
+    BOTH engines first rebuild it as 8-token paragraphs (identical
+    deterministic construction), then dedup — Spark via the operator,
+    DuckDB via an independent SQL implementation."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    paras = F.transform(
+        F.sequence(
+            F.lit(0), F.ceil(F.size(toks) / F.lit(8.0)).cast("int") - 1
+        ),
+        lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+    )
+    structured = docs.select(
+        "doc_id", F.array_join(paras, "\n\n").alias("text")
+    )
+    return dedup.paragraph_dedup(structured)
+
+
+register(
+    "paragraph_dedup_c4",
+    _q_paragraph_dedup,
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    p AS (SELECT doc_id,
+                 list_transform(range(CAST(ceil(len(toks)/8.0) AS INT)),
+                                i -> array_to_string(toks[i*8+1 : i*8+8], ' '))
+                   AS paras
+          FROM t),
+    parts AS (SELECT doc_id, g.i - 1 AS pos, paras[g.i] AS para
+              FROM p, LATERAL (SELECT unnest(generate_series(1, len(paras)))
+                               AS i) g
+              WHERE paras[g.i] <> ''),
+    kept AS (SELECT doc_id, pos, para,
+                    ROW_NUMBER() OVER (PARTITION BY md5(para)
+                                       ORDER BY doc_id, pos) AS rn
+             FROM parts)
+    SELECT doc_id,
+           string_agg(para, chr(10)||chr(10) ORDER BY pos) AS text
+    FROM kept WHERE rn = 1 GROUP BY doc_id
+    """,
+)

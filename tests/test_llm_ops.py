@@ -254,3 +254,20 @@ def test_kmeans_centroids_improve_ivf_recall_and_are_deterministic(spark):
     a = similarity.kmeans_centroids(base, 3)
     b = similarity.kmeans_centroids(base.repartition(7), 3)
     assert (a[1] == b[1]).all()  # centroid matrix is layout-invariant
+
+
+def test_paragraph_dedup_keeps_first_occurrence_and_order(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "alpha\n\nbeta\n\ngamma"),
+            (2, "beta\n\ndelta"),          # beta repeats -> dropped here
+            (3, "gamma\n\nbeta"),          # both repeats -> doc drops out
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.text for r in dedup.paragraph_dedup(d).collect()}
+    assert out == {1: "alpha\n\nbeta\n\ngamma", 2: "delta"}
+    # layout invariance
+    again = {r.doc_id: r.text
+             for r in dedup.paragraph_dedup(d.repartition(5)).collect()}
+    assert again == out
