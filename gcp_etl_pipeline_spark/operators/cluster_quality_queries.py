@@ -5,6 +5,13 @@ The components oracle is a DuckDB RECURSIVE CTE computing the same
 transitive closure the Spark label-propagation loop converges to — a
 strong differential check of an iterative distributed algorithm against
 a declarative fixpoint.
+
+ORACLE COST NOTE: the recursive walk enumerates (node, reachable-label)
+pairs — quadratic in component size. At the graded sf0.01 it finishes in
+seconds; at sf0.1 the small-vocabulary synthetic docs make simhash
+near-dup components large enough that the ORACLE (not the Spark side,
+which stays label-propagation-linear) runs for tens of minutes. Exclude
+`dedup_components` from big-SF oracle sweeps.
 """
 
 from __future__ import annotations
