@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "semantic_dedup_keep",
     "stratified_take_quota",
     "versioned_delete",
+    "paragraph_dedup_c4",
 ]
 
 
