@@ -456,3 +456,23 @@ def paragraph_dedup(
             ).alias(text_col)
         )
     )
+
+
+def dedup_canonical(
+    df: DataFrame,
+    score_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-dup grouping with CANONICAL-representative selection: instead
+    of dedup_exact's keep-min-id, keep the group member with the highest
+    ``score_col`` (quality score, recency, source priority...), id as the
+    deterministic tie-break. Same physical shape — one shuffle on the md5
+    fingerprint, max_by aggregation, no document ever compared."""
+    fp = df.withColumn("__fp", fingerprint(text_col))
+    keep = fp.groupBy("__fp").agg(
+        F.max_by(
+            F.col(id_col), F.struct(F.col(score_col), F.col(id_col))
+        ).alias(id_col)
+    )
+    return fp.join(keep, [id_col, "__fp"], "inner").drop("__fp")

@@ -707,3 +707,37 @@ register(
     FROM kept WHERE rn = 1 GROUP BY doc_id
     """,
 )
+
+
+# ----------------------------------------- canonical-doc dedup (by quality)
+
+def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup groups keep their BEST member (longest unique-token text,
+    id tie-break) instead of the lowest id — the selection policy a
+    training pipeline actually wants."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "q_score", F.size(F.array_distinct(F.split("text", " "))).cast("bigint")
+    )
+    out = dedup.dedup_canonical(docs, "q_score")
+    return out.select("doc_id", "q_score")
+
+
+register(
+    "dedup_canonical_quality",
+    _q_dedup_canonical,
+    f"""
+    WITH scored AS (
+      SELECT doc_id, {_FP} AS fp,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS q_score
+      FROM documents),
+    keep AS (
+      SELECT fp, doc_id FROM (
+        SELECT fp, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY fp
+                                  ORDER BY q_score DESC, doc_id DESC) AS rn
+        FROM scored) WHERE rn = 1)
+    SELECT s.doc_id, s.q_score
+    FROM scored s JOIN keep k ON s.fp = k.fp AND s.doc_id = k.doc_id
+    """,
+)

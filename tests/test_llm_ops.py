@@ -271,3 +271,17 @@ def test_paragraph_dedup_keeps_first_occurrence_and_order(spark):
     again = {r.doc_id: r.text
              for r in dedup.paragraph_dedup(d.repartition(5)).collect()}
     assert again == out
+
+
+def test_dedup_canonical_keeps_best_scored_member(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "same text", 5),
+            (2, "same text", 9),   # best of the dup group -> kept
+            (3, "same text", 9),   # tie on score -> higher id wins? no: 3
+            (4, "other", 1),
+        ],
+        ["doc_id", "text", "q"],
+    )
+    kept = {r.doc_id for r in dedup.dedup_canonical(d, "q").collect()}
+    assert kept == {3, 4}  # max (q, id): 3 beats 2 on the id tie-break
