@@ -304,3 +304,48 @@ def stratified_take(
         .where(F.col("__rn") <= quota)
         .drop("__lrn", "__rn")
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    tau: float = 2.0,
+) -> tuple[DataFrame, dict]:
+    """Temperature-flattened corpus mixture (the multilingual τ-sampling
+    recipe, e.g. mBERT/XLM-R): per-stratum keep-rates
+    ``r_s ∝ (n_s/N)^(1/τ − 1)`` normalized so the RAREST stratum keeps
+    everything — τ>1 flattens the distribution by downsampling dominant
+    strata; τ=1 keeps everything. Rates feed the deterministic
+    ``mixture_sample`` hash filter, so the draw is reproducible across
+    engines and layouts.
+
+    One tiny aggregate (a row per stratum) collects to the driver to
+    compute rates; the filter itself is shuffle-free.
+
+    Cross-engine exactness: for τ=2 the rate is computed as
+    ``sqrt(n_min)/sqrt(n_s)`` — two correctly-rounded IEEE ops a SQL twin
+    reproduces bit-identically. Other τ use ``pow``, whose last-ulp
+    rounding may differ across libm implementations; differential-grade
+    only the τ=2 path. Returns (sampled_df, {stratum: rate}).
+    """
+    import math
+
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(stratum_col).agg(F.count(F.lit(1))).collect()
+    }
+    if not counts:
+        return df, {}
+    if abs(tau - 2.0) < 1e-12:
+        n_min = min(counts.values())
+        rates = {
+            s: math.sqrt(float(n_min)) / math.sqrt(float(n))
+            for s, n in counts.items()
+        }
+    else:
+        expo = 1.0 / tau - 1.0
+        w = {s: float(n) ** expo for s, n in counts.items()}
+        mx = max(w.values())
+        rates = {s: v / mx for s, v in w.items()}
+    return mixture_sample(df, stratum_col, rates, key_col), rates

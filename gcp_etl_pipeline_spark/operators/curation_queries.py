@@ -514,3 +514,40 @@ register(
                             WHEN 'src2' THEN 10 ELSE 5 END
     """,
 )
+
+
+# ---------------------------------------------- temperature mixture (τ=2)
+
+def _q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """τ=2 flattening over the skewed lang distribution: the rarest
+    language keeps 100%, dominant ones are cut by sqrt(n_min/n_s)."""
+    docs = _docs(spark, sf_dir)
+    sampled, _rates = curation.temperature_mixture(
+        docs, "lang", "doc_id", tau=2.0
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").cast("bigint").alias("keysum"),
+    )
+
+
+register(
+    "temperature_mixture_tau2",
+    _q_temperature_mixture,
+    """
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT MIN(n) AS nmin FROM c),
+    r AS (SELECT lang,
+                 CAST(floor(sqrt(CAST(nmin AS DOUBLE)) /
+                            sqrt(CAST(n AS DOUBLE)) * 65536) AS BIGINT)
+                   AS thr
+          FROM c, m),
+    k AS (SELECT d.lang, d.doc_id
+          FROM documents d JOIN r USING (lang)
+          WHERE r.thr >= 65536
+             OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+                  < printf('%04x', r.thr))
+    SELECT lang, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS keysum
+    FROM k GROUP BY lang
+    """,
+)

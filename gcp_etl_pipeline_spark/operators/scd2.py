@@ -73,3 +73,33 @@ def scd2_build(
             .alias("is_current"),
         )
     )
+
+
+def scd2_lookup(
+    probes: DataFrame,
+    dim: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time dimension lookup: join each probe row to the SCD2
+    version valid at its timestamp — ``valid_from <= ts < valid_to``
+    (half-open; an open version has ``valid_to IS NULL``). At most one
+    version matches per probe by construction of ``scd2_build`` (empty
+    same-day intervals are excluded by the strict upper bound); probes
+    before a key's first version keep NULL attributes under the default
+    left join.
+
+    Scale shape: the version table is a DIMENSION — broadcast it; the
+    probe (fact) side never shuffles. The range predicate rides as the
+    join residual on a broadcast-hash equi-join over the natural key.
+    """
+    d = dim.alias("__scd2_dim")
+    p = probes.alias("__scd2_probe")
+    cond = [p[k] == d[k] for k in keys]
+    cond.append(d["valid_from"] <= p[ts_col])
+    cond.append(d["valid_to"].isNull() | (p[ts_col] < d["valid_to"]))
+    out = p.join(F.broadcast(d), cond, how)
+    for k in keys:
+        out = out.drop(d[k])
+    return out

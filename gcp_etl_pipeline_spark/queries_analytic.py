@@ -585,3 +585,62 @@ shared_sql(
     GROUP BY 1, 2
     """,
 )
+
+
+# SCD2 point-in-time lookup: each probe (customer, date+10d) fetches the
+# priority version in force at that instant — the standard PIT join every
+# versioned-dimension warehouse needs. Probes predating a customer's first
+# version surface with NULL attributes (left join).
+def _q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gcp_etl_pipeline_spark.operators.scd2 import scd2_build, scd2_lookup
+
+    ensure_views(spark, sf_dir)
+    changes = spark.table("orders").select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+    dim = scd2_build(
+        changes, keys=["o_custkey"], attrs=["o_orderpriority"],
+        ts_col="o_orderdate", tiebreak=["o_orderkey"],
+    )
+    probes = spark.table("orders").where("o_orderkey % 7 = 0").select(
+        "o_orderkey", "o_custkey",
+        F.date_add("o_orderdate", 10).alias("probe_date"),
+    )
+    out = scd2_lookup(probes, dim, keys=["o_custkey"], ts_col="probe_date")
+    return out.select(
+        "o_orderkey", "o_custkey", "probe_date",
+        F.col("o_orderpriority").alias("prio"),
+    )
+
+
+register(
+    "scd2_point_in_time_lookup",
+    _q_scd2_lookup,
+    """
+    WITH ch AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             LAG(o_orderpriority) OVER w AS prev,
+             ROW_NUMBER() OVER w AS rn
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    versions AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate AS valid_from,
+             LEAD(o_orderdate) OVER w2 AS valid_to
+      FROM (SELECT * FROM ch
+            WHERE rn = 1 OR prev IS DISTINCT FROM o_orderpriority)
+      WINDOW w2 AS (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey)
+    ),
+    probes AS (
+      SELECT o_orderkey, o_custkey, o_orderdate + INTERVAL 10 DAY AS pd
+      FROM orders WHERE o_orderkey % 7 = 0
+    )
+    SELECT p.o_orderkey, p.o_custkey, CAST(p.pd AS DATE) AS probe_date,
+           v.o_orderpriority AS prio
+    FROM probes p LEFT JOIN versions v
+      ON p.o_custkey = v.o_custkey
+         AND v.valid_from <= p.pd
+         AND (v.valid_to IS NULL OR p.pd < v.valid_to)
+    """,
+)

@@ -198,3 +198,31 @@ class TestRangeJoin:
         assert "BroadcastHashJoin" in plan
         assert "Exchange hashpartitioning" not in plan
         assert "NestedLoop" not in plan
+
+
+def test_scd2_lookup_point_in_time(spark):
+    from gcp_etl_pipeline_spark.operators.scd2 import scd2_build, scd2_lookup
+
+    changes = spark.createDataFrame(
+        [
+            (1, "A", "2024-01-01", 1),
+            (1, "B", "2024-03-01", 2),
+            (1, "C", "2024-03-01", 3),   # same-day double change
+            (2, "X", "2024-02-01", 4),
+        ],
+        "k INT, attr STRING, d STRING, id INT",
+    ).selectExpr("k", "attr", "CAST(d AS DATE) AS d", "id")
+    dim = scd2_build(changes, keys=["k"], attrs=["attr"], ts_col="d",
+                     tiebreak=["id"])
+    probes = spark.createDataFrame(
+        [
+            (10, 1, "2024-02-15"),  # inside A's interval
+            (11, 1, "2024-03-01"),  # change day: the LAST same-day version
+            (12, 1, "2025-01-01"),  # open version
+            (13, 2, "2024-01-15"),  # before first version -> NULL
+        ],
+        "pid INT, k INT, pd STRING",
+    ).selectExpr("pid", "k", "CAST(pd AS DATE) AS pd")
+    out = {r.pid: r.attr
+           for r in scd2_lookup(probes, dim, keys=["k"], ts_col="pd").collect()}
+    assert out == {10: "A", 11: "C", 12: "C", 13: None}

@@ -133,3 +133,21 @@ def test_mixture_sample_rates_and_determinism(spark):
     # unlisted stratum defaults to dropped
     df2 = spark.createDataFrame([(1, "xx")], ["doc_id", "lang"])
     assert mixture_sample(df2, "lang", rates, key_col="doc_id").count() == 0
+
+
+def test_temperature_mixture_rates_and_flattening(spark):
+    from gcp_etl_pipeline_spark.operators.curation import temperature_mixture
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "stratum"])
+    sampled, rates = temperature_mixture(df, "stratum", "doc_id", tau=2.0)
+    assert rates["small"] == 1.0          # rarest stratum keeps all
+    assert abs(rates["big"] - 0.5) < 1e-12  # sqrt(100/400)
+    got = {r.stratum: r.n for r in sampled.groupBy("stratum").count()
+           .withColumnRenamed("count", "n").collect()}
+    assert got["small"] == 100
+    # hash sampling at rate 0.5: binomial around 200; loose band
+    assert 130 <= got["big"] <= 270
+    # tau=1 keeps everything
+    all_kept, r1 = temperature_mixture(df, "stratum", "doc_id", tau=1.0)
+    assert all(v == 1.0 for v in r1.values()) and all_kept.count() == 500
