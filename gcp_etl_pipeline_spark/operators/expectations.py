@@ -117,6 +117,26 @@ def unique_key_violations(df: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+def enforce_to_quarantine(
+    df: DataFrame,
+    expectations: Expectations,
+    quarantine_path: str,
+    batch_id: str | None = None,
+) -> DataFrame:
+    """Pipeline form of ``enforce``: bad rows (with their ``failed_rules``
+    provenance, plus ``batch_id`` when given) are APPENDED to the
+    quarantine table at ``quarantine_path`` — the review sink pattern —
+    and only the good split is returned for the main write. The
+    quarantine write is skipped entirely when no row fails (isEmpty is a
+    cheap first-non-empty-partition probe, not a count)."""
+    good, bad = enforce(df, expectations)
+    if batch_id is not None:
+        bad = bad.withColumn("batch_id", F.lit(batch_id))
+    if not bad.isEmpty():
+        bad.write.mode("append").parquet(quarantine_path)
+    return good
+
+
 def enforce(
     df: DataFrame, expectations: Expectations
 ) -> tuple[DataFrame, DataFrame]:

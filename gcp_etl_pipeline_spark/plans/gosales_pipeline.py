@@ -66,6 +66,7 @@ def build_pipeline(sf_dir: str, warehouse: str, spark: SparkSession) -> Pipeline
     # EP1: contract-driven ingest — string hygiene, spec casts, masked
     # column, audit stamps, watermark-incremental append + metadata update.
     def build_raw(spark: SparkSession, ctx: RunContext) -> DataFrame:
+        from gcp_etl_pipeline_spark.operators import expectations as ex
         from gcp_etl_pipeline_spark.operators.masking import mask_columns
         from gcp_etl_pipeline_spark.operators.normalize import (
             cast_to_spec,
@@ -74,6 +75,15 @@ def build_pipeline(sf_dir: str, warehouse: str, spark: SparkSession) -> Pipeline
 
         df = gosales.go_daily_sales(spark, sf_dir)
         df = cast_to_spec(normalize_strings(df), DAILY_SALES_SPEC)
+        # contract gate BEFORE masking: rows violating the TableSpec's
+        # implied rules route to the quarantine sink with provenance;
+        # only the clean split continues into the raw table
+        df = ex.enforce_to_quarantine(
+            df,
+            ex.from_spec(DAILY_SALES_SPEC),
+            f"{warehouse}/quarantine/go_daily_sales",
+            batch_id=ctx.batch_id,
+        )
         key = ctx.params.get("mask_key", "0123456789abcdef")
         df = mask_columns(df, list(DAILY_SALES_SPEC.masking_columns), key)
         return _audited(df, ctx, 100)

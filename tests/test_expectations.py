@@ -93,3 +93,18 @@ def test_from_spec_contract_rules(spark):
     )
     out = {r.rule: r.violations for r in ex.check(df, rules).collect()}
     assert out == {"id_not_null": 1, "d_not_null": 1, "d_date_parseable": 1}
+
+
+def test_enforce_to_quarantine_routes_bad_rows(spark, tmp_path):
+    qpath = str(tmp_path / "quarantine")
+    df = _df(spark)
+    good = ex.enforce_to_quarantine(df, RULES(), qpath, batch_id="b-7")
+    assert {r.id for r in good.collect()} == {1}
+    quar = spark.read.parquet(qpath)
+    rows = {r.id: (list(r.failed_rules), r.batch_id) for r in quar.collect()}
+    assert rows[4] == (["price_cap", "flag_known"], "b-7")
+    assert len(rows) == 3
+    # an all-clean batch appends nothing (no empty-file write)
+    clean = spark.createDataFrame([(9, 1.0, "A")], "id INT, price DOUBLE, flag STRING")
+    ex.enforce_to_quarantine(clean, RULES(), qpath, batch_id="b-8")
+    assert spark.read.parquet(qpath).count() == 3
