@@ -232,3 +232,22 @@ def test_stratified_take_single_exchange(spark, sf_dir, queries):
     plan = _plan(queries["stratified_take_quota"](spark, sf_dir))
     assert "hashpartitioning(source" in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_scd2_lookup_broadcasts_dim(spark, sf_dir, queries):
+    """PIT lookup: the version table is a dimension — the probe (fact)
+    side must join it via broadcast hash, never shuffle."""
+    plan = _plan(queries["scd2_point_in_time_lookup"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_temperature_mixture_filter_is_shuffle_free(spark, sf_dir):
+    """The sampled side is a pure scan-level hash filter: no Exchange in
+    its plan (the per-stratum counts run as a separate tiny job)."""
+    from gcp_etl_pipeline_spark.operators.curation import temperature_mixture
+    from gcp_etl_pipeline_spark.sources.files import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    sampled, _ = temperature_mixture(docs, "lang", "doc_id", tau=2.0)
+    plan = sampled._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
