@@ -432,9 +432,15 @@ def paragraph_dedup(
     """
     from pyspark.sql import Window
 
+    # sep is a LITERAL separator (the documented contract; the DuckDB
+    # oracle's string_split is literal too) — F.split takes a Java regex,
+    # so quote it (\Q...\E, Pattern.quote's own scheme, with embedded \E
+    # broken out). Without this, a separator like '||' or '. ' silently
+    # splits on regex semantics.
+    quoted = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     parts = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias(
+        F.posexplode(F.split(F.col(text_col), F.lit(quoted))).alias(
             "pos", "para"
         ),
     ).where(F.col("para") != "")

@@ -52,9 +52,9 @@ def _collect_query_set(
 
     Fetches at most MAX_QUERY_VECTORS+1 rows (early-stopping limit, never a
     full scan) and raises above the ceiling. For genuinely large query
-    sets, don't broadcast: score corpus⋈queries as a shuffle join on an
-    LSH/IVF bucket key (``knn_ivf`` with the roles flipped, or
-    ``neardup_pairs_bucketed`` when queries == corpus).
+    sets, don't broadcast: use ``knn_bucketed`` (corpus⋈queries as a
+    shuffle equi-join on the IVF list key, no driver collect) or
+    ``neardup_pairs_bucketed`` when queries == corpus.
     """
     q_rows = queries.select(
         F.col(query_id_col), quantized(vec_col).alias("__qv")
@@ -65,9 +65,34 @@ def _collect_query_set(
         raise ValueError(
             f"query set exceeds MAX_QUERY_VECTORS={MAX_QUERY_VECTORS}: the "
             "broadcast-queries strategy would collect it to the driver. "
-            "Use a bucketed shuffle join instead (see operator docstring)."
+            "Use knn_bucketed (shuffle-join IVF search, unbounded query "
+            "side) instead."
         )
     return q_rows
+
+
+def _materialize_release(out: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Run ``out`` eagerly into a local checkpoint, then unpersist the
+    intermediate ``cached`` frames it was derived from.
+
+    Persisted signature/assignment frames otherwise leak: the operator
+    returns a lazy result whose lineage reads the cache, so there is no
+    safe point INSIDE a lazy operator to unpersist — and repeated
+    invocations (bench warm-up + timed passes each round) would
+    accumulate cached blocks in executor storage for the life of the
+    session. The local checkpoint cuts the lineage (its blocks are
+    reference-counted by the ContextCleaner and freed when the result is
+    garbage-collected, unlike an explicit persist), letting the caches
+    release immediately. The checkpointed result is the operator's
+    OUTPUT — id/bucket scalars, orders of magnitude smaller than the
+    vector frames being released."""
+    out = out.localCheckpoint(eager=True)
+    for df in cached:
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — session teardown race
+            pass
+    return out
 
 
 def _q(x: Column) -> Column:
@@ -326,12 +351,16 @@ def semantic_dedup(
         .select(F.col("b").alias("__dup"))
         .distinct()
     )
-    return (
+    out = (
         assigned.join(
             dropped, assigned["__id"] == dropped["__dup"], "left_anti"
         )
         .select(F.col("__id").alias(id_col), "list_id")
     )
+    # eager materialize + release the persisted assignment frame (see
+    # _materialize_release): without this, every invocation leaks its
+    # cached vector blocks for the session's lifetime
+    return _materialize_release(out, assigned)
 
 
 def knn_ivf(
@@ -403,6 +432,89 @@ def knn_ivf(
     )
 
 
+def knn_bucketed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: str = "lowest_id",
+) -> DataFrame:
+    """IVF top-k search with an UNBOUNDED query side — the shape
+    ``knn_bruteforce``'s MAX_QUERY_VECTORS guard points large query sets
+    at. Bit-identical output to ``knn_ivf`` with the same parameters
+    (same centroids, same quantized scoring, same tie-breaks), but the
+    query vectors are never collected to the driver:
+
+      - corpus: one matmul assignment pass → (vector, list_id);
+      - queries: the same distributed pass, fanned out to each query's
+        ``n_probe`` nearest lists (n_probe rows per query);
+      - scoring: a shuffle EQUI-JOIN on list_id, then exact cosine and a
+        per-query top-k window.
+
+    Only the (n_lists × dim) centroid matrix touches the driver — bounded
+    by configuration, not by data size. Both sides shuffle once on
+    list_id and the ranking shuffles on query_id; nothing is broadcast.
+
+    Scale note: list_id has exactly ``n_lists`` distinct values, so
+    ``n_lists`` bounds the join's parallelism and small n_lists is a
+    deliberate skew. At cluster scale size n_lists ≥ shuffle partitions
+    (thousands of lists for a billion-vector corpus — also what recall
+    wants); AQE's skew-join split handles residual imbalance.
+    """
+    if centroids == "kmeans":
+        cent_ids, C, cn = kmeans_centroids(
+            corpus, n_lists, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        cent_ids, C, cn = _centroids(corpus, n_lists, id_col, vec_col)
+    assigned = _ivf_assign(corpus, cent_ids, C, cn, id_col, vec_col)
+
+    _nearest_lists = _nearest_lists_fn(C, cn)
+    np_eff = min(n_probe, len(cent_ids))
+    probe_schema = f"{query_id_col} BIGINT, __qv ARRAY<BIGINT>, list_id BIGINT"
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = _mat(pdf["__qv"])
+            lists = cent_ids[_nearest_lists(Q, np_eff)]  # (n, np_eff)
+            qids = pdf["__qid"].to_numpy(dtype=np.int64)
+            qvs = pdf["__qv"].tolist()
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.repeat(qids, np_eff),
+                    "__qv": [v for v in qvs for _ in range(np_eff)],
+                    "list_id": lists.reshape(-1),
+                }
+            )
+
+    probes = spread(queries, query_id_col).select(
+        F.col(query_id_col).alias("__qid"), quantized(vec_col).alias("__qv")
+    ).mapInPandas(probe, probe_schema)
+
+    cand = assigned.join(probes, "list_id").where(
+        F.col("__id") != F.col(query_id_col)
+    )
+    scored = cand.select(
+        F.col(query_id_col),
+        F.col("__id").alias("neighbor_id"),
+        _cos_qq(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= k)
+        .select(query_id_col, "neighbor_id", "cos_sim", "rn")
+    )
+
+
 def _plane_weights(num_planes: int, dim: int) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes: component d of plane p has
     integer weight 2*nibble(md5(f"{p}|{d}")[0]) - 15 ∈ {-15..15}, always
@@ -456,9 +568,11 @@ def neardup_pairs_bucketed(
     ).mapInPandas(buckets, sig_schema).persist()
     a = sig.select(F.col("__id").alias("a"), F.col("__cv").alias("__va"), "bucket")
     b = sig.select(F.col("__id").alias("b"), F.col("__cv").alias("__vb"), "bucket")
-    return (
+    out = (
         a.join(b, "bucket")
         .where(F.col("a") < F.col("b"))
         .select("a", "b", _cos_qq(F.col("__va"), F.col("__vb")).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
+    # release the persisted signature frame (see _materialize_release)
+    return _materialize_release(out, sig)

@@ -96,7 +96,18 @@ class VersionedTable:
                     except OSError:
                         continue  # holder just released
                     if age > self._LOCK_STALE_SEC:
-                        os.remove(lock)  # break a crashed holder's lock
+                        # break a crashed holder's lock by ATOMIC RENAME:
+                        # exactly one waiter wins the rename, so two
+                        # waiters that both observed staleness can't each
+                        # remove a lock (the loser's unconditional remove
+                        # would delete the winner's FRESH lock and let
+                        # both enter the critical section)
+                        try:
+                            stale = f"{lock}.stale.{os.getpid()}.{id(self)}"
+                            os.rename(lock, stale)
+                            os.remove(stale)
+                        except OSError:
+                            pass  # lost the race; loop and retry
                         continue
                     if _time.time() > deadline:
                         raise ConcurrentWriteError(
@@ -160,8 +171,15 @@ class VersionedTable:
             except FileExistsError:
                 continue
         obs = Observation()
+        # append, NOT overwrite: overwrite would delete-and-recreate the
+        # just-claimed vdir, transiently releasing the mkdir claim (a
+        # concurrent writer listing the path in that window could claim
+        # the same number and both would write into one snapshot dir).
+        # The dir is freshly created and empty, so append == clean write;
+        # a retry of a failed attempt never re-targets this dir (mkdir
+        # EEXIST pushes it to the next number).
         df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
-            "overwrite"
+            "append"
         ).parquet(vdir)
         rows = int(obs.get["n"])
         # optimistic commit under the manifest lock: the fresh re-read,
@@ -313,12 +331,19 @@ class VersionedTable:
 
     def rollback(self, to_version: int) -> None:
         """Point the table back at an earlier snapshot (O(1); later
-        snapshots remain readable by explicit version until vacuumed)."""
-        m = self._read_manifest()
-        if to_version not in {e["version"] for e in m["versions"]}:
-            raise ValueError(f"unknown version {to_version}")
-        m["latest"] = to_version
-        self._flip_manifest(m)
+        snapshots remain readable by explicit version until vacuumed).
+
+        Runs under the commit lock like every other manifest
+        read-check-flip: a rollback racing a write() commit must not
+        overwrite the writer's just-appended manifest entry, and one
+        racing vacuum() must not point 'latest' at a directory vacuum
+        is deleting."""
+        with self._commit_lock():
+            m = self._read_manifest()
+            if to_version not in {e["version"] for e in m["versions"]}:
+                raise ValueError(f"unknown version {to_version}")
+            m["latest"] = to_version
+            self._flip_manifest(m)
 
     def vacuum(
         self, keep_last: int = 1, grace_seconds: float = 3600.0
@@ -337,34 +362,42 @@ class VersionedTable:
         import shutil
         import time as _time
 
-        m = self._read_manifest()
-        ordered = sorted(e["version"] for e in m["versions"])
-        referenced = set(ordered)
-        # keep_last=0 must mean "only the pointer" — ordered[-0:] would
-        # slice the WHOLE list and keep everything
-        recent = set(ordered[-keep_last:]) if keep_last > 0 else set()
-        keep = recent | {m["latest"]}
-        removed = []
-        on_disk = [
-            int(d[2:])
-            for d in (os.listdir(self.path) if os.path.isdir(self.path) else [])
-            if d.startswith("v=") and d[2:].isdigit()
-        ]
-        now = _time.time()
-        for v in sorted(referenced | set(on_disk)):
-            if v in keep:
-                continue
-            vdir = f"{self.path}/v={v}"
-            if v not in referenced and grace_seconds > 0:
-                try:
-                    if now - os.stat(vdir).st_mtime < grace_seconds:
-                        continue  # possibly a writer mid-flight
-                except OSError:
-                    continue
-            shutil.rmtree(vdir, ignore_errors=True)
-            removed.append(v)
+        # the WHOLE vacuum runs under the commit lock: the pointer is
+        # re-read after acquisition, so a rollback() or write() that
+        # committed just before cannot have its target/entry deleted, and
+        # none can land mid-vacuum (rollback/write also take the lock).
+        # rmtree of a few snapshot dirs is well inside the lock's 30s
+        # acquisition deadline; vacuum is an admin operation, not a
+        # hot-path one.
         with self._commit_lock():
             m = self._read_manifest()
+            ordered = sorted(e["version"] for e in m["versions"])
+            referenced = set(ordered)
+            # keep_last=0 must mean "only the pointer" — ordered[-0:] would
+            # slice the WHOLE list and keep everything
+            recent = set(ordered[-keep_last:]) if keep_last > 0 else set()
+            keep = recent | {m["latest"]}
+            removed = []
+            on_disk = [
+                int(d[2:])
+                for d in (
+                    os.listdir(self.path) if os.path.isdir(self.path) else []
+                )
+                if d.startswith("v=") and d[2:].isdigit()
+            ]
+            now = _time.time()
+            for v in sorted(referenced | set(on_disk)):
+                if v in keep:
+                    continue
+                vdir = f"{self.path}/v={v}"
+                if v not in referenced and grace_seconds > 0:
+                    try:
+                        if now - os.stat(vdir).st_mtime < grace_seconds:
+                            continue  # possibly a writer mid-flight
+                    except OSError:
+                        continue
+                shutil.rmtree(vdir, ignore_errors=True)
+                removed.append(v)
             m["versions"] = [
                 e for e in m["versions"] if e["version"] not in removed
             ]
