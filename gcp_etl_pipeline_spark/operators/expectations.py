@@ -117,24 +117,81 @@ def unique_key_violations(df: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+# Persisted flagged projections awaiting release (keyed by application id
+# so concurrent sessions don't evict each other) — the same bounded-cache-
+# plus-finish-hook pattern as plans/gosales.py's dim cache. The GOOD split
+# returned to the caller reads from this cache, so it can only be
+# unpersisted after the caller's main write — pipeline wiring calls
+# release_quarantine_caches() from its on_finish hook.
+_QUARANTINE_CACHE: list[tuple[str, DataFrame]] = []
+
+
+def release_quarantine_caches(spark=None) -> None:
+    """Unpersist flagged projections retained by ``enforce_to_quarantine``
+    (between-batch hygiene; with ``spark`` given, only that application's
+    entries)."""
+    app = spark.sparkContext.applicationId if spark is not None else None
+    keep = []
+    for app_id, df in _QUARANTINE_CACHE:
+        if app is not None and app_id != app:
+            keep.append((app_id, df))
+            continue
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — session may be gone
+            pass
+    _QUARANTINE_CACHE[:] = keep
+
+
 def enforce_to_quarantine(
     df: DataFrame,
     expectations: Expectations,
     quarantine_path: str,
     batch_id: str | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Pipeline form of ``enforce``: bad rows (with their ``failed_rules``
     provenance, plus ``batch_id`` when given) are APPENDED to the
     quarantine table at ``quarantine_path`` — the review sink pattern —
-    and only the good split is returned for the main write. The
-    quarantine write is skipped entirely when no row fails (isEmpty is a
-    cheap first-non-empty-partition probe, not a count)."""
-    good, bad = enforce(df, expectations)
+    and only the good split is returned for the main write.
+
+    Single-scan contract (``persist=True``, default): the flagged
+    projection is persisted (memory-and-disk), so the quarantine write
+    materializes it ONCE and the returned good split reads the cache —
+    the input source (a JDBC extraction in the gosales ingest wiring) is
+    scanned exactly once across both writes. This is the reference's own
+    R1 persist-before-dual-actions pattern (`...sales_fact_01.py:156`).
+    The bad write is unconditional (an empty append is one no-op task;
+    the old isEmpty probe was itself an extra action over the source).
+    Callers release the retained cache after their main write via
+    ``release_quarantine_caches()`` (pipeline runners: wire it into the
+    finish hook). ``persist=False`` opts out — two source scans, zero
+    executor storage — for inputs too large to cache but cheap to
+    re-read."""
+    if not expectations:
+        raise ValueError("enforce_to_quarantine() needs at least one expectation")
+    tagged = _tag(df, expectations)
+    if persist:
+        tagged = tagged.persist()
+        _QUARANTINE_CACHE.append(
+            (df.sparkSession.sparkContext.applicationId, tagged)
+        )
+    bad = tagged.where(F.size("failed_rules") > 0)
     if batch_id is not None:
         bad = bad.withColumn("batch_id", F.lit(batch_id))
-    if not bad.isEmpty():
-        bad.write.mode("append").parquet(quarantine_path)
-    return good
+    bad.write.mode("append").parquet(quarantine_path)
+    return tagged.where(F.size("failed_rules") == 0).drop("failed_rules")
+
+
+def _tag(df: DataFrame, expectations: Expectations) -> DataFrame:
+    """The shared one-scan projection: every rule evaluated once into a
+    ``failed_rules`` array; both splits filter on it."""
+    fails = F.array_compact(
+        F.array(*[
+            F.when(~cond, F.lit(name)) for name, cond in expectations.items()
+        ])
+    )
+    return df.withColumn("failed_rules", fails)
 
 
 def enforce(
@@ -145,12 +202,7 @@ def enforce(
     keeps the original schema."""
     if not expectations:
         raise ValueError("enforce() needs at least one expectation")
-    fails = F.array_compact(
-        F.array(*[
-            F.when(~cond, F.lit(name)) for name, cond in expectations.items()
-        ])
-    )
-    tagged = df.withColumn("failed_rules", fails)
+    tagged = _tag(df, expectations)
     good = tagged.where(F.size("failed_rules") == 0).drop("failed_rules")
     bad = tagged.where(F.size("failed_rules") > 0)
     return good, bad

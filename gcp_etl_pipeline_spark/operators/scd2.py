@@ -75,12 +75,21 @@ def scd2_build(
     )
 
 
+# Above this many key×version rows the dimension stops being broadcast-
+# sized: collecting it to the driver and shipping a copy per executor is
+# the OOM risk, not the win. 2M slim rows ≈ low hundreds of MB serialized
+# — the upper edge of a comfortable broadcast.
+BROADCAST_DIM_MAX_ROWS = 2_000_000
+
+
 def scd2_lookup(
     probes: DataFrame,
     dim: DataFrame,
     keys: Sequence[str],
     ts_col: str,
     how: str = "left",
+    broadcast: bool | str = "auto",
+    broadcast_max_rows: int = BROADCAST_DIM_MAX_ROWS,
 ) -> DataFrame:
     """Point-in-time dimension lookup: join each probe row to the SCD2
     version valid at its timestamp — ``valid_from <= ts < valid_to``
@@ -90,16 +99,32 @@ def scd2_lookup(
     before a key's first version keep NULL attributes under the default
     left join.
 
-    Scale shape: the version table is a DIMENSION — broadcast it; the
-    probe (fact) side never shuffles. The range predicate rides as the
-    join residual on a broadcast-hash equi-join over the natural key.
+    Scale shape, chosen by ``broadcast``:
+
+      - ``True`` — hint a broadcast-hash join: the probe (fact) side
+        never shuffles; the range predicate rides as the join residual.
+        Right for dimension-sized version tables, an executor-OOM risk
+        for billion-row ones — hence not unconditional.
+      - ``False`` — no hint: Catalyst plans a key-partitioned sort-merge
+        join carrying the same range residual; both sides shuffle on the
+        natural key, nothing is collected. The 100-TB-safe default shape.
+      - ``"auto"`` (default) — a bounded row probe decides:
+        ``dim.limit(broadcast_max_rows + 1).count()`` (early-stopping —
+        never a full scan of a big dimension) picks the broadcast shape
+        iff the version table is under the ceiling. Costs one cheap
+        pre-action, the same trade ``knn_bruteforce``'s query-set guard
+        makes; pass an explicit bool to skip the probe.
     """
+    if broadcast == "auto":
+        broadcast = (
+            dim.limit(broadcast_max_rows + 1).count() <= broadcast_max_rows
+        )
     d = dim.alias("__scd2_dim")
     p = probes.alias("__scd2_probe")
     cond = [p[k] == d[k] for k in keys]
     cond.append(d["valid_from"] <= p[ts_col])
     cond.append(d["valid_to"].isNull() | (p[ts_col] < d["valid_to"]))
-    out = p.join(F.broadcast(d), cond, how)
+    out = p.join(F.broadcast(d) if broadcast else d, cond, how)
     for k in keys:
         out = out.drop(d[k])
     return out

@@ -184,6 +184,17 @@ def build_pipeline(sf_dir: str, warehouse: str, spark: SparkSession) -> Pipeline
             depends_on=("sales_fact", "retailer_dim"),
         )
     )
-    # plan-owned cleanup: release THIS app's persisted dims after each run
-    p.on_finish(lambda spark: gosales.clear_dim_cache(spark))
+    # plan-owned cleanup: release THIS app's persisted dims and the
+    # quarantine gate's flagged-projection cache after each run (the good
+    # split reads that cache through the raw write, so release must wait
+    # for the run to finish)
+    def _cleanup(spark: SparkSession) -> None:
+        from gcp_etl_pipeline_spark.operators.expectations import (
+            release_quarantine_caches,
+        )
+
+        gosales.clear_dim_cache(spark)
+        release_quarantine_caches(spark)
+
+    p.on_finish(_cleanup)
     return p

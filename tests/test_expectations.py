@@ -104,7 +104,59 @@ def test_enforce_to_quarantine_routes_bad_rows(spark, tmp_path):
     rows = {r.id: (list(r.failed_rules), r.batch_id) for r in quar.collect()}
     assert rows[4] == (["price_cap", "flag_known"], "b-7")
     assert len(rows) == 3
-    # an all-clean batch appends nothing (no empty-file write)
+    # an all-clean batch adds no rows (the unconditional append of an
+    # empty split writes no part files)
     clean = spark.createDataFrame([(9, 1.0, "A")], "id INT, price DOUBLE, flag STRING")
     ex.enforce_to_quarantine(clean, RULES(), qpath, batch_id="b-8")
     assert spark.read.parquet(qpath).count() == 3
+    ex.release_quarantine_caches(spark)
+
+
+def test_enforce_to_quarantine_scans_source_once(spark, tmp_path):
+    """The single-scan contract: quarantine write + main (good) write
+    together read the input source exactly once. The source is an
+    instrumented mapInPandas stage counting every row it emits via an
+    accumulator — a second scan would double the count."""
+    scanned = spark.sparkContext.accumulator(0)
+
+    def gen(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            scanned.add(len(pdf))
+            yield _pd.DataFrame(
+                {"id": pdf["id"], "price": [float(i % 7) for i in pdf["id"]]}
+            )
+
+    n = 1000
+    src = spark.range(n).mapInPandas(gen, "id BIGINT, price DOUBLE")
+    good = ex.enforce_to_quarantine(
+        src, {"price_cap": ex.predicate("price <= 4.0")},
+        str(tmp_path / "quarantine"),
+    )
+    good.write.mode("overwrite").parquet(str(tmp_path / "main"))
+    assert scanned.value == n, f"source scanned {scanned.value / n:.1f}x"
+    n_good = spark.read.parquet(str(tmp_path / "main")).count()
+    n_bad = spark.read.parquet(str(tmp_path / "quarantine")).count()
+    assert n_good + n_bad == n and n_good == 715  # residues 0..4 of 7 pass
+    ex.release_quarantine_caches(spark)
+
+    # persist=False opts out: two scans, nothing cached
+    scanned2 = spark.sparkContext.accumulator(0)
+
+    def gen2(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            scanned2.add(len(pdf))
+            yield _pd.DataFrame(
+                {"id": pdf["id"], "price": [float(i % 7) for i in pdf["id"]]}
+            )
+
+    src2 = spark.range(n).mapInPandas(gen2, "id BIGINT, price DOUBLE")
+    good2 = ex.enforce_to_quarantine(
+        src2, {"price_cap": ex.predicate("price <= 4.0")},
+        str(tmp_path / "q2"), persist=False,
+    )
+    good2.write.mode("overwrite").parquet(str(tmp_path / "main2"))
+    assert scanned2.value == 2 * n

@@ -241,6 +241,42 @@ def test_scd2_lookup_broadcasts_dim(spark, sf_dir, queries):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_scd2_lookup_big_dim_falls_back_to_sort_merge(spark):
+    """broadcast=False (what auto picks above the row ceiling) must plan
+    a key-partitioned sort-merge join with the range residual — never a
+    broadcast, never a nested-loop."""
+    from pyspark.sql import functions as F
+
+    from gcp_etl_pipeline_spark.operators.scd2 import scd2_lookup
+
+    dim = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).alias("valid_from"),
+        F.lit(None).cast("bigint").alias("valid_to"),
+        F.lit("x").alias("attr"),
+    )
+    probes = spark.range(1000).select(
+        F.col("id").alias("k"), F.lit(5).alias("ts")
+    )
+    # neutralize Catalyst's own small-table auto-broadcast so the test
+    # sees the shape a genuinely big dim would get (stats put this tiny
+    # fixture under the 10MB threshold; a billion-row dim would not be)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = scd2_lookup(probes, dim, ["k"], "ts", broadcast=False)
+        plan = _plan(out)
+        assert "SortMergeJoin" in plan, plan
+        assert "BroadcastHashJoin" not in plan, plan
+
+        # auto with a tiny ceiling picks the same shape (probe says no)
+        out2 = scd2_lookup(probes, dim, ["k"], "ts", broadcast_max_rows=10)
+        plan2 = _plan(out2)
+        assert "SortMergeJoin" in plan2, plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_temperature_mixture_filter_is_shuffle_free(spark, sf_dir):
     """The sampled side is a pure scan-level hash filter: no Exchange in
     its plan (the per-stratum counts run as a separate tiny job)."""
