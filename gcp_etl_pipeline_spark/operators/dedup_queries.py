@@ -433,7 +433,7 @@ def _q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_oracle() -> str:
+def _ivf_oracle(query_pred: str = "vec_id % 50 = 0") -> str:
     return f"""
     WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
                    ORDER BY vec_id LIMIT {_IVF_LISTS}),
@@ -443,7 +443,7 @@ def _ivf_oracle() -> str:
             FROM embeddings e CROSS JOIN cents c),
     lists AS (SELECT vec_id, embedding, cid AS list_id FROM asg WHERE rk = 1),
     q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-          WHERE vec_id % 50 = 0),
+          WHERE {query_pred}),
     qp AS (SELECT query_id, qv, cid AS list_id FROM (
              SELECT q.query_id, q.qv, c.cid,
                     ROW_NUMBER() OVER (PARTITION BY q.query_id
@@ -460,6 +460,23 @@ def _ivf_oracle() -> str:
 
 
 register("similarity_knn_ivf", _q_knn_ivf, _ivf_oracle())
+
+
+def _q_knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unbounded-query-side IVF search: the ENTIRE corpus queries
+    itself — a query set far past knn_bruteforce's broadcast sweet spot —
+    with no driver collect of the query vectors (distributed probe
+    assignment + shuffle equi-join on list_id). Must be bit-identical to
+    knn_ivf's semantics, so the oracle is the same IVF recomputation with
+    the all-rows query predicate."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.select(F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.knn_bucketed(
+        embs, queries, k=5, n_lists=_IVF_LISTS, n_probe=_IVF_PROBE
+    )
+
+
+register("similarity_knn_bucketed", _q_knn_bucketed, _ivf_oracle("TRUE"))
 
 
 # --------------------------------------------------- corpus curation (composite)

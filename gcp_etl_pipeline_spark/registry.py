@@ -392,6 +392,52 @@ def _load_all_inner() -> None:
         """,
     )
 
+    # the reference's declared merge_column contract EXECUTED end-to-end
+    # (`commons/utilities.py:193`, `commons/dictionary_check.py:11`):
+    # operators/upsert.py's auto tier routes to the engine-native
+    # VersionedTable merge in this container (Delta absent), so the WHEN
+    # MATCHED UPDATE / NOT MATCHED INSERT path actually runs — the oracle
+    # recomputes the merged state from the parquet truth
+    def _q_merge_upsert(spark, sf_dir):
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from gcp_etl_pipeline_spark.operators.upsert import read_table, upsert
+        from gcp_etl_pipeline_spark.queries_relational import ensure_views
+
+        ensure_views(spark, sf_dir)
+        orders = spark.table("orders").select(
+            F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("s")
+        )
+        path = tempfile.mkdtemp(prefix="graft_merge_") + "/t"
+        upsert(orders.where("k % 3 < 2"), path, keys=["k"])
+        upsert(
+            orders.where("k % 2 = 0").withColumn("s", F.lit("M")),
+            path,
+            keys=["k"],
+        )
+        return read_table(spark, path).groupBy("s").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("keysum"),
+        )
+
+    register(
+        "merge_upsert_contract",
+        _q_merge_upsert,
+        """
+        WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS s FROM orders),
+        t1 AS (SELECT k, s FROM o WHERE k % 3 < 2),
+        src AS (SELECT k, 'M' AS s FROM o WHERE k % 2 = 0),
+        merged AS (
+          SELECT k, s FROM t1 WHERE k NOT IN (SELECT k FROM src)
+          UNION ALL SELECT k, s FROM src
+        )
+        SELECT s, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS keysum
+        FROM merged GROUP BY s
+        """,
+    )
+
     register(
         "versioned_time_travel",
         _q_time_travel,

@@ -7,21 +7,25 @@ import types
 
 import pytest
 
-from gcp_etl_pipeline_spark.operators.upsert import delta_available, upsert
+from gcp_etl_pipeline_spark.operators.upsert import (
+    delta_available,
+    read_table,
+    upsert,
+)
 
 
 def test_upsert_first_write_creates_table(spark, tmp_path):
     path = str(tmp_path / "t")
     src = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
     assert upsert(src, path, ["id"]) == 2
-    assert spark.read.parquet(path).count() == 2
+    assert read_table(spark, path).count() == 2
 
 
 def test_upsert_updates_and_inserts(spark, tmp_path):
     path = str(tmp_path / "t2")
     upsert(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]), path, ["id"])
     upsert(spark.createDataFrame([(2, "B"), (3, "c")], ["id", "v"]), path, ["id"])
-    got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    got = {r.id: r.v for r in read_table(spark, path).collect()}
     assert got == {1: "a", 2: "B", 3: "c"}  # 2 updated, 3 inserted, 1 kept
 
 
@@ -30,7 +34,7 @@ def test_upsert_idempotent_replay(spark, tmp_path):
     src = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
     upsert(src, path, ["id"])
     upsert(src, path, ["id"])  # replay: same keys, same values
-    assert spark.read.parquet(path).count() == 2
+    assert read_table(spark, path).count() == 2
 
 
 def test_delta_merge_branch_wiring(spark, tmp_path, monkeypatch):
@@ -105,5 +109,32 @@ def test_upsert_null_key_matches(spark, tmp_path):
     upsert(
         spark.createDataFrame([(None, "X")], "id INT, v STRING"), path, ["id"]
     )
-    got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    got = {r.id: r.v for r in read_table(spark, path).collect()}
     assert got == {None: "X", 1: "a"}
+
+
+def test_auto_engine_is_versioned_with_history(spark, tmp_path):
+    """Without Delta, auto routes to the engine-native VersionedTable
+    merge: WHEN MATCHED UPDATE / NOT MATCHED INSERT executes for real,
+    and the pre-merge state stays time-travelable."""
+    from gcp_etl_pipeline_spark.sinks.versioned import VersionedTable
+
+    path = str(tmp_path / "vt")
+    upsert(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]), path, ["id"])
+    upsert(spark.createDataFrame([(2, "B"), (3, "c")], ["id", "v"]), path, ["id"])
+    t = VersionedTable(path)
+    assert t.latest_version() == 2
+    v1 = {r.id: r.v for r in t.read(spark, 1).collect()}
+    v2 = {r.id: r.v for r in t.read(spark, 2).collect()}
+    assert v1 == {1: "a", 2: "b"}
+    assert v2 == {1: "a", 2: "B", 3: "c"}
+
+
+def test_auto_engine_respects_existing_flat_parquet(spark, tmp_path):
+    """A pre-existing plain parquet directory keeps its flat layout
+    (legacy tier) — auto must not silently convert it to snapshots."""
+    path = str(tmp_path / "flat")
+    spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]).write.parquet(path)
+    upsert(spark.createDataFrame([(2, "B"), (3, "c")], ["id", "v"]), path, ["id"])
+    got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
