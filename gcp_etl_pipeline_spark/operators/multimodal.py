@@ -159,18 +159,23 @@ EMBED_SCHEMA = f"media_id BIGINT, embedding ARRAY<FLOAT>"
 
 def media_embeddings(df: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
     """Feature-extract stub: a deterministic ``dim``-float embedding from
-    the payload bytes (md5-chunk hash → [0,1) floats). The Spark shape —
-    binary in, array<float> out, Arrow batches — is exactly what a real
-    CLIP/wav2vec extractor uses; swap the inner function."""
+    the payload bytes (md5 over the hex form of the payload plus the
+    component index → [0,1) floats). The Spark shape — binary in,
+    array<float> out, Arrow batches — is exactly what a real CLIP/wav2vec
+    extractor uses; swap the inner function. Hashing the HEX string (not
+    the raw bytes) keeps the stub reproducible by engines whose hash
+    functions only take text (the DuckDB differential oracle), at zero
+    cost to its purpose."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, vecs = [], []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(content)
+                hx = b[16:].hex()
                 vec = []
                 for k in range(dim):
-                    h = hashlib.md5(b[16:] + k.to_bytes(2, "big")).digest()
+                    h = hashlib.md5(f"{hx}|{k}".encode()).digest()
                     vec.append(int.from_bytes(h[:4], "big") / 2**32)
                 ids.append(mid)
                 vecs.append(vec)

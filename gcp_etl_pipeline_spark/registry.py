@@ -157,26 +157,68 @@ def _load_all_inner() -> None:
         media = multimodal.make_fake_media(spark, n=_n)
         dec = multimodal.decode_media(media)
         emb = multimodal.media_embeddings(media)
-        # flatten the array<float> to scalar digests: driver harnesses
-        # canonicalize rows by hashing/sorting cells, which list-valued
-        # cells break; dim + first component + sum summarize it losslessly
-        # enough for a determinism check
+
+        # flatten the array<float> to EXACT scalar digests: each float32
+        # component is v'/2^32 (v' = the md5-derived uint32 after float32
+        # rounding), so floor(float64(x) * 2^32) recovers v' exactly —
+        # integer digests compare bit-stably across engines, where raw
+        # float rounding (round-half modes differ) would not
+        def u32(x):
+            return F.floor(x.cast("double") * F.lit(4294967296.0)).cast("long")
+
         return dec.join(emb, "media_id").select(
             "media_id", "kind", "width", "height", "n_frames", "mean_byte",
             F.size("embedding").alias("emb_dim"),
-            F.round(F.element_at("embedding", 1), 6).alias("emb_first"),
-            F.round(
-                F.aggregate(
-                    "embedding", F.lit(0.0), lambda acc, x: acc + x
-                ),
-                4,
-            ).alias("emb_sum"),
+            u32(F.element_at("embedding", 1)).alias("emb_first_u32"),
+            F.aggregate(
+                "embedding", F.lit(0).cast("long"),
+                lambda acc, x: acc + u32(x),
+            ).alias("emb_sum_u32"),
         )
 
-    # no SQL oracle: binary decode + mapInPandas feature extraction is not
-    # SQL-expressible; the driver applies the rows-only check. Unit tests
-    # cover determinism (tests/test_multimodal.py).
-    register("multimodal_decode_embed", _q_multimodal, None)
+    # closed-form oracle: every field is a pure function of media_id —
+    # the payload is 16 md5 chunks of f"{id}|{c}", its hex form feeds the
+    # embedding hash md5(f"{hex}|{k}"), and DuckDB reproduces both from
+    # range() arithmetic without ever constructing a blob. Any corruption
+    # in encode/decode (header packing, payload generation, the Arrow
+    # decode loop, float32 embedding conversion) breaks the hash match.
+    _NIB = "strpos('0123456789abcdef', substring({h}, {pos}, 1)) - 1"
+    _mm_oracle = f"""
+    WITH g AS (SELECT unnest(range(256)) AS i),
+    pay AS (SELECT i, list_transform(range(16),
+              c -> md5(CAST(i AS VARCHAR) || '|' || CAST(c AS VARCHAR)))
+            AS chunks FROM g),
+    pj AS (SELECT i, chunks,
+             list_aggregate(chunks, 'string_agg', '') AS hex FROM pay),
+    bs AS (SELECT i, hex,
+             list_sum(list_transform(chunks, ch ->
+               list_sum(list_transform(range(16), j ->
+                 ({_NIB.format(h='ch', pos='2*j+1')}) * 16
+                 + ({_NIB.format(h='ch', pos='2*j+2')}))))) AS byte_sum
+           FROM pj),
+    ev AS (SELECT i,
+             list_transform(range(16), k ->
+               CAST(FLOOR(CAST(CAST(
+                 list_sum(list_transform(range(1, 9), j ->
+                   CAST({_NIB.format(h="md5(hex || '|' || CAST(k AS VARCHAR))", pos='j')} AS BIGINT)
+                   * CAST(power(16, 8 - j) AS BIGINT)))
+                 / 4294967296.0 AS REAL) AS DOUBLE) * 4294967296.0) AS BIGINT))
+             AS digests
+           FROM pj)
+    SELECT bs.i AS media_id,
+           CASE bs.i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           CAST(16 + (bs.i % 8) * 16 AS INT) AS width,
+           CAST(16 + (bs.i % 5) * 16 AS INT) AS height,
+           CAST(CASE WHEN bs.i % 3 = 0 THEN 1 ELSE 4 + bs.i % 13 END AS INT)
+             AS n_frames,
+           CAST(bs.byte_sum AS DOUBLE) / 256 AS mean_byte,
+           CAST(16 AS INT) AS emb_dim,
+           ev.digests[1] AS emb_first_u32,
+           CAST(list_sum(ev.digests) AS BIGINT) AS emb_sum_u32
+    FROM bs JOIN ev ON bs.i = ev.i
+    """
+    register("multimodal_decode_embed", _q_multimodal, _mm_oracle)
 
     # custom Python DataSource → binary blobs → Arrow decode, checked
     # against closed-form arithmetic: the header fields are pure functions
