@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "stratified_take_quota",
     "versioned_delete",
     "paragraph_dedup_c4",
+    # round-4 additions
+    "merge_upsert_contract",
+    "similarity_knn_bucketed",
 ]
 
 

@@ -64,6 +64,23 @@ def _cached(name: str, fn, spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def cached_stage(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Public handle on the bounded dim cache for OTHER materialization
+    paths of the same vertical (e.g. the catalog writer): a caller that
+    needs ``method_hlp`` et al. as a DataFrame gets the session-persisted
+    build instead of re-running the stage the path-vertical already built.
+    Only the dimension-sized stages are cacheable — the fact is the
+    100-TB table and must stream, never persist."""
+    fns = {
+        "method_hlp": method_hlp,
+        "retailer_hlp": retailer_hlp,
+        "product_lkp": product_lkp,
+        "retailer_dim": retailer_dim,
+        "go_methods": go_methods,
+    }
+    return _cached(name, fns[name], spark, sf_dir)
+
+
 def clear_dim_cache(spark: SparkSession | None = None) -> None:
     """Unpersist and drop cached dims (between-batch hygiene for
     long-lived sessions). With ``spark`` given, only THAT application's

@@ -79,10 +79,14 @@ def run_gosales_catalog(spark: SparkSession, sf_dir: str, root: str) -> DataFram
     from gcp_etl_pipeline_spark.plans import gosales
 
     ensure_namespaces(spark, root)
-    save_table(gosales.method_hlp(spark, sf_dir), "curated.method_hlp")
-    save_table(gosales.retailer_hlp(spark, sf_dir), "curated.retailer_hlp")
-    save_table(gosales.product_lkp(spark, sf_dir), "curated.product_lkp")
-    save_table(gosales.retailer_dim(spark, sf_dir), "curated.retailer_dim")
+    # dim/helping/lookup builds come from the session dim cache
+    # (plans/gosales.py): when the path-vertical already built them this
+    # session — the bench and any mixed path+catalog deployment — the
+    # catalog writes re-read the persisted build instead of re-running
+    # surrogate-key windows and joins. The fact is NOT cached (it is the
+    # at-scale table); its build reuses the same cached dims internally.
+    for t in ("method_hlp", "retailer_hlp", "product_lkp", "retailer_dim"):
+        save_table(gosales.cached_stage(t, spark, sf_dir), f"curated.{t}")
     save_table(gosales.sales_fact(spark, sf_dir), "curated.sales_fact")
 
     overview = gosales.overview_from_tables(

@@ -64,6 +64,82 @@ def main() -> int:
     ).groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
     timings["salted_skew_join_20m"] = round(time.time() - t0, 2)
 
+    # Skew-resilience PROOF, not just plan assertions: a shuffle join
+    # over a Zipf-shaped key (ONE key holds 50% of all probe rows, the
+    # rest uniform over 100k keys) against a 4-rows-per-key build side —
+    # the classic skew killer: the hot key's single reducer must emit
+    # hot_rows × fan-out (40M at n=20M) while every other reducer emits
+    # thousands. Measured three ways:
+    #   (a) unsalted with AQE skew-split ON (the engine default),
+    #   (b) unsalted with skew-split OFF (the naive plan: one straggler
+    #       task does half the join alone),
+    #   (c) salted_join with skew-split OFF (the manual fix for plans
+    #       AQE can't split — spreads the hot key over 32 salts).
+    # Broadcast is disabled for the measurement (a 100k-key dim fits the
+    # local threshold; at the target scale the build side wouldn't).
+    zfact = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0).cast("long"))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(100_000)))
+        .alias("zk"),
+        F.col("id").alias("payload"),
+    )
+    fan = 16
+    zdim = spark.range(100_000 * fan).select(
+        (F.col("id") % 100_000).alias("zk"), (F.col("id") * 3).alias("attr")
+    )
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_skew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for label, skew_on, use_salt in (
+            ("zipf_fanout_join_aqe_skew_split", "true", False),
+            ("zipf_fanout_join_unsalted_no_aqe", "false", False),
+            ("zipf_fanout_join_salted_no_aqe", "false", True),
+        ):
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skew_on)
+            t0 = time.time()
+            j = (
+                salted_join(zfact, zdim, on=["zk"], salt_factor=32)
+                if use_salt
+                else zfact.join(zdim, "zk")
+            )
+            got = j.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("attr").alias("s")
+            ).collect()[0]
+            assert got["n"] == fan * n, (label, got)  # identical result set
+            timings[label] = round(time.time() - t0, 2)
+
+        # the quantity that kills a real executor is the REDUCER LOAD,
+        # not this box's wall time (local[32] shares one memory space, so
+        # a straggler task pays no isolation penalty — see SCALE.md):
+        # max/mean post-join rows per reducer, unsalted vs salted. The
+        # imbalance factor is what the salt removes.
+        from gcp_etl_pipeline_spark.operators.skew import SALT_COL
+
+        def imbalance(df, *keys):
+            # every probe row emits `fan` join rows, so reducer load is
+            # proportional to probe rows per hash partition
+            sizes = (
+                df.repartition(32, *[F.col(k) for k in keys])
+                .groupBy(F.spark_partition_id().alias("p"))
+                .agg(F.count(F.lit(1)).alias("rows"))
+                .agg(F.max("rows").alias("mx"), F.avg("rows").alias("mean"))
+                .collect()[0]
+            )
+            return round(float(sizes["mx"]) / float(sizes["mean"]), 2)
+
+        timings["zipf_reducer_imbalance_unsalted_x"] = imbalance(zfact, "zk")
+        timings["zipf_reducer_imbalance_salted_x"] = imbalance(
+            zfact.withColumn(
+                SALT_COL, F.pmod(F.xxhash64("zk", "payload"), F.lit(32))
+            ),
+            "zk",
+            SALT_COL,
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prev_skew)
+
     t0 = time.time()
     fact.select((F.col("id") % 500000).alias("k")).groupBy("k").agg(
         F.count(F.lit(1)).alias("c")
