@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     # round-4 additions
     "merge_upsert_contract",
     "similarity_knn_bucketed",
+    "dedup_incremental_ledger",
+    "token_budget_take",
 ]
 
 

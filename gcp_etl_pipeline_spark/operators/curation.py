@@ -306,6 +306,84 @@ def stratified_take(
     )
 
 
+def token_budget_take(
+    df: DataFrame,
+    stratum_col: str,
+    budgets: dict[str, int],
+    token_col: str,
+    key_col: str,
+    default_budget: int = 0,
+) -> DataFrame:
+    """Per-stratum TOKEN budgets — the unit pretraining mixes are actually
+    specified in (a source contributes N tokens to the run, not N rows):
+    keep the deterministic md5(key)-ordered prefix of each stratum whose
+    cumulative ``token_col`` stays within ``budgets[stratum]`` (a row is
+    kept iff the cumulative sum INCLUDING it fits the budget, so an
+    over-long document at the boundary is dropped, not truncated).
+
+    Same determinism contract as ``stratified_take``: selection is a pure
+    function of (stratum, key, token counts) — reproducible across runs,
+    engines, physical layouts; ``key_col`` unique per stratum.
+
+    Physical shape, two-level like ``stratified_take`` but cumsum-aware:
+
+      1. LOCAL running sum per (stratum, input partition); rows whose
+         local cumsum exceeds the budget are pruned. A pruned row's
+         GLOBAL cumsum is at least its local one (its local predecessors
+         are a subset of its global ones), so every pruned row is
+         correctly out — but its TOKENS would still count against later
+         rows in other partitions, so pruning alone over-keeps.
+      2. CUTOFF: since the global cumsum is monotone along the md5
+         order, every row AFTER the first globally-pruned row is also
+         over budget. The stratum-level minimum pruned sort key bounds
+         that point from below, so survivors at or beyond ANY pruned
+         key are dropped (tiny aggregate, broadcast back). Below the
+         cutoff no row was pruned anywhere, so the survivor set there
+         is complete and its running sum is the true one.
+      3. GLOBAL running sum over the remaining ≤ budget-sized prefix
+         per partition — never the whole stratum.
+    """
+    from pyspark.sql import Window
+
+    budget = F.lit(int(default_budget)).cast("long")
+    for s, n in sorted(budgets.items()):
+        budget = (
+            F.when(F.col(stratum_col) == s, F.lit(int(n)).cast("long"))
+            .otherwise(budget)
+        )
+    key_str = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+    skey = F.concat(
+        F.md5(key_str), F.lit("|"), F.coalesce(key_str, F.lit(""))
+    )
+    tok = F.col(token_col).cast("long")
+    w_local = (
+        Window.partitionBy(stratum_col, F.spark_partition_id())
+        .orderBy(skey)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = df.withColumn("__skey", skey).withColumn(
+        "__lcum", F.sum(tok).over(w_local)
+    )
+    kept = flagged.where(F.col("__lcum") <= budget)
+    cutoff = (
+        flagged.where(F.col("__lcum") > budget)
+        .groupBy(stratum_col)
+        .agg(F.min("__skey").alias("__cutoff"))
+    )
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy("__skey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        kept.join(F.broadcast(cutoff), stratum_col, "left")
+        .where(F.col("__cutoff").isNull() | (F.col("__skey") < F.col("__cutoff")))
+        .withColumn("__cum", F.sum(tok).over(w))
+        .where(F.col("__cum") <= budget)
+        .drop("__skey", "__lcum", "__cutoff", "__cum")
+    )
+
+
 def temperature_mixture(
     df: DataFrame,
     stratum_col: str,

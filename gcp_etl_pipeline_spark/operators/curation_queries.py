@@ -516,6 +516,42 @@ register(
 )
 
 
+# ------------------------------------------------- per-source token budgets
+
+def _q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted mixture (the unit pretraining mixes are specified
+    in): each source contributes documents in deterministic md5(key)
+    order until its cumulative char count would exceed the budget —
+    n_chars stands in for the token count, same operator contract."""
+    docs = _docs(spark, sf_dir)
+    out = curation.token_budget_take(
+        docs,
+        stratum_col="source",
+        budgets={"src0": 40_000, "src1": 25_000},
+        token_col="n_chars",
+        key_col="doc_id",
+        default_budget=10_000,
+    )
+    return out.select("doc_id", "source", "n_chars")
+
+
+register(
+    "token_budget_take",
+    _q_token_budget,
+    """
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             SUM(n_chars) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents)
+    WHERE cum <= CASE source WHEN 'src0' THEN 40000 WHEN 'src1' THEN 25000
+                             ELSE 10000 END
+    """,
+)
+
+
 # ---------------------------------------------- temperature mixture (τ=2)
 
 def _q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:

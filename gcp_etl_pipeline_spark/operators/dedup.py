@@ -35,6 +35,51 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return fp.join(keep, [id_col, "__fp"], "inner").drop("__fp")
 
 
+def dedup_incremental(
+    new_docs: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-run exact dedup against a persisted FINGERPRINT LEDGER — the
+    at-scale pattern: a 100 TB corpus is deduped once, and every daily
+    increment dedups against the ledger of 32-byte fingerprints (KB per
+    million docs) instead of re-scanning the corpus.
+
+    Semantics: within the increment, keep one representative (min id)
+    per fingerprint group (``dedup_exact``); then drop every survivor
+    whose fingerprint already exists in the store (anti-join on the
+    fingerprint — the corpus itself is never touched). Surviving
+    fingerprints are APPENDED to the store so the next increment sees
+    them. First call (no store yet) dedups the increment and seeds the
+    store.
+
+    Scale shape: one shuffle on the md5 fingerprint for the in-batch
+    dedup, one fingerprint-keyed anti-join against the ledger (Catalyst
+    broadcasts the DAY'S new fingerprints when small, or shuffles both —
+    either way only 32-byte keys move, never documents). The append is
+    new-fingerprints-only, so the store grows by exactly the accepted
+    rows. Returns the accepted (kept) new documents."""
+    spark = new_docs.sparkSession
+    batch = dedup_exact(new_docs, text_col, id_col).withColumn(
+        "__fp", fingerprint(text_col)
+    )
+    try:
+        store = spark.read.parquet(store_path)
+        kept = batch.join(store, "__fp", "left_anti")
+    except Exception:  # noqa: BLE001 — first increment seeds the store
+        kept = batch
+    # checkpoint BEFORE the append: the accepted set must be pinned
+    # while the store is still in its pre-append state — a lazy (or even
+    # persisted) plan re-executed after the append would re-list the
+    # store files, see the batch's own just-written fingerprints, and
+    # anti-join itself to empty. The checkpoint also makes the append
+    # and the returned rows one scan of the input.
+    kept = kept.localCheckpoint(eager=True)
+    kept.select("__fp").write.mode("append").parquet(store_path)
+    return kept.drop("__fp")
+
+
 def _shingle_batch_fn(n: int):
     def run(toks_series: _pd.Series) -> _pd.Series:
         out = []

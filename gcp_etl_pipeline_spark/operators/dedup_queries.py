@@ -185,6 +185,49 @@ register(
 )
 
 
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run ledger dedup: increment 1 (even doc_ids) seeds the
+    fingerprint store, increment 2 (odd doc_ids) dedups against it —
+    accepted rows of BOTH batches returned with their batch tag. The
+    oracle recomputes both increments' accept sets from scratch, so a
+    leaked fingerprint (store append missing a row) or an over-drop
+    (anti-join matching too much) breaks the hash."""
+    import tempfile
+
+    store = tempfile.mkdtemp(prefix="graft_fpledger_") + "/fp"
+    docs = _docs(spark, sf_dir)
+    acc1 = dedup.dedup_incremental(docs.where("doc_id % 2 = 0"), store)
+    acc2 = dedup.dedup_incremental(docs.where("doc_id % 2 = 1"), store)
+
+    def tag(df: DataFrame, n: int) -> DataFrame:
+        return df.select(
+            F.lit(n).cast("int").alias("batch"), "doc_id", "lang", "n_chars"
+        )
+
+    return tag(acc1, 1).unionByName(tag(acc2, 2))
+
+
+register(
+    "dedup_incremental_ledger",
+    _q_dedup_incremental,
+    f"""
+    WITH fp AS (SELECT doc_id, lang, n_chars, {_FP} AS f FROM documents),
+    a AS (SELECT * FROM fp WHERE doc_id % 2 = 0),
+    b AS (SELECT * FROM fp WHERE doc_id % 2 = 1),
+    akeep AS (SELECT f, MIN(doc_id) AS doc_id FROM a GROUP BY f),
+    arows AS (SELECT a.doc_id, a.lang, a.n_chars, a.f
+              FROM a JOIN akeep ON a.doc_id = akeep.doc_id AND a.f = akeep.f),
+    bkeep AS (SELECT f, MIN(doc_id) AS doc_id FROM b GROUP BY f),
+    brows AS (SELECT b.doc_id, b.lang, b.n_chars, b.f
+              FROM b JOIN bkeep ON b.doc_id = bkeep.doc_id AND b.f = bkeep.f),
+    bacc AS (SELECT * FROM brows WHERE f NOT IN (SELECT f FROM arows))
+    SELECT CAST(1 AS INT) AS batch, doc_id, lang, n_chars FROM arows
+    UNION ALL
+    SELECT CAST(2 AS INT), doc_id, lang, n_chars FROM bacc
+    """,
+)
+
+
 def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)

@@ -151,3 +151,43 @@ def test_temperature_mixture_rates_and_flattening(spark):
     # tau=1 keeps everything
     all_kept, r1 = temperature_mixture(df, "stratum", "doc_id", tau=1.0)
     assert all(v == 1.0 for v in r1.values()) and all_kept.count() == 500
+
+
+def test_token_budget_take_boundary_and_layout_invariance(spark):
+    from gcp_etl_pipeline_spark.operators.curation import token_budget_take
+
+    rows = [(i, "a" if i < 8 else "b", 10 + i) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, src STRING, toks BIGINT")
+    out = token_budget_take(
+        df, "src", {"a": 30, "b": 25}, token_col="toks", key_col="doc_id"
+    )
+    got = sorted((r.src, r.doc_id) for r in out.collect())
+    # recompute expectation: md5-ordered prefix whose INCLUSIVE cumsum
+    # fits; the first over-budget doc is dropped whole, not truncated
+    import hashlib
+
+    exp = []
+    for src, budget in (("a", 30), ("b", 25)):
+        pool = sorted(
+            (r for r in rows if r[1] == src),
+            key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]),
+        )
+        cum = 0
+        for r in pool:
+            cum += r[2]
+            if cum > budget:
+                break
+            exp.append((src, r[0]))
+    assert got == sorted(exp) and got  # non-empty
+    # budgets smaller than any doc keep nothing; layout doesn't matter
+    assert token_budget_take(
+        df, "src", {}, token_col="toks", key_col="doc_id", default_budget=5
+    ).count() == 0
+    got7 = sorted(
+        (r.src, r.doc_id)
+        for r in token_budget_take(
+            df.repartition(7), "src", {"a": 30, "b": 25},
+            token_col="toks", key_col="doc_id",
+        ).collect()
+    )
+    assert got7 == got

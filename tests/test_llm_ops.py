@@ -285,3 +285,35 @@ def test_dedup_canonical_keeps_best_scored_member(spark):
     )
     kept = {r.doc_id for r in dedup.dedup_canonical(d, "q").collect()}
     assert kept == {3, 4}  # max (q, id): 3 beats 2 on the id tie-break
+
+
+def test_dedup_incremental_ledger_drops_cross_batch_dups(spark, tmp_path):
+    """Cross-run exact dedup against the fingerprint store: batch 2 rows
+    whose (normalized) text already passed in batch 1 are dropped, new
+    texts are accepted and appended to the ledger — including a batch-3
+    replay of an already-ledgered text (idempotent accept-nothing)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from gcp_etl_pipeline_spark.operators.dedup import dedup_incremental
+
+    store = str(tmp_path / "fp")
+    b1 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "alpha   TEXT")],
+        "doc_id BIGINT, text STRING",
+    )
+    acc1 = {r.doc_id for r in dedup_incremental(b1, store).collect()}
+    assert acc1 == {1, 2}  # 3 is an in-batch dup of 1 (normalization)
+
+    b2 = spark.createDataFrame(
+        [(10, "ALPHA text"), (11, "gamma text"), (12, "gamma text")],
+        "doc_id BIGINT, text STRING",
+    )
+    acc2 = {r.doc_id for r in dedup_incremental(b2, store).collect()}
+    assert acc2 == {11}  # 10 hits the ledger; 12 is an in-batch dup
+
+    b3 = spark.createDataFrame(
+        [(20, "gamma text")], "doc_id BIGINT, text STRING"
+    )
+    assert dedup_incremental(b3, store).count() == 0
+    # ledger grew by exactly the accepted fingerprints
+    assert spark.read.parquet(store).count() == 3
