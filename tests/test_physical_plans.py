@@ -287,3 +287,30 @@ def test_temperature_mixture_filter_is_shuffle_free(spark, sf_dir):
     sampled, _ = temperature_mixture(docs, "lang", "doc_id", tau=2.0)
     plan = sampled._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_knn_bucketed_no_hardwired_broadcast_no_cartesian(spark, sf_dir, queries):
+    """The unbounded-query-side IVF search must keep working when
+    nothing fits a broadcast: with auto-broadcast disabled the list_id
+    join becomes a shuffle join (AQE may pick broadcast at small SF —
+    a runtime size decision, not a hardwired hint) and there is never a
+    cartesian/nested-loop stage or a driver collect of query vectors."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(queries["similarity_knn_bucketed"](spark, sf_dir), execute=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_token_budget_take_shape(spark, sf_dir, queries):
+    """Cutoff join is the (intended, tiny) broadcast; the corpus never
+    cartesians and the global window is stratum-partitioned, not a
+    single-partition sort of the corpus."""
+    plan = _plan(queries["token_budget_take"](spark, sf_dir), execute=True)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "hashpartitioning(source" in plan, plan
