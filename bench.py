@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "similarity_knn_bucketed",
     "dedup_incremental_ledger",
     "token_budget_take",
+    "neardup_incremental_ledger",
 ]
 
 

@@ -80,6 +80,84 @@ def dedup_incremental(
     return kept.drop("__fp")
 
 
+def neardup_incremental(
+    new_docs: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Cross-run NEAR-dup dedup against a persisted BAND-SIGNATURE ledger
+    — the fuzzy companion to ``dedup_incremental``: the ledger stores
+    each accepted document's ``bands`` LSH band hashes (a few dozen
+    bytes/doc), so a daily increment near-dedups against the whole
+    accepted history with one band-keyed join; the corpus text is never
+    re-read.
+
+    Contract (one-pass, like ``semantic_dedup``'s — stated, not greedy):
+      - in-batch: a doc is dropped iff a LOWER-id doc of the increment
+        shares any LSH band with it;
+      - cross-run: a surviving doc is dropped iff it shares any band
+        with the ledger;
+      - survivors' band rows are appended to the ledger (checkpointed
+        BEFORE the append — the same self-read hazard as
+        ``dedup_incremental``).
+
+    Band collision IS the drop criterion — the crawl-pipeline trade:
+    verifying exact Jaccard against history would require storing every
+    accepted document's shingle sets (ledger grows with corpus text, not
+    signatures). Tune ``bands``/``num_hashes`` for the collision
+    probability curve P[drop] = 1-(1-j^rows)^bands. Docs with fewer than
+    ``n`` tokens have no signature: always accepted, never ledgered.
+
+    Scale shape: one Arrow signature pass over the increment, one
+    self-join and one ledger semi-join both keyed on (band_id, h), the
+    increment anti-joins on the id — documents never pair-compare, and
+    only band rows ride the ledger."""
+    spark = new_docs.sparkSession
+    arr = shingle_arrays(new_docs, text_col, id_col, n)
+    sig = minhash_signatures_from_arrays(arr, id_col, num_hashes)
+    stacked = band_table(sig, id_col, num_hashes, bands).persist()
+
+    a = stacked.select(F.col(id_col).alias("__a"), "band_id", "h")
+    b = stacked.select(F.col(id_col).alias("__b"), "band_id", "h")
+    dropped = (
+        a.join(b, ["band_id", "h"])
+        .where(F.col("__a") < F.col("__b"))
+        .select(F.col("__b").alias(id_col))
+        .distinct()
+    )
+    surv = stacked.join(dropped, id_col, "left_anti")
+    try:
+        store = spark.read.parquet(store_path)
+        led_dropped = (
+            surv.join(store.select("band_id", "h"), ["band_id", "h"], "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+        surv = surv.join(led_dropped, id_col, "left_anti")
+        dropped = dropped.unionByName(led_dropped)
+    except Exception:  # noqa: BLE001 — first increment seeds the ledger
+        pass
+    # checkpoint BOTH outputs before touching the ledger: `dropped` is
+    # consumed by the caller-facing anti-join AFTER the append, and a
+    # lazy led_dropped leg re-reading the store would then see this
+    # batch's own band rows (the dedup_incremental self-read hazard)
+    surv = surv.localCheckpoint(eager=True)
+    dropped = dropped.localCheckpoint(eager=True)
+    stacked.unpersist()
+    surv.write.mode("append").parquet(store_path)
+    # anti-join on dropped ids (not semi on survivors): short/empty docs
+    # have no bands, hence no survivor rows, but they are still accepted
+    return new_docs.join(
+        dropped.withColumnRenamed(id_col, "__drop"),
+        F.col(id_col) == F.col("__drop"),
+        "left_anti",
+    )
+
+
 def _shingle_batch_fn(n: int):
     def run(toks_series: _pd.Series) -> _pd.Series:
         out = []
@@ -231,6 +309,37 @@ def minhash_signatures_from_arrays(
     )
 
 
+def band_table(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Stacked LSH band table from MinHash signatures: one (id, band_id,
+    h) row per band, h = md5 over the band's signature components. The
+    join-able form every LSH consumer (candidate pairing, the
+    incremental ledger) buckets on."""
+    rows = num_hashes // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = signatures.select(F.col(id_col), *band_cols)
+    return banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("h"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select(F.col(id_col), F.col("bh.band_id"), F.col("bh.h"))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -261,25 +370,7 @@ def lsh_candidate_pairs(
       that size is a near-identical cluster, which exact dedup or the
       cluster-closure pass (operators/components.py) already collapses.
     """
-    rows = num_hashes // bands
-    band_cols = [
-        F.md5(
-            F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = signatures.select(F.col(id_col), *band_cols)
-    stacked = banded.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("h"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bh"),
-    ).select(F.col(id_col), F.col("bh.band_id"), F.col("bh.h"))
+    stacked = band_table(signatures, id_col, num_hashes, bands)
     if max_bucket is not None:
         big = (
             stacked.groupBy("band_id", "h")

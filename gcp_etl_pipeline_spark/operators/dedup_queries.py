@@ -310,6 +310,77 @@ def _minhash_oracle() -> str:
 register("dedup_minhash_lsh", _q_minhash, _minhash_oracle())
 
 
+def _q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run near-dup: batch 1 (even doc_ids) seeds the LSH band
+    ledger, batch 2 (odd) dedups against itself and then the ledger —
+    accepted doc_ids of both batches, batch-tagged. The oracle recomputes
+    both accept sets from the signature arithmetic."""
+    import tempfile
+
+    store = tempfile.mkdtemp(prefix="graft_ndledger_") + "/bands"
+    docs = _docs(spark, sf_dir)
+    acc1 = dedup.neardup_incremental(
+        docs.where("doc_id % 2 = 0"), store,
+        num_hashes=_NUM_HASHES, bands=_BANDS,
+    )
+    acc2 = dedup.neardup_incremental(
+        docs.where("doc_id % 2 = 1"), store,
+        num_hashes=_NUM_HASHES, bands=_BANDS,
+    )
+
+    def tag(df: DataFrame, n: int) -> DataFrame:
+        return df.select(
+            F.lit(n).cast("int").alias("batch"), "doc_id", "lang"
+        )
+
+    return tag(acc1, 1).unionByName(tag(acc2, 2))
+
+
+def _neardup_incremental_oracle() -> str:
+    mins = ", ".join(
+        f"MIN(substring(md5('{k}|' || shingle), 1, 16)) AS mh{k}"
+        for k in range(_NUM_HASHES)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, md5({concat}) AS h FROM sig".format(
+            b=b,
+            concat=" || '|' || ".join(f"mh{b * _ROWS + r}" for r in range(_ROWS)),
+        )
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH {_TOK_CTE}, {_SH_CTE},
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands AS ({band_rows}),
+    ab AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
+    bb AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+    adrop AS (SELECT DISTINCT y.doc_id FROM ab x JOIN ab y
+              ON x.band_id = y.band_id AND x.h = y.h AND x.doc_id < y.doc_id),
+    aacc AS (SELECT * FROM ab
+             WHERE doc_id NOT IN (SELECT doc_id FROM adrop)),
+    bdrop1 AS (SELECT DISTINCT y.doc_id FROM bb x JOIN bb y
+               ON x.band_id = y.band_id AND x.h = y.h AND x.doc_id < y.doc_id),
+    bsurv AS (SELECT * FROM bb
+              WHERE doc_id NOT IN (SELECT doc_id FROM bdrop1)),
+    bdrop2 AS (SELECT DISTINCT s.doc_id FROM bsurv s JOIN aacc
+               ON s.band_id = aacc.band_id AND s.h = aacc.h)
+    SELECT CAST(1 AS INT) AS batch, doc_id, lang FROM documents
+    WHERE doc_id % 2 = 0 AND doc_id NOT IN (SELECT doc_id FROM adrop)
+    UNION ALL
+    SELECT CAST(2 AS INT), doc_id, lang FROM documents
+    WHERE doc_id % 2 = 1
+      AND doc_id NOT IN (SELECT doc_id FROM bdrop1)
+      AND doc_id NOT IN (SELECT doc_id FROM bdrop2)
+    """
+
+
+register(
+    "neardup_incremental_ledger",
+    _q_neardup_incremental,
+    _neardup_incremental_oracle(),
+)
+
+
 # ---------------------------------------------------------------- SimHash
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -317,3 +317,33 @@ def test_dedup_incremental_ledger_drops_cross_batch_dups(spark, tmp_path):
     assert dedup_incremental(b3, store).count() == 0
     # ledger grew by exactly the accepted fingerprints
     assert spark.read.parquet(store).count() == 3
+
+
+def test_neardup_incremental_ledger(spark, tmp_path):
+    """Band-ledger near-dup across runs: a batch-2 doc whose text matches
+    a batch-1 ACCEPTED doc is dropped via the ledger; in-batch lower-id
+    wins; sub-shingle-length docs are always accepted and never
+    ledgered."""
+    from gcp_etl_pipeline_spark.operators.dedup import neardup_incremental
+
+    store = str(tmp_path / "bands")
+    long_a = "the quick brown fox jumps over the lazy dog today"
+    long_b = "completely different content about distributed query engines"
+    b1 = spark.createDataFrame(
+        [(1, long_a), (2, long_a), (3, long_b), (4, "too short")],
+        "doc_id BIGINT, text STRING",
+    )
+    acc1 = {r.doc_id for r in neardup_incremental(b1, store).collect()}
+    assert acc1 == {1, 3, 4}  # 2 is an in-batch band collision of 1
+
+    b2 = spark.createDataFrame(
+        [(10, long_b), (11, "yet another unrelated string of words"),
+         (12, "tiny doc")],
+        "doc_id BIGINT, text STRING",
+    )
+    acc2 = {r.doc_id for r in neardup_incremental(b2, store).collect()}
+    assert acc2 == {11, 12}  # 10 hits the ledger (3's bands); 12 short
+
+    # replay of a ledgered text accepts nothing
+    b3 = spark.createDataFrame([(20, long_a)], "doc_id BIGINT, text STRING")
+    assert neardup_incremental(b3, store).count() == 0
