@@ -83,6 +83,8 @@ def main() -> None:
     # Two timed passes, keep the per-query minimum: single-run numbers on a
     # shared box swing 2-4x from external CPU noise; min-of-2 recovers the
     # engine's actual steady-state cost.
+    import gc
+
     timings: dict[str, float] = {}
     for _pass in range(2):
         for name in BENCH_QUERIES:
@@ -93,6 +95,15 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             elapsed = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, elapsed), elapsed)
+            # drop the DataFrame reference and collect BETWEEN queries
+            # (outside the timed window): eagerly-checkpointed operators
+            # (semantic_dedup, the incremental ledgers) free their
+            # executor blocks via the ContextCleaner only after the
+            # Python wrapper is GC'd — without this, blocks from ~100
+            # invocations accumulate across the run and squeeze the
+            # storage pool the persisted dims live in
+            del df
+            gc.collect()
 
     out = {
         "metric": "bench_total_sec",
