@@ -182,3 +182,54 @@ def test_stratified_take_exact_quota_property(spark, rows, qa, dflt):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, again.collect())
     )
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 999),
+            st.sampled_from(["a", "b"]),
+            st.integers(1, 40),
+        ),
+        min_size=1, max_size=50, unique_by=lambda t: t[0],
+    ),
+    st.integers(0, 200),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_token_budget_take_property(spark, rows, budget_a):
+    """For ANY input: the kept set per stratum is exactly the md5-ordered
+    prefix whose inclusive cumsum fits the budget (reference computed in
+    Python), and the selection is layout-invariant."""
+    import hashlib
+
+    from gcp_etl_pipeline_spark.operators.curation import token_budget_take
+
+    df = spark.createDataFrame(rows, "k BIGINT, s STRING, toks BIGINT")
+    out = token_budget_take(
+        df, "s", {"a": budget_a}, token_col="toks", key_col="k",
+        default_budget=35,
+    )
+    got = sorted((r.s, r.k) for r in out.collect())
+    exp = []
+    for stratum in {s for _, s, _ in rows}:
+        budget = budget_a if stratum == "a" else 35
+        pool = sorted(
+            (r for r in rows if r[1] == stratum),
+            key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]),
+        )
+        cum = 0
+        for r in pool:
+            cum += r[2]
+            if cum > budget:
+                break
+            exp.append((stratum, r[0]))
+    assert got == sorted(exp), (got, exp)
+    again = token_budget_take(
+        df.repartition(5), "s", {"a": budget_a}, token_col="toks",
+        key_col="k", default_budget=35,
+    )
+    assert got == sorted((r.s, r.k) for r in again.collect())

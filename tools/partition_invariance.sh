@@ -12,4 +12,6 @@ SPARK_GRAFT_CPUS=7 exec python tools/check.py /root/testdata/sf0.01 \
   surrogate_increment graph_pagerank corpus_mixture_sample sequence_packing \
   semantic_dedup_keep stratified_take_quota expectations_quarantine \
   versioned_delete gosales_catalog_overview temperature_mixture_tau2 \
-  scd2_point_in_time_lookup paragraph_dedup_c4 dedup_canonical_quality
+  scd2_point_in_time_lookup paragraph_dedup_c4 dedup_canonical_quality \
+  merge_upsert_contract similarity_knn_bucketed dedup_incremental_ledger \
+  token_budget_take neardup_incremental_ledger multimodal_decode_embed
