@@ -286,3 +286,82 @@ register(
     GROUP BY 1
     """,
 )
+
+
+def _q_stream_dedup_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion ledger dedup: the documents table arrives as
+    two ordered micro-batches (low doc_ids first — file mtimes pin the
+    FileStreamSource order), and each foreachBatch invocation runs the
+    batch `dedup_incremental` against the shared fingerprint store,
+    appending only accepted rows to the output table. The oracle replays
+    the same two batches sequentially in SQL, so a mis-ordered batch, a
+    ledger leak, or an at-least-once duplicate breaks the hash."""
+    import glob as _glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gcp_etl_pipeline_spark.operators.dedup import dedup_incremental
+    from gcp_etl_pipeline_spark.sources.files import read_parquet
+
+    root = tempfile.mkdtemp(prefix="graft_sledger_")
+    src = f"{root}/in"
+    os.makedirs(src)
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    t = docs.agg(F.floor(F.max("doc_id") / 2)).collect()[0][0]
+    for i, pred in enumerate((f"doc_id <= {t}", f"doc_id > {t}")):
+        tmp = f"{root}/tmp{i}"
+        docs.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = sorted(_glob.glob(f"{tmp}/part-*.parquet"))[0]
+        dst = f"{src}/b{i}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+
+    store = f"{root}/fp_store"
+    out_dir = f"{root}/accepted"
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        accepted = dedup_incremental(batch, store)
+        accepted.write.mode("append").parquet(out_dir)
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        F.when(F.col("doc_id") <= t, 1).otherwise(2).cast("int").alias("batch"),
+        "doc_id", "lang", "n_chars",
+    )
+
+
+register(
+    "stream_dedup_ledger",
+    _q_stream_dedup_ledger,
+    """
+    WITH t AS (SELECT CAST(FLOOR(MAX(doc_id) / 2) AS BIGINT) AS t
+               FROM documents),
+    fp AS (SELECT doc_id, lang, n_chars,
+                  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+           FROM documents),
+    a AS (SELECT fp.* FROM fp, t WHERE doc_id <= t.t),
+    b AS (SELECT fp.* FROM fp, t WHERE doc_id > t.t),
+    akeep AS (SELECT f, MIN(doc_id) AS doc_id FROM a GROUP BY f),
+    arows AS (SELECT a.doc_id, a.lang, a.n_chars, a.f
+              FROM a JOIN akeep ON a.doc_id = akeep.doc_id AND a.f = akeep.f),
+    bkeep AS (SELECT f, MIN(doc_id) AS doc_id FROM b GROUP BY f),
+    brows AS (SELECT b.doc_id, b.lang, b.n_chars, b.f
+              FROM b JOIN bkeep ON b.doc_id = bkeep.doc_id AND b.f = bkeep.f),
+    bacc AS (SELECT * FROM brows WHERE f NOT IN (SELECT f FROM arows))
+    SELECT CAST(1 AS INT) AS batch, doc_id, lang, n_chars FROM arows
+    UNION ALL
+    SELECT CAST(2 AS INT), doc_id, lang, n_chars FROM bacc
+    """,
+)
