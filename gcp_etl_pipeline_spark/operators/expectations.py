@@ -122,8 +122,13 @@ def unique_key_violations(df: DataFrame, keys: list[str]) -> DataFrame:
 # plus-finish-hook pattern as plans/gosales.py's dim cache. The GOOD split
 # returned to the caller reads from this cache, so it can only be
 # unpersisted after the caller's main write — pipeline wiring calls
-# release_quarantine_caches() from its on_finish hook.
+# release_quarantine_caches() from its on_finish hook. Bounded: beyond
+# _QUARANTINE_CACHE_MAX the oldest entry is force-unpersisted (its good
+# split, if still unconsumed, falls back to recomputation — a slowdown,
+# never a wrong answer), so a caller that forgets the release hook can't
+# grow executor storage without limit.
 _QUARANTINE_CACHE: list[tuple[str, DataFrame]] = []
+_QUARANTINE_CACHE_MAX = 16
 
 
 def release_quarantine_caches(spark=None) -> None:
@@ -173,6 +178,12 @@ def enforce_to_quarantine(
     tagged = _tag(df, expectations)
     if persist:
         tagged = tagged.persist()
+        while len(_QUARANTINE_CACHE) >= _QUARANTINE_CACHE_MAX:
+            _, oldest = _QUARANTINE_CACHE.pop(0)
+            try:
+                oldest.unpersist()
+            except Exception:  # noqa: BLE001 — session may be gone
+                pass
         _QUARANTINE_CACHE.append(
             (df.sparkSession.sparkContext.applicationId, tagged)
         )
