@@ -480,6 +480,60 @@ def _load_all_inner() -> None:
         """,
     )
 
+    # schema evolution across snapshots (Delta mergeSchema analogue):
+    # the v2 upsert ADDS a column — kept v1 rows read back NULL for it,
+    # source rows carry values, and v1 time travel still shows the old
+    # schema's data. Oracle recomputes both versions' aggregates.
+    def _q_versioned_evolve(spark, sf_dir):
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from gcp_etl_pipeline_spark.queries_relational import ensure_views
+        from gcp_etl_pipeline_spark.sinks.versioned import VersionedTable
+
+        ensure_views(spark, sf_dir)
+        t = VersionedTable(tempfile.mkdtemp(prefix="graft_vse_") + "/orders")
+        orders = spark.table("orders").select(
+            F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("s")
+        )
+        t.write(orders.where("k % 5 < 3"))
+        t.upsert(
+            orders.where("k % 5 >= 2").withColumn(
+                "pri", (F.col("k") % 7).cast("long")
+            ),
+            keys=["k"],
+            merge_schema=True,
+        )
+        v2 = t.read(spark, 2)
+        return v2.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("pri").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null_pri"),
+            F.sum(F.coalesce("pri", F.lit(0))).cast("bigint").alias("prisum"),
+            F.sum("k").cast("bigint").alias("keysum"),
+        )
+
+    register(
+        "versioned_schema_evolve",
+        _q_versioned_evolve,
+        """
+        WITH o AS (SELECT o_orderkey AS k FROM orders),
+        v2 AS (
+          SELECT k, NULL AS pri FROM o WHERE k % 5 < 2
+          UNION ALL
+          SELECT k, k % 7 AS pri FROM o WHERE k % 5 >= 2
+        )
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CASE WHEN pri IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_null_pri,
+               CAST(SUM(COALESCE(pri, 0)) AS BIGINT) AS prisum,
+               CAST(SUM(k) AS BIGINT) AS keysum
+        FROM v2
+        """,
+    )
+
     register(
         "versioned_time_travel",
         _q_time_travel,

@@ -201,10 +201,23 @@ class VersionedTable:
             self._flip_manifest(m)
         return new_v
 
-    def upsert(self, source: DataFrame, keys: list[str], note: str = "") -> int:
+    def upsert(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        note: str = "",
+        merge_schema: bool = False,
+    ) -> int:
         """Keyed merge against the latest snapshot into a NEW snapshot
         (source rows replace matched keys, append unmatched) — versioned
-        twin of operators/upsert.py."""
+        twin of operators/upsert.py.
+
+        ``merge_schema=True`` is the Delta ``mergeSchema``/autoMerge
+        analogue: columns present on only one side survive the merge,
+        null-filled on the other (kept target rows get NULL for a
+        source-added column; source rows get NULL for a target column
+        they lack). The default rejects drift: the source must carry
+        every target column, and extra source columns raise."""
         latest = self.latest_version()
         if latest is None:
             return self.write(source, note=note or "initial")
@@ -213,7 +226,16 @@ class VersionedTable:
         src_keys = source.select(*keys).distinct()
         cond = [target[k].eqNullSafe(src_keys[k]) for k in keys]
         kept = target.join(src_keys, on=cond, how="left_anti")
-        merged = kept.unionByName(source.select(*target.columns))
+        if merge_schema:
+            merged = kept.unionByName(source, allowMissingColumns=True)
+        else:
+            extra = set(source.columns) - set(target.columns)
+            if extra:
+                raise ValueError(
+                    f"{self.path}: source adds columns {sorted(extra)}; "
+                    "pass merge_schema=True to evolve the snapshot schema"
+                )
+            merged = kept.unionByName(source.select(*target.columns))
         return self.write(
             merged, note=note or f"upsert on {keys}", expected_latest=latest
         )

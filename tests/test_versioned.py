@@ -249,3 +249,22 @@ def test_commit_lock_breaks_stale_holder(spark, tmp_path, monkeypatch):
     pathlib.Path(f"{t.path}/_manifest.lock").touch()
     v = t.write(spark.range(2).selectExpr("id"))  # must not hang
     assert v == 1 and t.read(spark).count() == 2
+
+
+def test_upsert_schema_evolution_and_drift_guard(spark, tmp_path):
+    """merge_schema=True adds the new column (kept rows null-filled);
+    the default REJECTS a source that adds columns instead of silently
+    dropping them; v1 time travel keeps the old schema."""
+    import pytest as _pytest
+
+    from gcp_etl_pipeline_spark.sinks.versioned import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]))
+    src = spark.createDataFrame([(2, "B", 9), (3, "c", 7)], ["id", "v", "x"])
+    with _pytest.raises(ValueError, match="merge_schema=True"):
+        t.upsert(src, keys=["id"])
+    t.upsert(src, keys=["id"], merge_schema=True)
+    got = {r.id: (r.v, r.x) for r in t.read(spark, 2).collect()}
+    assert got == {1: ("a", None), 2: ("B", 9), 3: ("c", 7)}
+    assert t.read(spark, 1).columns == ["id", "v"]
