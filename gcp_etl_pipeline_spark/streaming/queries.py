@@ -365,3 +365,44 @@ register(
     SELECT CAST(2 AS INT), doc_id, lang, n_chars FROM bacc
     """,
 )
+
+
+def _q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join (the enrichment shape Structured Streaming
+    plans without state: the static side is re-planned per micro-batch,
+    so a dimension refresh is picked up between batches): the events
+    stream joins the customer dimension on user_id→custkey, aggregating
+    spend per market segment. The static dim is broadcast-sized — the
+    stream side never shuffles for the join."""
+    from pyspark.sql import functions as F
+
+    from gcp_etl_pipeline_spark.sources.files import read_parquet
+
+    root, src = _stage(sf_dir)
+    cust = read_parquet(spark, f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = (
+        core.read_events_stream(spark, src)
+        .join(F.broadcast(cust), "user_id", "inner")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.round(F.col("value") * 1000000, 0)).cast("long"))
+            .alias("value_micro"),
+        )
+    )
+    return _drain(stream, root, "complete")
+
+
+register(
+    "stream_static_enrich",
+    _q_stream_static_enrich,
+    """
+    SELECT c_mktsegment, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) AS BIGINT)
+             AS value_micro
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+)
