@@ -587,3 +587,68 @@ register(
     FROM k GROUP BY lang
     """,
 )
+
+
+# ------------------------------------------ UDTF context-window chunking
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 8, 6  # 2-token overlap between windows
+
+
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking via a Python UDTF (Spark 3.5+ table
+    function): each document fans out to overlapping token windows of
+    _CHUNK_SIZE tokens every _CHUNK_STRIDE — the RAG/pretraining chunk
+    step — invoked through LATERAL so the fan-out stays row-parallel
+    (one UDTF process per partition, never a driver loop). Tokenization
+    matches the engine's shared regex contract (operators/text.py)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=(
+        "doc_id bigint, chunk_id int, n_chunk_tokens int, chunk_text string"
+    ))
+    class ChunkDocs:
+        def eval(self, doc_id, text):
+            import re
+
+            if text is None:
+                return
+            toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+            start, cid = 0, 0
+            while start < len(toks):
+                chunk = toks[start:start + _CHUNK_SIZE]
+                yield doc_id, cid, len(chunk), " ".join(chunk)
+                cid += 1
+                start += _CHUNK_STRIDE
+
+    ensure_views(spark, sf_dir)
+    spark.udtf.register("graft_chunk_docs", ChunkDocs)
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.chunk_id, c.n_chunk_tokens, c.chunk_text
+        FROM documents d,
+             LATERAL graft_chunk_docs(d.doc_id, d.text) c
+        """
+    )
+
+
+register(
+    "chunk_documents_udtf",
+    _q_chunk_documents,
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS toks
+      FROM documents),
+    starts AS (
+      SELECT doc_id, toks, unnest(range(0, len(toks), {_CHUNK_STRIDE})) AS s
+      FROM tok WHERE len(toks) > 0)
+    SELECT doc_id,
+           CAST(s / {_CHUNK_STRIDE} AS INT) AS chunk_id,
+           CAST(len(toks[s + 1 : s + {_CHUNK_SIZE}]) AS INT)
+             AS n_chunk_tokens,
+           array_to_string(toks[s + 1 : s + {_CHUNK_SIZE}], ' ')
+             AS chunk_text
+    FROM starts
+    """,
+)

@@ -872,3 +872,64 @@ register(
     FROM scored s JOIN keep k ON s.fp = k.fp AND s.doc_id = k.doc_id
     """,
 )
+
+
+# ----------------------------------------- pure-Catalyst vector HOFs
+
+def _q_vector_ops_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-stage-codegen vector arithmetic via higher-order functions —
+    no Python at all: quantize with transform, dot products with
+    zip_with + aggregate, norms and a cosine from the same exact int64
+    recipe the Arrow path uses. The per-element expression interpretation
+    makes this ~30x the Arrow matmul's cost at corpus scale (measured in
+    round 2 — which is WHY the hot paths use mapInPandas), but it is the
+    right tool for a handful of ad-hoc rows and proves the HOF surface.
+    Each vector is scored against the lowest-id corpus vector."""
+    embs = _embs(spark, sf_dir)
+    ref = embs.orderBy("vec_id").limit(1).select(
+        F.col("embedding").alias("__ref")
+    )
+    q = similarity.quantized  # float -> exact µ-unit bigint array
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    sample = embs.where(F.col("vec_id") % 25 == 0)
+    out = sample.crossJoin(F.broadcast(ref)).select(
+        "vec_id",
+        dot(q("embedding"), q("__ref")).alias("dot_ref"),
+        dot(q("embedding"), q("embedding")).alias("norm2"),
+        dot(q("__ref"), q("__ref")).alias("__refn2"),
+        F.size(F.filter(q("embedding"), lambda x: x > 0)).alias("n_pos"),
+    )
+    return out.withColumn(
+        "cos_ref",
+        F.col("dot_ref").cast("double")
+        / (
+            F.sqrt(F.col("norm2").cast("double"))
+            * F.sqrt(F.col("__refn2").cast("double"))
+        ),
+    ).drop("__refn2")
+
+
+register(
+    "vector_ops_hof",
+    _q_vector_ops_hof,
+    f"""
+    WITH ref AS (SELECT embedding AS rv FROM embeddings
+                 ORDER BY vec_id LIMIT 1),
+    s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0)
+    SELECT vec_id,
+           {_QDOT.format(a='s.embedding', b='ref.rv')} AS dot_ref,
+           {_QDOT.format(a='s.embedding', b='s.embedding')} AS norm2,
+           len(list_filter(list_transform(s.embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)),
+               v -> v > 0)) AS n_pos,
+           {_qcos('s.embedding', 'ref.rv')} AS cos_ref
+    FROM s CROSS JOIN ref
+    """,
+)
