@@ -64,20 +64,40 @@ def dedup_incremental(
     batch = dedup_exact(new_docs, text_col, id_col).withColumn(
         "__fp", fingerprint(text_col)
     )
-    try:
-        store = spark.read.parquet(store_path)
-        kept = batch.join(store, "__fp", "left_anti")
-    except Exception:  # noqa: BLE001 — first increment seeds the store
+    # PIN the store read to its current part files: a directory-level
+    # read re-lists on every execution, so a lazy plan re-executed after
+    # the append below would see the batch's own just-written
+    # fingerprints and anti-join itself to empty. Reading the explicit
+    # pre-append file list makes the returned (lazy) plan immune to the
+    # append with ZERO executor storage — at a 100-TB-shape increment
+    # that beats checkpointing the accepted text, at the cost of the
+    # increment being scanned once by the append and once by the
+    # caller's consumption.
+    store_files = _ledger_files(store_path)
+    if store_files:
+        kept = batch.join(
+            spark.read.parquet(*store_files), "__fp", "left_anti"
+        )
+    else:
         kept = batch
-    # checkpoint BEFORE the append: the accepted set must be pinned
-    # while the store is still in its pre-append state — a lazy (or even
-    # persisted) plan re-executed after the append would re-list the
-    # store files, see the batch's own just-written fingerprints, and
-    # anti-join itself to empty. The checkpoint also makes the append
-    # and the returned rows one scan of the input.
-    kept = kept.localCheckpoint(eager=True)
     kept.select("__fp").write.mode("append").parquet(store_path)
     return kept.drop("__fp")
+
+
+def _ledger_files(store_path: str) -> list[str]:
+    """Current parquet part files of a ledger directory (empty list if
+    the ledger doesn't exist yet). Explicit file lists pin a read to the
+    pre-append state of a store the same job appends to."""
+    import os
+
+    try:
+        return sorted(
+            f"{store_path}/{f}"
+            for f in os.listdir(store_path)
+            if f.endswith(".parquet")
+        )
+    except OSError:
+        return []
 
 
 def neardup_incremental(
@@ -130,8 +150,9 @@ def neardup_incremental(
         .distinct()
     )
     surv = stacked.join(dropped, id_col, "left_anti")
-    try:
-        store = spark.read.parquet(store_path)
+    store_files = _ledger_files(store_path)
+    if store_files:  # pinned pre-append file list (see dedup_incremental)
+        store = spark.read.parquet(*store_files)
         led_dropped = (
             surv.join(store.select("band_id", "h"), ["band_id", "h"], "left_semi")
             .select(id_col)
@@ -139,8 +160,6 @@ def neardup_incremental(
         )
         surv = surv.join(led_dropped, id_col, "left_anti")
         dropped = dropped.unionByName(led_dropped)
-    except Exception:  # noqa: BLE001 — first increment seeds the ledger
-        pass
     # checkpoint BOTH outputs before touching the ledger: `dropped` is
     # consumed by the caller-facing anti-join AFTER the append, and a
     # lazy led_dropped leg re-reading the store would then see this
