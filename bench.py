@@ -58,6 +58,12 @@ BENCH_QUERIES = [
     "dedup_incremental_ledger",
     "token_budget_take",
     "neardup_incremental_ledger",
+    "stream_dedup_ledger",
+    "bucketed_colocated_join",
+    "versioned_schema_evolve",
+    "stream_static_enrich",
+    "vector_ops_hof",
+    "chunk_documents_udtf",
 ]
 
 
