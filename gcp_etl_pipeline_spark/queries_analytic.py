@@ -644,3 +644,127 @@ register(
          AND (v.valid_to IS NULL OR p.pd < v.valid_to)
     """,
 )
+
+
+# ------------------------------------- grouped-map / cogrouped pandas
+
+def _q_grouped_pandas_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event-gap statistics via GROUPED-MAP applyInPandas
+    (one Arrow batch per user group; pandas does the per-group sort +
+    median). The median of integer second gaps is exact in float64
+    (integer or .5), so the SQL oracle reproduces it bit-for-bit. The
+    shape: one hash exchange on the group key, then embarrassingly
+    parallel pandas — the escape hatch for per-group logic Catalyst
+    can't express, kept OFF the hot paths (this exact query is also
+    expressible as lag+median, which is what the oracle does)."""
+    import pandas as _pd
+
+    ensure_views(spark, sf_dir)
+    ev = spark.table("events").select("user_id", "ts")
+
+    def stats(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        import numpy as _np
+
+        s = pdf.sort_values("ts")["ts"]
+        # exact integer MICROsecond gaps: the fixture's timestamps carry
+        # sub-second precision, and float total_seconds() vs SQL epoch()
+        # differ in the last ulp — integer µs are bit-stable, and their
+        # median is an integer or .5 (exact in float64)
+        gaps = (
+            s.diff().dropna().to_numpy()
+            .astype("timedelta64[us]").astype(_np.int64)
+        )
+        return _pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "median_gap_us": [
+                    float(_np.median(gaps)) if len(gaps) else None
+                ],
+                "max_gap_us": [int(gaps.max()) if len(gaps) else None],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        stats,
+        "user_id BIGINT, n_events BIGINT, median_gap_us DOUBLE, "
+        "max_gap_us BIGINT",
+    )
+
+
+register(
+    "grouped_pandas_gap_stats",
+    _q_grouped_pandas_gaps,
+    """
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts)) AS gap
+      FROM events),
+    agg AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(MEDIAN(gap) AS DOUBLE) AS median_gap_us,
+             CAST(MAX(gap) AS BIGINT) AS max_gap_us
+      FROM g GROUP BY 1)
+    SELECT user_id, n_events, median_gap_us, max_gap_us FROM agg
+    """,
+)
+
+
+def _q_cogrouped_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COGROUPED applyInPandas: clicks and purchases cogrouped per user,
+    pandas computes last-click attribution (each purchase attributed to
+    the latest click at-or-before it) — the two-sided per-key merge shape
+    (trades/quotes, impressions/conversions) that would otherwise need a
+    range join. One co-partitioned exchange per side, then per-user
+    pandas merges. Oracle: correlated MAX in SQL."""
+    import pandas as _pd
+
+    ensure_views(spark, sf_dir)
+    ev = spark.table("events")
+    clicks = ev.where("event_type = 'click'").select("user_id", "ts")
+    buys = ev.where("event_type = 'purchase'").select(
+        "user_id", "ts", "event_id"
+    )
+
+    def attribute(cl: _pd.DataFrame, pu: _pd.DataFrame) -> _pd.DataFrame:
+        if pu.empty:
+            return _pd.DataFrame(
+                columns=["user_id", "purchase_id", "click_lag_s"]
+            )
+        out = []
+        cts = cl["ts"].sort_values().tolist() if not cl.empty else []
+        for _, r in pu.iterrows():
+            prior = [t for t in cts if t <= r["ts"]]
+            # integer µs lag (see grouped_pandas_gap_stats): float
+            # seconds differ from SQL epoch() in the last ulp
+            lag = (
+                int((r["ts"] - prior[-1]).value // 1000) if prior else None
+            )
+            out.append((r["user_id"], r["event_id"], lag))
+        return _pd.DataFrame(
+            out, columns=["user_id", "purchase_id", "click_lag_us"]
+        )
+
+    return clicks.groupBy("user_id").cogroup(
+        buys.groupBy("user_id")
+    ).applyInPandas(
+        attribute,
+        "user_id BIGINT, purchase_id BIGINT, click_lag_us BIGINT",
+    )
+
+
+register(
+    "cogrouped_attribution",
+    _q_cogrouped_attribution,
+    """
+    SELECT p.user_id, p.event_id AS purchase_id,
+           CAST(epoch_us(p.ts) - MAX(epoch_us(c.ts)) AS BIGINT)
+             AS click_lag_us
+    FROM events p
+    LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.user_id, p.event_id, p.ts
+    """,
+)
