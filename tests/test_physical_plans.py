@@ -314,3 +314,17 @@ def test_token_budget_take_shape(spark, sf_dir, queries):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "hashpartitioning(source" in plan, plan
+
+
+def test_grouped_and_cogrouped_pandas_single_exchange(spark, sf_dir, queries):
+    """Grouped-map: exactly one hash exchange on the group key feeding
+    FlatMapGroupsInPandas. Cogroup: one exchange per side feeding
+    FlatMapCoGroupsInPandas — never a join or cartesian before the
+    pandas stage."""
+    p1 = _plan(queries["grouped_pandas_gap_stats"](spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in p1, p1
+    assert p1.count("Exchange hashpartitioning") == 1, p1
+    p2 = _plan(queries["cogrouped_attribution"](spark, sf_dir))
+    assert "FlatMapCoGroupsInPandas" in p2, p2
+    assert p2.count("Exchange hashpartitioning") == 2, p2
+    assert "CartesianProduct" not in p2 and "Join" not in p2, p2

@@ -220,6 +220,50 @@ def main() -> int:
     apply_changes(snap, cdc_changes, ["id"], ["seq"]).count()
     timings["cdc_apply_20m"] = round(time.time() - t0, 2)
 
+    # Incremental fingerprint-ledger dedup at volume: n/10 synthetic docs
+    # arrive as two increments; each dedups against the persisted ledger
+    # (32-byte keys only — the corpus is never re-read). 20% of batch-2
+    # texts repeat batch-1 texts and must drop via the ledger anti-join.
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from gcp_etl_pipeline_spark.operators.dedup import dedup_incremental
+
+    n_docs = max(n // 10, 100_000)
+    ledger_root = _tempfile.mkdtemp(prefix="graft_smoke_ledger_")
+    base = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("doc "),
+            # batch-2 ids ending in 0,1 reuse a batch-1 text (id-10 shifted
+            # into batch 1's id space) -> exact cross-batch duplicates
+            F.conv(
+                F.hex(
+                    F.xxhash64(
+                        F.when(
+                            (F.col("id") >= n_docs / 2)
+                            & (F.col("id") % 10 < 2),
+                            F.col("id") - F.lit(int(n_docs / 2)),
+                        ).otherwise(F.col("id"))
+                    )
+                ),
+                16, 10,
+            ),
+        ).alias("text"),
+    )
+    t0 = time.time()
+    acc1 = dedup_incremental(
+        base.where(f"doc_id < {n_docs // 2}"), f"{ledger_root}/fp"
+    ).count()
+    acc2 = dedup_incremental(
+        base.where(f"doc_id >= {n_docs // 2}"), f"{ledger_root}/fp"
+    ).count()
+    # batch 1 all unique; batch 2 drops its 20% replayed texts
+    assert acc1 == n_docs // 2 and acc2 == int(n_docs / 2 * 0.8), (acc1, acc2)
+    timings["ledger_dedup_2x_increments"] = round(time.time() - t0, 2)
+    stage_rows["ledger_dedup_2x_increments"] = n_docs
+    _shutil.rmtree(ledger_root, ignore_errors=True)
+
     # TPC-H q21 shape: correlated EXISTS + NOT EXISTS over the same fact.
     # After decorrelation all three legs hash-partition on the same join
     # key (okey), so the query is one shuffle alignment — the property
