@@ -143,9 +143,11 @@ HEADLINERS = {
 # back-to-back runs (shared-host contention, visible as 3-5x swings on
 # exists_decorrelation / mg_heavy_hitters / pagerank); per-stage shapes,
 # not wall seconds, are the graded property. This run carries the round-4
-# Zipf-skew stage incl. the reducer-imbalance factors.
+# Zipf-skew stage incl. the reducer-imbalance factors and the
+# two-increment fingerprint-ledger dedup over 2M docs (20% cross-batch
+# replays; accept counts asserted inside the smoke).
 SMOKE_RESULT = (
-    '{"rows": 20000000, "total_sec": 237.72, "rows_per_sec": 1869846, "timings": {"grouped_agg_20m": 3.01, "broadcast_star_join_20m": 1.12, "salted_skew_join_20m": 2.64, "zipf_fanout_join_aqe_skew_split": 5.93, "zipf_fanout_join_unsalted_no_aqe": 4.6, "zipf_fanout_join_salted_no_aqe": 7.1, "zipf_reducer_imbalance_unsalted_x": 16.5, "zipf_reducer_imbalance_salted_x": 3.0, "wide_dedup_groupby_20m": 1.43, "asof_join_20m": 2.95, "range_join_20m": 0.93, "scd2_20m": 11.85, "cdc_apply_20m": 4.44, "exists_decorrelation_20m": 18.88, "mg_heavy_hitters_20m": 29.7, "pagerank_3iter_20m": 51.49, "bloom_pruned_join_20m": 0.46, "zscore_outliers_20m": 3.57, "multimodal_decode_fanout": 10.66, "mixture_sample_20m": 1.66, "sequence_packing_20m": 2.9, "decontaminate_2000k_docs": 19.17, "expectations_20m": 0.5, "stratified_take_20m": 8.07, "semantic_dedup_500k": 25.16}}'
+    '{"rows": 20000000, "total_sec": 237.62, "rows_per_sec": 1879050, "timings": {"grouped_agg_20m": 4.15, "broadcast_star_join_20m": 1.67, "salted_skew_join_20m": 4.25, "zipf_fanout_join_aqe_skew_split": 6.72, "zipf_fanout_join_unsalted_no_aqe": 5.99, "zipf_fanout_join_salted_no_aqe": 16.99, "zipf_reducer_imbalance_unsalted_x": 16.5, "zipf_reducer_imbalance_salted_x": 3.0, "wide_dedup_groupby_20m": 2.52, "asof_join_20m": 4.92, "range_join_20m": 1.07, "scd2_20m": 6.03, "cdc_apply_20m": 4.01, "ledger_dedup_2x_increments": 14.62, "exists_decorrelation_20m": 4.17, "mg_heavy_hitters_20m": 12.92, "pagerank_3iter_20m": 22.79, "bloom_pruned_join_20m": 0.9, "zscore_outliers_20m": 2.98, "multimodal_decode_fanout": 23.78, "mixture_sample_20m": 2.83, "sequence_packing_20m": 6.14, "decontaminate_2000k_docs": 20.0, "expectations_20m": 0.98, "stratified_take_20m": 13.79, "semantic_dedup_500k": 33.9}}'
 )
 
 
