@@ -1839,3 +1839,63 @@ register(
     GROUP BY 1
     """,
 )
+
+
+# ----------------------------------------- permissive CSV corrupt records
+
+def _q_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion robustness: a CSV feed with a deterministic 1-in-7 rows
+    carrying an unparsable value lands under PERMISSIVE mode — malformed
+    rows surface in ``_corrupt_record`` instead of failing the read (at
+    100 TB some rows WILL be bad), and the query grades the good/bad
+    split plus the parsed aggregate. The file content is a pure function
+    of the row index, so the oracle recomputes everything from range()
+    without reading a file."""
+    import os
+    import tempfile
+
+    n = 5000
+    root = (
+        f"{tempfile.gettempdir()}/graft_csvcorrupt_"
+        f"{spark.sparkContext.applicationId}"
+    )
+    path = f"{root}/feed.csv"
+    if not os.path.exists(path):  # deterministic content: write-once is safe
+        os.makedirs(root, exist_ok=True)
+        with open(path + ".tmp", "w") as fh:
+            fh.write("id,qty,grade\n")
+            for i in range(n):
+                qty = "BAD" if i % 7 == 0 else str(i % 100)
+                fh.write(f"{i},{qty},g{i % 3}\n")
+        os.replace(path + ".tmp", path)
+
+    df = (
+        spark.read.option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema("id BIGINT, qty INT, grade STRING, _corrupt_record STRING")
+        .csv(path)
+    )
+    return df.groupBy("grade").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.sum(F.coalesce("qty", F.lit(0))).cast("bigint").alias("qty_sum"),
+    )
+
+
+register(
+    "csv_corrupt_records_permissive",
+    _q_csv_corrupt_records,
+    """
+    WITH g AS (SELECT unnest(range(5000)) AS i)
+    SELECT 'g' || CAST(i % 3 AS VARCHAR) AS grade,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN i % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_corrupt,
+           CAST(SUM(CASE WHEN i % 7 = 0 THEN 0 ELSE i % 100 END) AS BIGINT)
+             AS qty_sum
+    FROM g GROUP BY 1
+    """,
+)
