@@ -1899,3 +1899,43 @@ register(
     FROM g GROUP BY 1
     """,
 )
+
+
+# --------------------------------------------------- VARIANT (Spark 4)
+
+def _q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through the VARIANT type (Spark 4's binary
+    JSON: parse once, typed-path access after — at scale this beats
+    re-parsing the JSON string per extraction the way
+    ``json_extract_props`` does): parse_json at the scan, variant_get
+    typed paths downstream, schema_of_variant proving the stored shape.
+    try_variant_get on a missing path must yield NULLs, not errors."""
+    ensure_views(spark, sf_dir)
+    v = spark.table("events").select(
+        "event_type", F.parse_json("props").alias("vp")
+    )
+    return v.groupBy("event_type").agg(
+        F.sum(F.expr("variant_get(vp, '$.k', 'long')")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.expr("try_variant_get(vp, '$.missing', 'long')").isNull(),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_missing"),
+        F.min(F.expr("schema_of_variant(vp)")).alias("vschema"),
+    )
+
+
+register(
+    "variant_props_typed",
+    _q_variant_props,
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n,
+           COUNT(*) AS n_missing,
+           'OBJECT<k: BIGINT>' AS vschema
+    FROM events GROUP BY event_type
+    """,
+)
