@@ -188,6 +188,17 @@ def knn_bruteforce(
     )
 
 
+def auto_n_lists(corpus_size: int, floor: int = 16) -> int:
+    """IVF list-count sizing: ~sqrt(N) lists (the standard IVF heuristic
+    — balances per-list scan cost against probe fan-out) with a floor.
+    At a billion vectors this yields ~32k lists, which also keeps the
+    list_id join's parallelism above any realistic shuffle-partition
+    count (see knn_bucketed's scale note)."""
+    import math
+
+    return max(floor, int(math.isqrt(max(corpus_size, 1))))
+
+
 def _centroids(
     corpus: DataFrame, n_lists: int, id_col: str, vec_col: str
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

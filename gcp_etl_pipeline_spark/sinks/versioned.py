@@ -240,6 +240,24 @@ class VersionedTable:
             merged, note=note or f"upsert on {keys}", expected_latest=latest
         )
 
+    def optimize(self, spark: SparkSession, target_files: int | None = None) -> int:
+        """Delta-OPTIMIZE analogue: rewrite the CURRENT snapshot's data
+        into ``target_files`` part files as a NEW version (streaming
+        appends and keyed merges accumulate small files; reads pay per-
+        file open cost). Time travel keeps the pre-compaction snapshots;
+        ``vacuum()`` reclaims them. Defaults to the session's shuffle
+        partitions. Returns the new version number."""
+        latest = self.latest_version()
+        if latest is None:
+            raise ValueError(f"{self.path}: optimize on an empty table")
+        if target_files is None:
+            target_files = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        df = self.read(spark, latest).repartition(target_files)
+        return self.write(
+            df, note=f"optimize to {target_files} files",
+            expected_latest=latest,
+        )
+
     def delete(self, source: DataFrame, keys: list[str], note: str = "") -> int:
         """Keyed delete (GDPR / right-to-be-forgotten shape): rows of the
         latest snapshot whose key appears in ``source`` are dropped into a

@@ -347,3 +347,11 @@ def test_neardup_incremental_ledger(spark, tmp_path):
     # replay of a ledgered text accepts nothing
     b3 = spark.createDataFrame([(20, long_a)], "doc_id BIGINT, text STRING")
     assert neardup_incremental(b3, store).count() == 0
+
+
+def test_auto_n_lists_sqrt_heuristic():
+    from gcp_etl_pipeline_spark.operators.similarity import auto_n_lists
+
+    assert auto_n_lists(0) == 16 and auto_n_lists(100) == 16
+    assert auto_n_lists(1_000_000) == 1000
+    assert auto_n_lists(10**9) == 31622

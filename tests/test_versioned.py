@@ -268,3 +268,22 @@ def test_upsert_schema_evolution_and_drift_guard(spark, tmp_path):
     got = {r.id: (r.v, r.x) for r in t.read(spark, 2).collect()}
     assert got == {1: ("a", None), 2: ("B", 9), 3: ("c", 7)}
     assert t.read(spark, 1).columns == ["id", "v"]
+
+
+def test_optimize_compacts_into_new_version(spark, tmp_path):
+    from gcp_etl_pipeline_spark.sinks.versioned import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "t"))
+    # many small appends via upserts -> many part files in the snapshot
+    t.write(spark.range(100).selectExpr("id", "id * 2 AS v").repartition(8))
+    v = t.optimize(spark, target_files=2)
+    assert v == 2
+    import glob
+
+    parts = glob.glob(str(tmp_path / "t" / "v=2" / "part-*.parquet"))
+    assert len(parts) == 2, parts
+    # data identical; pre-compaction snapshot still time-travelable
+    assert t.read(spark, 2).count() == 100
+    assert {r.v for r in t.read(spark, 1).collect()} == {
+        r.v for r in t.read(spark, 2).collect()
+    }
