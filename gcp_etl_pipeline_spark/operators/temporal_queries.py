@@ -104,3 +104,56 @@ register(
     GROUP BY 1
     """,
 )
+
+
+# ----------------------------------------- as-of with tolerance bound
+
+def _q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of with a staleness bound (pandas merge_asof's ``tolerance``,
+    kdb wj's window): a click matches the latest same-user error only if
+    it is at most 30 minutes old — older context is stale and must stay
+    NULL. DuckDB has no native tolerance, so the oracle decorrelates to
+    a bounded MAX + equality join back."""
+    from gcp_etl_pipeline_spark.operators.asof import asof_join
+
+    ensure_views(spark, sf_dir)
+    ev = spark.table("events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    errors = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("err_value"))
+    )
+    out = asof_join(
+        clicks, errors, on=["user_id"], left_ts="ts", tolerance_s=1800.0
+    )
+    return out.select("event_id", "user_id", "value", "err_value")
+
+
+register(
+    "asof_join_tolerance",
+    _q_asof_tolerance,
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'click'
+    ),
+    errors AS (
+      SELECT user_id, ts, MAX(value) AS err_value
+      FROM events WHERE event_type = 'error' GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT c.event_id, c.user_id, c.value, MAX(e.ts) AS mts
+      FROM clicks c
+      LEFT JOIN errors e
+        ON e.user_id = c.user_id AND e.ts <= c.ts
+       AND e.ts >= c.ts - INTERVAL 30 MINUTE
+      GROUP BY c.event_id, c.user_id, c.value
+    )
+    SELECT m.event_id, m.user_id, m.value, e.err_value
+    FROM m LEFT JOIN errors e
+      ON e.user_id = m.user_id AND e.ts = m.mts
+    """,
+)

@@ -515,6 +515,60 @@ def _load_all_inner() -> None:
             F.sum("k").cast("bigint").alias("keysum"),
         )
 
+    # compaction (Delta-OPTIMIZE analogue) as a graded query: v3 is the
+    # optimized rewrite of v2 — bit-identical data in fewer files, with
+    # v1/v2 still time-travelable. The oracle recomputes each version's
+    # aggregates; a compaction that loses/duplicates rows breaks v3.
+    def _q_versioned_optimize(spark, sf_dir):
+        import glob as _glob
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from gcp_etl_pipeline_spark.queries_relational import ensure_views
+        from gcp_etl_pipeline_spark.sinks.versioned import VersionedTable
+
+        ensure_views(spark, sf_dir)
+        path = tempfile.mkdtemp(prefix="graft_vopt_") + "/orders"
+        t = VersionedTable(path)
+        orders = spark.table("orders").select(
+            F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("s")
+        )
+        t.write(orders.where("k % 3 = 0").repartition(16))
+        t.upsert(orders.where("k % 3 = 1"), keys=["k"])
+        t.optimize(spark, target_files=2)
+        n_files = len(_glob.glob(f"{path}/v=3/part-*.parquet"))
+        out = []
+        for v in (1, 2, 3):
+            out.append(
+                t.read(spark, v).agg(
+                    F.lit(v).cast("int").alias("version"),
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("k").cast("bigint").alias("keysum"),
+                    F.lit(n_files).cast("int").alias("v3_files"),
+                )
+            )
+        return out[0].unionAll(out[1]).unionAll(out[2])
+
+    register(
+        "versioned_optimize",
+        _q_versioned_optimize,
+        """
+        WITH o AS (SELECT o_orderkey AS k FROM orders),
+        v1 AS (SELECT k FROM o WHERE k % 3 = 0),
+        v2 AS (SELECT k FROM o WHERE k % 3 <= 1)
+        SELECT CAST(1 AS INT) AS version, COUNT(*) AS n,
+               CAST(SUM(k) AS BIGINT) AS keysum, CAST(2 AS INT) AS v3_files
+        FROM v1
+        UNION ALL
+        SELECT CAST(2 AS INT), COUNT(*), CAST(SUM(k) AS BIGINT), CAST(2 AS INT)
+        FROM v2
+        UNION ALL
+        SELECT CAST(3 AS INT), COUNT(*), CAST(SUM(k) AS BIGINT), CAST(2 AS INT)
+        FROM v2
+        """,
+    )
+
     register(
         "versioned_schema_evolve",
         _q_versioned_evolve,
