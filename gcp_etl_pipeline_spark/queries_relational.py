@@ -1939,3 +1939,43 @@ register(
     FROM events GROUP BY event_type
     """,
 )
+
+
+# ---------------------------------------------- SQL pipe syntax (Spark 4)
+
+def _q_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q1 shape written in Spark 4's SQL pipe syntax (|>) —
+    same Catalyst plan as the SELECT form (the syntax desugars before
+    optimization: pushdown, pruning, partial aggregation all intact),
+    graded against the classic-SQL oracle to prove the equivalence."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate <= DATE '1998-09-02'
+        |> AGGREGATE
+             COUNT(*) AS count_order,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS sum_base_price_c
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+register(
+    "pipe_syntax_pricing",
+    _q_pipe_syntax,
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS count_order,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS sum_base_price_c
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
