@@ -1979,3 +1979,51 @@ register(
     ORDER BY l_returnflag, l_linestatus
     """,
 )
+
+
+# --------------------------------------------------- map-typed columns
+
+def _q_map_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column construction and access: each order's lines
+    collapse into a linenumber→quantity MAP (map_from_entries over a
+    sorted struct array — deterministic entry order), then size /
+    element_at / a map_values fold read it back. The oracle recomputes
+    the extracted scalars straight from the rows, so a wrong map build
+    (lost key, misordered entries, bad lookup) breaks the hash; the map
+    itself never crosses engines (map hashing semantics differ)."""
+    ensure_views(spark, sf_dir)
+    # the fixture carries duplicate (order, linenumber) pairs — collapse
+    # to one entry per key first (map keys must be unique)
+    li = (
+        spark.table("lineitem")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+    )
+    m = li.groupBy("l_orderkey").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("l_linenumber", "q")))
+        ).alias("qmap")
+    )
+    return m.select(
+        "l_orderkey",
+        F.size("qmap").alias("n_lines"),
+        F.element_at("qmap", 1).alias("qty_line1"),
+        F.aggregate(
+            F.map_values("qmap"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("qty_total"),
+    )
+
+
+register(
+    "map_column_ops",
+    _q_map_columns,
+    """
+    SELECT l_orderkey,
+           COUNT(DISTINCT l_linenumber) AS n_lines,
+           CAST(SUM(CASE WHEN l_linenumber = 1
+                    THEN CAST(l_quantity AS BIGINT) END) AS BIGINT)
+             AS qty_line1,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_total
+    FROM lineitem GROUP BY 1
+    """,
+)
