@@ -2027,3 +2027,83 @@ register(
     FROM lineitem GROUP BY 1
     """,
 )
+
+
+# ------------------------------------------- hash / encoding functions
+
+def _q_hash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic-hash and encoding function parity (content
+    fingerprints, cache keys, API payloads all lean on these): sha2-256,
+    md5, base64 round-trip, hex of utf-8 bytes — each compared against
+    the other engine's native implementation, not an identity oracle."""
+    ensure_views(spark, sf_dir)
+    return spark.table("customer").select(
+        "c_custkey",
+        F.sha2(F.col("c_name"), 256).alias("sha256_name"),
+        F.md5(F.col("c_name")).alias("md5_name"),
+        F.base64(F.col("c_name").cast("binary")).alias("b64_name"),
+        F.unbase64(F.base64(F.col("c_name").cast("binary")))
+        .cast("string")
+        .alias("b64_roundtrip"),
+        F.lower(F.hex(F.col("c_name").cast("binary"))).alias("hex_name"),
+    )
+
+
+register(
+    "hash_encode_functions",
+    _q_hash_encode,
+    """
+    SELECT c_custkey,
+           sha256(c_name) AS sha256_name,
+           md5(c_name) AS md5_name,
+           to_base64(CAST(c_name AS BLOB)) AS b64_name,
+           c_name AS b64_roundtrip,
+           lower(hex(CAST(c_name AS BLOB))) AS hex_name
+    FROM customer
+    """,
+)
+
+
+# ------------------------------------------------------- XML roundtrip
+
+def _q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion surface (Spark 4 ships the xml datasource +
+    from_xml natively): an XML payload is synthesized per customer row,
+    parsed back with from_xml against an explicit schema, and the
+    extracted fields must round-trip exactly — the oracle is the
+    original columns (DuckDB has no XML; the invariant, not the parser,
+    crosses engines). to_xml proves the writer direction too."""
+    ensure_views(spark, sf_dir)
+    c = spark.table("customer").select(
+        "c_custkey",
+        F.concat(
+            F.lit("<cust><key>"), F.col("c_custkey"),
+            F.lit("</key><seg>"), F.col("c_mktsegment"),
+            F.lit("</seg><bal>"),
+            F.round(F.col("c_acctbal") * 100, 0).cast("long"),
+            F.lit("</bal></cust>"),
+        ).alias("xml"),
+    )
+    parsed = c.select(
+        "c_custkey",
+        F.from_xml(
+            "xml", "key BIGINT, seg STRING, bal BIGINT"
+        ).alias("p"),
+    )
+    return parsed.select(
+        "c_custkey",
+        F.col("p.key").alias("xml_key"),
+        F.col("p.seg").alias("xml_seg"),
+        F.col("p.bal").alias("xml_bal"),
+    )
+
+
+register(
+    "xml_roundtrip",
+    _q_xml_roundtrip,
+    """
+    SELECT c_custkey, c_custkey AS xml_key, c_mktsegment AS xml_seg,
+           CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS xml_bal
+    FROM customer
+    """,
+)
