@@ -375,12 +375,22 @@ def token_budget_take(
         .orderBy("__skey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # NULL-SAFE cutoff join: a null stratum is a legal group (its cutoff
+    # row carries a null key), and a plain equality join would never
+    # match it — its survivors would skip the cutoff filter and over-keep.
+    # The cutoff side's stratum is renamed first: both sides share one
+    # lineage, and same-name column refs resolve trivially-true.
+    cutoff = cutoff.withColumnRenamed(stratum_col, "__cutoff_stratum")
     return (
-        kept.join(F.broadcast(cutoff), stratum_col, "left")
+        kept.join(
+            F.broadcast(cutoff),
+            F.col(stratum_col).eqNullSafe(F.col("__cutoff_stratum")),
+            "left",
+        )
         .where(F.col("__cutoff").isNull() | (F.col("__skey") < F.col("__cutoff")))
         .withColumn("__cum", F.sum(tok).over(w))
         .where(F.col("__cum") <= budget)
-        .drop("__skey", "__lcum", "__cutoff", "__cum")
+        .drop("__skey", "__lcum", "__cutoff", "__cutoff_stratum", "__cum")
     )
 
 

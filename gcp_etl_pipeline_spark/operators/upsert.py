@@ -52,6 +52,12 @@ def _resolve_engine(spark: SparkSession, target_path: str, engine: str) -> str:
     if delta_available(spark):
         return "delta"
     path = target_path.rstrip("/")
+    # non-file URI (s3://, gs://, hdfs://...): VersionedTable's manifest
+    # protocol needs a POSIX filesystem (its documented caveat), so a
+    # Delta-less object-store target falls back to the staged-swap
+    # parquet tier rather than silently breaking on open()/os calls
+    if "://" in path and not path.startswith("file://"):
+        return "parquet"
     if os.path.exists(f"{path}/_manifest.json") or not os.path.exists(path):
         return "versioned"
     return "parquet"  # pre-existing flat layout: don't change it under the caller

@@ -191,3 +191,24 @@ def test_token_budget_take_boundary_and_layout_invariance(spark):
         ).collect()
     )
     assert got7 == got
+
+
+def test_token_budget_take_null_stratum(spark):
+    """A NULL stratum is a legal group: its rows get the default budget
+    and its cutoff applies (the null-safe join — a plain equality join
+    would let null-stratum survivors skip the cutoff and over-keep)."""
+    from gcp_etl_pipeline_spark.operators.curation import token_budget_take
+
+    rows = [(i, None if i < 6 else "a", 10) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, src STRING, toks BIGINT")
+    out = token_budget_take(
+        df.repartition(4), "src", {"a": 100}, token_col="toks",
+        key_col="doc_id", default_budget=25,
+    )
+    got = sorted(
+        ((r.src or "", r.doc_id) for r in out.collect())
+    )
+    got = [(None if s == "" else s, d) for s, d in got]
+    # null stratum: 6 docs x 10 toks, budget 25 -> exactly 2 kept
+    assert sum(1 for s, _ in got if s is None) == 2, got
+    assert sum(1 for s, _ in got if s == "a") == 4, got

@@ -138,3 +138,15 @@ def test_auto_engine_respects_existing_flat_parquet(spark, tmp_path):
     upsert(spark.createDataFrame([(2, "B"), (3, "c")], ["id", "v"]), path, ["id"])
     got = {r.id: r.v for r in spark.read.parquet(path).collect()}
     assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_auto_engine_object_store_uri_uses_parquet_tier(spark):
+    """A non-file URI target must not resolve to the POSIX-only
+    versioned tier when Delta is absent."""
+    from gcp_etl_pipeline_spark.operators.upsert import _resolve_engine
+
+    assert _resolve_engine(spark, "s3://bucket/tbl", "auto") == "parquet"
+    assert _resolve_engine(spark, "gs://b/t/", "auto") == "parquet"
+    assert _resolve_engine(spark, "/tmp/definitely_missing_x9", "auto") == (
+        "versioned"
+    )
