@@ -52,7 +52,10 @@ def dedup_incremental(
     fingerprint — the corpus itself is never touched). Surviving
     fingerprints are APPENDED to the store so the next increment sees
     them. First call (no store yet) dedups the increment and seeds the
-    store.
+    store. NOT replay-idempotent by itself: a crashed-and-retried run
+    re-appends fingerprints and then anti-joins against them — replaying
+    callers must scope writes per attempt (the streaming wrapper in
+    streaming/queries.py uses batch_id-partitioned overwrites).
 
     Scale shape: one shuffle on the md5 fingerprint for the in-batch
     dedup, one fingerprint-keyed anti-join against the ledger (Catalyst
@@ -123,7 +126,7 @@ def neardup_incremental(
         with the ledger;
       - survivors' band rows are appended to the ledger (checkpointed
         BEFORE the append — the same self-read hazard as
-        ``dedup_incremental``).
+        ``dedup_incremental``; the same replay caveat applies too).
 
     Band collision IS the drop criterion — the crawl-pipeline trade:
     verifying exact Jaccard against history would require storing every
