@@ -14,4 +14,7 @@ SPARK_GRAFT_CPUS=7 exec python tools/check.py /root/testdata/sf0.01 \
   versioned_delete gosales_catalog_overview temperature_mixture_tau2 \
   scd2_point_in_time_lookup paragraph_dedup_c4 dedup_canonical_quality \
   merge_upsert_contract similarity_knn_bucketed dedup_incremental_ledger \
-  token_budget_take neardup_incremental_ledger multimodal_decode_embed
+  token_budget_take neardup_incremental_ledger multimodal_decode_embed \
+  stream_dedup_ledger grouped_pandas_gap_stats cogrouped_attribution \
+  asof_join_tolerance versioned_optimize map_column_ops \
+  chunk_documents_udtf pipe_syntax_pricing vector_ops_hof
