@@ -76,7 +76,7 @@ def dedup_incremental(
     # that beats checkpointing the accepted text, at the cost of the
     # increment being scanned once by the append and once by the
     # caller's consumption.
-    store_files = _ledger_files(store_path)
+    store_files = _ledger_files(store_path, spark)
     if store_files:
         kept = batch.join(
             spark.read.parquet(*store_files), "__fp", "left_anti"
@@ -87,12 +87,27 @@ def dedup_incremental(
     return kept.drop("__fp")
 
 
-def _ledger_files(store_path: str) -> list[str]:
+def _ledger_files(store_path: str, spark=None) -> list[str]:
     """Current parquet part files of a ledger directory (empty list if
     the ledger doesn't exist yet). Explicit file lists pin a read to the
-    pre-append state of a store the same job appends to."""
+    pre-append state of a store the same job appends to.
+
+    URI-schemed paths (gs://, s3a://, hdfs://, file://) list through the
+    Hadoop FileSystem API — a 100-TB deployment's ledger lives in object
+    storage, where os.listdir can't go."""
     import os
 
+    if "://" in store_path and spark is not None:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(store_path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return []
+        return sorted(
+            str(st.getPath())
+            for st in fs.listStatus(hpath)
+            if str(st.getPath()).endswith(".parquet")
+        )
     try:
         return sorted(
             f"{store_path}/{f}"
@@ -153,7 +168,7 @@ def neardup_incremental(
         .distinct()
     )
     surv = stacked.join(dropped, id_col, "left_anti")
-    store_files = _ledger_files(store_path)
+    store_files = _ledger_files(store_path, spark)
     if store_files:  # pinned pre-append file list (see dedup_incremental)
         store = spark.read.parquet(*store_files)
         led_dropped = (

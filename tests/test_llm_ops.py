@@ -355,3 +355,23 @@ def test_auto_n_lists_sqrt_heuristic():
     assert auto_n_lists(0) == 16 and auto_n_lists(100) == 16
     assert auto_n_lists(1_000_000) == 1000
     assert auto_n_lists(10**9) == 31622
+
+
+def test_dedup_incremental_ledger_uri_scheme(spark, tmp_path):
+    """URI-schemed ledger paths list through the Hadoop FileSystem API
+    (file:// locally stands in for gs://): the pinned pre-append read
+    still works and cross-batch dups still drop."""
+    from gcp_etl_pipeline_spark.operators.dedup import dedup_incremental
+
+    store = f"file://{tmp_path}/fp"
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id BIGINT, text STRING",
+    )
+    assert dedup_incremental(b1, store).count() == 2
+    b2 = spark.createDataFrame(
+        [(10, "ALPHA beta GAMMA"), (11, "brand new text")],
+        "doc_id BIGINT, text STRING",
+    )
+    acc = {r.doc_id for r in dedup_incremental(b2, store).collect()}
+    assert acc == {11}
