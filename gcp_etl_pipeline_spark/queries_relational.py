@@ -2107,3 +2107,62 @@ register(
     FROM customer
     """,
 )
+
+
+# ------------------------------------------- dynamic partition pruning
+
+def _q_dpp_fact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning end-to-end: the fact lands partitioned
+    by ship month; a FILTERED month dimension joins on the partition
+    column, and Catalyst injects the dim's build-side values as a
+    runtime partition filter on the fact scan — only matching month
+    directories are read (the 100-TB point: a static plan would scan
+    every partition). The plan shape is pinned in
+    tests/test_physical_plans.py; this query grades the ANSWER."""
+    import os
+    import tempfile
+
+    ensure_views(spark, sf_dir)
+    root = (
+        f"{tempfile.gettempdir()}/graft_dpp_"
+        f"{spark.sparkContext.applicationId}"
+    )
+    fact_path = f"{root}/fact"
+    if not os.path.exists(fact_path):
+        (
+            spark.table("lineitem")
+            .select(
+                "l_orderkey", "l_quantity",
+                F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("ship_month")
+            .parquet(fact_path)
+        )
+    fact = spark.read.parquet(fact_path)
+    months = (
+        spark.table("orders")
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("ship_month"))
+        .where(F.col("ship_month").startswith("1994"))
+        .distinct()
+    )
+    return fact.join(months, "ship_month").groupBy("ship_month").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"),
+    )
+
+
+register(
+    "dpp_partitioned_fact_join",
+    _q_dpp_fact_scan,
+    """
+    WITH m AS (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS ship_month
+               FROM orders WHERE strftime(o_orderdate, '%Y-%m') LIKE '1994%')
+    SELECT f.ship_month, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+    FROM (SELECT l_quantity, strftime(l_shipdate, '%Y-%m') AS ship_month
+          FROM lineitem) f
+    JOIN m ON f.ship_month = m.ship_month
+    GROUP BY 1
+    """,
+)

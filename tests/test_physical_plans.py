@@ -328,3 +328,11 @@ def test_grouped_and_cogrouped_pandas_single_exchange(spark, sf_dir, queries):
     assert "FlatMapCoGroupsInPandas" in p2, p2
     assert p2.count("Exchange hashpartitioning") == 2, p2
     assert "CartesianProduct" not in p2 and "Join" not in p2, p2
+
+
+def test_dpp_runtime_partition_filter(spark, sf_dir, queries):
+    """The partitioned fact scan must carry a dynamicpruning runtime
+    filter injected from the dim side — a static plan would list and
+    read every month partition."""
+    plan = _plan(queries["dpp_partitioned_fact_join"](spark, sf_dir))
+    assert "dynamicpruning" in plan.lower(), plan
