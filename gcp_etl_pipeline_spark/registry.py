@@ -480,6 +480,51 @@ def _load_all_inner() -> None:
         """,
     )
 
+    # table history as a QUERYABLE dataframe (Delta DESCRIBE HISTORY
+    # analogue): every commit's row count and latest-pointer flag after
+    # a write→upsert→delete sequence, recomputed closed-form in SQL
+    def _q_versioned_history(spark, sf_dir):
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from gcp_etl_pipeline_spark.queries_relational import ensure_views
+        from gcp_etl_pipeline_spark.sinks.versioned import VersionedTable
+
+        ensure_views(spark, sf_dir)
+        t = VersionedTable(tempfile.mkdtemp(prefix="graft_vh_") + "/orders")
+        orders = spark.table("orders").select(
+            F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("s")
+        )
+        t.write(orders.where("k % 4 < 2"))
+        t.upsert(orders.where("k % 4 = 2"), keys=["k"])
+        t.delete(orders.where("k % 8 = 0"), keys=["k"])
+        hist = [
+            (e["version"], e["rows"], int(e["is_latest"]))
+            for e in t.history()
+        ]
+        return spark.createDataFrame(
+            hist, "version INT, rows BIGINT, is_latest INT"
+        )
+
+    register(
+        "versioned_history_table",
+        _q_versioned_history,
+        """
+        WITH o AS (SELECT o_orderkey AS k FROM orders)
+        SELECT CAST(1 AS INT) AS version,
+               (SELECT COUNT(*) FROM o WHERE k % 4 < 2) AS rows,
+               CAST(0 AS INT) AS is_latest
+        UNION ALL
+        SELECT CAST(2 AS INT),
+               (SELECT COUNT(*) FROM o WHERE k % 4 < 3), CAST(0 AS INT)
+        UNION ALL
+        SELECT CAST(3 AS INT),
+               (SELECT COUNT(*) FROM o WHERE k % 4 < 3 AND k % 8 <> 0),
+               CAST(1 AS INT)
+        """,
+    )
+
     # schema evolution across snapshots (Delta mergeSchema analogue):
     # the v2 upsert ADDS a column — kept v1 rows read back NULL for it,
     # source rows carry values, and v1 time travel still shows the old

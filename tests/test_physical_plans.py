@@ -336,3 +336,36 @@ def test_dpp_runtime_partition_filter(spark, sf_dir, queries):
     read every month partition."""
     plan = _plan(queries["dpp_partitioned_fact_join"](spark, sf_dir))
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """Spark's runtime row-group filtering: with the size thresholds
+    lowered to fixture scale, a selective dim join must inject a bloom
+    filter on the fact side's join key (the shuffle-join analogue of
+    dynamic partition pruning — rows that can't match are dropped at the
+    scan before the exchange)."""
+    from pyspark.sql import functions as F
+
+    from gcp_etl_pipeline_spark.queries_relational import ensure_views
+
+    ensure_views(spark, sf_dir)
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.table("lineitem").select("l_orderkey", "l_quantity")
+        sel = spark.table("orders").where("o_totalprice > 500000").select(
+            "o_orderkey"
+        )
+        plan = _plan(li.join(sel, li.l_orderkey == sel.o_orderkey))
+        assert "bloomfilter" in plan.lower() or "BloomFilter" in plan, plan
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
