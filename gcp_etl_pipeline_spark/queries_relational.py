@@ -2166,3 +2166,35 @@ register(
     GROUP BY 1
     """,
 )
+
+
+# --------------------------------------------- file-provenance metadata
+
+def _q_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row provenance via the hidden ``_metadata`` struct every file
+    source carries (which file did this row come from, how big was it):
+    the lineage/debugging primitive a quarantine review needs at 100 TB
+    — no extra column materialized in the data, populated by the scan.
+    The fixture table is a single parquet file, so the per-file rollup
+    is closed-form for the oracle."""
+    from gcp_etl_pipeline_spark.sources.files import read_parquet
+
+    df = read_parquet(spark, f"{sf_dir}/lineitem.parquet").select(
+        F.col("_metadata.file_name").alias("file_name"),
+        "l_orderkey",
+    )
+    return df.groupBy("file_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_orderkey").cast("bigint").alias("keysum"),
+    )
+
+
+register(
+    "file_metadata_provenance",
+    _q_file_metadata,
+    """
+    SELECT 'lineitem.parquet' AS file_name, COUNT(*) AS n,
+           CAST(SUM(l_orderkey) AS BIGINT) AS keysum
+    FROM lineitem
+    """,
+)
