@@ -2198,3 +2198,57 @@ register(
     FROM lineitem
     """,
 )
+
+
+# ------------------------------------------ mtime-incremental file pickup
+
+def _q_modified_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level incremental ingestion by MODIFICATION TIME (the other
+    incremental axis next to the reference's value-watermark: pick up
+    only files that landed since the last run): two staged files with
+    controlled mtimes; ``modifiedAfter`` must admit exactly the newer
+    one. Closed-form oracle from the staged split."""
+    import os
+    import tempfile
+
+    ensure_views(spark, sf_dir)
+    root = (
+        f"{tempfile.gettempdir()}/graft_mtime_"
+        f"{spark.sparkContext.applicationId}"
+    )
+    if not os.path.exists(f"{root}/_done"):
+        nat = spark.table("nation").select("n_nationkey", "n_name")
+        for tag, pred, ts in (
+            ("old", "n_nationkey < 10", 1_000_000_000),
+            ("new", "n_nationkey >= 10", 1_700_000_000),
+        ):
+            tmp = f"{root}/tmp_{tag}"
+            nat.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+            import glob as _glob
+            import shutil as _shutil
+
+            part = sorted(_glob.glob(f"{tmp}/part-*.parquet"))[0]
+            os.makedirs(f"{root}/in", exist_ok=True)
+            dst = f"{root}/in/{tag}.parquet"
+            _shutil.copy(part, dst)
+            os.utime(dst, (ts, ts))
+        open(f"{root}/_done", "w").close()
+
+    picked = (
+        spark.read.option("modifiedAfter", "2010-01-01T00:00:00")
+        .parquet(f"{root}/in")
+    )
+    return picked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_nationkey").cast("bigint").alias("keysum"),
+    )
+
+
+register(
+    "modified_after_pickup",
+    _q_modified_after,
+    """
+    SELECT COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS keysum
+    FROM nation WHERE n_nationkey >= 10
+    """,
+)
