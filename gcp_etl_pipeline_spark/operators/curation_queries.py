@@ -652,3 +652,74 @@ register(
     FROM starts
     """,
 )
+
+
+# --------------------------------------- binaryFile media ingestion
+
+def _q_binaryfile_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION media-ingestion path: real PNG/WAV blobs staged as
+    FILES on disk, read through Spark's ``binaryFile`` source (content +
+    path/length metadata, binary stays in Arrow pages), decoded by the
+    engine's stdlib codecs inside mapInPandas. Blob parameters are pure
+    functions of the file index, so grouped sums are closed-form for
+    the oracle — any corruption across stage→read→decode breaks it."""
+    import os
+    import tempfile
+
+    from gcp_etl_pipeline_spark.operators import codecs, multimodal
+
+    n = 120
+    root = (
+        f"{tempfile.gettempdir()}/graft_binf_"
+        f"{spark.sparkContext.applicationId}"
+    )
+    media_dir = f"{root}/media"
+    if not os.path.exists(f"{root}/_done"):
+        os.makedirs(media_dir, exist_ok=True)
+        for i in range(n):
+            if i % 2 == 0:
+                w, h = 8 + i % 8, 8 + i % 5
+                blob = codecs.encode_png(w, h, bytes([i % 251]) * (w * h))
+                name = f"img_{i:04d}.png"
+            else:
+                nf = 100 + i % 50
+                blob = codecs.encode_wav(
+                    8000 + (i % 4) * 4000, bytes([i % 200]) * nf
+                )
+                name = f"aud_{i:04d}.wav"
+            with open(f"{media_dir}/{name}", "wb") as fh:
+                fh.write(blob)
+        open(f"{root}/_done", "w").close()
+
+    files = spark.read.format("binaryFile").load(media_dir)
+    media = files.select(
+        F.regexp_extract(F.col("path"), r"_(\d+)\.", 1)
+        .cast("bigint")
+        .alias("media_id"),
+        F.col("content"),
+    )
+    dec = multimodal.decode_media(media)
+    return dec.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("width").cast("bigint").alias("sum_width"),
+        F.sum("sample_rate").cast("bigint").alias("sum_rate"),
+        F.sum("n_frames").cast("bigint").alias("sum_frames"),
+    )
+
+
+register(
+    "binaryfile_media_ingest",
+    _q_binaryfile_media,
+    """
+    WITH g AS (SELECT unnest(range(120)) AS i)
+    SELECT CASE WHEN i % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN i % 2 = 0 THEN 8 + i % 8 ELSE 0 END)
+                AS BIGINT) AS sum_width,
+           CAST(SUM(CASE WHEN i % 2 = 0 THEN 0
+                    ELSE 8000 + (i % 4) * 4000 END) AS BIGINT) AS sum_rate,
+           CAST(SUM(CASE WHEN i % 2 = 0 THEN 1
+                    ELSE 100 + i % 50 END) AS BIGINT) AS sum_frames
+    FROM g GROUP BY 1
+    """,
+)

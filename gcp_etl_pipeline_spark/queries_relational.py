@@ -2252,3 +2252,54 @@ register(
     FROM nation WHERE n_nationkey >= 10
     """,
 )
+
+
+# -------------------------------------------- corrupt-file tolerance
+
+def _q_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level fault tolerance (the directory twin of the row-level
+    PERMISSIVE query): a landing dir holds two good parquet files and
+    one truncated garbage file; ``ignoreCorruptFiles`` must skip the bad
+    file and read every good row (at 100 TB a bad object WILL land).
+    Closed-form oracle from the staged split."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+    import tempfile
+
+    ensure_views(spark, sf_dir)
+    root = (
+        f"{tempfile.gettempdir()}/graft_corruptf_"
+        f"{spark.sparkContext.applicationId}"
+    )
+    if not os.path.exists(f"{root}/_done"):
+        nat = spark.table("nation").select("n_nationkey", "n_name")
+        os.makedirs(f"{root}/in", exist_ok=True)
+        for tag, pred in (("a", "n_nationkey % 2 = 0"), ("b", "n_nationkey % 2 = 1")):
+            tmp = f"{root}/tmp_{tag}"
+            nat.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = sorted(_glob.glob(f"{tmp}/part-*.parquet"))[0]
+            _shutil.copy(part, f"{root}/in/{tag}.parquet")
+        with open(f"{root}/in/garbage.parquet", "wb") as fh:
+            fh.write(b"PAR1 this is not a parquet file at all")
+        open(f"{root}/_done", "w").close()
+
+    df = (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .schema("n_nationkey BIGINT, n_name STRING")
+        .parquet(f"{root}/in")
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_nationkey").cast("bigint").alias("keysum"),
+    )
+
+
+register(
+    "ignore_corrupt_files",
+    _q_ignore_corrupt_files,
+    """
+    SELECT COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS keysum
+    FROM nation
+    """,
+)
