@@ -933,3 +933,64 @@ register(
     FROM s CROSS JOIN ref
     """,
 )
+
+
+# ------------------------------------- full intake pipeline (composed)
+
+def _q_corpus_intake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete training-data INTAKE composed as one lazy plan:
+    quality gates → language gate → exact dedup (keep min id) → per-
+    source TOKEN budgets (md5-ordered prefix). Catalyst fuses the gates
+    into the scan; the shuffles are the dedup fingerprint groupBy and
+    the budget's stratum windows — the whole path a crawl batch takes
+    before packing, differentially checked end to end."""
+    from gcp_etl_pipeline_spark.operators.curation import token_budget_take
+
+    docs = _docs(spark, sf_dir)
+    q = text.quality_features(docs)
+    filtered = q.where(
+        (F.col("n_tokens") >= 10)
+        & (F.col("alpha_ratio") >= 0.5)
+        & (F.col("uniq_token_ratio") >= 0.3)
+        & (text.lang_id("text") == "en")
+    )
+    deduped = dedup.dedup_exact(filtered)
+    out = token_budget_take(
+        deduped, "source", {"src0": 3000}, token_col="n_tokens",
+        key_col="doc_id", default_budget=1500,
+    )
+    return out.select("doc_id", "source", "n_tokens")
+
+
+def _intake_oracle() -> str:
+    return f"""
+    WITH {_tok_cte("doc_id, text, source")}, {_lang_ctes()},
+    q AS (SELECT doc_id, text, source,
+            CAST(len(toks) AS BIGINT) AS n_tokens,
+            CASE WHEN length(text) > 0 THEN
+              CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                / length(text) ELSE 0.0 END AS alpha_ratio,
+            CASE WHEN len(toks) > 0 THEN
+              CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+            ELSE 0.0 END AS uniq_token_ratio
+          FROM tok),
+    f AS (SELECT q.* FROM q JOIN langd USING (doc_id)
+          WHERE n_tokens >= 10 AND alpha_ratio >= 0.5
+            AND uniq_token_ratio >= 0.3 AND lang_det = 'en'),
+    fp AS (SELECT doc_id, source, n_tokens, {_FP} AS fhash FROM f),
+    keep AS (SELECT fhash, MIN(doc_id) AS doc_id FROM fp GROUP BY fhash),
+    dd AS (SELECT fp.doc_id, fp.source, fp.n_tokens
+           FROM fp JOIN keep ON fp.doc_id = keep.doc_id
+                             AND fp.fhash = keep.fhash),
+    cum AS (SELECT doc_id, source, n_tokens,
+              SUM(n_tokens) OVER (
+                PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                ROWS UNBOUNDED PRECEDING) AS c
+            FROM dd)
+    SELECT doc_id, source, n_tokens FROM cum
+    WHERE c <= CASE source WHEN 'src0' THEN 3000 ELSE 1500 END
+    """
+
+
+register("corpus_intake_pipeline", _q_corpus_intake, _intake_oracle())
