@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "stream_static_enrich",
     "vector_ops_hof",
     "chunk_documents_udtf",
+    "corpus_intake_pipeline",
 ]
 
 

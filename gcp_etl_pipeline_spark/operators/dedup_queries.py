@@ -608,7 +608,12 @@ def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("uniq_token_ratio") >= 0.3)
         & (text.lang_id("text") == "en")
     )
-    return dedup.dedup_exact(filtered).select("doc_id", "n_tokens", "alpha_ratio")
+    # pin the gate survivors before the fingerprint self-join (same
+    # double-evaluation economics as corpus_intake_pipeline)
+    pinned = filtered.select(
+        "doc_id", "n_tokens", "alpha_ratio", "text"
+    ).localCheckpoint(eager=True)
+    return dedup.dedup_exact(pinned).select("doc_id", "n_tokens", "alpha_ratio")
 
 
 def _curation_oracle() -> str:
@@ -954,7 +959,15 @@ def _q_corpus_intake(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("uniq_token_ratio") >= 0.3)
         & (text.lang_id("text") == "en")
     )
-    deduped = dedup.dedup_exact(filtered)
+    # pin the gate survivors ONCE: dedup_exact's fingerprint self-join
+    # and the budget's three window/aggregate consumers would otherwise
+    # re-run the quality + language gates (the expensive scans) once per
+    # leg — measured ~2x the whole query. Survivor text rides the
+    # checkpoint only until the fingerprint is computed.
+    pinned = filtered.select(
+        "doc_id", "source", "n_tokens", "text"
+    ).localCheckpoint(eager=True)
+    deduped = dedup.dedup_exact(pinned)
     out = token_budget_take(
         deduped, "source", {"src0": 3000}, token_col="n_tokens",
         key_col="doc_id", default_budget=1500,
