@@ -2303,3 +2303,52 @@ register(
     FROM nation
     """,
 )
+
+
+# ---------------------------------------------- error-tolerant arithmetic
+
+def _q_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe transform family: try_divide / try_to_number /
+    try_element_at return NULL where the strict forms raise (division by
+    zero, malformed numerics, out-of-range index) — the row-level
+    error-tolerance story for expressions, complementing PERMISSIVE
+    (parse) and ignoreCorruptFiles (files). Deterministic divisor zeros
+    are planted by key so the oracle reproduces NULL placement exactly."""
+    ensure_views(spark, sf_dir)
+    o = spark.table("orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 5).alias("div"),
+        F.col("o_orderpriority"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_orderkey").cast("double"), F.col("div"))
+        .alias("safe_div"),
+        F.try_to_number(
+            F.regexp_extract("o_orderpriority", r"^(\d+)", 1), F.lit("9")
+        ).cast("double").alias("prio_num"),
+        F.try_element_at(
+            F.split("o_orderpriority", "-"), F.lit(3)
+        ).alias("third_part"),
+    )
+
+
+register(
+    "try_functions_safe",
+    _q_try_functions,
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                ELSE CAST(o_orderkey AS DOUBLE) / (o_orderkey % 5)
+           END AS safe_div,
+           CASE WHEN regexp_extract(o_orderpriority, '^(\\d+)', 1) = ''
+                THEN NULL
+                ELSE CAST(regexp_extract(o_orderpriority, '^(\\d+)', 1)
+                          AS DOUBLE)
+           END AS prio_num,
+           CASE WHEN len(string_split(o_orderpriority, '-')) >= 3
+                THEN string_split(o_orderpriority, '-')[3]
+                ELSE NULL END AS third_part
+    FROM orders
+    """,
+)
