@@ -17,4 +17,6 @@ SPARK_GRAFT_CPUS=7 exec python tools/check.py /root/testdata/sf0.01 \
   token_budget_take neardup_incremental_ledger multimodal_decode_embed \
   stream_dedup_ledger grouped_pandas_gap_stats cogrouped_attribution \
   asof_join_tolerance versioned_optimize map_column_ops \
-  chunk_documents_udtf pipe_syntax_pricing vector_ops_hof
+  chunk_documents_udtf pipe_syntax_pricing vector_ops_hof \
+  corpus_intake_pipeline dpp_partitioned_fact_join binaryfile_media_ingest \
+  versioned_history_table try_functions_safe variant_props_typed
