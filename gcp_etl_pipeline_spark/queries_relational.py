@@ -192,7 +192,8 @@ shared_sql(
     "anti_join_new_rows",
     """
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate < DATE '1996-01-01')
     """,
 )
 
@@ -2143,7 +2144,7 @@ def _q_dpp_fact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     months = (
         spark.table("orders")
         .select(F.date_format("o_orderdate", "yyyy-MM").alias("ship_month"))
-        .where(F.col("ship_month").startswith("1994"))
+        .where(F.col("ship_month").startswith("1995"))
         .distinct()
     )
     return fact.join(months, "ship_month").groupBy("ship_month").agg(
@@ -2157,7 +2158,7 @@ register(
     _q_dpp_fact_scan,
     """
     WITH m AS (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS ship_month
-               FROM orders WHERE strftime(o_orderdate, '%Y-%m') LIKE '1994%')
+               FROM orders WHERE strftime(o_orderdate, '%Y-%m') LIKE '1995%')
     SELECT f.ship_month, COUNT(*) AS n,
            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
     FROM (SELECT l_quantity, strftime(l_shipdate, '%Y-%m') AS ship_month
