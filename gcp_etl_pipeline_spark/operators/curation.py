@@ -361,8 +361,18 @@ def token_budget_take(
         .orderBy(skey)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    flagged = df.withColumn("__skey", skey).withColumn(
-        "__lcum", F.sum(tok).over(w_local)
+    # Two plan legs (kept filter + cutoff aggregate) consume `flagged`,
+    # whose local window partitions on NONDETERMINISTIC
+    # spark_partition_id(): if the exchange were recomputed per leg
+    # (exchange reuse off, AQE canonicalization miss, nondeterministic
+    # upstream), the legs could see DIFFERENT local-pruning decisions and
+    # break the complete-prefix invariant. A lazy localCheckpoint pins
+    # one materialization that both legs read — computed once at first
+    # action, no eager job at operator-construction time.
+    flagged = (
+        df.withColumn("__skey", skey)
+        .withColumn("__lcum", F.sum(tok).over(w_local))
+        .localCheckpoint(eager=False)
     )
     kept = flagged.where(F.col("__lcum") <= budget)
     cutoff = (

@@ -105,9 +105,29 @@ class VersionedTable:
                         try:
                             stale = f"{lock}.stale.{os.getpid()}.{id(self)}"
                             os.rename(lock, stale)
+                        except OSError:
+                            continue  # lost the race; loop and retry
+                        # Between our age check and the rename, ANOTHER
+                        # waiter may have broken the old lock and a new
+                        # holder acquired a FRESH one — which we just
+                        # stole. Re-stat the renamed file: only remove it
+                        # if it really was stale; if fresh, put it back
+                        # (link, not rename: link fails instead of
+                        # clobbering if yet another lock appeared in the
+                        # gap) and go back to ordinary waiting.
+                        try:
+                            taken_age = _time.time() - os.stat(stale).st_mtime
+                        except OSError:
+                            taken_age = self._LOCK_STALE_SEC + 1.0
+                        if taken_age <= self._LOCK_STALE_SEC:
+                            try:
+                                os.link(stale, lock)
+                            except OSError:
+                                pass  # lock re-created meanwhile; holder keeps it
+                        try:
                             os.remove(stale)
                         except OSError:
-                            pass  # lost the race; loop and retry
+                            pass
                         continue
                     if _time.time() > deadline:
                         raise ConcurrentWriteError(
@@ -134,11 +154,12 @@ class VersionedTable:
 
         Crash safety: the version counter skips past any torn directory a
         failed previous write left behind (on-disk ``v=`` dirs count even
-        when the manifest never referenced them), and the write itself
-        overwrites — so a failed job, or a Structured Streaming micro-
-        batch RETRY of the same write, always lands cleanly instead of
-        colliding with its first attempt's partial output. The row count
-        is observed during the write (no second scan of the snapshot)."""
+        when the manifest never referenced them), and each attempt APPENDS
+        into a directory it freshly claimed via mkdir — a failed job, or a
+        Structured Streaming micro-batch RETRY of the same write, never
+        re-targets a torn dir (mkdir EEXIST pushes it to the next number),
+        so every attempt lands in its own clean snapshot dir. The row
+        count is observed during the write (no second scan)."""
         from pyspark.sql import Observation
         from pyspark.sql import functions as F
 

@@ -41,8 +41,29 @@ def _nanos_columns(path: str) -> list[str]:
     return [c for c, unit in timestamp_units(path).items() if unit == "ns"]
 
 
+def _guard_versioned_layout(path: str) -> None:
+    """A ``VersionedTable`` root keeps EVERY snapshot as ``v=N`` subdirs;
+    a plain recursive parquet read would partition-discover them and
+    union all snapshots — silently duplicated rows, no error. Fail fast
+    and point the caller at the tier-aware reader instead."""
+    import os
+
+    p = path.rstrip("/")
+    if "://" in p and not p.startswith("file://"):
+        return  # object-store URI: manifest protocol is POSIX-only anyway
+    p = p.removeprefix("file://")
+    if os.path.exists(os.path.join(p, "_manifest.json")):
+        raise ValueError(
+            f"{path} is a versioned snapshot table (_manifest.json present); "
+            "a plain parquet read would union every v=N snapshot. Read it "
+            "via operators.upsert.read_table(spark, path) or "
+            "VersionedTable(path).read(spark)."
+        )
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Parquet scan; transparently downcasts ns timestamps to µs TIMESTAMP."""
+    _guard_versioned_layout(path)
     nanos = _nanos_columns(path)
     if not nanos:
         return spark.read.parquet(path)

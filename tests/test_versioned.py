@@ -251,6 +251,75 @@ def test_commit_lock_breaks_stale_holder(spark, tmp_path, monkeypatch):
     assert v == 1 and t.read(spark).count() == 2
 
 
+def test_commit_lock_restores_freshly_stolen_lock(spark, tmp_path, monkeypatch):
+    """A waiter that observed staleness but whose rename lands on a lock
+    a NEW holder just re-created (another waiter broke the stale one in
+    the gap) must put the fresh lock BACK and return to ordinary
+    waiting — deleting it would let two writers into the manifest
+    critical section."""
+    import os
+    import pathlib
+    import time
+
+    t = VersionedTable(str(tmp_path / "fresh"))
+    monkeypatch.setattr(VersionedTable, "_LOCK_STALE_SEC", 5.0)
+    os.makedirs(t.path, exist_ok=True)
+    lock = pathlib.Path(f"{t.path}/_manifest.lock")
+    lock.touch()
+    old = time.time() - 60
+    os.utime(lock, (old, old))  # looks stale to the waiter's age check
+
+    real_rename = os.rename
+    events = []
+
+    def rename_refreshed(src, dst):
+        # simulate the race: between the age check and this rename,
+        # another waiter broke the stale lock and a new holder acquired
+        # a FRESH one — the file this rename steals is fresh
+        if str(src) == str(lock) and not events:
+            now = time.time()
+            os.utime(src, (now, now))
+            events.append("stole-fresh")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", rename_refreshed)
+
+    real_sleep = time.sleep
+
+    def holder_releases(_secs):
+        # reaching sleep() proves the waiter went back to waiting; the
+        # restored lock must be present. Then the simulated holder
+        # finishes and releases, letting the waiter acquire cleanly.
+        if events and lock.exists():
+            events.append("waited-with-lock-present")
+            os.remove(lock)
+        real_sleep(0)
+
+    monkeypatch.setattr(time, "sleep", holder_releases)
+
+    v = t.write(spark.range(3).selectExpr("id"))
+    assert v == 1 and t.read(spark).count() == 3
+    assert "stole-fresh" in events
+    assert "waited-with-lock-present" in events
+
+
+def test_read_parquet_rejects_versioned_root(spark, tmp_path):
+    """A plain parquet read of a VersionedTable root would union every
+    v=N snapshot (silent row duplication); the engine's reader detects
+    the manifest and fails fast toward read_table()."""
+    from gcp_etl_pipeline_spark.sources.files import read_parquet
+
+    t = VersionedTable(str(tmp_path / "vt_guard"))
+    t.write(spark.range(3).selectExpr("id"))
+    t.write(spark.range(3).selectExpr("id"))
+    with pytest.raises(ValueError, match="versioned snapshot table"):
+        read_parquet(spark, t.path)
+    # the tier-aware reader sees exactly the latest snapshot
+    from gcp_etl_pipeline_spark.operators.upsert import read_table
+
+    assert read_table(spark, t.path).count() == 3
+
+
 def test_upsert_schema_evolution_and_drift_guard(spark, tmp_path):
     """merge_schema=True adds the new column (kept rows null-filled);
     the default REJECTS a source that adds columns instead of silently
