@@ -40,6 +40,7 @@ def dedup_incremental(
     store_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    attempt_id: str | None = None,
 ) -> DataFrame:
     """Cross-run exact dedup against a persisted FINGERPRINT LEDGER — the
     at-scale pattern: a 100 TB corpus is deduped once, and every daily
@@ -52,10 +53,20 @@ def dedup_incremental(
     fingerprint — the corpus itself is never touched). Surviving
     fingerprints are APPENDED to the store so the next increment sees
     them. First call (no store yet) dedups the increment and seeds the
-    store. NOT replay-idempotent by itself: a crashed-and-retried run
-    re-appends fingerprints and then anti-joins against them — replaying
-    callers must scope writes per attempt (the streaming wrapper in
-    streaming/queries.py uses batch_id-partitioned overwrites).
+    store.
+
+    Replay: with ``attempt_id=None`` the append is NOT replay-idempotent
+    — a crashed-and-retried run re-appends fingerprints and then
+    anti-joins against them, losing the whole batch. Pass a stable
+    ``attempt_id`` (the batch's logical identity: a date, a batch
+    number) and the ledger write becomes an OVERWRITE of
+    ``store/attempt=<id>/`` whose anti-join reads every ledger file
+    EXCEPT that attempt's own partition — a retried batch rewrites its
+    partition instead of double-appending and never anti-joins against
+    its first attempt's output (the same exactly-once-over-at-least-once
+    recipe the streaming wrapper in streaming/queries.py uses with
+    batch_id partitions). Either mode adds one small file per increment;
+    reclaim the file count with ``compact_ledger`` between increments.
 
     Scale shape: one shuffle on the md5 fingerprint for the in-batch
     dedup, one fingerprint-keyed anti-join against the ledger (Catalyst
@@ -76,46 +87,91 @@ def dedup_incremental(
     # that beats checkpointing the accepted text, at the cost of the
     # increment being scanned once by the append and once by the
     # caller's consumption.
-    store_files = _ledger_files(store_path, spark)
+    store_files = _ledger_files(store_path, spark, exclude_attempt=attempt_id)
     if store_files:
         kept = batch.join(
-            spark.read.parquet(*store_files), "__fp", "left_anti"
+            spark.read.parquet(*store_files).select("__fp"),
+            "__fp",
+            "left_anti",
         )
     else:
         kept = batch
-    kept.select("__fp").write.mode("append").parquet(store_path)
+    if attempt_id is None:
+        kept.select("__fp").write.mode("append").parquet(store_path)
+    else:
+        kept.select("__fp").write.mode("overwrite").parquet(
+            f"{store_path.rstrip('/')}/attempt={attempt_id}"
+        )
     return kept.drop("__fp")
 
 
-def _ledger_files(store_path: str, spark=None) -> list[str]:
-    """Current parquet part files of a ledger directory (empty list if
-    the ledger doesn't exist yet). Explicit file lists pin a read to the
-    pre-append state of a store the same job appends to.
+def _ledger_files(
+    store_path: str, spark=None, exclude_attempt: str | None = None
+) -> list[str]:
+    """Current parquet part files of a ledger tree (empty list if the
+    ledger doesn't exist yet) — flat append files AND ``attempt=*``
+    partition files, recursively. Explicit file lists pin a read to the
+    pre-append state of a store the same job appends to; passing
+    ``exclude_attempt`` omits that attempt's own partition so a retried
+    batch never anti-joins against its first attempt's output.
 
     URI-schemed paths (gs://, s3a://, hdfs://, file://) list through the
     Hadoop FileSystem API — a 100-TB deployment's ledger lives in object
-    storage, where os.listdir can't go."""
+    storage, where os.walk can't go."""
     import os
 
+    skip = f"/attempt={exclude_attempt}/" if exclude_attempt is not None else None
     if "://" in store_path and spark is not None:
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(store_path)
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
         if not fs.exists(hpath):
             return []
-        return sorted(
-            str(st.getPath())
-            for st in fs.listStatus(hpath)
-            if str(st.getPath()).endswith(".parquet")
-        )
+        out, it = [], fs.listFiles(hpath, True)  # recursive
+        while it.hasNext():
+            p = str(it.next().getPath())
+            if p.endswith(".parquet") and (skip is None or skip not in p):
+                out.append(p)
+        return sorted(out)
     try:
-        return sorted(
-            f"{store_path}/{f}"
-            for f in os.listdir(store_path)
-            if f.endswith(".parquet")
-        )
+        out = []
+        for root, _dirs, files in os.walk(store_path):
+            for f in files:
+                p = f"{root}/{f}"
+                if f.endswith(".parquet") and (skip is None or skip not in p):
+                    out.append(p)
+        return sorted(out)
     except OSError:
         return []
+
+
+def compact_ledger(
+    spark,
+    store_path: str,
+    target_file_bytes: int = 32 * 1024 * 1024,
+) -> tuple[int, int]:
+    """Ledger maintenance: rewrite a fingerprint/band ledger into a
+    bounded number of flat files. A year of daily increments is 365+
+    tiny files (plus one directory per ``attempt_id``), each costing an
+    open+footer read in EVERY subsequent increment's anti-join — the
+    classic small-files tax, paid on the hot path.
+
+    Reuses ``layout.compact_small_files`` with ``recursive=True``: the
+    read walks ``attempt=*`` subtrees with ``recursiveFileLookup`` (no
+    partition inference, so directory names never become data columns)
+    and the result lands as flat top-level files via the staged-swap
+    rename. Attempt partitions disappear in the rewrite — by design:
+    compaction is a COMMIT of all prior attempts, so run it between
+    increments, never concurrently with one (same maintenance-window
+    contract as OPTIMIZE). After compaction a retried pre-compaction
+    attempt would re-append rather than overwrite; orchestrators must
+    not replay batches from before a compaction point. Returns
+    (files_before, files_after)."""
+    from gcp_etl_pipeline_spark.operators.layout import compact_small_files
+
+    return compact_small_files(
+        spark, store_path, target_file_bytes=target_file_bytes, recursive=True
+    )
 
 
 def neardup_incremental(
@@ -126,6 +182,7 @@ def neardup_incremental(
     n: int = 3,
     num_hashes: int = 12,
     bands: int = 4,
+    attempt_id: str | None = None,
 ) -> DataFrame:
     """Cross-run NEAR-dup dedup against a persisted BAND-SIGNATURE ledger
     — the fuzzy companion to ``dedup_incremental``: the ledger stores
@@ -141,7 +198,11 @@ def neardup_incremental(
         with the ledger;
       - survivors' band rows are appended to the ledger (checkpointed
         BEFORE the append — the same self-read hazard as
-        ``dedup_incremental``; the same replay caveat applies too).
+        ``dedup_incremental``). Same replay contract too: pass a stable
+        ``attempt_id`` to make a crashed-and-retried batch overwrite its
+        own ``attempt=<id>`` partition (read-excluded from its own
+        anti-join) instead of double-appending; compact the growing file
+        count with ``compact_ledger`` between increments.
 
     Band collision IS the drop criterion — the crawl-pipeline trade:
     verifying exact Jaccard against history would require storing every
@@ -168,7 +229,7 @@ def neardup_incremental(
         .distinct()
     )
     surv = stacked.join(dropped, id_col, "left_anti")
-    store_files = _ledger_files(store_path, spark)
+    store_files = _ledger_files(store_path, spark, exclude_attempt=attempt_id)
     if store_files:  # pinned pre-append file list (see dedup_incremental)
         store = spark.read.parquet(*store_files)
         led_dropped = (
@@ -185,7 +246,12 @@ def neardup_incremental(
     surv = surv.localCheckpoint(eager=True)
     dropped = dropped.localCheckpoint(eager=True)
     stacked.unpersist()
-    surv.write.mode("append").parquet(store_path)
+    if attempt_id is None:
+        surv.write.mode("append").parquet(store_path)
+    else:
+        surv.write.mode("overwrite").parquet(
+            f"{store_path.rstrip('/')}/attempt={attempt_id}"
+        )
     # anti-join on dropped ids (not semi on survivors): short/empty docs
     # have no bands, hence no survivor rows, but they are still accepted
     return new_docs.join(

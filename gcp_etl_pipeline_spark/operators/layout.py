@@ -77,6 +77,7 @@ def compact_small_files(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     zorder_quantized: Sequence[Column] | None = None,
+    recursive: bool = False,
 ) -> tuple[int, int]:
     """Lakehouse maintenance: rewrite a parquet path into ~target-sized
     files (the OPTIMIZE/compaction job every streaming or incremental
@@ -90,6 +91,11 @@ def compact_small_files(
     columns are given, folding layout clustering into the same pass.
     Staged-then-swapped like operators/upsert.py (a path can't be
     overwritten while being read). Returns (files_before, files_after).
+
+    ``recursive=True`` compacts a tree with subdirectories (e.g. a
+    ledger's ``attempt=`` partitions) into FLAT files: the read uses
+    ``recursiveFileLookup``, which deliberately disables partition
+    inference, so directory names never leak in as data columns.
     """
     import math
 
@@ -101,6 +107,11 @@ def compact_small_files(
 
     def _count_data_files(p) -> int:
         # metadata-only listing — never a table scan just to count files
+        if recursive:
+            it, n = fs.listFiles(p, True), 0
+            while it.hasNext():
+                n += it.next().getPath().getName().startswith("part-")
+            return n
         return sum(
             1
             for st in fs.listStatus(p)
@@ -108,7 +119,10 @@ def compact_small_files(
         )
 
     files_before = _count_data_files(jpath)
-    df = spark.read.parquet(path)
+    reader = spark.read
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    df = reader.parquet(path)
     if zorder_quantized is not None:
         out = cluster_by_zorder(df, zorder_quantized, n_out)
     else:

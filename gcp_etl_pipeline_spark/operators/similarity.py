@@ -71,27 +71,37 @@ def _collect_query_set(
     return q_rows
 
 
-def _materialize_release(out: DataFrame, *cached: DataFrame) -> DataFrame:
-    """Run ``out`` eagerly into a local checkpoint, then unpersist the
-    intermediate ``cached`` frames it was derived from.
+def _release_on_gc(out: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Tie the lifetime of persisted intermediate frames to the OPERATOR
+    RESULT: when the caller's last reference to ``out`` is garbage-
+    collected, the ``cached`` frames are unpersisted.
 
-    Persisted signature/assignment frames otherwise leak: the operator
-    returns a lazy result whose lineage reads the cache, so there is no
-    safe point INSIDE a lazy operator to unpersist — and repeated
-    invocations (bench warm-up + timed passes each round) would
-    accumulate cached blocks in executor storage for the life of the
-    session. The local checkpoint cuts the lineage (its blocks are
-    reference-counted by the ContextCleaner and freed when the result is
-    garbage-collected, unlike an explicit persist), letting the caches
-    release immediately. The checkpointed result is the operator's
-    OUTPUT — id/bucket scalars, orders of magnitude smaller than the
-    vector frames being released."""
-    out = out.localCheckpoint(eager=True)
-    for df in cached:
-        try:
-            df.unpersist()
-        except Exception:  # noqa: BLE001 — session teardown race
-            pass
+    Why not a plain ``persist()``: without a matching ``unpersist()`` the
+    session CacheManager holds a strong reference to the InMemoryRelation
+    forever (the ContextCleaner frees RDD blocks on GC, but never
+    SQL-layer cache entries), so repeated invocations leak executor
+    storage for the session's lifetime. Why not unpersist inside the
+    operator: the returned plan still READS the cache lazily — there is
+    no safe point before the caller's action. Why not an eager/lazy
+    ``localCheckpoint`` of the reused leg: the block-manager round trip
+    of the full vector frame cost the similarity family ~0.3–0.5 s per
+    query at sf0.1 in round 4 (measured: lazy-checkpoint 1.17/1.35 s vs
+    persist 0.91/0.87 s for neardup_lsh/semantic_dedup). The finalizer
+    keeps persist-level speed and releases exactly when the result can
+    no longer re-execute its lineage. Callers that hold the result
+    forever intentionally keep the cache (the lineage stays runnable);
+    dropping the reference — as bench.py's ``del df; gc.collect()``
+    between queries does — frees it deterministically."""
+    import weakref
+
+    def _release(frames: tuple[DataFrame, ...] = cached) -> None:
+        for df in frames:
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — interpreter/session teardown
+                pass
+
+    weakref.finalize(out, _release)
     return out
 
 
@@ -337,8 +347,9 @@ def semantic_dedup(
     k-means centroids via _centroids).
 
     Scale shape: candidate generation is a bucket self-join on list_id
-    (never all-pairs); the signature frame is persisted so the join's two
-    sides don't recompute the assignment matmul.
+    (never all-pairs); the assignment frame is persisted so the join's
+    two sides don't recompute the assignment matmul, and released when
+    the result is GC'd (``_release_on_gc``).
 
     ``centroids="kmeans"`` swaps in the deterministic Lloyd centroids
     (``kmeans_centroids``): density-following lists catch the cross-list
@@ -348,6 +359,9 @@ def semantic_dedup(
         cent_ids, C, cn = kmeans_centroids(corpus, n_lists, id_col=id_col, vec_col=vec_col)
     else:
         cent_ids, C, cn = _centroids(corpus, n_lists, id_col, vec_col)
+    # persist the reused leg (three consumers: both self-join sides and
+    # the final anti-join); released when the RESULT is GC'd, see
+    # _release_on_gc
     assigned = _ivf_assign(corpus, cent_ids, C, cn, id_col, vec_col).persist()
     a = assigned.select(
         F.col("__id").alias("a"), F.col("__cv").alias("__va"), "list_id"
@@ -368,10 +382,7 @@ def semantic_dedup(
         )
         .select(F.col("__id").alias(id_col), "list_id")
     )
-    # eager materialize + release the persisted assignment frame (see
-    # _materialize_release): without this, every invocation leaks its
-    # cached vector blocks for the session's lifetime
-    return _materialize_release(out, assigned)
+    return _release_on_gc(out, assigned)
 
 
 def knn_ivf(
@@ -573,7 +584,8 @@ def neardup_pairs_bucketed(
                 {"__id": pdf["__id"], "__cv": pdf["__cv"], "bucket": labels}
             )
 
-    # persist: the bucket self-join would otherwise run the matmul twice
+    # persist: the bucket self-join would otherwise run the matmul twice;
+    # released when the RESULT is GC'd, see _release_on_gc
     sig = spread(corpus, id_col).select(
         F.col(id_col).alias("__id"), quantized(vec_col).alias("__cv")
     ).mapInPandas(buckets, sig_schema).persist()
@@ -585,5 +597,4 @@ def neardup_pairs_bucketed(
         .select("a", "b", _cos_qq(F.col("__va"), F.col("__vb")).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
-    # release the persisted signature frame (see _materialize_release)
-    return _materialize_release(out, sig)
+    return _release_on_gc(out, sig)

@@ -203,6 +203,35 @@ def test_semantic_dedup_drops_higher_id_list_mates(spark):
     assert {r.vec_id for r in kept.collect()} == {1, 2, 5}
 
 
+def test_similarity_ops_leave_no_sql_cache(spark):
+    """``persist()`` without ``unpersist()`` pins an InMemoryRelation in
+    the session CacheManager forever (the ContextCleaner never frees
+    SQL-layer caches), so the similarity ops tie the release of their
+    persisted self-join legs to GC of the operator RESULT
+    (``_release_on_gc``). While the result is alive its lineage stays
+    re-executable (cache present); once the caller drops it, the SQL
+    cache must hold nothing."""
+    import gc
+
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    jcm.clearCache()
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [1.0, 0.001, 0.0]),
+        (4, [-1.0, -1.0, 0.5]),
+    ]
+    base = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kept = similarity.semantic_dedup(base, threshold=0.95, n_lists=2)
+    kept.collect()
+    assert not jcm.isEmpty()  # result alive -> cache intentionally held
+    pairs = similarity.neardup_pairs_bucketed(base)
+    pairs.collect()
+    del kept, pairs
+    gc.collect()
+    assert jcm.isEmpty()
+
+
 def test_stratified_take_quotas_and_determinism(spark):
     from gcp_etl_pipeline_spark.operators.curation import stratified_take
 
@@ -347,6 +376,99 @@ def test_neardup_incremental_ledger(spark, tmp_path):
     # replay of a ledgered text accepts nothing
     b3 = spark.createDataFrame([(20, long_a)], "doc_id BIGINT, text STRING")
     assert neardup_incremental(b3, store).count() == 0
+
+
+def test_dedup_incremental_attempt_retry_idempotent(spark, tmp_path):
+    """A crashed-and-retried batch with a stable attempt_id must accept
+    the SAME rows (the plain append path would anti-join the retry
+    against its own first attempt and lose the whole batch) and leave
+    the ledger without duplicate fingerprints."""
+    from gcp_etl_pipeline_spark.operators.dedup import dedup_incremental
+
+    store = str(tmp_path / "fp")
+    b1 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text")], "doc_id BIGINT, text STRING"
+    )
+    assert {
+        r.doc_id for r in dedup_incremental(b1, store, attempt_id="d1").collect()
+    } == {1, 2}
+    # replay of the SAME attempt (crash after ledger write, before the
+    # caller consumed the output): identical accept set, no ledger dupes
+    assert {
+        r.doc_id for r in dedup_incremental(b1, store, attempt_id="d1").collect()
+    } == {1, 2}
+    assert spark.read.parquet(f"{store}/attempt=d1").count() == 2
+
+    # next attempt sees attempt-d1's fingerprints normally
+    b2 = spark.createDataFrame(
+        [(10, "ALPHA text"), (11, "gamma text")], "doc_id BIGINT, text STRING"
+    )
+    assert {
+        r.doc_id for r in dedup_incremental(b2, store, attempt_id="d2").collect()
+    } == {11}
+
+
+def test_neardup_incremental_attempt_retry_idempotent(spark, tmp_path):
+    from gcp_etl_pipeline_spark.operators.dedup import neardup_incremental
+
+    store = str(tmp_path / "bands")
+    long_a = "the quick brown fox jumps over the lazy dog today"
+    long_b = "completely different content about distributed query engines"
+    b1 = spark.createDataFrame(
+        [(1, long_a), (2, long_b)], "doc_id BIGINT, text STRING"
+    )
+    assert {
+        r.doc_id
+        for r in neardup_incremental(b1, store, attempt_id="d1").collect()
+    } == {1, 2}
+    assert {
+        r.doc_id
+        for r in neardup_incremental(b1, store, attempt_id="d1").collect()
+    } == {1, 2}  # retry: identical accepts, partition overwritten
+    b2 = spark.createDataFrame([(10, long_a)], "doc_id BIGINT, text STRING")
+    assert neardup_incremental(b2, store, attempt_id="d2").count() == 0
+
+
+def test_compact_ledger_preserves_decisions(spark, tmp_path):
+    """Compacting a mixed flat+attempt ledger tree into flat files must
+    shrink the file count without changing any subsequent accept/reject
+    decision, and must NOT leak the attempt directory name in as a data
+    column."""
+    from gcp_etl_pipeline_spark.operators.dedup import (
+        _ledger_files,
+        compact_ledger,
+        dedup_incremental,
+    )
+
+    store = str(tmp_path / "fp")
+    texts = [(i, f"document number {i}") for i in range(8)]
+    # four increments: two plain appends, two attempt-scoped
+    dedup_incremental(spark.createDataFrame(texts[:2], "doc_id BIGINT, text STRING"), store)
+    dedup_incremental(spark.createDataFrame(texts[2:4], "doc_id BIGINT, text STRING"), store)
+    dedup_incremental(
+        spark.createDataFrame(texts[4:6], "doc_id BIGINT, text STRING"),
+        store, attempt_id="a3",
+    )
+    dedup_incremental(
+        spark.createDataFrame(texts[6:8], "doc_id BIGINT, text STRING"),
+        store, attempt_id="a4",
+    )
+    before, after = compact_ledger(spark, store)
+    assert after < before
+    files = _ledger_files(store, spark)
+    compacted = spark.read.parquet(*files)
+    assert compacted.columns == ["__fp"]  # no attempt column leaked
+    assert compacted.count() == 8
+    assert compacted.distinct().count() == 8
+    # decisions unchanged: replays of ledgered texts accept nothing,
+    # a genuinely new text is accepted
+    replay = spark.createDataFrame(
+        [(100, "document number 0"), (101, "document number 7"),
+         (102, "a brand new document")],
+        "doc_id BIGINT, text STRING",
+    )
+    acc = {r.doc_id for r in dedup_incremental(replay, store, attempt_id="a5").collect()}
+    assert acc == {102}
 
 
 def test_auto_n_lists_sqrt_heuristic():
