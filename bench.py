@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "vector_ops_hof",
     "chunk_documents_udtf",
     "corpus_intake_pipeline",
+    # round-5 additions
+    "similarity_bucketed_recall",
 ]
 
 

@@ -718,6 +718,139 @@ def _ivf_recall_oracle() -> str:
 register("similarity_ivf_recall", _q_ivf_recall, _ivf_recall_oracle())
 
 
+# --------------------------------------- bucketed-kmeans recall evaluation
+# Recall@5 of the 100-TB-shaped search configuration — knn_bucketed with
+# deterministic Lloyd k-means centroids and auto_n_lists(~sqrt N) sizing —
+# against the exact brute-force answer. similarity_ivf_recall grades the
+# driver-collect path with seeded centroids; THIS row grades the
+# configuration a cluster deployment actually runs. The oracle replays the
+# full pipeline in SQL: seed centroids (k lowest ids), K unrolled Lloyd
+# iterations (exact int64 cosine assignment with (cos desc, lid asc)
+# tie-breaks; per-(list,dim) integer sums; Python-floor-division means via
+# positive-mod arithmetic; empty/all-zero lists keep their previous
+# centroid), final assignment, probe fan-out, in-list exact top-5.
+
+_KM_ITERS, _KM_PROBE = 2, 4
+
+_QVDOT = "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+
+
+def _qvcos(a: str, b: str) -> str:
+    """Cosine between two already-quantized int64 vectors (same op order
+    as _cos_qq: exact integer dots, one double division)."""
+    return (
+        f"CAST({_QVDOT.format(a=a, b=b)} AS DOUBLE) / "
+        f"(sqrt(CAST({_QVDOT.format(a=a, b=a)} AS DOUBLE)) * "
+        f"sqrt(CAST({_QVDOT.format(a=b, b=b)} AS DOUBLE)))"
+    )
+
+
+def _q_bucketed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    k_lists = similarity.auto_n_lists(embs.count())
+    queries = embs.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.knn_bruteforce(embs, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.knn_bucketed(
+        embs, queries, k=5, n_lists=k_lists, n_probe=_KM_PROBE,
+        centroids="kmeans", kmeans_iters=_KM_ITERS,
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"])
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+        )
+    )
+
+
+def _kmeans_recall_oracle() -> str:
+    qc = _qvcos
+    # one Lloyd iteration: assign to nearest c{i-1}, integer-mean per
+    # (lid, dim) with Python floor-division semantics, keep previous
+    # centroid for empty or all-zero lists
+    def lloyd_iter(i: int) -> str:
+        prev = f"c{i - 1}"
+        return f"""
+    a{i} AS (SELECT b.vec_id, b.qv, c.lid,
+                    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                      ORDER BY {qc('b.qv', 'c.cv')} DESC, c.lid) AS rk
+             FROM base b CROSS JOIN {prev} c),
+    m{i} AS (SELECT lid, dd.d AS d, SUM(qv[dd.d + 1]) AS s, COUNT(*) AS n
+             FROM a{i}, (SELECT unnest(range(CAST((SELECT len(qv) FROM base
+                           LIMIT 1) AS BIGINT))) AS d) dd
+             WHERE rk = 1 GROUP BY lid, dd.d),
+    v{i} AS (SELECT lid, list(fd ORDER BY d) AS cv FROM (
+               SELECT lid, d,
+                      CAST((s - (((s % n) + n) % n)) / n AS BIGINT) AS fd
+               FROM m{i}) t GROUP BY lid),
+    c{i} AS (SELECT p.lid,
+                    CASE WHEN v.cv IS NULL
+                              OR list_sum(list_transform(v.cv,
+                                   x -> ABS(x))) = 0
+                         THEN p.cv ELSE v.cv END AS cv
+             FROM {prev} p LEFT JOIN v{i} v USING (lid))"""
+
+    iters = "".join("," + lloyd_iter(i) for i in range(1, _KM_ITERS + 1))
+    fin = f"c{_KM_ITERS}"
+    return f"""
+    WITH base AS (SELECT vec_id, list_transform(range(1, len(embedding) + 1),
+                    i -> CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000, 0)
+                              AS BIGINT)) AS qv
+                  FROM embeddings),
+    c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS lid, qv AS cv
+           FROM base ORDER BY vec_id
+           LIMIT (SELECT GREATEST(16, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))
+                  FROM embeddings)){iters},
+    asg AS (SELECT b.vec_id, b.qv, c.lid,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                     ORDER BY {qc('b.qv', 'c.cv')} DESC, c.lid) AS rk
+            FROM base b CROSS JOIN {fin} c),
+    lists AS (SELECT vec_id, qv, lid AS list_id FROM asg WHERE rk = 1),
+    q AS (SELECT vec_id AS query_id, qv FROM base WHERE vec_id % 10 = 0),
+    qp AS (SELECT query_id, qv, lid AS list_id FROM (
+             SELECT q.query_id, q.qv, c.lid,
+                    ROW_NUMBER() OVER (PARTITION BY q.query_id
+                      ORDER BY {qc('q.qv', 'c.cv')} DESC, c.lid) AS rk
+             FROM q CROSS JOIN {fin} c) t WHERE rk <= {_KM_PROBE}),
+    ap_s AS (SELECT p.query_id, l.vec_id AS neighbor_id,
+                    {qc('p.qv', 'l.qv')} AS cos_sim
+             FROM qp p JOIN lists l
+               ON l.list_id = p.list_id AND l.vec_id <> p.query_id),
+    ap_r AS (SELECT query_id, neighbor_id,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos_sim DESC, neighbor_id) AS rn FROM ap_s),
+    ap5 AS (SELECT query_id, neighbor_id FROM ap_r WHERE rn <= 5),
+    ex_s AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+                    {qc('q.qv', 'b.qv')} AS cos_sim
+             FROM base b CROSS JOIN q WHERE b.vec_id <> q.query_id),
+    ex_r AS (SELECT query_id, neighbor_id,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos_sim DESC, neighbor_id) AS rn FROM ex_s),
+    ex5 AS (SELECT query_id, neighbor_id FROM ex_r WHERE rn <= 5)
+    SELECT e.query_id, COUNT(*) AS n_exact,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit
+    FROM ex5 e LEFT JOIN ap5 a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+register("similarity_bucketed_recall", _q_bucketed_recall, _kmeans_recall_oracle())
+
+
 # ------------------------------------------------- C4-style quality gate
 # The classic pre-training corpus filter: token-count band, uniqueness
 # and alphabetic-ratio floors, language allowlist — composed from the

@@ -395,6 +395,7 @@ def knn_ivf(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     centroids: str = "lowest_id",
+    kmeans_iters: int = 5,
 ) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into ``n_lists``
     inverted lists (nearest-centroid assignment), probe only the
@@ -417,7 +418,7 @@ def knn_ivf(
     """
     if centroids == "kmeans":
         cent_ids, C, cn = kmeans_centroids(
-            corpus, n_lists, id_col=id_col, vec_col=vec_col
+            corpus, n_lists, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
         )
     else:
         cent_ids, C, cn = _centroids(corpus, n_lists, id_col, vec_col)
@@ -464,6 +465,7 @@ def knn_bucketed(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     centroids: str = "lowest_id",
+    kmeans_iters: int = 5,
 ) -> DataFrame:
     """IVF top-k search with an UNBOUNDED query side — the shape
     ``knn_bruteforce``'s MAX_QUERY_VECTORS guard points large query sets
@@ -489,7 +491,7 @@ def knn_bucketed(
     """
     if centroids == "kmeans":
         cent_ids, C, cn = kmeans_centroids(
-            corpus, n_lists, id_col=id_col, vec_col=vec_col
+            corpus, n_lists, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
         )
     else:
         cent_ids, C, cn = _centroids(corpus, n_lists, id_col, vec_col)
