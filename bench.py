@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "corpus_intake_pipeline",
     # round-5 additions
     "similarity_bucketed_recall",
+    "dedup_ledger_compacted",
 ]
 
 

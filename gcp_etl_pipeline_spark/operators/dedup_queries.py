@@ -228,6 +228,70 @@ register(
 )
 
 
+def _q_dedup_ledger_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ledger LIFECYCLE end-to-end: increments 1+2 run attempt-scoped
+    (the replay-idempotent batch mode), ``compact_ledger`` rewrites the
+    attempt tree into flat files, and increment 3 dedups against the
+    COMPACTED ledger. The oracle recomputes all three accept sets from
+    scratch, so a compaction that drops, duplicates, or mangles a
+    fingerprint — or leaks the attempt directory name in as a column —
+    changes increment 3's accept set and breaks the hash. Accepted
+    frames are pinned before compaction: their lazy plans read the
+    pre-compaction file lists, which the staged-swap rewrite deletes."""
+    import tempfile
+
+    store = tempfile.mkdtemp(prefix="graft_fpcompact_") + "/fp"
+    docs = _docs(spark, sf_dir)
+    acc1 = dedup.dedup_incremental(
+        docs.where("doc_id % 3 = 0"), store, attempt_id="i1"
+    ).localCheckpoint(eager=True)
+    acc2 = dedup.dedup_incremental(
+        docs.where("doc_id % 3 = 1"), store, attempt_id="i2"
+    ).localCheckpoint(eager=True)
+    before, after = dedup.compact_ledger(spark, store)
+    if after >= before and before > 1:  # the point of the maintenance op
+        raise AssertionError(f"compaction did not shrink: {before}->{after}")
+    acc3 = dedup.dedup_incremental(
+        docs.where("doc_id % 3 = 2"), store, attempt_id="i3"
+    )
+
+    def tag(df: DataFrame, n: int) -> DataFrame:
+        return df.select(
+            F.lit(n).cast("int").alias("batch"), "doc_id", "lang", "n_chars"
+        )
+
+    return tag(acc1, 1).unionByName(tag(acc2, 2)).unionByName(tag(acc3, 3))
+
+
+register(
+    "dedup_ledger_compacted",
+    _q_dedup_ledger_compacted,
+    f"""
+    WITH fp AS (SELECT doc_id, lang, n_chars, {_FP} AS f FROM documents),
+    a AS (SELECT * FROM fp WHERE doc_id % 3 = 0),
+    b AS (SELECT * FROM fp WHERE doc_id % 3 = 1),
+    c AS (SELECT * FROM fp WHERE doc_id % 3 = 2),
+    akeep AS (SELECT f, MIN(doc_id) AS doc_id FROM a GROUP BY f),
+    arows AS (SELECT a.doc_id, a.lang, a.n_chars, a.f
+              FROM a JOIN akeep ON a.doc_id = akeep.doc_id AND a.f = akeep.f),
+    bkeep AS (SELECT f, MIN(doc_id) AS doc_id FROM b GROUP BY f),
+    brows AS (SELECT b.doc_id, b.lang, b.n_chars, b.f
+              FROM b JOIN bkeep ON b.doc_id = bkeep.doc_id AND b.f = bkeep.f),
+    bacc AS (SELECT * FROM brows WHERE f NOT IN (SELECT f FROM arows)),
+    ckeep AS (SELECT f, MIN(doc_id) AS doc_id FROM c GROUP BY f),
+    crows AS (SELECT c.doc_id, c.lang, c.n_chars, c.f
+              FROM c JOIN ckeep ON c.doc_id = ckeep.doc_id AND c.f = ckeep.f),
+    cacc AS (SELECT * FROM crows WHERE f NOT IN (SELECT f FROM arows)
+                                   AND f NOT IN (SELECT f FROM bacc))
+    SELECT CAST(1 AS INT) AS batch, doc_id, lang, n_chars FROM arows
+    UNION ALL
+    SELECT CAST(2 AS INT), doc_id, lang, n_chars FROM bacc
+    UNION ALL
+    SELECT CAST(3 AS INT), doc_id, lang, n_chars FROM cacc
+    """,
+)
+
+
 def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
