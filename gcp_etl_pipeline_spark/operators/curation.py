@@ -447,3 +447,43 @@ def temperature_mixture(
         mx = max(w.values())
         rates = {s: v / mx for s, v in w.items()}
     return mixture_sample(df, stratum_col, rates, key_col), rates
+
+
+def dataset_split(
+    df: DataFrame,
+    key_col: str,
+    val_pct: float = 2.0,
+    test_pct: float = 2.0,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the split every training
+    pipeline needs to be REPRODUCIBLE and LEAK-FREE: the split is a pure
+    function of (salt, key), so it is stable across runs, engines, and
+    physical layouts, and JOINABLE — the same key lands in the same split
+    in every table that carries it (sample-consistent features/labels).
+    Spark's randomSplit is none of these (per-partition RNG: re-shuffling
+    the input reassigns rows).
+
+    Mechanism: the first 4 hex chars of md5(salt|key) give a uniform
+    bucket in [0, 2^16); 'test' takes buckets below floor(test_pct·2^16/
+    100), 'val' the next floor-band, 'train' the rest (hex STRING
+    comparison — identical lexicographic result in any engine, no
+    integer conversion needed). Changing ``salt`` redraws the whole
+    assignment; percentages are honored to 1/65536 granularity.
+
+    Scale: one fused projection — no shuffle, no RNG state, fully
+    partition-parallel."""
+    h = F.substring(
+        F.md5(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string"))),
+        1,
+        4,
+    )
+    t_test = format(int(test_pct * 65536 / 100), "04x")
+    t_val = format(int((test_pct + val_pct) * 65536 / 100), "04x")
+    return df.withColumn(
+        out_col,
+        F.when(h < F.lit(t_test), F.lit("test"))
+        .when(h < F.lit(t_val), F.lit("val"))
+        .otherwise(F.lit("train")),
+    )

@@ -723,3 +723,35 @@ register(
     FROM g GROUP BY 1
     """,
 )
+
+
+# --------------------------------------- deterministic train/val/test split
+# The reproducible, leak-free split assignment (curation.dataset_split):
+# a pure function of (salt, key) — stable across runs/engines/layouts and
+# joinable across tables, unlike randomSplit's partition-dependent RNG.
+# Grading is per-document (every assignment checked), plus the oracle
+# recomputes the same md5-prefix banding, so a drifted salt separator,
+# threshold rounding, or hex-comparison semantics all break the hash.
+
+def _q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.dataset_split(
+        _docs(spark, sf_dir), "doc_id", val_pct=5.0, test_pct=5.0
+    ).select("doc_id", "lang", "split")
+
+
+_SPLIT_T_TEST = format(int(5.0 * 65536 / 100), "04x")
+_SPLIT_T_VAL = format(int(10.0 * 65536 / 100), "04x")
+
+register(
+    "dataset_split_assign",
+    _q_dataset_split,
+    f"""
+    SELECT doc_id, lang,
+           CASE WHEN substring(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4)
+                     < '{_SPLIT_T_TEST}' THEN 'test'
+                WHEN substring(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4)
+                     < '{_SPLIT_T_VAL}' THEN 'val'
+                ELSE 'train' END AS split
+    FROM documents
+    """,
+)

@@ -212,3 +212,32 @@ def test_token_budget_take_null_stratum(spark):
     # null stratum: 6 docs x 10 toks, budget 25 -> exactly 2 kept
     assert sum(1 for s, _ in got if s is None) == 2, got
     assert sum(1 for s, _ in got if s == "a") == 4, got
+
+
+def test_dataset_split_deterministic_joinable_and_proportional(spark):
+    """Split is a pure function of (salt, key): re-partitioning does not
+    move a key between splits (joinable across tables), proportions land
+    near the requested bands, and changing the salt redraws."""
+    from gcp_etl_pipeline_spark.operators.curation import dataset_split
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    a = dataset_split(df, "k", val_pct=10.0, test_pct=10.0)
+    b = dataset_split(df.repartition(7, "k"), "k", val_pct=10.0, test_pct=10.0)
+    assert (
+        a.withColumnRenamed("split", "sa")
+        .join(b.withColumnRenamed("split", "sb"), "k")
+        .where("sa <> sb")
+        .count()
+        == 0
+    )
+    counts = {r["split"]: r["n"] for r in
+              a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert 350 < counts["test"] < 650 and 350 < counts["val"] < 650
+    redrawn = dataset_split(df, "k", val_pct=10.0, test_pct=10.0, salt="v2")
+    moved = (
+        a.withColumnRenamed("split", "sa")
+        .join(redrawn.withColumnRenamed("split", "sb"), "k")
+        .where("sa <> sb")
+        .count()
+    )
+    assert moved > 500  # a new salt reassigns a large fraction

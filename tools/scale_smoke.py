@@ -538,6 +538,43 @@ def main() -> int:
     timings["semantic_dedup_500k"] = round(time.time() - t0, 2)
     stage_rows["semantic_dedup_500k"] = n_vec
 
+    # -------- round-5: ledger small-files tax and compaction recovery
+    # A year of daily increments leaves hundreds of tiny ledger files,
+    # each costing an open+footer read in EVERY subsequent increment's
+    # anti-join. Seed a 1M-fingerprint ledger fragmented into 360 files
+    # (the direct analogue of ~a year of appends), time one 50k-doc
+    # increment against it, compact, time another — the delta is the tax
+    # compact_ledger reclaims. (Local FS understates the per-file cost;
+    # object stores pay ~10-50 ms per open, scaling the same curve.)
+    import tempfile as _tf
+
+    from gcp_etl_pipeline_spark.operators.dedup import (
+        compact_ledger,
+        dedup_incremental,
+    )
+
+    store = _tf.mkdtemp(prefix="graft_scale_ledger_") + "/fp"
+    spark.range(1_000_000).select(
+        F.md5(F.concat(F.lit("seed"), F.col("id").cast("string"))).alias("__fp")
+    ).repartition(360).write.mode("append").parquet(store)
+
+    def _inc(lo: int, attempt: str) -> float:
+        batch = spark.range(lo, lo + 50_000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("doc "), F.col("id").cast("string")).alias("text"),
+        )
+        t0 = time.time()
+        accepted = dedup_incremental(batch, store, attempt_id=attempt).count()
+        assert accepted == 50_000, accepted  # disjoint from the seed
+        return round(time.time() - t0, 2)
+
+    timings["ledger_increment_50k_vs_360_files"] = _inc(5_000_000, "frag")
+    files_before, files_after = compact_ledger(spark, store)
+    assert files_after < files_before, (files_before, files_after)
+    timings["ledger_increment_50k_vs_compacted"] = _inc(6_000_000, "comp")
+    stage_rows["ledger_increment_50k_vs_360_files"] = 1_050_000
+    stage_rows["ledger_increment_50k_vs_compacted"] = 1_100_000
+
     out = {
         "rows": n,
         "total_sec": round(sum(timings.values()), 2),
