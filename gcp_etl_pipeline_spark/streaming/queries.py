@@ -440,3 +440,86 @@ register(
     GROUP BY 1, 2
     """,
 )
+
+
+def _q_stream_neardup_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous NEAR-dup ingestion — the fuzzy twin of
+    `stream_dedup_ledger`: the documents table arrives as two
+    mtime-ordered micro-batches (even doc_ids, then odd), and each
+    foreachBatch invocation runs the batch `neardup_incremental` against
+    the shared LSH band ledger in its ATTEMPT-SCOPED mode (attempt_id =
+    batch id), so a retried micro-batch overwrites its own ledger
+    partition instead of double-appending — exactly-once over the
+    at-least-once trigger with zero wrapper-side ledger bookkeeping.
+    The oracle is `neardup_incremental_ledger`'s sequential band-
+    arithmetic replay, shared verbatim: a mis-ordered batch, ledger
+    leak, or at-least-once duplicate breaks the hash."""
+    import glob as _glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gcp_etl_pipeline_spark.operators.dedup import neardup_incremental
+    from gcp_etl_pipeline_spark.sources.files import read_parquet
+
+    root = tempfile.mkdtemp(prefix="graft_sndledger_")
+    src = f"{root}/in"
+    os.makedirs(src)
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    for i, pred in enumerate(("doc_id % 2 = 0", "doc_id % 2 = 1")):
+        tmp = f"{root}/tmp{i}"
+        docs.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = sorted(_glob.glob(f"{tmp}/part-*.parquet"))[0]
+        dst = f"{src}/b{i}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+
+    store = f"{root}/bands"
+    out_dir = f"{root}/accepted"
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        from gcp_etl_pipeline_spark.operators import dedup_queries as dq
+
+        acc = neardup_incremental(
+            batch, store,
+            num_hashes=dq._NUM_HASHES, bands=dq._BANDS,
+            attempt_id=f"b{batch_id}",
+        )
+        acc.select("doc_id", "lang").write.mode("overwrite").parquet(
+            f"{out_dir}/batch={batch_id}"
+        )
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        F.when(F.col("doc_id") % 2 == 0, 1).otherwise(2)
+        .cast("int").alias("batch"),
+        "doc_id", "lang",
+    )
+
+
+def _register_stream_neardup() -> None:
+    # the oracle is the batch ledger query's sequential replay, shared
+    # verbatim (same even/odd split, same band arithmetic)
+    from gcp_etl_pipeline_spark.operators.dedup_queries import (
+        _neardup_incremental_oracle,
+    )
+
+    register(
+        "stream_neardup_ledger",
+        _q_stream_neardup_ledger,
+        _neardup_incremental_oracle(),
+    )
+
+
+_register_stream_neardup()
