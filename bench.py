@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     # round-5 additions
     "similarity_bucketed_recall",
     "dedup_ledger_compacted",
+    "dataset_split_assign",
+    "stream_neardup_ledger",
 ]
 
 
