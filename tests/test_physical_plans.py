@@ -369,3 +369,11 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
         for k, v in prev.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_dataset_split_no_shuffle(spark, sf_dir, queries):
+    """Split assignment is a pure per-row projection: it must fuse into
+    the scan with no exchange anywhere in the plan."""
+    plan = _plan(queries["dataset_split_assign"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "WholeStageCodegen" in plan or "*(1)" in plan, plan

@@ -356,3 +356,51 @@ def test_optimize_compacts_into_new_version(spark, tmp_path):
     assert {r.v for r in t.read(spark, 1).collect()} == {
         r.v for r in t.read(spark, 2).collect()
     }
+
+
+def test_versioned_concurrent_writers_stress(spark, tmp_path):
+    """Contended writes from 6 threads with retry-on-conflict: the
+    optimistic commit protocol must let exactly one writer win each
+    pointer move — every committed version is unique, the manifest
+    references each exactly once, and no thread exhausts its retries.
+    Exercises the mkdir claim, the commit lock, and the staleness
+    re-check under real interleaving (not just the crafted tests)."""
+    import threading
+
+    from gcp_etl_pipeline_spark.sinks.versioned import ConcurrentWriteError
+
+    t = VersionedTable(str(tmp_path / "stress"))
+    t.write(spark.range(1).selectExpr("id"))
+    committed, errors = [], []
+    guard = threading.Lock()
+
+    def worker(w: int) -> None:
+        for i in range(3):
+            for _attempt in range(30):
+                try:
+                    v = t.write(
+                        spark.range(2).selectExpr("id"), note=f"w{w}i{i}"
+                    )
+                    with guard:
+                        committed.append(v)
+                    break
+                except ConcurrentWriteError:
+                    continue
+            else:
+                with guard:
+                    errors.append((w, i))
+
+    threads = [
+        threading.Thread(target=worker, args=(w,)) for w in range(6)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    assert len(committed) == 18 and len(set(committed)) == 18
+    hist = t.history()
+    versions = [h["version"] for h in hist]
+    assert len(versions) == len(set(versions)) == 19  # v1 + 18 commits
+    assert t.latest_version() == max(versions) == max(committed)
+    assert t.read(spark).count() == 2  # latest snapshot intact
