@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "dedup_ledger_compacted",
     "dataset_split_assign",
     "stream_neardup_ledger",
+    "semantic_dedup_kmeans",
 ]
 
 

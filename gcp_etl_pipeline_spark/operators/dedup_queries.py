@@ -839,11 +839,17 @@ def _q_bucketed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_recall_oracle() -> str:
+def _lloyd_lists_ctes(iters: int, limit_sql: str) -> str:
+    """Shared WITH-body CTE chain replaying kmeans_centroids +
+    _ivf_assign in SQL: base (quantized vectors) → c0 (k lowest-id
+    seeds) → ``iters`` unrolled Lloyd iterations → final assignment
+    ``lists(vec_id, qv, list_id)``. Each iteration assigns to the
+    nearest previous centroid (exact int64 cosine, (cos desc, lid asc)
+    tie-break), re-centers with per-(list, dim) integer sums and
+    Python-floor-division means (positive-mod arithmetic), and keeps
+    the previous centroid for empty or all-zero lists."""
     qc = _qvcos
-    # one Lloyd iteration: assign to nearest c{i-1}, integer-mean per
-    # (lid, dim) with Python floor-division semantics, keep previous
-    # centroid for empty or all-zero lists
+
     def lloyd_iter(i: int) -> str:
         prev = f"c{i - 1}"
         return f"""
@@ -866,22 +872,34 @@ def _kmeans_recall_oracle() -> str:
                          THEN p.cv ELSE v.cv END AS cv
              FROM {prev} p LEFT JOIN v{i} v USING (lid))"""
 
-    iters = "".join("," + lloyd_iter(i) for i in range(1, _KM_ITERS + 1))
-    fin = f"c{_KM_ITERS}"
-    return f"""
-    WITH base AS (SELECT vec_id, list_transform(range(1, len(embedding) + 1),
+    chain = "".join("," + lloyd_iter(i) for i in range(1, iters + 1))
+    fin = f"c{iters}"
+    return f"""base AS (SELECT vec_id,
+                  list_transform(range(1, len(embedding) + 1),
                     i -> CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000, 0)
                               AS BIGINT)) AS qv
                   FROM embeddings),
     c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS lid, qv AS cv
            FROM base ORDER BY vec_id
-           LIMIT (SELECT GREATEST(16, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))
-                  FROM embeddings)){iters},
+           LIMIT {limit_sql}){chain},
     asg AS (SELECT b.vec_id, b.qv, c.lid,
                    ROW_NUMBER() OVER (PARTITION BY b.vec_id
                      ORDER BY {qc('b.qv', 'c.cv')} DESC, c.lid) AS rk
             FROM base b CROSS JOIN {fin} c),
-    lists AS (SELECT vec_id, qv, lid AS list_id FROM asg WHERE rk = 1),
+    lists AS (SELECT vec_id, qv, lid AS list_id FROM asg WHERE rk = 1)"""
+
+
+_AUTO_LISTS_SQL = (
+    "(SELECT GREATEST(16, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) "
+    "FROM embeddings)"
+)
+
+
+def _kmeans_recall_oracle() -> str:
+    qc = _qvcos
+    fin = f"c{_KM_ITERS}"
+    return f"""
+    WITH {_lloyd_lists_ctes(_KM_ITERS, _AUTO_LISTS_SQL)},
     q AS (SELECT vec_id AS query_id, qv FROM base WHERE vec_id % 10 = 0),
     qp AS (SELECT query_id, qv, lid AS list_id FROM (
              SELECT q.query_id, q.qv, c.lid,
@@ -993,6 +1011,36 @@ def _semantic_dedup_oracle() -> str:
 
 
 register("semantic_dedup_keep", _q_semantic_dedup, _semantic_dedup_oracle())
+
+
+def _q_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic_dedup with the quality-tier centroids: deterministic
+    Lloyd k-means lists instead of lowest-id seeds. Same drop contract
+    (lower-id list-mate at cos >= threshold); the oracle replays the
+    Lloyd training with the shared unrolled-iteration CTEs and then the
+    within-list pair prune. Grades the code path semantic_dedup_keep's
+    seeded-centroid oracle never touches."""
+    return similarity.semantic_dedup(
+        _embs(spark, sf_dir), threshold=_SEM_THR, n_lists=_SEM_LISTS,
+        centroids="kmeans", kmeans_iters=_KM_ITERS,
+    )
+
+
+def _semantic_kmeans_oracle() -> str:
+    return f"""
+    WITH {_lloyd_lists_ctes(_KM_ITERS, str(_SEM_LISTS))},
+    dropped AS (SELECT DISTINCT y.vec_id
+                FROM lists x JOIN lists y
+                  ON x.list_id = y.list_id AND x.vec_id < y.vec_id
+                WHERE {_qvcos('x.qv', 'y.qv')} >= {_SEM_THR})
+    SELECT l.vec_id, l.list_id FROM lists l
+    WHERE l.vec_id NOT IN (SELECT vec_id FROM dropped)
+    """
+
+
+register(
+    "semantic_dedup_kmeans", _q_semantic_dedup_kmeans, _semantic_kmeans_oracle()
+)
 
 
 # ------------------------------------------------- paragraph dedup (C4)

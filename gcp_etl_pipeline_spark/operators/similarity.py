@@ -333,6 +333,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: str = "lowest_id",
+    kmeans_iters: int = 5,
 ) -> DataFrame:
     """SemDeDup-shaped embedding dedup (Abbas et al. 2023's cluster-then-
     prune recipe): assign every vector to its nearest IVF list, then DROP
@@ -356,7 +357,9 @@ def semantic_dedup(
     near-dups the seeded lists miss, at the cost of ``iters`` extra
     passes over the corpus."""
     if centroids == "kmeans":
-        cent_ids, C, cn = kmeans_centroids(corpus, n_lists, id_col=id_col, vec_col=vec_col)
+        cent_ids, C, cn = kmeans_centroids(
+            corpus, n_lists, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
+        )
     else:
         cent_ids, C, cn = _centroids(corpus, n_lists, id_col, vec_col)
     # persist the reused leg (three consumers: both self-join sides and
