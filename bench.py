@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "dataset_split_assign",
     "stream_neardup_ledger",
     "semantic_dedup_kmeans",
+    "crossdoc_duplication_stats",
 ]
 
 

@@ -721,3 +721,49 @@ def dedup_canonical(
         ).alias(id_col)
     )
     return fp.join(keep, [id_col, "__fp"], "inner").drop("__fp")
+
+
+def crossdoc_duplication(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-document CROSS-document duplication fraction — the
+    exact-substring dedup signal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better") at n-token window
+    granularity: a window is duplicated iff it also appears in at least
+    one OTHER document. High fractions mark boilerplate/mirrored text
+    that survives whole-document dedup; the standard curation gate drops
+    or trims them.
+
+    Semantics (stated, distinct-shingle basis): per document, over its
+    DISTINCT n-token shingles, ``n_dup_windows`` counts those whose
+    corpus document-frequency is ≥ 2; ``dup_fraction_u`` is the µ-unit
+    quantized ratio. Documents with fewer than ``n`` tokens have no
+    windows and are omitted.
+
+    Scale shape: one (doc, shingle) explode, one shingle-keyed
+    aggregation for document frequency, one shingle-keyed join back,
+    one per-doc aggregation — everything keyed on shingles or ids,
+    documents never pair-compare. Shuffle volume is bounded by the
+    shingle vocabulary, not by doc pairs."""
+    sh = shingle_sets(df, text_col, id_col, n)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("__df") >= 2).cast("long")).alias("n_dup_windows"),
+        )
+        .select(
+            id_col,
+            "n_windows",
+            "n_dup_windows",
+            F.round(
+                F.col("n_dup_windows") / F.col("n_windows") * scale
+            ).cast("bigint").alias("dup_fraction_u"),
+        )
+    )

@@ -1252,3 +1252,28 @@ def _intake_oracle() -> str:
 
 
 register("corpus_intake_pipeline", _q_corpus_intake, _intake_oracle())
+
+
+# -------------------------------------- cross-document duplication signal
+
+def _q_crossdoc_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.crossdoc_duplication(_docs(spark, sf_dir))
+
+
+register(
+    "crossdoc_duplication_stats",
+    _q_crossdoc_duplication,
+    f"""
+    WITH {_TOK_CTE}, {_SH_CTE},
+    dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+    SELECT s.doc_id,
+           COUNT(*) AS n_windows,
+           CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows,
+           CAST(ROUND(CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END)
+                           AS DOUBLE) / COUNT(*) * 1000000, 0) AS BIGINT)
+             AS dup_fraction_u
+    FROM sh s JOIN dfreq d ON s.shingle = d.shingle
+    GROUP BY s.doc_id
+    """,
+)

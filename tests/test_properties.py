@@ -233,3 +233,43 @@ def test_token_budget_take_property(spark, rows, budget_a):
         key_col="k", default_budget=35,
     )
     assert got == sorted((r.s, r.k) for r in again.collect())
+
+
+@given(
+    st.lists(st.sampled_from(["alpha", "beta", "gamma", "dd ee", "x"]),
+             min_size=0, max_size=5),
+    st.lists(st.sampled_from(["alpha", "beta", "gamma", "dd ee", "x"]),
+             min_size=0, max_size=5),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ledger_sequential_equals_oneshot(spark, t1, t2):
+    """Metamorphic: feeding two batches through dedup_incremental
+    sequentially (batch-1 ids all lower) must accept exactly the rows a
+    ONE-SHOT dedup_exact over the union keeps — for any text multisets,
+    including empty batches and cross/within-batch duplicates."""
+    import tempfile
+
+    from gcp_etl_pipeline_spark.operators.dedup import (
+        dedup_exact,
+        dedup_incremental,
+    )
+
+    store = tempfile.mkdtemp(prefix="graft_prop_fp_") + "/fp"
+    schema = "doc_id BIGINT, text STRING"
+    rows1 = [(i, t) for i, t in enumerate(t1)]
+    rows2 = [(100 + i, t) for i, t in enumerate(t2)]
+    b1 = spark.createDataFrame(rows1, schema)
+    b2 = spark.createDataFrame(rows2, schema)
+    seq = {
+        r.doc_id for r in dedup_incremental(b1, store).collect()
+    } | {r.doc_id for r in dedup_incremental(b2, store).collect()}
+    oneshot = {
+        r.doc_id
+        for r in dedup_exact(spark.createDataFrame(rows1 + rows2, schema))
+        .collect()
+    }
+    assert seq == oneshot
