@@ -497,3 +497,18 @@ def test_dedup_incremental_ledger_uri_scheme(spark, tmp_path):
     )
     acc = {r.doc_id for r in dedup_incremental(b2, store).collect()}
     assert acc == {11}
+
+
+def test_bucketed_kmeans_recall_floor(spark, sf_dir):
+    """Quality regression guard, not just parity: the kmeans+auto-lists
+    bucketed search must keep recall@5 above a floor at the fixture
+    scale (measured 0.53 at sf0.01 with n_probe=4 — probing ~18% of the
+    lists). A centroid/assignment/probe regression that silently halves
+    recall would still hash-match its own oracle; this catches it."""
+    from gcp_etl_pipeline_spark.operators.dedup_queries import (
+        _q_bucketed_recall,
+    )
+
+    rows = _q_bucketed_recall(spark, sf_dir).collect()
+    recall = sum(r.n_hit for r in rows) / sum(r.n_exact for r in rows)
+    assert recall >= 0.4, recall
