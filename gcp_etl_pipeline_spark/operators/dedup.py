@@ -745,10 +745,13 @@ def crossdoc_duplication(
     windows and are omitted.
 
     Scale shape: one (doc, shingle) explode, one shingle-keyed
-    aggregation for document frequency, one shingle-keyed join back,
-    one per-doc aggregation — everything keyed on shingles or ids,
-    documents never pair-compare. Shuffle volume is bounded by the
-    shingle vocabulary, not by doc pairs."""
+    aggregation for document frequency (map-side partial before the
+    exchange), one shingle-keyed join back, one per-doc aggregation —
+    everything keyed on shingles or ids, documents never pair-compare.
+    Known skew: a stopword-heavy shingle present in millions of docs
+    concentrates the join-back's left side on one reducer; AQE's
+    skew-join split handles it (the build side is one row per shingle,
+    so splitting is loss-free)."""
     sh = shingle_sets(df, text_col, id_col, n)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     return (
