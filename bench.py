@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "stream_neardup_ledger",
     "semantic_dedup_kmeans",
     "crossdoc_duplication_stats",
+    "distribution_drift_psi",
 ]
 
 

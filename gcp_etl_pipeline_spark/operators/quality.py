@@ -76,3 +76,69 @@ def validate(df: DataFrame, rules: dict[str, str]) -> DataFrame:
 
 def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
+
+
+def distribution_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Snapshot-to-snapshot distribution drift on a numeric column — the
+    monitoring primitive a daily ingest runs before publishing: bucket
+    both snapshots over a FIXED [lo, hi) grid and emit per-bucket counts,
+    shares, and the bucket's Population Stability Index contribution
+    (PSI = Σ (p_a − p_b)·ln(p_a / p_b); > 0.2 conventionally flags a
+    shift worth blocking on). Values outside the grid clamp into the
+    edge buckets, so no row is silently dropped.
+
+    Determinism contract: bucket indexes come from one floor() on a
+    single IEEE division; counts are exact integers under any
+    partitioning; shares and the one ln() per bucket are µ-unit
+    quantized, so the whole report is hash-stable cross-engine.
+    ε-smoothing (1/scale) keeps empty buckets finite the same way in
+    both engines.
+
+    Scale shape: each side is one scan → one n_buckets-sized grouped
+    aggregate (map-side partial); the two tiny histograms full-outer
+    join on bucket. The snapshots themselves never join."""
+    from pyspark.sql import functions as F
+
+    w = (hi - lo) / n_buckets
+
+    def hist(df: DataFrame, side: str) -> DataFrame:
+        b = F.floor((F.col(col).cast("double") - lo) / w).cast("long")
+        b = F.least(F.greatest(b, F.lit(0)), F.lit(n_buckets - 1))
+        return (
+            df.where(F.col(col).isNotNull())
+            .select(b.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(f"n_{side}"))
+        )
+
+    ha, hb = hist(df_a, "a"), hist(df_b, "b")
+    joined = ha.join(hb, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    tot = joined.agg(
+        F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b")
+    )
+    eps = 1.0 / scale
+    pa = F.col("n_a") / F.col("t_a") + eps
+    pb = F.col("n_b") / F.col("t_b") + eps
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_a",
+            "n_b",
+            F.round((pa - pb) * F.log(pa / pb) * scale)
+            .cast("bigint")
+            .alias("psi_u"),
+        )
+    )

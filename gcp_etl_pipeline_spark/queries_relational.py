@@ -2353,3 +2353,49 @@ register(
     FROM orders
     """,
 )
+
+
+# --------------------------------------- snapshot distribution drift (PSI)
+
+def _q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two order-year snapshots of
+    o_totalprice — the pre-publish drift gate a daily 100-TB ingest runs
+    (operators/quality.py:distribution_drift). Each side is one scan →
+    one 10-bucket aggregate; the snapshots never join each other."""
+    from gcp_etl_pipeline_spark.operators.quality import distribution_drift
+
+    ensure_views(spark, sf_dir)
+    o = spark.table("orders")
+    return distribution_drift(
+        o.where(F.year("o_orderdate") == 1995),
+        o.where(F.year("o_orderdate") == 1996),
+        "o_totalprice", 0.0, 500000.0, n_buckets=10,
+    )
+
+
+register(
+    "distribution_drift_psi",
+    _q_distribution_drift,
+    """
+    WITH ba AS (SELECT LEAST(GREATEST(CAST(FLOOR(CAST(o_totalprice AS DOUBLE)
+                   / 50000.0) AS BIGINT), 0), 9) AS bucket
+                FROM orders WHERE year(o_orderdate) = 1995),
+    bb AS (SELECT LEAST(GREATEST(CAST(FLOOR(CAST(o_totalprice AS DOUBLE)
+                   / 50000.0) AS BIGINT), 0), 9) AS bucket
+           FROM orders WHERE year(o_orderdate) = 1996),
+    ha AS (SELECT bucket, COUNT(*) AS n_a FROM ba GROUP BY 1),
+    hb AS (SELECT bucket, COUNT(*) AS n_b FROM bb GROUP BY 1),
+    j AS (SELECT COALESCE(ha.bucket, hb.bucket) AS bucket,
+                 COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+          FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket),
+    t AS (SELECT CAST(SUM(n_a) AS DOUBLE) AS t_a,
+                 CAST(SUM(n_b) AS DOUBLE) AS t_b FROM j)
+    SELECT bucket, n_a, n_b,
+           CAST(ROUND(((CAST(n_a AS DOUBLE) / t_a + 0.000001)
+                       - (CAST(n_b AS DOUBLE) / t_b + 0.000001))
+                      * ln((CAST(n_a AS DOUBLE) / t_a + 0.000001)
+                           / (CAST(n_b AS DOUBLE) / t_b + 0.000001))
+                      * 1000000, 0) AS BIGINT) AS psi_u
+    FROM j CROSS JOIN t
+    """,
+)
