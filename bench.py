@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "semantic_dedup_kmeans",
     "crossdoc_duplication_stats",
     "distribution_drift_psi",
+    "categorical_drift_psi",
 ]
 
 

@@ -142,3 +142,45 @@ def distribution_drift(
             .alias("psi_u"),
         )
     )
+
+
+def categorical_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Categorical companion to ``distribution_drift``: PSI per category
+    value (nulls are a category of their own — a sudden null surge is
+    exactly the drift this gate exists to catch). Same determinism
+    contract; same scale shape — one grouped aggregate per side, the
+    two category-sized histograms full-outer join on the value."""
+    from pyspark.sql import functions as F
+
+    def hist(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.select(
+                F.coalesce(F.col(col).cast("string"), F.lit("<null>"))
+                .alias("category")
+            )
+            .groupBy("category")
+            .agg(F.count(F.lit(1)).alias(f"n_{side}"))
+        )
+
+    joined = hist(df_a, "a").join(hist(df_b, "b"), "category", "full_outer").select(
+        "category",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    tot = joined.agg(F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b"))
+    eps = 1.0 / scale
+    pa = F.col("n_a") / F.col("t_a") + eps
+    pb = F.col("n_b") / F.col("t_b") + eps
+    return joined.crossJoin(F.broadcast(tot)).select(
+        "category",
+        "n_a",
+        "n_b",
+        F.round((pa - pb) * F.log(pa / pb) * scale)
+        .cast("bigint")
+        .alias("psi_u"),
+    )

@@ -2399,3 +2399,43 @@ register(
     FROM j CROSS JOIN t
     """,
 )
+
+
+def _q_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical PSI between two order-year snapshots on orderpriority
+    (operators/quality.py:categorical_drift)."""
+    from gcp_etl_pipeline_spark.operators.quality import categorical_drift
+
+    ensure_views(spark, sf_dir)
+    o = spark.table("orders")
+    return categorical_drift(
+        o.where(F.year("o_orderdate") == 1995),
+        o.where(F.year("o_orderdate") == 1996),
+        "o_orderpriority",
+    )
+
+
+register(
+    "categorical_drift_psi",
+    _q_categorical_drift,
+    """
+    WITH ha AS (SELECT COALESCE(CAST(o_orderpriority AS VARCHAR), '<null>')
+                  AS category, COUNT(*) AS n_a
+                FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+    hb AS (SELECT COALESCE(CAST(o_orderpriority AS VARCHAR), '<null>')
+             AS category, COUNT(*) AS n_b
+           FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1),
+    j AS (SELECT COALESCE(ha.category, hb.category) AS category,
+                 COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+          FROM ha FULL OUTER JOIN hb ON ha.category = hb.category),
+    t AS (SELECT CAST(SUM(n_a) AS DOUBLE) AS t_a,
+                 CAST(SUM(n_b) AS DOUBLE) AS t_b FROM j)
+    SELECT category, n_a, n_b,
+           CAST(ROUND(((CAST(n_a AS DOUBLE) / t_a + 0.000001)
+                       - (CAST(n_b AS DOUBLE) / t_b + 0.000001))
+                      * ln((CAST(n_a AS DOUBLE) / t_a + 0.000001)
+                           / (CAST(n_b AS DOUBLE) / t_b + 0.000001))
+                      * 1000000, 0) AS BIGINT) AS psi_u
+    FROM j CROSS JOIN t
+    """,
+)
