@@ -160,3 +160,30 @@ def test_enforce_to_quarantine_scans_source_once(spark, tmp_path):
     )
     good2.write.mode("overwrite").parquet(str(tmp_path / "main2"))
     assert scanned2.value == 2 * n
+
+
+def test_distribution_drift_clamps_and_zero_on_identical(spark):
+    """Edge contracts of the PSI gate: out-of-grid values clamp into the
+    edge buckets (nothing silently dropped), identical snapshots score
+    zero PSI everywhere, and nulls are excluded from the numeric
+    histogram but counted as their own category in the categorical
+    variant."""
+    from gcp_etl_pipeline_spark.operators.quality import (
+        categorical_drift,
+        distribution_drift,
+    )
+
+    a = spark.createDataFrame(
+        [(-50.0,), (5.0,), (95.0,), (500.0,), (None,)], "x DOUBLE"
+    )
+    out = distribution_drift(a, a, "x", 0.0, 100.0, n_buckets=10).collect()
+    by_bucket = {r.bucket: (r.n_a, r.n_b, r.psi_u) for r in out}
+    assert by_bucket[0][0] == 2  # -50 clamped into bucket 0 alongside 5.0
+    assert by_bucket[9][0] == 2  # 95 and clamped 500
+    assert sum(r.n_a for r in out) == 4  # null excluded, nothing else lost
+    assert all(r.psi_u == 0 for r in out)  # identical snapshots: no drift
+
+    b = spark.createDataFrame([("x",), (None,), (None,)], "c STRING")
+    c = spark.createDataFrame([("x",), ("x",), (None,)], "c STRING")
+    cat = {r.category: (r.n_a, r.n_b) for r in categorical_drift(b, c, "c").collect()}
+    assert cat["<null>"] == (2, 1) and cat["x"] == (1, 2)
