@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "crossdoc_duplication_stats",
     "distribution_drift_psi",
     "categorical_drift_psi",
+    "minhash_estimate_error",
 ]
 
 

@@ -1277,3 +1277,121 @@ register(
     GROUP BY s.doc_id
     """,
 )
+
+
+# ------------------------------------- MinHash estimator accuracy (eval)
+
+def _q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-accuracy eval, not just parity: for every LSH candidate
+    pair, the MinHash Jaccard ESTIMATE (fraction of equal signature
+    components — the statistic the sketch exists to provide) next to the
+    TRUE shingle Jaccard, both µ-unit quantized. The tuning loop for
+    num_hashes/bands reads this table; grading it pins the estimator
+    itself, the way similarity_*_recall pins the ANN searchers.
+
+    Scale shape: signatures pinned once (three consumers: candidate
+    pairing and both estimate legs); the true-Jaccard join touches only
+    candidate pairs' shingles, never all pairs."""
+    from gcp_etl_pipeline_spark.operators.similarity import _release_on_gc
+
+    docs = _docs(spark, sf_dir)
+    arr = dedup.shingle_arrays(docs)
+    sig = dedup.minhash_signatures_from_arrays(
+        arr, num_hashes=_NUM_HASHES
+    ).persist()
+    cand = dedup.lsh_candidate_pairs(
+        sig, num_hashes=_NUM_HASHES, bands=_BANDS
+    )
+    siga = sig.select(
+        F.col("doc_id").alias("a"),
+        *[F.col(f"mh{k}").alias(f"__a{k}") for k in range(_NUM_HASHES)],
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("b"),
+        *[F.col(f"mh{k}").alias(f"__b{k}") for k in range(_NUM_HASHES)],
+    )
+    matches = sum(
+        (F.col(f"__a{k}") == F.col(f"__b{k}")).cast("int")
+        for k in range(_NUM_HASHES)
+    )
+    est = cand.join(siga, "a").join(sigb, "b").select(
+        "a", "b", matches.alias("__m")
+    )
+    sh = dedup.shingle_sets(docs)
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
+    common = (
+        cand.join(sh.select(F.col("doc_id").alias("a"), "shingle"), "a")
+        .join(
+            sh.select(F.col("doc_id").alias("b"), "shingle"),
+            ["b", "shingle"],
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("__nc"))
+    )
+    out = (
+        est.join(common, ["a", "b"])
+        .join(sz.select(F.col("doc_id").alias("a"), F.col("__n").alias("__na")), "a")
+        .join(sz.select(F.col("doc_id").alias("b"), F.col("__n").alias("__nb")), "b")
+        .select(
+            "a",
+            "b",
+            F.round(F.col("__m") / F.lit(_NUM_HASHES) * 1000000)
+            .cast("bigint")
+            .alias("est_u"),
+            F.round(
+                F.col("__nc")
+                / (F.col("__na") + F.col("__nb") - F.col("__nc"))
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("true_u"),
+        )
+    )
+    return _release_on_gc(out, sig)
+
+
+def _minhash_estimate_oracle() -> str:
+    mins = ", ".join(
+        f"MIN(substring(md5('{k}|' || shingle), 1, 16)) AS mh{k}"
+        for k in range(_NUM_HASHES)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, md5({concat}) AS h FROM sig".format(
+            b=b,
+            concat=" || '|' || ".join(f"mh{b * _ROWS + r}" for r in range(_ROWS)),
+        )
+        for b in range(_BANDS)
+    )
+    m_expr = " + ".join(
+        f"CASE WHEN sa.mh{k} = sb.mh{k} THEN 1 ELSE 0 END"
+        for k in range(_NUM_HASHES)
+    )
+    return f"""
+    WITH {_TOK_CTE}, {_SH_CTE},
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands AS ({band_rows}),
+    cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             FROM bands x JOIN bands y
+               ON x.band_id = y.band_id AND x.h = y.h AND x.doc_id < y.doc_id),
+    est AS (SELECT cand.a, cand.b, ({m_expr}) AS m
+            FROM cand JOIN sig sa ON sa.doc_id = cand.a
+                      JOIN sig sb ON sb.doc_id = cand.b),
+    c AS (SELECT cand.a, cand.b, COUNT(*) AS nc
+          FROM cand JOIN sh sa ON sa.doc_id = cand.a
+                    JOIN sh sb ON sb.doc_id = cand.b AND sb.shingle = sa.shingle
+          GROUP BY 1, 2),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+    SELECT est.a, est.b,
+           CAST(ROUND(CAST(m AS DOUBLE) / {_NUM_HASHES} * 1000000, 0)
+                AS BIGINT) AS est_u,
+           CAST(ROUND(CAST(nc AS DOUBLE) / (za.n + zb.n - nc) * 1000000, 0)
+                AS BIGINT) AS true_u
+    FROM est JOIN c ON est.a = c.a AND est.b = c.b
+             JOIN sz za ON est.a = za.doc_id
+             JOIN sz zb ON est.b = zb.doc_id
+    """
+
+
+register(
+    "minhash_estimate_error", _q_minhash_estimate_error, _minhash_estimate_oracle()
+)
