@@ -474,13 +474,25 @@ def dataset_split(
 
     Scale: one fused projection — no shuffle, no RNG state, fully
     partition-parallel."""
+    if test_pct < 0 or val_pct < 0 or test_pct + val_pct > 100:
+        raise ValueError(
+            f"invalid split percentages: test={test_pct} val={val_pct} "
+            "(each must be >= 0 and their sum <= 100)"
+        )
     h = F.substring(
         F.md5(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string"))),
         1,
         4,
     )
-    t_test = format(int(test_pct * 65536 / 100), "04x")
-    t_val = format(int((test_pct + val_pct) * 65536 / 100), "04x")
+
+    def thr(pct: float) -> str:
+        n = int(pct * 65536 / 100)
+        # a 100% band needs a threshold ABOVE every 4-hex string; a
+        # 5-char '10000' would compare lexicographically, not numerically
+        return "g" if n >= 65536 else format(n, "04x")
+
+    t_test = thr(test_pct)
+    t_val = thr(test_pct + val_pct)
     return df.withColumn(
         out_col,
         F.when(h < F.lit(t_test), F.lit("test"))

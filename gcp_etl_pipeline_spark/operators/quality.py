@@ -119,14 +119,27 @@ def distribution_drift(
             .agg(F.count(F.lit(1)).alias(f"n_{side}"))
         )
 
-    ha, hb = hist(df_a, "a"), hist(df_b, "b")
-    joined = ha.join(hb, "bucket", "full_outer").select(
-        "bucket",
+    return _psi_report(hist(df_a, "a"), hist(df_b, "b"), "bucket", scale)
+
+
+def _psi_report(ha: DataFrame, hb: DataFrame, key: str, scale: int) -> DataFrame:
+    """Shared PSI tail for the numeric and categorical gates: full-outer
+    join the two histograms on ``key``, ε-smooth the shares, one µ-unit
+    ln per row. An EMPTY snapshot must scream, not NULL out: a zero
+    total would make every share NULL (n/0) and a blocking rule like
+    ``max(psi_u) > threshold`` would never fire on the most important
+    failure (a vanished dataset) — so totals floor at 1, giving the
+    empty side share ≈ ε and maximal PSI against any real distribution."""
+    from pyspark.sql import functions as F
+
+    joined = ha.join(hb, key, "full_outer").select(
+        key,
         F.coalesce("n_a", F.lit(0)).alias("n_a"),
         F.coalesce("n_b", F.lit(0)).alias("n_b"),
     )
     tot = joined.agg(
-        F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b")
+        F.greatest(F.sum("n_a"), F.lit(1)).alias("t_a"),
+        F.greatest(F.sum("n_b"), F.lit(1)).alias("t_b"),
     )
     eps = 1.0 / scale
     pa = F.col("n_a") / F.col("t_a") + eps
@@ -134,7 +147,7 @@ def distribution_drift(
     return (
         joined.crossJoin(F.broadcast(tot))
         .select(
-            "bucket",
+            key,
             "n_a",
             "n_b",
             F.round((pa - pb) * F.log(pa / pb) * scale)
@@ -149,38 +162,27 @@ def categorical_drift(
     df_b: DataFrame,
     col: str,
     scale: int = 1_000_000,
+    null_label: str = "<null>",
 ) -> DataFrame:
     """Categorical companion to ``distribution_drift``: PSI per category
     value (nulls are a category of their own — a sudden null surge is
     exactly the drift this gate exists to catch). Same determinism
     contract; same scale shape — one grouped aggregate per side, the
-    two category-sized histograms full-outer join on the value."""
+    two category-sized histograms full-outer join on the value.
+
+    ``null_label`` is the sentinel NULLs report under; if the column can
+    legitimately contain that literal string, the two would merge into
+    one row — pass a sentinel outside the column's domain."""
     from pyspark.sql import functions as F
 
     def hist(df: DataFrame, side: str) -> DataFrame:
         return (
             df.select(
-                F.coalesce(F.col(col).cast("string"), F.lit("<null>"))
+                F.coalesce(F.col(col).cast("string"), F.lit(null_label))
                 .alias("category")
             )
             .groupBy("category")
             .agg(F.count(F.lit(1)).alias(f"n_{side}"))
         )
 
-    joined = hist(df_a, "a").join(hist(df_b, "b"), "category", "full_outer").select(
-        "category",
-        F.coalesce("n_a", F.lit(0)).alias("n_a"),
-        F.coalesce("n_b", F.lit(0)).alias("n_b"),
-    )
-    tot = joined.agg(F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b"))
-    eps = 1.0 / scale
-    pa = F.col("n_a") / F.col("t_a") + eps
-    pb = F.col("n_b") / F.col("t_b") + eps
-    return joined.crossJoin(F.broadcast(tot)).select(
-        "category",
-        "n_a",
-        "n_b",
-        F.round((pa - pb) * F.log(pa / pb) * scale)
-        .cast("bigint")
-        .alias("psi_u"),
-    )
+    return _psi_report(hist(df_a, "a"), hist(df_b, "b"), "category", scale)

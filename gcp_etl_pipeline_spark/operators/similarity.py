@@ -91,7 +91,14 @@ def _release_on_gc(out: DataFrame, *cached: DataFrame) -> DataFrame:
     no longer re-execute its lineage. Callers that hold the result
     forever intentionally keep the cache (the lineage stays runnable);
     dropping the reference — as bench.py's ``del df; gc.collect()``
-    between queries does — frees it deterministically."""
+    between queries does — frees it deterministically.
+
+    Caveat (performance, never correctness): the release is tied to the
+    RETURNED Python object, so a chained transform that drops it
+    immediately — ``op(df).where(...).count()`` — can unpersist before
+    the action runs, degrading to recompute-per-consumer (the measured
+    no-pin behavior; identical results). Callers that chain should hold
+    the operator result in a variable for the action's duration."""
     import weakref
 
     def _release(frames: tuple[DataFrame, ...] = cached) -> None:

@@ -2388,8 +2388,8 @@ register(
     j AS (SELECT COALESCE(ha.bucket, hb.bucket) AS bucket,
                  COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
           FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket),
-    t AS (SELECT CAST(SUM(n_a) AS DOUBLE) AS t_a,
-                 CAST(SUM(n_b) AS DOUBLE) AS t_b FROM j)
+    t AS (SELECT CAST(GREATEST(SUM(n_a), 1) AS DOUBLE) AS t_a,
+                 CAST(GREATEST(SUM(n_b), 1) AS DOUBLE) AS t_b FROM j)
     SELECT bucket, n_a, n_b,
            CAST(ROUND(((CAST(n_a AS DOUBLE) / t_a + 0.000001)
                        - (CAST(n_b AS DOUBLE) / t_b + 0.000001))
@@ -2428,8 +2428,8 @@ register(
     j AS (SELECT COALESCE(ha.category, hb.category) AS category,
                  COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
           FROM ha FULL OUTER JOIN hb ON ha.category = hb.category),
-    t AS (SELECT CAST(SUM(n_a) AS DOUBLE) AS t_a,
-                 CAST(SUM(n_b) AS DOUBLE) AS t_b FROM j)
+    t AS (SELECT CAST(GREATEST(SUM(n_a), 1) AS DOUBLE) AS t_a,
+                 CAST(GREATEST(SUM(n_b), 1) AS DOUBLE) AS t_b FROM j)
     SELECT category, n_a, n_b,
            CAST(ROUND(((CAST(n_a AS DOUBLE) / t_a + 0.000001)
                        - (CAST(n_b AS DOUBLE) / t_b + 0.000001))

@@ -220,6 +220,23 @@ class VersionedTable:
             )
             m["latest"] = new_v
             self._flip_manifest(m)
+        # DEFENSE IN DEPTH against lock-protocol failure: file-name locks
+        # cannot be made airtight against every stale-break interleaving
+        # (a waiter that steals a freshly re-acquired lock can strand the
+        # holder's critical section unprotected), and the failure mode of
+        # two concurrent flips is a SILENT lost commit — the second flip
+        # erases the first's manifest entry. Verify-after-flip converts
+        # that into a raised conflict: if our entry did not survive, a
+        # concurrent flip clobbered it; raise so the caller re-derives
+        # and retries (the orphaned v-dir is the already-tolerated torn
+        # state, reclaimed by vacuum). A legitimate later commit BUILDS
+        # on our manifest, so our entry surviving is the success proof.
+        m2 = self._read_manifest()
+        if all(v["version"] != new_v for v in m2["versions"]):
+            raise ConcurrentWriteError(
+                f"{self.path}: commit of v={new_v} was clobbered by a "
+                "concurrent manifest flip; re-derive and retry"
+            )
         return new_v
 
     def upsert(

@@ -49,9 +49,13 @@ def _guard_versioned_layout(path: str) -> None:
     import os
 
     p = path.rstrip("/")
-    if "://" in p and not p.startswith("file://"):
+    if p.startswith("file:"):
+        # every local-URI spelling resolves to the same path: file:/x,
+        # file:///x (and the rare authority-less file://x) — a missed
+        # spelling would skip the guard and silently union snapshots
+        p = "/" + p[len("file:"):].lstrip("/")
+    elif "://" in p:
         return  # object-store URI: manifest protocol is POSIX-only anyway
-    p = p.removeprefix("file://")
     if os.path.exists(os.path.join(p, "_manifest.json")):
         raise ValueError(
             f"{path} is a versioned snapshot table (_manifest.json present); "

@@ -241,3 +241,22 @@ def test_dataset_split_deterministic_joinable_and_proportional(spark):
         .count()
     )
     assert moved > 500  # a new salt reassigns a large fraction
+
+
+def test_dataset_split_validates_and_handles_full_bands(spark):
+    """Percentages outside [0, 100] raise instead of silently
+    mis-banding (a 5-hex threshold would compare lexicographically);
+    a legitimate 100% band assigns every row."""
+    import pytest as _pytest
+
+    from gcp_etl_pipeline_spark.operators.curation import dataset_split
+
+    df = spark.range(0, 200).withColumnRenamed("id", "k")
+    with _pytest.raises(ValueError, match="invalid split percentages"):
+        dataset_split(df, "k", val_pct=60.0, test_pct=60.0)
+    with _pytest.raises(ValueError, match="invalid split percentages"):
+        dataset_split(df, "k", val_pct=-1.0)
+    all_val = dataset_split(df, "k", val_pct=100.0, test_pct=0.0)
+    assert {r.split for r in all_val.select("split").distinct().collect()} == {"val"}
+    all_test = dataset_split(df, "k", val_pct=0.0, test_pct=100.0)
+    assert {r.split for r in all_test.select("split").distinct().collect()} == {"test"}

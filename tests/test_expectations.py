@@ -187,3 +187,24 @@ def test_distribution_drift_clamps_and_zero_on_identical(spark):
     c = spark.createDataFrame([("x",), ("x",), (None,)], "c STRING")
     cat = {r.category: (r.n_a, r.n_b) for r in categorical_drift(b, c, "c").collect()}
     assert cat["<null>"] == (2, 1) and cat["x"] == (1, 2)
+
+
+def test_drift_empty_snapshot_screams_not_nulls(spark):
+    """A vanished snapshot is the most important drift there is: with
+    side B empty, psi_u must be large and NON-NULL in every populated
+    bucket (n/0 would NULL the shares and a max(psi_u) blocking rule
+    would never fire)."""
+    from gcp_etl_pipeline_spark.operators.quality import (
+        categorical_drift,
+        distribution_drift,
+    )
+
+    a = spark.createDataFrame([(float(x),) for x in range(20)], "x DOUBLE")
+    empty = spark.createDataFrame([], "x DOUBLE")
+    rows = distribution_drift(a, empty, "x", 0.0, 20.0, n_buckets=4).collect()
+    assert rows and all(r.psi_u is not None for r in rows)
+    assert max(r.psi_u for r in rows) > 1_000_000  # screams
+    cat = categorical_drift(
+        a.selectExpr("CAST(x AS STRING) AS x"), empty.selectExpr("CAST(x AS STRING) AS x"), "x"
+    ).collect()
+    assert cat and all(r.psi_u is not None and r.psi_u > 0 for r in cat)

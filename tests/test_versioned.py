@@ -314,6 +314,11 @@ def test_read_parquet_rejects_versioned_root(spark, tmp_path):
     t.write(spark.range(3).selectExpr("id"))
     with pytest.raises(ValueError, match="versioned snapshot table"):
         read_parquet(spark, t.path)
+    # every local-URI spelling must hit the guard too
+    with pytest.raises(ValueError, match="versioned snapshot table"):
+        read_parquet(spark, f"file://{t.path}")
+    with pytest.raises(ValueError, match="versioned snapshot table"):
+        read_parquet(spark, f"file:{t.path}")
     # the tier-aware reader sees exactly the latest snapshot
     from gcp_etl_pipeline_spark.operators.upsert import read_table
 

@@ -42,6 +42,12 @@ python tools/check.py /root/testdata/sf0.1 $(tr '\n' ' ' < /tmp/ci_q01.txt)
 echo "== unit + e2e + plan-assertion tests =="
 python -m pytest tests/ -q
 
+echo "== plan-profile drift check =="
+# a lost broadcast or a new cartesian changes a query's join/exchange
+# census; deliberate plan changes land with a regenerated baseline in
+# the same commit (python tools/plan_profile.py)
+python tools/plan_profile.py --check
+
 echo "== bench (sf0.1) + regression diff =="
 python bench.py
 python tools/bench_diff.py 2.0
