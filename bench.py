@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "distribution_drift_psi",
     "categorical_drift_psi",
     "minhash_estimate_error",
+    "neardup_ledger_compacted",
 ]
 
 

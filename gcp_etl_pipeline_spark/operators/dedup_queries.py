@@ -1395,3 +1395,103 @@ def _minhash_estimate_oracle() -> str:
 register(
     "minhash_estimate_error", _q_minhash_estimate_error, _minhash_estimate_oracle()
 )
+
+
+# ---------------------------- near-dup ledger lifecycle (compaction)
+
+def _q_neardup_ledger_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup twin of `dedup_ledger_compacted`: two attempt-scoped
+    increments seed the band ledger, `compact_ledger` rewrites the
+    attempt tree into flat files, and increment 3 near-dedups against
+    the COMPACTED band store. The oracle replays all three accept sets
+    from the signature arithmetic — a compaction that drops, duplicates,
+    or mangles a band row changes increment 3's accept set and breaks
+    the hash. The accepted frames are compaction-safe by construction
+    (they anti-join an eagerly checkpointed drop set, never the ledger
+    files)."""
+    import tempfile
+
+    store = tempfile.mkdtemp(prefix="graft_ndcompact_") + "/bands"
+    docs = _docs(spark, sf_dir)
+
+    def inc(pred: str, attempt: str) -> DataFrame:
+        return dedup.neardup_incremental(
+            docs.where(pred), store,
+            num_hashes=_NUM_HASHES, bands=_BANDS, attempt_id=attempt,
+        )
+
+    acc1 = inc("doc_id % 3 = 0", "i1")
+    acc2 = inc("doc_id % 3 = 1", "i2")
+    before, after = dedup.compact_ledger(spark, store)
+    if after >= before and before > 1:
+        raise AssertionError(f"compaction did not shrink: {before}->{after}")
+    acc3 = inc("doc_id % 3 = 2", "i3")
+
+    def tag(df: DataFrame, n: int) -> DataFrame:
+        return df.select(
+            F.lit(n).cast("int").alias("batch"), "doc_id", "lang"
+        )
+
+    return tag(acc1, 1).unionByName(tag(acc2, 2)).unionByName(tag(acc3, 3))
+
+
+def _neardup_compacted_oracle() -> str:
+    mins = ", ".join(
+        f"MIN(substring(md5('{k}|' || shingle), 1, 16)) AS mh{k}"
+        for k in range(_NUM_HASHES)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, md5({concat}) AS h FROM sig".format(
+            b=b,
+            concat=" || '|' || ".join(f"mh{b * _ROWS + r}" for r in range(_ROWS)),
+        )
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH {_TOK_CTE}, {_SH_CTE},
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands AS ({band_rows}),
+    ab AS (SELECT * FROM bands WHERE doc_id % 3 = 0),
+    bb AS (SELECT * FROM bands WHERE doc_id % 3 = 1),
+    cb AS (SELECT * FROM bands WHERE doc_id % 3 = 2),
+    adrop AS (SELECT DISTINCT y.doc_id FROM ab x JOIN ab y
+              ON x.band_id = y.band_id AND x.h = y.h AND x.doc_id < y.doc_id),
+    aacc AS (SELECT * FROM ab
+             WHERE doc_id NOT IN (SELECT doc_id FROM adrop)),
+    bdrop1 AS (SELECT DISTINCT y.doc_id FROM bb x JOIN bb y
+               ON x.band_id = y.band_id AND x.h = y.h AND x.doc_id < y.doc_id),
+    bsurv AS (SELECT * FROM bb
+              WHERE doc_id NOT IN (SELECT doc_id FROM bdrop1)),
+    bdrop2 AS (SELECT DISTINCT s.doc_id FROM bsurv s JOIN aacc
+               ON s.band_id = aacc.band_id AND s.h = aacc.h),
+    bacc AS (SELECT * FROM bsurv
+             WHERE doc_id NOT IN (SELECT doc_id FROM bdrop2)),
+    cdrop1 AS (SELECT DISTINCT y.doc_id FROM cb x JOIN cb y
+               ON x.band_id = y.band_id AND x.h = y.h AND x.doc_id < y.doc_id),
+    csurv AS (SELECT * FROM cb
+              WHERE doc_id NOT IN (SELECT doc_id FROM cdrop1)),
+    cdrop2 AS (SELECT DISTINCT s.doc_id FROM csurv s JOIN aacc
+               ON s.band_id = aacc.band_id AND s.h = aacc.h),
+    cdrop3 AS (SELECT DISTINCT s.doc_id FROM csurv s JOIN bacc
+               ON s.band_id = bacc.band_id AND s.h = bacc.h)
+    SELECT CAST(1 AS INT) AS batch, doc_id, lang FROM documents
+    WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT doc_id FROM adrop)
+    UNION ALL
+    SELECT CAST(2 AS INT), doc_id, lang FROM documents
+    WHERE doc_id % 3 = 1
+      AND doc_id NOT IN (SELECT doc_id FROM bdrop1)
+      AND doc_id NOT IN (SELECT doc_id FROM bdrop2)
+    UNION ALL
+    SELECT CAST(3 AS INT), doc_id, lang FROM documents
+    WHERE doc_id % 3 = 2
+      AND doc_id NOT IN (SELECT doc_id FROM cdrop1)
+      AND doc_id NOT IN (SELECT doc_id FROM cdrop2)
+      AND doc_id NOT IN (SELECT doc_id FROM cdrop3)
+    """
+
+
+register(
+    "neardup_ledger_compacted",
+    _q_neardup_ledger_compacted,
+    _neardup_compacted_oracle(),
+)
