@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "categorical_drift_psi",
     "minhash_estimate_error",
     "neardup_ledger_compacted",
+    "split_leakage_check",
 ]
 
 

@@ -1495,3 +1495,83 @@ register(
     _q_neardup_ledger_compacted,
     _neardup_compacted_oracle(),
 )
+
+
+# --------------------------------------- train/test near-dup leakage check
+
+def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The check the split and the dedup exist to enable TOGETHER: count
+    near-duplicate pairs (MinHash-LSH candidates verified at true
+    Jaccard >= 0.5) that straddle split boundaries — a train<->test
+    near-dup is evaluation leakage that whole-dataset dedup before
+    splitting would have removed. Returns pair counts per (split_a,
+    split_b); cross-split rows are the leakage report.
+
+    Scale shape: the pair set comes from the banded LSH join (never all
+    pairs); the split column is a pure projection joined onto the pair
+    endpoints by id."""
+    from gcp_etl_pipeline_spark.operators.curation import dataset_split
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_dedup_pairs(
+        docs, num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.5
+    ).select("a", "b")
+    split = dataset_split(
+        docs, "doc_id", val_pct=10.0, test_pct=10.0
+    ).select("doc_id", "split")
+    return (
+        pairs.join(
+            split.select(F.col("doc_id").alias("a"), F.col("split").alias("split_a")),
+            "a",
+        )
+        .join(
+            split.select(F.col("doc_id").alias("b"), F.col("split").alias("split_b")),
+            "b",
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def _split_leakage_oracle() -> str:
+    t_test = format(int(10.0 * 65536 / 100), "04x")
+    t_val = format(int(20.0 * 65536 / 100), "04x")
+    split_case = f"""CASE WHEN substring(md5('split|' || CAST({{id}} AS VARCHAR)), 1, 4)
+                     < '{t_test}' THEN 'test'
+                WHEN substring(md5('split|' || CAST({{id}} AS VARCHAR)), 1, 4)
+                     < '{t_val}' THEN 'val'
+                ELSE 'train' END"""
+    mins = ", ".join(
+        f"MIN(substring(md5('{k}|' || shingle), 1, 16)) AS mh{k}"
+        for k in range(_NUM_HASHES)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, md5({concat}) AS h FROM sig".format(
+            b=b,
+            concat=" || '|' || ".join(f"mh{b * _ROWS + r}" for r in range(_ROWS)),
+        )
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH {_TOK_CTE}, {_SH_CTE},
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands AS ({band_rows}),
+    cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             FROM bands x JOIN bands y
+               ON x.band_id = y.band_id AND x.h = y.h AND x.doc_id < y.doc_id),
+    c AS (SELECT cand.a, cand.b, COUNT(*) AS nc
+          FROM cand JOIN sh sa ON sa.doc_id = cand.a
+                    JOIN sh sb ON sb.doc_id = cand.b AND sb.shingle = sa.shingle
+          GROUP BY 1, 2),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (SELECT c.a, c.b FROM c
+              JOIN sz za ON c.a = za.doc_id JOIN sz zb ON c.b = zb.doc_id
+              WHERE CAST(nc AS DOUBLE) / (za.n + zb.n - nc) >= 0.5)
+    SELECT {split_case.format(id='a')} AS split_a,
+           {split_case.format(id='b')} AS split_b,
+           COUNT(*) AS n_pairs
+    FROM pairs GROUP BY 1, 2
+    """
+
+
+register("split_leakage_check", _q_split_leakage, _split_leakage_oracle())
