@@ -45,7 +45,7 @@ class ConcurrentWriteError(RuntimeError):
 
 
 class VersionedTable:
-    _LOCK_STALE_SEC = 60.0
+    _LOCK_TIMEOUT_SEC = 30.0
 
     def __init__(self, path: str):
         self.path = path.rstrip("/")
@@ -71,12 +71,27 @@ class VersionedTable:
         os.replace(tmp, self._manifest_path)  # atomic pointer flip
 
     def _commit_lock(self):
-        """O_EXCL lock file serializing manifest read-check-flip critical
-        sections (they are microseconds long: no data writes inside). A
-        crashed holder leaves a stale lock; holders older than
-        _LOCK_STALE_SEC are broken with a warning rather than deadlocking
-        every future commit."""
+        """Exclusive ``flock`` on a persistent lock file, serializing the
+        manifest read-check-flip critical sections (microseconds long: no
+        data writes inside).
+
+        flock, not an O_EXCL lock-file protocol: the kernel releases a
+        flock automatically when the holder's fd closes — including on
+        process crash — so staleness detection (and every stale-break
+        race it drags in: rename/steal/put-back interleavings that could
+        let two writers into the critical section or strand a fresh
+        holder lockless) is unnecessary by construction. flock is
+        per-open-file-description, so two THREADS of one process that
+        each open the file separately also mutually exclude. The lock
+        file itself is never unlinked — removing it would let a later
+        opener lock the OLD inode while a newer opener locks a fresh
+        one (the classic unlink race).
+
+        Scope: local/NFSv4 filesystems (the tier this parquet-manifest
+        table targets — see module docstring). Object stores need the
+        real Delta/Iceberg commit protocol."""
         import contextlib
+        import fcntl
         import time as _time
 
         lock = f"{self.path}/_manifest.lock"
@@ -84,63 +99,26 @@ class VersionedTable:
         @contextlib.contextmanager
         def held():
             os.makedirs(self.path, exist_ok=True)
-            deadline = _time.time() + 30.0
-            while True:
-                try:
-                    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                    os.close(fd)
-                    break
-                except FileExistsError:
-                    try:
-                        age = _time.time() - os.stat(lock).st_mtime
-                    except OSError:
-                        continue  # holder just released
-                    if age > self._LOCK_STALE_SEC:
-                        # break a crashed holder's lock by ATOMIC RENAME:
-                        # exactly one waiter wins the rename, so two
-                        # waiters that both observed staleness can't each
-                        # remove a lock (the loser's unconditional remove
-                        # would delete the winner's FRESH lock and let
-                        # both enter the critical section)
-                        try:
-                            stale = f"{lock}.stale.{os.getpid()}.{id(self)}"
-                            os.rename(lock, stale)
-                        except OSError:
-                            continue  # lost the race; loop and retry
-                        # Between our age check and the rename, ANOTHER
-                        # waiter may have broken the old lock and a new
-                        # holder acquired a FRESH one — which we just
-                        # stole. Re-stat the renamed file: only remove it
-                        # if it really was stale; if fresh, put it back
-                        # (link, not rename: link fails instead of
-                        # clobbering if yet another lock appeared in the
-                        # gap) and go back to ordinary waiting.
-                        try:
-                            taken_age = _time.time() - os.stat(stale).st_mtime
-                        except OSError:
-                            taken_age = self._LOCK_STALE_SEC + 1.0
-                        if taken_age <= self._LOCK_STALE_SEC:
-                            try:
-                                os.link(stale, lock)
-                            except OSError:
-                                pass  # lock re-created meanwhile; holder keeps it
-                        try:
-                            os.remove(stale)
-                        except OSError:
-                            pass
-                        continue
-                    if _time.time() > deadline:
-                        raise ConcurrentWriteError(
-                            f"{self.path}: commit lock held for {age:.0f}s"
-                        ) from None
-                    _time.sleep(0.01)
+            fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o644)
             try:
+                deadline = _time.time() + self._LOCK_TIMEOUT_SEC
+                while True:
+                    try:
+                        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                        break
+                    except OSError:
+                        if _time.time() > deadline:
+                            raise ConcurrentWriteError(
+                                f"{self.path}: commit lock not acquired "
+                                f"within {self._LOCK_TIMEOUT_SEC:.0f}s"
+                            ) from None
+                        _time.sleep(0.01)
                 yield
             finally:
                 try:
-                    os.remove(lock)
-                except OSError:
-                    pass
+                    fcntl.flock(fd, fcntl.LOCK_UN)
+                finally:
+                    os.close(fd)
 
         return held()
 
@@ -220,18 +198,23 @@ class VersionedTable:
             )
             m["latest"] = new_v
             self._flip_manifest(m)
-        # DEFENSE IN DEPTH against lock-protocol failure: file-name locks
-        # cannot be made airtight against every stale-break interleaving
-        # (a waiter that steals a freshly re-acquired lock can strand the
-        # holder's critical section unprotected), and the failure mode of
-        # two concurrent flips is a SILENT lost commit — the second flip
-        # erases the first's manifest entry. Verify-after-flip converts
-        # that into a raised conflict: if our entry did not survive, a
-        # concurrent flip clobbered it; raise so the caller re-derives
-        # and retries (the orphaned v-dir is the already-tolerated torn
-        # state, reclaimed by vacuum). A legitimate later commit BUILDS
-        # on our manifest, so our entry surviving is the success proof.
-        m2 = self._read_manifest()
+        # DEFENSE IN DEPTH: with flock the critical section is airtight
+        # on filesystems whose flock is real (local, NFSv4); this verify
+        # guards the remaining operational hazard — a deployment whose
+        # filesystem silently no-ops flock (e.g. some FUSE mounts) —
+        # where the failure mode of two concurrent flips is a SILENT
+        # lost commit (the second flip erases the first's entry).
+        # Verify-after-flip converts that into a raised conflict. The
+        # re-read happens under a FRESH lock acquisition (not after a
+        # bare release): any writer that could clobber our entry must
+        # itself hold the lock, so on a working flock the verify can
+        # only ever observe post-commit manifests that BUILT on ours —
+        # our entry surviving is the success proof, and the check is
+        # not a TOCTOU (a later legitimate commit never removes
+        # entries; only a concurrent stale-manifest flip does, and that
+        # cannot interleave with this read while both hold the lock).
+        with self._commit_lock():
+            m2 = self._read_manifest()
         if all(v["version"] != new_v for v in m2["versions"]):
             raise ConcurrentWriteError(
                 f"{self.path}: commit of v={new_v} was clobbered by a "

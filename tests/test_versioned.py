@@ -238,69 +238,74 @@ def test_vacuum_grace_protects_inflight_claims(spark, tmp_path):
     assert not os.path.isdir(str(tmp_path / "grace" / "v=2"))
 
 
-def test_commit_lock_breaks_stale_holder(spark, tmp_path, monkeypatch):
-    """A crashed writer's leftover lock must not deadlock future commits."""
+def test_commit_lock_crashed_holder_cannot_deadlock(spark, tmp_path):
+    """A crashed writer's leftover lock FILE must not deadlock future
+    commits: flock is held by an open fd, not by the file's existence,
+    and the kernel releases it when the holder's fds close (which a
+    process crash does). An orphaned lock file is therefore immediately
+    lockable — no staleness heuristic involved."""
     import os
     import pathlib
 
     t = VersionedTable(str(tmp_path / "stale"))
-    monkeypatch.setattr(VersionedTable, "_LOCK_STALE_SEC", 0.0)
     os.makedirs(t.path, exist_ok=True)
+    # simulate a crashed holder: the file exists but nobody flocks it
     pathlib.Path(f"{t.path}/_manifest.lock").touch()
     v = t.write(spark.range(2).selectExpr("id"))  # must not hang
     assert v == 1 and t.read(spark).count() == 2
+    # the lock file survives release (unlinking it would open the
+    # lock-the-old-inode race); a second commit reuses it
+    assert pathlib.Path(f"{t.path}/_manifest.lock").exists()
+    assert t.write(spark.range(3).selectExpr("id")) == 2
 
 
-def test_commit_lock_restores_freshly_stolen_lock(spark, tmp_path, monkeypatch):
-    """A waiter that observed staleness but whose rename lands on a lock
-    a NEW holder just re-created (another waiter broke the stale one in
-    the gap) must put the fresh lock BACK and return to ordinary
-    waiting — deleting it would let two writers into the manifest
-    critical section."""
-    import os
-    import pathlib
+def test_commit_lock_mutual_exclusion_and_timeout(tmp_path, monkeypatch):
+    """flock must actually exclude: while one thread holds the commit
+    lock, a second acquirer blocks, and proceeds only after release;
+    a holder that never releases makes the waiter raise
+    ConcurrentWriteError at the timeout instead of deadlocking."""
+    import threading
     import time
 
-    t = VersionedTable(str(tmp_path / "fresh"))
-    monkeypatch.setattr(VersionedTable, "_LOCK_STALE_SEC", 5.0)
-    os.makedirs(t.path, exist_ok=True)
-    lock = pathlib.Path(f"{t.path}/_manifest.lock")
-    lock.touch()
-    old = time.time() - 60
-    os.utime(lock, (old, old))  # looks stale to the waiter's age check
+    from gcp_etl_pipeline_spark.sinks.versioned import ConcurrentWriteError
 
-    real_rename = os.rename
-    events = []
+    t = VersionedTable(str(tmp_path / "excl"))
+    release = threading.Event()
+    holder_in = threading.Event()
 
-    def rename_refreshed(src, dst):
-        # simulate the race: between the age check and this rename,
-        # another waiter broke the stale lock and a new holder acquired
-        # a FRESH one — the file this rename steals is fresh
-        if str(src) == str(lock) and not events:
-            now = time.time()
-            os.utime(src, (now, now))
-            events.append("stole-fresh")
-        real_rename(src, dst)
+    def holder():
+        with t._commit_lock():
+            holder_in.set()
+            release.wait(10.0)
 
-    monkeypatch.setattr(os, "rename", rename_refreshed)
+    th = threading.Thread(target=holder)
+    th.start()
+    assert holder_in.wait(5.0)
 
-    real_sleep = time.sleep
+    # waiter 1: bounded timeout while the holder sits in the section
+    monkeypatch.setattr(VersionedTable, "_LOCK_TIMEOUT_SEC", 0.3)
+    t0 = time.time()
+    with pytest.raises(ConcurrentWriteError, match="commit lock"):
+        with t._commit_lock():
+            pass
+    assert time.time() - t0 < 5.0
 
-    def holder_releases(_secs):
-        # reaching sleep() proves the waiter went back to waiting; the
-        # restored lock must be present. Then the simulated holder
-        # finishes and releases, letting the waiter acquire cleanly.
-        if events and lock.exists():
-            events.append("waited-with-lock-present")
-            os.remove(lock)
-        real_sleep(0)
+    # waiter 2: acquires promptly once the holder releases
+    monkeypatch.setattr(VersionedTable, "_LOCK_TIMEOUT_SEC", 10.0)
+    acquired = []
 
-    monkeypatch.setattr(time, "sleep", holder_releases)
+    def waiter():
+        with t._commit_lock():
+            acquired.append(time.time())
 
-    v = t.write(spark.range(3).selectExpr("id"))
-    assert v == 1 and t.read(spark).count() == 3
-    assert "stole-fresh" in events
-    assert "waited-with-lock-present" in events
+    tw = threading.Thread(target=waiter)
+    tw.start()
+    time.sleep(0.2)
+    assert not acquired  # still excluded
+    release.set()
+    tw.join(10.0)
+    th.join(10.0)
+    assert acquired
 
 
 def test_read_parquet_rejects_versioned_root(spark, tmp_path):
