@@ -27,6 +27,71 @@ from gcp_etl_pipeline_spark.operators.text import fingerprint, tokens
 HEX_HIGH = tuple("89abcdef")  # md5 nibbles whose high bit is set
 
 
+class LedgerBusyError(RuntimeError):
+    """A ledger increment and a compaction (or two increments) overlapped.
+    The maintenance-window contract (compact BETWEEN increments, never
+    concurrently) was violated by the orchestrator; the losing operation
+    raises instead of silently re-accepting duplicates or — worse —
+    losing an increment's files to the compaction swap."""
+
+
+def _ledger_guard(store_path: str, timeout_sec: float = 60.0):
+    """Exclusive ``flock`` shared by the ledger INCREMENT paths
+    (``dedup_incremental`` / ``neardup_incremental``: list→anti-join→
+    append) and ``compact_ledger``'s rewrite — a scheduling mistake that
+    overlaps them surfaces as :class:`LedgerBusyError` instead of silent
+    duplicate admission (an increment listing the store mid-swap sees an
+    empty ledger) or data loss (an append landing mid-rewrite rides the
+    swapped-aside directory to deletion).
+
+    The lock file lives NEXT TO the store directory (``.<name>.ledger.
+    lock``), never inside it: compaction renames the store dir aside, and
+    a lock inside would ride the rename while waiters open/create a fresh
+    file at the old path — two "holders". URI-schemed stores (gs://,
+    s3a://...) get a no-op guard: object stores have no flock; there the
+    compaction path still aborts on mid-rewrite drift
+    (``layout.compact_small_files``'s snapshot check) and mutual
+    exclusion is the orchestrator's documented contract."""
+    import contextlib
+    import fcntl
+    import os
+    import time as _time
+
+    if "://" in store_path:
+        return contextlib.nullcontext()
+
+    norm = store_path.rstrip("/")
+    parent, name = os.path.dirname(norm) or ".", os.path.basename(norm)
+    lock = f"{parent}/.{name}.ledger.lock"
+
+    @contextlib.contextmanager
+    def held():
+        os.makedirs(parent, exist_ok=True)
+        fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            deadline = _time.time() + timeout_sec
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except OSError:
+                    if _time.time() > deadline:
+                        raise LedgerBusyError(
+                            f"{store_path}: another increment or compaction "
+                            f"holds the ledger lock (> {timeout_sec:.0f}s); "
+                            "compact BETWEEN increments, never concurrently"
+                        ) from None
+                    _time.sleep(0.05)
+            yield
+        finally:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+            finally:
+                os.close(fd)
+
+    return held()
+
+
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one representative (min id) per exact-duplicate group.
     One shuffle on the md5 fingerprint; no document ever compared."""
@@ -87,21 +152,27 @@ def dedup_incremental(
     # that beats checkpointing the accepted text, at the cost of the
     # increment being scanned once by the append and once by the
     # caller's consumption.
-    store_files = _ledger_files(store_path, spark, exclude_attempt=attempt_id)
-    if store_files:
-        kept = batch.join(
-            spark.read.parquet(*store_files).select("__fp"),
-            "__fp",
-            "left_anti",
+    # the list→anti-join→append section holds the ledger guard: an
+    # overlapping compaction (or second increment) raises LedgerBusyError
+    # instead of silently racing the store listing
+    with _ledger_guard(store_path):
+        store_files = _ledger_files(
+            store_path, spark, exclude_attempt=attempt_id
         )
-    else:
-        kept = batch
-    if attempt_id is None:
-        kept.select("__fp").write.mode("append").parquet(store_path)
-    else:
-        kept.select("__fp").write.mode("overwrite").parquet(
-            f"{store_path.rstrip('/')}/attempt={attempt_id}"
-        )
+        if store_files:
+            kept = batch.join(
+                spark.read.parquet(*store_files).select("__fp"),
+                "__fp",
+                "left_anti",
+            )
+        else:
+            kept = batch
+        if attempt_id is None:
+            kept.select("__fp").write.mode("append").parquet(store_path)
+        else:
+            kept.select("__fp").write.mode("overwrite").parquet(
+                f"{store_path.rstrip('/')}/attempt={attempt_id}"
+            )
     return kept.drop("__fp")
 
 
@@ -163,15 +234,26 @@ def compact_ledger(
     rename. Attempt partitions disappear in the rewrite — by design:
     compaction is a COMMIT of all prior attempts, so run it between
     increments, never concurrently with one (same maintenance-window
-    contract as OPTIMIZE). After compaction a retried pre-compaction
+    contract as OPTIMIZE). The contract is ENFORCED, not just stated:
+    compaction and the increments share an exclusive flock
+    (:func:`_ledger_guard`), so an overlap raises
+    :class:`LedgerBusyError`; on filesystems without flock the rewrite
+    additionally re-lists the store before its swap and aborts if an
+    increment's files appeared mid-compaction. After compaction a retried pre-compaction
     attempt would re-append rather than overwrite; orchestrators must
     not replay batches from before a compaction point. Returns
     (files_before, files_after)."""
     from gcp_etl_pipeline_spark.operators.layout import compact_small_files
 
-    return compact_small_files(
-        spark, store_path, target_file_bytes=target_file_bytes, recursive=True
-    )
+    # same guard the increments hold: a concurrent increment makes this
+    # raise LedgerBusyError instead of compacting a half-written ledger.
+    # Belt-and-braces for filesystems without flock: compact_small_files
+    # itself re-lists before the swap and aborts if new files appeared.
+    with _ledger_guard(store_path):
+        return compact_small_files(
+            spark, store_path, target_file_bytes=target_file_bytes,
+            recursive=True,
+        )
 
 
 def neardup_incremental(
@@ -229,29 +311,36 @@ def neardup_incremental(
         .distinct()
     )
     surv = stacked.join(dropped, id_col, "left_anti")
-    store_files = _ledger_files(store_path, spark, exclude_attempt=attempt_id)
-    if store_files:  # pinned pre-append file list (see dedup_incremental)
-        store = spark.read.parquet(*store_files)
-        led_dropped = (
-            surv.join(store.select("band_id", "h"), ["band_id", "h"], "left_semi")
-            .select(id_col)
-            .distinct()
+    # the list→semi-join→append section holds the ledger guard (same
+    # contract as dedup_incremental): overlap with a compaction raises
+    with _ledger_guard(store_path):
+        store_files = _ledger_files(
+            store_path, spark, exclude_attempt=attempt_id
         )
-        surv = surv.join(led_dropped, id_col, "left_anti")
-        dropped = dropped.unionByName(led_dropped)
-    # checkpoint BOTH outputs before touching the ledger: `dropped` is
-    # consumed by the caller-facing anti-join AFTER the append, and a
-    # lazy led_dropped leg re-reading the store would then see this
-    # batch's own band rows (the dedup_incremental self-read hazard)
-    surv = surv.localCheckpoint(eager=True)
-    dropped = dropped.localCheckpoint(eager=True)
-    stacked.unpersist()
-    if attempt_id is None:
-        surv.write.mode("append").parquet(store_path)
-    else:
-        surv.write.mode("overwrite").parquet(
-            f"{store_path.rstrip('/')}/attempt={attempt_id}"
-        )
+        if store_files:  # pinned pre-append file list (see dedup_incremental)
+            store = spark.read.parquet(*store_files)
+            led_dropped = (
+                surv.join(
+                    store.select("band_id", "h"), ["band_id", "h"], "left_semi"
+                )
+                .select(id_col)
+                .distinct()
+            )
+            surv = surv.join(led_dropped, id_col, "left_anti")
+            dropped = dropped.unionByName(led_dropped)
+        # checkpoint BOTH outputs before touching the ledger: `dropped` is
+        # consumed by the caller-facing anti-join AFTER the append, and a
+        # lazy led_dropped leg re-reading the store would then see this
+        # batch's own band rows (the dedup_incremental self-read hazard)
+        surv = surv.localCheckpoint(eager=True)
+        dropped = dropped.localCheckpoint(eager=True)
+        stacked.unpersist()
+        if attempt_id is None:
+            surv.write.mode("append").parquet(store_path)
+        else:
+            surv.write.mode("overwrite").parquet(
+                f"{store_path.rstrip('/')}/attempt={attempt_id}"
+            )
     # anti-join on dropped ids (not semi on survivors): short/empty docs
     # have no bands, hence no survivor rows, but they are still accepted
     return new_docs.join(

@@ -118,7 +118,20 @@ def compact_small_files(
             if st.isFile() and st.getPath().getName().startswith("part-")
         )
 
+    def _data_file_names(p) -> set[str]:
+        # full relative paths, not just counts: detects a concurrent
+        # writer landing files between the read and the swap
+        out = set()
+        it = fs.listFiles(p, True)
+        base = str(p)
+        while it.hasNext():
+            q = str(it.next().getPath())
+            if q.rsplit("/", 1)[-1].startswith("part-"):
+                out.add(q[len(base):])
+        return out
+
     files_before = _count_data_files(jpath)
+    snapshot = _data_file_names(jpath)
     reader = spark.read
     if recursive:
         reader = reader.option("recursiveFileLookup", "true")
@@ -140,6 +153,20 @@ def compact_small_files(
     old = path.rstrip("/") + "__pre_compact"
     jold = jvm.org.apache.hadoop.fs.Path(old)
     fs.delete(jold, True)  # leftover from an earlier crashed run
+    # ABORT if a concurrent writer landed files after our read: the swap
+    # below replaces the live path with the STAGED rewrite, so any file
+    # appended in the window would ride __pre_compact to deletion —
+    # silent data loss, strictly worse than the re-accept race the
+    # maintenance-window contract documents. The check is FS-agnostic
+    # (works where the flock guard can't reach, e.g. object stores);
+    # the staging output is discarded and the live path never touched.
+    drift = _data_file_names(jpath) - snapshot
+    if drift:
+        fs.delete(jstaging, True)
+        raise IOError(
+            f"compaction of {path} aborted: {len(drift)} file(s) appeared "
+            "during the rewrite (concurrent writer); live path untouched"
+        )
     if not fs.rename(jpath, jold):
         raise IOError(f"rename {path} -> {old} failed")
     if not fs.rename(jstaging, jpath):

@@ -106,3 +106,94 @@ def test_compact_with_zorder_clusters(spark, tmp_path):
     )
     assert after < before
     assert spark.read.parquet(path).count() == 5_000
+
+
+def test_ledger_guard_excludes_and_raises(spark, tmp_path):
+    """compact_ledger and the increment paths share one flock: while a
+    simulated increment holds the guard, compaction raises
+    LedgerBusyError promptly instead of rewriting a ledger mid-append."""
+    import threading
+
+    from gcp_etl_pipeline_spark.operators import dedup
+
+    store = str(tmp_path / "led")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        ["doc_id", "text"],
+    )
+    dedup.dedup_incremental(docs, store).count()
+
+    entered, release = threading.Event(), threading.Event()
+
+    def holder():
+        with dedup._ledger_guard(store):
+            entered.set()
+            release.wait(10.0)
+
+    th = threading.Thread(target=holder)
+    th.start()
+    assert entered.wait(5.0)
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(dedup.LedgerBusyError, match="ledger lock"):
+            _compact_with_short_timeout(spark, store)
+    finally:
+        release.set()
+        th.join(10.0)
+    # after release, compaction succeeds
+    before, after = dedup.compact_ledger(spark, store)
+    assert after <= before
+
+
+def _compact_with_short_timeout(spark, store):
+    """compact_ledger's body with a short guard timeout (the public
+    function pins the default; the guard itself is the unit under test)."""
+    from gcp_etl_pipeline_spark.operators import dedup
+    from gcp_etl_pipeline_spark.operators.layout import compact_small_files
+
+    with dedup._ledger_guard(store, timeout_sec=0.3):
+        return compact_small_files(spark, store, recursive=True)
+
+
+def test_compaction_aborts_on_concurrent_files(spark, tmp_path, monkeypatch):
+    """A file landing between compaction's read and its swap must abort
+    the swap (staging discarded, live path untouched) — otherwise the
+    new file rides __pre_compact to deletion: silent data loss."""
+    import pytest as _pytest
+
+    from gcp_etl_pipeline_spark.operators import layout
+
+    path = str(tmp_path / "tbl")
+    spark.range(100).selectExpr("id", "id % 7 AS k").coalesce(4).write.parquet(path)
+    n_rows = spark.read.parquet(path).count()
+
+    # inject a concurrent append after the staged rewrite, before the swap
+    real_mode = None
+    orig_write = layout.compact_small_files
+
+    injected = {"done": False}
+    import pyspark.sql.readwriter as rw
+
+    orig_save = rw.DataFrameWriter.parquet
+
+    def sneaky(self, p, *a, **kw):
+        out = orig_save(self, p, *a, **kw)
+        if p.endswith("__compact") and not injected["done"]:
+            injected["done"] = True
+            # concurrent writer: one more part file lands on the live path
+            orig_save(
+                spark.range(5).selectExpr("id", "id % 7 AS k").coalesce(1).write.mode("append"),
+                path,
+            )
+        return out
+
+    monkeypatch.setattr(rw.DataFrameWriter, "parquet", sneaky)
+    with _pytest.raises(IOError, match="concurrent writer"):
+        layout.compact_small_files(spark, path)
+    monkeypatch.undo()
+    # live path intact: original rows + the concurrent append, no staging dirs
+    assert spark.read.parquet(path).count() == n_rows + 5
+    import os
+
+    assert not os.path.exists(path + "__compact")
