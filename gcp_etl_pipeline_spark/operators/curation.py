@@ -479,8 +479,23 @@ def dataset_split(
             f"invalid split percentages: test={test_pct} val={val_pct} "
             "(each must be >= 0 and their sum <= 100)"
         )
+    # FAIL FAST on NULL keys instead of assigning them: concat_ws would
+    # silently hash every NULL to md5(salt) — all NULL-keyed rows in ONE
+    # engine-dependent split (SQL engines where 'salt|' || NULL is NULL
+    # would send them to 'train' instead): a silent, leak-prone
+    # divergence. raise_error evaluates lazily per row, so non-null
+    # corpora pay nothing; a NULL key aborts the job loudly.
+    key_checked = F.coalesce(
+        F.col(key_col).cast("string"),
+        F.raise_error(
+            F.lit(
+                f"dataset_split: NULL {key_col} — split assignment must be "
+                "a pure function of the key; filter or fill NULL keys first"
+            )
+        ).cast("string"),
+    )
     h = F.substring(
-        F.md5(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string"))),
+        F.md5(F.concat_ws("|", F.lit(salt), key_checked)),
         1,
         4,
     )

@@ -889,9 +889,18 @@ def _lloyd_lists_ctes(iters: int, limit_sql: str) -> str:
     lists AS (SELECT vec_id, qv, lid AS list_id FROM asg WHERE rk = 1)"""
 
 
+# EXACT integer sqrt, matching Python's math.isqrt bit-for-bit (the
+# engine's auto_n_lists): FLOOR(SQRT(n)) on IEEE doubles can land one off
+# near perfect squares (sqrt is correctly rounded, so after FLOOR the
+# error is at most ±1); the CASE corrects both directions, so the oracle
+# replays isqrt exactly for any n < 2^52 instead of relying on
+# float-rounding parity that only holds at small scale factors.
 _AUTO_LISTS_SQL = (
-    "(SELECT GREATEST(16, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) "
-    "FROM embeddings)"
+    "(SELECT GREATEST(16, CASE WHEN (s + 1) * (s + 1) <= n THEN s + 1 "
+    "WHEN s * s > n THEN s - 1 ELSE s END) "
+    "FROM (SELECT COUNT(*) AS n, "
+    "CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS s "
+    "FROM embeddings) isq)"
 )
 
 

@@ -260,3 +260,20 @@ def test_dataset_split_validates_and_handles_full_bands(spark):
     assert {r.split for r in all_val.select("split").distinct().collect()} == {"val"}
     all_test = dataset_split(df, "k", val_pct=0.0, test_pct=100.0)
     assert {r.split for r in all_test.select("split").distinct().collect()} == {"test"}
+
+
+def test_dataset_split_rejects_null_keys(spark):
+    """A NULL key must abort the job loudly: concat_ws would silently
+    send every NULL-keyed row to one engine-dependent split (md5(salt)),
+    while engines with NULL-propagating concat send them to 'train' —
+    a silent, leak-prone divergence."""
+    import pytest
+
+    from gcp_etl_pipeline_spark.operators.curation import dataset_split
+
+    df = spark.createDataFrame([(1,), (None,), (3,)], "k INT")
+    with pytest.raises(Exception, match="NULL k"):
+        dataset_split(df, "k").collect()
+    # and the non-null rows of the same frame split fine after filtering
+    ok = dataset_split(df.where("k IS NOT NULL"), "k")
+    assert ok.count() == 2

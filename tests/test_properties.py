@@ -273,3 +273,28 @@ def test_ledger_sequential_equals_oneshot(spark, t1, t2):
         .collect()
     }
     assert seq == oneshot
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.one_of(
+        st.integers(min_value=1, max_value=2**52 - 1),
+        # perfect squares and their neighbours: where FLOOR(SQRT(...))
+        # on doubles rounds the wrong way
+        st.integers(min_value=1, max_value=94906265).flatmap(
+            lambda k: st.sampled_from([k * k - 1, k * k, k * k + 1])
+        ),
+    )
+)
+def test_oracle_isqrt_matches_python_isqrt(n: int):
+    """The recall oracle's SQL integer-sqrt (FLOOR(SQRT) + two-sided
+    correction) must equal math.isqrt for every corpus size — the
+    engine sizes IVF lists with auto_n_lists(isqrt(N)), and a one-off
+    list count is a cross-engine hash mismatch at large SF."""
+    got = duckdb.sql(
+        f"SELECT CASE WHEN (s + 1) * (s + 1) <= n THEN s + 1 "
+        f"WHEN s * s > n THEN s - 1 ELSE s END "
+        f"FROM (SELECT {n}::BIGINT AS n, "
+        f"CAST(FLOOR(SQRT(CAST({n} AS DOUBLE))) AS BIGINT) AS s) isq"
+    ).fetchone()[0]
+    assert got == math.isqrt(n)
