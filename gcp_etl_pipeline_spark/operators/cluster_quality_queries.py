@@ -1,17 +1,23 @@
 """Graded queries for connected components, column profiling, and rule
 validation.
 
-The components oracle is a DuckDB RECURSIVE CTE computing the same
-transitive closure the Spark label-propagation loop converges to — a
-strong differential check of an iterative distributed algorithm against
-a declarative fixpoint.
+The components oracle UNROLLS the same accelerated min-label update the
+Spark loop runs (neighbor-min + hash-to-min pointer jump) as a fixed
+chain of linear CTE rounds — each round is one edges⋈labels join plus
+one labels⋈labels jump and a GROUP BY min, so the oracle scales like
+the engine (O(rounds·E)) instead of enumerating the quadratic
+(node, reachable-label) closure a RECURSIVE walk produces (the r5
+exclusion: at sf0.1 the small-vocabulary simhash graph has 3.5M pairs
+and a half-corpus component; the walk ran for tens of minutes while the
+unrolled chain takes seconds).
 
-ORACLE COST NOTE: the recursive walk enumerates (node, reachable-label)
-pairs — quadratic in component size. At the graded sf0.01 it finishes in
-seconds; at sf0.1 the small-vocabulary synthetic docs make simhash
-near-dup components large enough that the ORACLE (not the Spark side,
-which stays label-propagation-linear) runs for tens of minutes. Exclude
-`dedup_components` from big-SF oracle sweeps.
+Correctness does not rest on "enough rounds" silently: a final
+fixpoint CTE re-runs one neighbor-min round, and if ANY label would
+still move, the oracle emits a poison row ((-1, -1)) that hash-breaks
+the comparison loudly. The fixpoint of the min-update IS the exact
+component assignment (at fixpoint both ends of every edge carry equal
+labels ⇒ labels constant per component ⇒ the component min keeps its
+own id), so a clean fixpoint certifies the closure with no recursion.
 """
 
 from __future__ import annotations
@@ -39,11 +45,46 @@ def _q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("node").alias("doc_id"), "component")
 
 
-register(
-    "dedup_components",
-    _q_components,
-    f"""
-    WITH RECURSIVE {_SIMHASH_CTES},
+_CC_ROUNDS = 8  # pointer jumping converges in ~log2(diameter) rounds;
+# the sf0.1 graph needs 5 (plain propagation needed 8) — 8 is headroom,
+# and the fixpoint poison row makes "not enough rounds" loud, not wrong
+
+
+def _unrolled_cc_sql(rounds: int) -> str:
+    """Unrolled accelerated min-label propagation over the simhash
+    near-dup graph, each round linear in |edges|:
+
+        l{k}(n) = min(l{k-1}(n),                 -- keep
+                      l{k-1}(m) for m ~ n,       -- neighbor min
+                      l{k-1}(l{k-1}(n)))         -- pointer jump
+
+    plus a final one-round fixpoint check that injects a poison row if
+    any label would still move (see module docstring).
+
+    Every round CTE is MATERIALIZED: DuckDB inlines multiply-referenced
+    CTEs by default, and with three references per round the inlined
+    plan re-expands the whole prefix 3^rounds times (the first attempt
+    exhausted file handles re-opening the parquet scan). Materialization
+    pins each round to one execution — the linear cost the unrolling is
+    for."""
+
+    def rnd(i: int) -> str:
+        p = f"l{i - 1}"
+        return f"""
+    l{i} AS MATERIALIZED (
+      SELECT node, MIN(label) AS label FROM (
+        SELECT node, label FROM {p}
+        UNION ALL
+        SELECT e.d AS node, w.label FROM edges e JOIN {p} w ON e.s = w.node
+        UNION ALL
+        SELECT x.node, y.label FROM {p} x JOIN {p} y ON x.label = y.node
+      ) u GROUP BY node
+    )"""
+
+    chain = ",".join(rnd(i) for i in range(1, rounds + 1))
+    fin = f"l{rounds}"
+    return f"""
+    WITH {_SIMHASH_CTES},
     bands AS (
       SELECT doc_id, simhash, b.b AS band_id,
              (simhash >> CAST(b.b * 8 AS INT)) & 255 AS band_val
@@ -56,18 +97,29 @@ register(
            AND x.doc_id < y.doc_id
       WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT a AS s, b AS d FROM pairs
       UNION ALL SELECT b AS s, a AS d FROM pairs
     ),
-    walk(node, label) AS (
-      SELECT doc_id, doc_id FROM documents
-      UNION
-      SELECT e.d, w.label FROM edges e JOIN walk w ON e.s = w.node
+    l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS label
+                        FROM documents),{chain},
+    fix AS (
+      SELECT node, MIN(label) AS label FROM (
+        SELECT node, label FROM {fin}
+        UNION ALL
+        SELECT e.d AS node, w.label FROM edges e JOIN {fin} w ON e.s = w.node
+      ) u GROUP BY node
     )
-    SELECT node AS doc_id, MIN(label) AS component FROM walk GROUP BY node
-    """,
-)
+    SELECT node AS doc_id, label AS component FROM {fin}
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+    FROM (SELECT COUNT(*) AS moved FROM fix f JOIN {fin} z USING (node)
+          WHERE f.label <> z.label) nc
+    WHERE nc.moved > 0
+    """
+
+
+register("dedup_components", _q_components, _unrolled_cc_sql(_CC_ROUNDS))
 
 
 # ------------------------------------------------------ column profiling

@@ -22,17 +22,17 @@ python tools/check.py /root/testdata/sf0.01 $(tr '\n' ' ' < /tmp/ci_q1.txt)
 python tools/check.py /root/testdata/sf0.01 $(tr '\n' ' ' < /tmp/ci_q2.txt)
 
 echo "== rotating sf0.1 differential subset (~50 queries) =="
-# sf0.01 verifies every query above; sf0.1 can still diverge (e.g. the
-# components-oracle scale exclusion), so each run also gates a rotating
-# ~50-query subset at sf0.1. Rotation key = day, so consecutive pushes
-# on different days cover different slices; dedup_components is excluded
-# (documented quadratic ORACLE at sf0.1 — engine side is fine).
+# sf0.01 verifies every query above; sf0.1 can still diverge, so each
+# run also gates a rotating ~50-query subset at sf0.1. Rotation key =
+# day, so consecutive pushes on different days cover different slices.
+# No exclusions: the components oracle is the unrolled linear chain
+# since r6 (the r5 recursive-walk exclusion is gone).
 python - <<PY
 import hashlib, sys
 sys.path.insert(0, ".")
 import __spark_entry__ as e
 day = "${CI_ROTATION_KEY:-$(date +%Y%m%d)}"
-names = sorted(n for n in e.queries() if n != "dedup_components")
+names = sorted(e.queries())
 ranked = sorted(names, key=lambda n: hashlib.md5(f"{day}|{n}".encode()).hexdigest())
 open("/tmp/ci_q01.txt", "w").write("\n".join(sorted(ranked[:50])))
 print(f"day {day}: 50/{len(names)} queries at sf0.1")
