@@ -96,9 +96,11 @@ def _release_on_gc(out: DataFrame, *cached: DataFrame) -> DataFrame:
     Caveat (performance, never correctness): the release is tied to the
     RETURNED Python object, so a chained transform that drops it
     immediately — ``op(df).where(...).count()`` — can unpersist before
-    the action runs, degrading to recompute-per-consumer (the measured
-    no-pin behavior; identical results). Callers that chain should hold
-    the operator result in a variable for the action's duration."""
+    the action runs, degrading to AT MOST ONE recompute per action
+    (Spark executes a plan once per action; identical results, no cache
+    reuse across actions). Callers that chain should wrap the call in
+    :func:`pinned`, which holds the result for a block and releases the
+    caches deterministically at exit."""
     import weakref
 
     def _release(frames: tuple[DataFrame, ...] = cached) -> None:
@@ -108,8 +110,42 @@ def _release_on_gc(out: DataFrame, *cached: DataFrame) -> DataFrame:
             except Exception:  # noqa: BLE001 — interpreter/session teardown
                 pass
 
-    weakref.finalize(out, _release)
+    # expose the finalizer so pinned() can release deterministically at
+    # block exit instead of waiting for a GC pass (finalize is idempotent:
+    # calling it detaches it, and the later GC of `out` is then a no-op)
+    out._graft_release = weakref.finalize(out, _release)
     return out
+
+
+def pinned(df: DataFrame):
+    """Chaining-safe scope for operators whose persisted legs are
+    released when their RESULT is garbage-collected (``_release_on_gc``:
+    ``semantic_dedup``, ``neardup_pairs_bucketed``,
+    ``similarity_join_threshold``...). The block holds the result, so
+    chained transforms that drop their intermediate —
+    ``kept.where(...).count()`` — still reuse the operator's caches for
+    every action inside the block; at exit the caches are released
+    immediately (no waiting for a GC pass)::
+
+        with pinned(semantic_dedup(base, threshold=0.9)) as kept:
+            kept.where("vec_id > 0").count()   # cache-backed
+            kept.join(dim, "vec_id").collect()  # still cache-backed
+
+    Outside a ``pinned`` block the unheld chained pattern stays CORRECT
+    but pays at most one recompute per action. Frames derived inside the
+    block remain valid after exit; actions on them recompute."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def scope():
+        try:
+            yield df
+        finally:
+            release = getattr(df, "_graft_release", None)
+            if release is not None:
+                release()
+
+    return scope()
 
 
 def _q(x: Column) -> Column:

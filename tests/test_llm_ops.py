@@ -512,3 +512,68 @@ def test_bucketed_kmeans_recall_floor(spark, sf_dir):
     rows = _q_bucketed_recall(spark, sf_dir).collect()
     recall = sum(r.n_hit for r in rows) / sum(r.n_exact for r in rows)
     assert recall >= 0.4, recall
+
+
+def test_pinned_scope_keeps_cache_and_releases_at_exit(spark):
+    """The chaining-safe API for GC-released operators: inside a
+    pinned() block, chained actions that never hold the result reuse
+    the operator's persisted legs; at block exit the caches are
+    released deterministically (no GC pass needed). The unheld chained
+    pattern outside pinned() stays correct with at most one recompute
+    per action (Spark executes a plan once per action), measured here
+    via an input-scan accumulator."""
+    import gc
+
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    jcm.clearCache()
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [1.0, 0.001, 0.0]),
+        (4, [-1.0, -1.0, 0.5]),
+    ]
+    base = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def count_scans(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    counted = base.mapInPandas(count_scans, base.schema)
+
+    # pinned chained use: every action inside the block is cache-backed
+    with similarity.pinned(
+        similarity.semantic_dedup(counted, threshold=0.95, n_lists=2)
+    ) as kept:
+        n1 = kept.where("vec_id >= 0").count()  # intermediate not held
+        scans_after_first = acc.value
+        assert not jcm.isEmpty()  # caches held for the block
+        n2 = kept.count()
+        assert n1 == n2 == 3
+        # the second action re-reads the persisted leg, not the input
+        assert acc.value == scans_after_first
+    gc.collect()
+    assert jcm.isEmpty()  # released at exit, deterministically
+
+    # unpinned chained use (the documented footgun): correct, bounded —
+    # ONE action => at most one recompute of the unpersisted legs
+    acc2 = spark.sparkContext.accumulator(0)
+
+    def count_scans2(it):
+        for pdf in it:
+            acc2.add(len(pdf))
+            yield pdf
+
+    counted2 = base.mapInPandas(count_scans2, base.schema)
+    n3 = similarity.semantic_dedup(counted2, threshold=0.95, n_lists=2).where(
+        "vec_id >= 0"
+    ).count()
+    assert n3 == 3
+    # bounded: the chained action scanned the input no more than the
+    # operator's own build (pinned path's first action) plus one full
+    # re-derivation of the released leg
+    assert acc2.value <= 2 * scans_after_first
+    gc.collect()
+    assert jcm.isEmpty()
