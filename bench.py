@@ -99,21 +99,24 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    # Two timed passes, keep the per-query minimum: single-run numbers on a
-    # shared box swing 2-4x from external CPU noise; min-of-2 recovers the
-    # engine's actual steady-state cost.
+    # Three timed passes, keep the per-query MEDIAN: single-run numbers
+    # on a shared box swing 2-4x from external CPU noise; min-of-N hides
+    # real regressions behind one lucky run (the r4 1.85x similarity
+    # regression sailed under a 2.0x total gate), while the median of 3
+    # is noise-robust AND regression-sensitive enough to gate per query
+    # at ~1.3x (tools/bench_diff.py).
     import gc
+    import statistics
 
-    timings: dict[str, float] = {}
-    for _pass in range(2):
+    samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    for _pass in range(3):
         for name in BENCH_QUERIES:
             # time construction + execution: some operators (streaming
             # drains, sketch builds) do real work before the final action
             t0 = time.time()
             df = queries[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            elapsed = round(time.time() - t0, 3)
-            timings[name] = min(timings.get(name, elapsed), elapsed)
+            samples[name].append(round(time.time() - t0, 3))
             # drop the DataFrame reference and collect BETWEEN queries
             # (outside the timed window): eagerly-checkpointed operators
             # (semantic_dedup, the incremental ledgers) free their
@@ -124,10 +127,15 @@ def main() -> None:
             del df
             gc.collect()
 
+    timings = {
+        name: round(statistics.median(vals), 3)
+        for name, vals in samples.items()
+    }
     out = {
         "metric": "bench_total_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "stat": "median3",  # bench_diff only gates runs with equal stat
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

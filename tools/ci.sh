@@ -42,6 +42,12 @@ python tools/check.py /root/testdata/sf0.1 $(tr '\n' ' ' < /tmp/ci_q01.txt)
 echo "== unit + e2e + plan-assertion tests =="
 python -m pytest tests/ -q
 
+echo "== per-query evidence ledger =="
+# the sweeps above stamped EVIDENCE.json; regenerate the table and fail
+# on any query whose sf0.01 evidence went stale (>2 rounds old) — a
+# query silently dropped from the sweeps can no longer hide
+python tools/evidence.py --check
+
 echo "== plan-profile drift check =="
 # a lost broadcast or a new cartesian changes a query's join/exchange
 # census; deliberate plan changes land with a regenerated baseline in
@@ -50,4 +56,4 @@ python tools/plan_profile.py --check
 
 echo "== bench (sf0.1) + regression diff =="
 python bench.py
-python tools/bench_diff.py 2.0
+python tools/bench_diff.py 1.3
