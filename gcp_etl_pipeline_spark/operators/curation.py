@@ -514,3 +514,99 @@ def dataset_split(
         .when(h < F.lit(t_val), F.lit("val"))
         .otherwise(F.lit("train")),
     )
+
+
+def gopher_gates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 8,
+    max_tokens: int = 2000,
+    max_dup_pct: int = 30,
+    max_top_pct: int = 20,
+) -> DataFrame:
+    """Composed Gopher-style repetition/length GATES (Rae et al. 2021
+    §A1.1 — the rule family, with engine-configured thresholds): where
+    ``text_repetition_stats`` reports the signals, this operator makes
+    the keep/drop DECISION a curation pipeline acts on — one boolean per
+    rule plus the conjunction, so downstream can both filter on ``keep``
+    and audit which rule fired per document.
+
+    Rules (all integer cross-multiplications — no ratio is ever
+    materialized as a float, so the verdicts are bit-identical in any
+    engine and under any partitioning):
+      g_len:  min_tokens <= n_tokens <= max_tokens
+      g_dup:  duplicate-token fraction <= max_dup_pct/100
+              ((n_tokens - n_distinct) * 100 <= max_dup_pct * n_tokens)
+      g_top:  most-frequent-token share <= max_top_pct/100
+              (top_count * 100 <= max_top_pct * n_tokens)
+
+    Scale shape: one (doc, token) explode + two keyed aggregates — the
+    TF-IDF shuffle shape; the gate columns are a free projection."""
+    from gcp_etl_pipeline_spark.operators.text import tokens
+
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+    per = tok.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("c"))
+    agg = per.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.max("c").cast("bigint").alias("top_count"),
+    )
+    g_len = (F.col("n_tokens") >= min_tokens) & (
+        F.col("n_tokens") <= max_tokens
+    )
+    g_dup = (F.col("n_tokens") - F.col("n_distinct")) * 100 <= (
+        F.lit(max_dup_pct) * F.col("n_tokens")
+    )
+    g_top = F.col("top_count") * 100 <= F.lit(max_top_pct) * F.col("n_tokens")
+    return agg.select(
+        id_col,
+        "n_tokens",
+        "n_distinct",
+        "top_count",
+        g_len.alias("g_len"),
+        g_dup.alias("g_dup"),
+        g_top.alias("g_top"),
+        (g_len & g_dup & g_top).alias("keep"),
+    )
+
+
+def token_rarity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-document token-rarity score — the log-free quality proxy for
+    "is this document made of normal words or junk": over a document's
+    DISTINCT tokens, the corpus document-frequency of its rarest token
+    and the floor-div µ-unit mean document-frequency. Boilerplate scores
+    high (every token everywhere), OCR noise/garbage scores low (tokens
+    appear nowhere else). Unlike a unigram-LM logprob it needs no ln()
+    per token, so the score is exact integer arithmetic end-to-end and
+    differentially testable bit-for-bit.
+
+    Scale shape: one (doc, distinct-token) explode, one token-keyed
+    aggregate for corpus document frequency (map-side partial), one
+    token-keyed join back, one per-doc aggregate — the crossdoc shape;
+    documents never pair-compare."""
+    from gcp_etl_pipeline_spark.operators.text import tokens
+
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("t")
+    )
+    dfreq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        tok.join(dfreq, "t")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_tokens"),
+            F.min("__df").cast("bigint").alias("min_df"),
+            F.sum("__df").cast("bigint").alias("__sum_df"),
+        )
+        .select(
+            id_col,
+            "n_distinct_tokens",
+            "min_df",
+            F.expr(f"__sum_df * {scale} DIV n_distinct_tokens")
+            .alias("mean_df_u"),
+        )
+    )

@@ -755,3 +755,110 @@ register(
     FROM documents
     """,
 )
+
+
+# ---------------------------------------------- Gopher-style quality gates
+# The DECISION layer over the repetition signals: one boolean per rule +
+# the conjunction, all integer cross-multiplications (no float ratio ever
+# materialized), so the verdicts are bit-identical cross-engine.
+
+def _q_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.gopher_gates(
+        _docs(spark, sf_dir), min_tokens=8, max_tokens=2000,
+        max_dup_pct=30, max_top_pct=20,
+    )
+
+
+register(
+    "gopher_quality_gates",
+    _q_gopher_gates,
+    f"""
+    WITH {_TOK_CTE},
+    t AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+    per AS (SELECT doc_id, t, COUNT(*) AS c FROM t GROUP BY 1, 2),
+    agg AS (SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   CAST(MAX(c) AS BIGINT) AS top_count
+            FROM per GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_distinct, top_count,
+           (n_tokens >= 8 AND n_tokens <= 2000) AS g_len,
+           ((n_tokens - n_distinct) * 100 <= 30 * n_tokens) AS g_dup,
+           (top_count * 100 <= 20 * n_tokens) AS g_top,
+           ((n_tokens >= 8 AND n_tokens <= 2000)
+            AND ((n_tokens - n_distinct) * 100 <= 30 * n_tokens)
+            AND (top_count * 100 <= 20 * n_tokens)) AS keep
+    FROM agg
+    """,
+)
+
+
+# -------------------------------------------------- token-rarity scoring
+# Log-free unigram quality proxy: corpus document-frequency of each
+# document's rarest token + floor-div µ-unit mean df over its distinct
+# tokens. Exact integer arithmetic end-to-end (DuckDB's // is floor
+# division; operands are positive, so it matches Spark's DIV).
+
+def _q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.token_rarity(_docs(spark, sf_dir))
+
+
+register(
+    "token_rarity_score",
+    _q_token_rarity,
+    f"""
+    WITH {_TOK_CTE},
+    t AS (SELECT DISTINCT doc_id, unnest(toks) AS t FROM tok),
+    dfq AS (SELECT t, COUNT(*) AS df FROM t GROUP BY t)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+           CAST(MIN(df) AS BIGINT) AS min_df,
+           CAST(SUM(df) * 1000000 // COUNT(*) AS BIGINT) AS mean_df_u
+    FROM t JOIN dfq USING (t)
+    GROUP BY t.doc_id
+    """,
+)
+
+
+# ---------------------------------------- int8 embedding quantization audit
+# operators/similarity.py:quantize_int8_error — per-vector reconstruction
+# error of symmetric int8 codes over the µ-unit components. TRUNC
+# division on positive-and-negative ints: DuckDB's CAST(TRUNC(...)) on
+# exact-double quotients matches Spark's DIV (both truncate toward 0;
+# products ≤ 1.27e8 are exact doubles).
+
+def _q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gcp_etl_pipeline_spark.operators.similarity import quantize_int8_error
+
+    embs = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    return quantize_int8_error(embs)
+
+
+register(
+    "embedding_int8_audit",
+    _q_quantize_int8,
+    """
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(range(1, len(embedding) + 1),
+               i -> CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000, 0)
+                         AS BIGINT)) AS qv
+      FROM embeddings),
+    m AS (SELECT vec_id, qv,
+                 list_aggregate(list_transform(qv, x -> ABS(x)), 'max') AS mm
+          FROM base),
+    e AS (SELECT vec_id, mm,
+                 CASE WHEN mm = 0 THEN [CAST(0 AS BIGINT)]
+                      ELSE list_transform(qv, x -> ABS(x -
+                        CAST(TRUNC(CAST(CAST(TRUNC(CAST(x * 127 AS DOUBLE)
+                               / mm) AS BIGINT) * mm AS DOUBLE) / 127)
+                             AS BIGINT)))
+                 END AS errs
+          FROM m)
+    SELECT vec_id,
+           CAST(mm AS BIGINT) AS max_abs_u,
+           CAST(list_aggregate(errs, 'max') AS BIGINT) AS max_err_u,
+           CAST(list_sum(errs) AS BIGINT) AS sum_err_u
+    FROM e
+    """,
+)

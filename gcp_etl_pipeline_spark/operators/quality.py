@@ -186,3 +186,115 @@ def categorical_drift(
         )
 
     return _psi_report(hist(df_a, "a"), hist(df_b, "b"), "category", scale)
+
+
+def ks_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    scale: int = 1_000_000,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between two
+    snapshots of a numeric column — the unbinned companion to
+    ``distribution_drift``'s PSI: D = max_v |F_a(v) − F_b(v)| over every
+    observed value, so a shift PSI's fixed grid averages away (a spike
+    inside one bucket, a subtle quantile slide) still registers.
+
+    Returns ONE row: (n_a, n_b, ks_u) with ks_u = round(D·scale).
+
+    Determinism contract: the maximum is taken over the INTEGER
+    cross-products |cum_a·n_b − cum_b·n_a| (exact under any layout); the
+    single division + round happens once on the final scalar, in the
+    same operation order as the SQL oracle.
+
+    Scale shape — the honest part: an empirical CDF needs a GLOBAL
+    cumulative sum, and a naive window (ORDER BY with no PARTITION BY)
+    plans as ONE task over every distinct value. This implementation
+    runs the classic two-phase distributed prefix sum instead:
+      1. per-value counts for both sides (one shuffle, map-side partial);
+      2. values land in ``n_buckets`` RANGE buckets over the observed
+         [lo, hi] (bucketing only places rows — the result is exact even
+         when buckets are unbalanced);
+      3. per-bucket subtotals (n_buckets rows) come to the driver and
+         become EXCLUSIVE prefix offsets, broadcast-joined back;
+      4. the cumulative sum windows WITHIN each bucket, n_buckets-way
+         parallel, plus the bucket's offset.
+    Only n_buckets scalars touch the driver; no stage sees more than one
+    bucket's values in order."""
+    from pyspark.sql import Window
+
+    def counts(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.where(F.col(col).isNotNull())
+            .select(F.col(col).cast("double").alias("v"))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias(f"c_{side}"))
+        )
+
+    g = (
+        counts(df_a, "a")
+        .join(counts(df_b, "b"), "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("c_a", F.lit(0)).alias("c_a"),
+            F.coalesce("c_b", F.lit(0)).alias("c_b"),
+        )
+    )
+    stats = g.agg(
+        F.sum("c_a").alias("na"),
+        F.sum("c_b").alias("nb"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    ).collect()[0]
+    na, nb = int(stats["na"] or 0), int(stats["nb"] or 0)
+    spark = df_a.sparkSession
+    if na == 0 or nb == 0:
+        # an empty snapshot must scream (same contract as _psi_report)
+        return spark.createDataFrame(
+            [(na, nb, int(scale))], "n_a BIGINT, n_b BIGINT, ks_u BIGINT"
+        )
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    width = (hi - lo) or 1.0
+    b = F.floor((F.col("v") - lo) / width * n_buckets).cast("long")
+    g = g.withColumn(
+        "bucket", F.least(F.greatest(b, F.lit(0)), F.lit(n_buckets - 1))
+    )
+    # per-bucket subtotals -> exclusive prefix offsets (driver sees
+    # n_buckets scalars, never values)
+    sub = {
+        int(r["bucket"]): (int(r["sa"]), int(r["sb"]))
+        for r in g.groupBy("bucket")
+        .agg(F.sum("c_a").alias("sa"), F.sum("c_b").alias("sb"))
+        .collect()
+    }
+    offs, run_a, run_b = [], 0, 0
+    for i in range(n_buckets):
+        offs.append((i, run_a, run_b))
+        sa, sb = sub.get(i, (0, 0))
+        run_a += sa
+        run_b += sb
+    off_df = spark.createDataFrame(
+        offs, "bucket BIGINT, off_a BIGINT, off_b BIGINT"
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        g.join(F.broadcast(off_df), "bucket")
+        .withColumn("cum_a", F.sum("c_a").over(w) + F.col("off_a"))
+        .withColumn("cum_b", F.sum("c_b").over(w) + F.col("off_b"))
+    )
+    return cum.agg(
+        F.max(
+            F.abs(F.col("cum_a") * F.lit(nb) - F.col("cum_b") * F.lit(na))
+        ).alias("dnum")
+    ).select(
+        F.lit(na).cast("bigint").alias("n_a"),
+        F.lit(nb).cast("bigint").alias("n_b"),
+        F.round(
+            F.col("dnum").cast("double") * scale / (float(na) * float(nb)), 0
+        ).cast("bigint").alias("ks_u"),
+    )

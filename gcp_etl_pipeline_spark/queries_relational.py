@@ -2439,3 +2439,49 @@ register(
     FROM j CROSS JOIN t
     """,
 )
+
+
+# ----------------------------------- snapshot distribution drift (exact KS)
+
+def _q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift between the same two
+    order-year snapshots the PSI gate compares — the unbinned statistic
+    that catches shifts PSI's 10-bucket grid averages away
+    (operators/quality.py:ks_drift). The CDF cumsum runs as a two-phase
+    distributed prefix sum (range buckets + broadcast offsets), never a
+    single-task global window."""
+    from gcp_etl_pipeline_spark.operators.quality import ks_drift
+
+    ensure_views(spark, sf_dir)
+    o = spark.table("orders")
+    return ks_drift(
+        o.where(F.year("o_orderdate") == 1995),
+        o.where(F.year("o_orderdate") == 1996),
+        "o_totalprice",
+    )
+
+
+register(
+    "quantile_drift_ks",
+    _q_ks_drift,
+    """
+    WITH ag AS (SELECT CAST(o_totalprice AS DOUBLE) AS v, COUNT(*) AS c_a
+                FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+    bg AS (SELECT CAST(o_totalprice AS DOUBLE) AS v, COUNT(*) AS c_b
+           FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1),
+    u AS (SELECT COALESCE(ag.v, bg.v) AS v, COALESCE(c_a, 0) AS c_a,
+                 COALESCE(c_b, 0) AS c_b
+          FROM ag FULL OUTER JOIN bg ON ag.v = bg.v),
+    t AS (SELECT CAST(SUM(c_a) AS BIGINT) AS na,
+                 CAST(SUM(c_b) AS BIGINT) AS nb FROM u),
+    cum AS (SELECT SUM(c_a) OVER (ORDER BY v) AS cum_a,
+                   SUM(c_b) OVER (ORDER BY v) AS cum_b
+            FROM u)
+    SELECT na AS n_a, nb AS n_b,
+           CAST(ROUND(CAST(MAX(ABS(cum_a * nb - cum_b * na)) AS DOUBLE)
+                      * 1000000 / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)),
+                      0) AS BIGINT) AS ks_u
+    FROM cum CROSS JOIN t
+    GROUP BY na, nb
+    """,
+)
