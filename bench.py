@@ -77,6 +77,11 @@ BENCH_QUERIES = [
     "minhash_estimate_error",
     "neardup_ledger_compacted",
     "split_leakage_check",
+    # round-6 additions
+    "quantile_drift_ks",
+    "gopher_quality_gates",
+    "token_rarity_score",
+    "embedding_int8_audit",
 ]
 
 

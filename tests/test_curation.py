@@ -277,3 +277,77 @@ def test_dataset_split_rejects_null_keys(spark):
     # and the non-null rows of the same frame split fine after filtering
     ok = dataset_split(df.where("k IS NOT NULL"), "k")
     assert ok.count() == 2
+
+
+def test_gopher_gates_rule_boundaries(spark):
+    """Each gate fires on its own boundary: too-short, too-repetitive,
+    top-heavy, and a clean doc; integer cross-multiplication means the
+    30%/20% thresholds are exact (no float epsilon)."""
+    from gcp_etl_pipeline_spark.operators.curation import gopher_gates
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three"),                      # 3 tokens: g_len fails
+            (2, " ".join(["spam"] * 6 + ["a b c d e f g h".replace(" ", " ")])
+             ),                                        # heavy repetition
+            (3, " ".join(f"w{i}" for i in range(10))),  # clean
+            (4, " ".join(["x"] * 3 + [f"y{i}" for i in range(7)])),  # top 30%
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in gopher_gates(docs).collect()}
+    assert not got[1].g_len and got[3].keep
+    assert not got[2].keep  # dup_frac and top_frac both blown
+    # doc 4: 10 tokens, top 'x' ×3 => 30% > 20% cap -> g_top False;
+    # dup = 10-8 = 2 => 20% <= 30% -> g_dup True
+    assert got[4].g_dup and not got[4].g_top and not got[4].keep
+
+
+def test_token_rarity_exact_floor_division(spark):
+    from gcp_etl_pipeline_spark.operators.curation import token_rarity
+
+    docs = spark.createDataFrame(
+        [(1, "common rare1"), (2, "common rare2"), (3, "common common")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in token_rarity(docs).collect()}
+    # 'common' df=3; rare tokens df=1
+    assert got[1].min_df == 1 and got[1].n_distinct_tokens == 2
+    assert got[1].mean_df_u == (4 * 1_000_000) // 2  # (3+1)/2 exact
+    assert got[3].n_distinct_tokens == 1 and got[3].mean_df_u == 3_000_000
+
+
+def test_ks_drift_exact_and_empty_snapshot(spark):
+    from gcp_etl_pipeline_spark.operators.quality import ks_drift
+
+    a = spark.createDataFrame([(float(v),) for v in [1, 2, 3, 4]], ["x"])
+    b = spark.createDataFrame([(float(v),) for v in [3, 4, 5, 6]], ["x"])
+    row = ks_drift(a, b, "x").collect()[0]
+    # D = |F_a(2) - F_b(2)| = |2/4 - 0| = 0.5
+    assert (row.n_a, row.n_b, row.ks_u) == (4, 4, 500_000)
+    # identical snapshots: zero drift
+    same = ks_drift(a, a, "x").collect()[0]
+    assert same.ks_u == 0
+    # empty snapshot screams (ks_u = scale), never NULLs
+    empty = spark.createDataFrame([], "x DOUBLE")
+    loud = ks_drift(a, empty, "x").collect()[0]
+    assert loud.ks_u == 1_000_000 and loud.n_b == 0
+
+
+def test_quantize_int8_zero_vector_and_exact_roundtrip(spark):
+    from gcp_etl_pipeline_spark.operators.similarity import quantize_int8_error
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0]),            # zero vector: no division, zero error
+            (2, [1.0, -1.0]),           # max-abs components: exact codes
+            (3, [0.5, 1.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    got = {r.vec_id: r for r in quantize_int8_error(df).collect()}
+    assert got[1].max_abs_u == 0 and got[1].max_err_u == 0
+    assert got[2].max_err_u == 0  # ±m quantizes to ±127 exactly
+    # 0.5 -> q=500000, m=1000000: code = trunc(500000*127/1e6) = 63,
+    # recon = trunc(63*1e6/127) = 496062 -> err 3938
+    assert got[3].max_err_u == 500_000 - (63 * 1_000_000) // 127
