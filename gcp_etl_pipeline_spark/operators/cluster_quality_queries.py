@@ -50,16 +50,16 @@ _CC_ROUNDS = 8  # pointer jumping converges in ~log2(diameter) rounds;
 # and the fixpoint poison row makes "not enough rounds" loud, not wrong
 
 
-def _unrolled_cc_sql(rounds: int) -> str:
-    """Unrolled accelerated min-label propagation over the simhash
-    near-dup graph, each round linear in |edges|:
+def _cc_with_body(rounds: int) -> str:
+    """Shared WITH-chain for the components oracles: simhash near-dup
+    graph -> ``rounds`` unrolled accelerated min-label updates ->
+    one-round fixpoint check, without a final SELECT (each oracle
+    projects the converged labels `l{rounds}` differently and unions the
+    poison row from `fix`). Each round is linear in |edges|:
 
         l{k}(n) = min(l{k-1}(n),                 -- keep
                       l{k-1}(m) for m ~ n,       -- neighbor min
                       l{k-1}(l{k-1}(n)))         -- pointer jump
-
-    plus a final one-round fixpoint check that injects a poison row if
-    any label would still move (see module docstring).
 
     Every round CTE is MATERIALIZED: DuckDB inlines multiply-referenced
     CTEs by default, and with three references per round the inlined
@@ -110,6 +110,14 @@ def _unrolled_cc_sql(rounds: int) -> str:
         SELECT e.d AS node, w.label FROM edges e JOIN {fin} w ON e.s = w.node
       ) u GROUP BY node
     )
+    """
+
+
+def _unrolled_cc_sql(rounds: int) -> str:
+    """dedup_components oracle: every (node, converged label) pair, plus
+    the poison row when the fixpoint check fails (see _cc_with_body)."""
+    fin = f"l{rounds}"
+    return _cc_with_body(rounds) + f"""
     SELECT node AS doc_id, label AS component FROM {fin}
     UNION ALL
     SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
@@ -120,6 +128,40 @@ def _unrolled_cc_sql(rounds: int) -> str:
 
 
 register("dedup_components", _q_components, _unrolled_cc_sql(_CC_ROUNDS))
+
+
+# --------------------------------------- transitive near-dup dedup (keep)
+# operators/dedup.py:dedup_neardup_transitive — the production
+# composition: pairs -> transitive closure -> keep only the minimum-id
+# representative of every cluster (pairwise dropping over-keeps chains).
+# The oracle projects the shared converged labels: kept <=> node == label,
+# joined back to the corpus; the poison row carries the output schema.
+
+def _q_neardup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return dedup.dedup_neardup_transitive(docs).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def _transitive_keep_oracle() -> str:
+    fin = f"l{_CC_ROUNDS}"
+    return _cc_with_body(_CC_ROUNDS) + f"""
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d JOIN {fin} c ON d.doc_id = c.node
+    WHERE c.node = c.label
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), 'NOT-CONVERGED', CAST(-1 AS INTEGER)
+    FROM (SELECT COUNT(*) AS moved FROM fix f JOIN {fin} z USING (node)
+          WHERE f.label <> z.label) nc
+    WHERE nc.moved > 0
+    """
+
+
+register(
+    "neardup_transitive_keep", _q_neardup_transitive,
+    _transitive_keep_oracle(),
+)
 
 
 # ------------------------------------------------------ column profiling

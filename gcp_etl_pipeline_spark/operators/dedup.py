@@ -859,3 +859,62 @@ def crossdoc_duplication(
             ).cast("bigint").alias("dup_fraction_u"),
         )
     )
+
+
+def dedup_neardup_transitive(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """TRANSITIVE near-dup dedup — the production composition the pair
+    and cluster primitives exist for: simhash near-dup PAIRS → connected
+    components (transitive closure: A~B, B~C drops C even when A and C
+    never collide directly) → keep exactly the minimum-id representative
+    of every cluster. Pairwise dropping alone over-keeps: a drop decided
+    per colliding pair leaves chains half-deduped.
+
+    Scale shape: the banded simhash self-join (never all-pairs) + the
+    log-diameter label-propagation loop + one id-keyed semi-join back
+    onto the corpus; documents are never compared, and the corpus rides
+    exactly one join. Returns the kept documents with their original
+    columns."""
+    from gcp_etl_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = simhash_neardup_pairs(df, text_col=text_col, id_col=id_col,
+                                  max_hamming=max_hamming)
+    comp = connected_components(
+        df.select(F.col(id_col).alias("node")),
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+    )
+    reps = comp.where(F.col("node") == F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(reps, id_col, "left_semi")
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """Corpus boilerplate mining: the ``top_k`` n-token shingles by
+    DOCUMENT frequency, (df desc, shingle asc) tie-broken — the audit a
+    curation run does before choosing crossdoc/dedup thresholds (the
+    output is literally the table of headers, footers, and license
+    blurbs that near-dup banding will be dominated by).
+
+    Scale shape: one shingle explode + one shingle-keyed count with
+    map-side partials (exchange bounded by shingle vocabulary), then a
+    top-k over the vocabulary-sized aggregate."""
+    sh = shingle_sets(df, text_col=text_col, id_col=id_col, n=n)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("shingle"))
+        .limit(top_k)
+    )

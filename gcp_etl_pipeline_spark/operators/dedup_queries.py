@@ -1584,3 +1584,26 @@ def _split_leakage_oracle() -> str:
 
 
 register("split_leakage_check", _q_split_leakage, _split_leakage_oracle())
+
+
+# ------------------------------------------------- boilerplate mining
+# operators/dedup.py:boilerplate_ngrams — the df-ranked shingle table a
+# curation run reads before tuning crossdoc/near-dup thresholds. Ties at
+# the top-k boundary break on (n_docs desc, shingle asc) in both engines,
+# so the SET of returned rows is deterministic.
+
+def _q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.boilerplate_ngrams(_docs(spark, sf_dir), top_k=20)
+
+
+register(
+    "boilerplate_top_ngrams",
+    _q_boilerplate,
+    f"""
+    WITH {_TOK_CTE}, {_SH_CTE}
+    SELECT shingle, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM sh GROUP BY shingle
+    ORDER BY n_docs DESC, shingle ASC
+    LIMIT 20
+    """,
+)

@@ -2485,3 +2485,65 @@ register(
     GROUP BY na, nb
     """,
 )
+
+
+# ------------------------------------------- exact grouped percentiles
+
+def _q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p90/p99 of o_totalprice per order priority — the
+    deterministic alternative to approx_percentile (whose sketch output
+    is engine- and merge-order-dependent, so it can never be
+    differentially graded): the k-th order statistic at k = ceil(p·n)
+    via one per-group ranking window. The VALUE at position k is unique
+    regardless of how ties order, so the result is layout-invariant.
+
+    Scale shape: one hash exchange on the group key + a per-group sort;
+    groups are the unit of parallelism (5 priorities here — at cluster
+    scale use a higher-cardinality group key or the distributed
+    prefix-sum of ks_drift for a global percentile)."""
+    from pyspark.sql import Window
+
+    ensure_views(spark, sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    wn = Window.partitionBy("o_orderpriority")
+    d = (
+        spark.table("orders")
+        .select("o_orderpriority", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+    )
+
+    def at(p: float):
+        k = F.ceil(F.col("n") * F.lit(p)).cast("bigint")
+        return F.max(F.when(F.col("rn") == k, F.col("o_totalprice")))
+
+    return d.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n_rows"),
+        at(0.5).alias("p50"),
+        at(0.9).alias("p90"),
+        at(0.99).alias("p99"),
+    )
+
+
+register(
+    "exact_group_percentiles",
+    _q_exact_percentiles,
+    """
+    WITH d AS (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n_rows,
+           MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS BIGINT)
+                    THEN o_totalprice END) AS p50,
+           MAX(CASE WHEN rn = CAST(CEIL(n * 0.9) AS BIGINT)
+                    THEN o_totalprice END) AS p90,
+           MAX(CASE WHEN rn = CAST(CEIL(n * 0.99) AS BIGINT)
+                    THEN o_totalprice END) AS p99
+    FROM d GROUP BY o_orderpriority
+    """,
+)
