@@ -82,6 +82,11 @@ BENCH_QUERIES = [
     "gopher_quality_gates",
     "token_rarity_score",
     "embedding_int8_audit",
+    "kmv_distinct_estimate",
+    "weighted_priority_sample",
+    "mutual_knn_pairs",
+    "source_overlap_jaccard",
+    "shingle_novelty_curve",
 ]
 
 

@@ -1,0 +1,203 @@
+"""Round-6 corpus-audit queries: gradable cardinality sketching, weighted
+priority sampling, mutual-kNN graph edges, source-overlap and novelty
+audits. Every oracle replays the engine's md5-derived integer arithmetic
+bit-for-bit (the dedup_queries convention); hex→int folding uses a
+Horner list_reduce (DuckDB has no conv())."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_etl_pipeline_spark.operators import curation, dedup, sketches, similarity
+from gcp_etl_pipeline_spark.registry import register
+from gcp_etl_pipeline_spark.sources.files import read_parquet
+
+from gcp_etl_pipeline_spark.operators.dedup_queries import (  # shared CTEs
+    _SH_CTE,
+    _TOK_CTE,
+    _qcos,
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_parquet(spark, f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+
+
+def _hex12(expr: str) -> str:
+    """DuckDB twin of Spark's CAST(conv(<12 hex chars>, 16, 10) AS BIGINT):
+    Horner fold of the nibbles — exact BIGINT, no pow(), no conv()."""
+    return (
+        "list_reduce(list_transform(range(1, 13), i -> CAST("
+        f"strpos('0123456789abcdef', substring({expr}, i, 1)) - 1 AS BIGINT)),"
+        " (a, b) -> a * 16 + b)"
+    )
+
+
+# ------------------------------------------------- KMV distinct estimate
+# sketches.kmv_distinct over the corpus 3-gram shingle vocabulary: the
+# estimator's ERROR versus the exact distinct count is the graded output
+# (~16k distinct shingles vs k=256 → a real estimation regime).
+
+_KMV_K = 256
+_KMV_SPACE = 1 << 48
+
+
+def _q_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dedup.shingle_sets(_docs(spark, sf_dir)).select("shingle")
+    return sketches.kmv_distinct(sh, "shingle", k=_KMV_K)
+
+
+register(
+    "kmv_distinct_estimate",
+    _q_kmv,
+    f"""
+    WITH {_TOK_CTE}, {_SH_CTE},
+    hs AS (SELECT DISTINCT
+             {_hex12("substring(md5('kmv|' || shingle), 1, 12)")} AS h
+           FROM sh),
+    topk AS (SELECT h FROM hs ORDER BY h LIMIT {_KMV_K}),
+    agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_retained,
+                   CAST(MAX(h) AS BIGINT) AS kth_min FROM topk),
+    ex AS (SELECT CAST(COUNT(DISTINCT shingle) AS BIGINT) AS exact_distinct
+           FROM sh),
+    est AS (SELECT CAST({_KMV_K} AS BIGINT) AS k, n_retained, kth_min,
+                   CAST(CASE WHEN n_retained < {_KMV_K} THEN n_retained
+                        ELSE ({_KMV_K - 1} * CAST({_KMV_SPACE} AS BIGINT))
+                             // kth_min END AS BIGINT) AS est_distinct,
+                   exact_distinct
+            FROM agg CROSS JOIN ex)
+    SELECT k, n_retained, kth_min, est_distinct, exact_distinct,
+           CAST(abs(est_distinct - exact_distinct) * 1000000
+                // exact_distinct AS BIGINT) AS err_u
+    FROM est
+    """,
+)
+
+
+# -------------------------------------------- weighted priority sampling
+# curation.weighted_priority_sample: per-lang top-25 by exact-integer
+# priority key h·(840/w), weight = length bucket in 1..8 (every value
+# divides 840 = lcm(1..8)).
+
+_WPS_K = 25
+
+
+def _q_wps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn(
+        "w_in", F.expr("least(CAST(8 AS BIGINT), 1 + n_chars DIV 200)")
+    )
+    return curation.weighted_priority_sample(
+        docs, "lang", "doc_id", "w_in", k=_WPS_K
+    )
+
+
+register(
+    "weighted_priority_sample",
+    _q_wps,
+    f"""
+    WITH base AS (SELECT lang, doc_id,
+                         LEAST(CAST(8 AS BIGINT), 1 + n_chars // 200) AS w
+                  FROM documents),
+    h AS (SELECT lang, doc_id, w,
+                 {_hex12("substring(md5('wps|' || CAST(doc_id AS VARCHAR)), 1, 12)")}
+                   AS hh
+          FROM base),
+    p AS (SELECT lang, doc_id, CAST(w AS BIGINT) AS w,
+                 CAST(hh * (840 // w) AS BIGINT) AS priority_key
+          FROM h),
+    r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY priority_key, doc_id) AS BIGINT) AS rn FROM p)
+    SELECT lang, doc_id, w, priority_key, rn FROM r WHERE rn <= {_WPS_K}
+    """,
+)
+
+
+# ------------------------------------------------------ mutual-kNN graph
+# similarity.mutual_knn on the vec_id%2=0 half of the corpus (bounds the
+# oracle's quadratic arm; the engine path is identical semantics).
+
+def _q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sub = _embs(spark, sf_dir).where(F.col("vec_id") % 2 == 0)
+    return similarity.mutual_knn(sub, k=5)
+
+
+register(
+    "mutual_knn_pairs",
+    _q_mutual_knn,
+    f"""
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings
+                 WHERE vec_id % 2 = 0),
+    s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                 {_qcos('q.embedding', 'e.embedding')} AS cos_sim
+          FROM sub e CROSS JOIN sub q WHERE e.vec_id <> q.vec_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s),
+    nn AS (SELECT query_id, neighbor_id, cos_sim FROM r WHERE rn <= 5)
+    SELECT n1.query_id AS a, n1.neighbor_id AS b, n1.cos_sim
+    FROM nn n1 JOIN nn n2
+      ON n1.query_id = n2.neighbor_id AND n1.neighbor_id = n2.query_id
+    WHERE n1.query_id < n1.neighbor_id
+    """,
+)
+
+
+# ------------------------------------------------- source overlap matrix
+
+def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.source_overlap(_docs(spark, sf_dir))
+
+
+register(
+    "source_overlap_jaccard",
+    _q_source_overlap,
+    f"""
+    WITH {_TOK_CTE}, {_SH_CTE},
+    gs AS (SELECT DISTINCT d.source, s.shingle
+           FROM sh s JOIN documents d USING (doc_id)),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh
+              FROM gs GROUP BY source),
+    inter AS (SELECT a.source AS src_a, b.source AS src_b,
+                     CAST(COUNT(*) AS BIGINT) AS inter
+              FROM gs a JOIN gs b
+                ON a.shingle = b.shingle AND a.source < b.source
+              GROUP BY 1, 2)
+    SELECT i.src_a, i.src_b, i.inter,
+           sa.n_sh AS n_a, sb.n_sh AS n_b,
+           CAST(i.inter * 1000000
+                // (sa.n_sh + sb.n_sh - i.inter) AS BIGINT) AS jaccard_u
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    """,
+)
+
+
+# ---------------------------------------------------- shingle novelty
+
+def _q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.shingle_novelty(_docs(spark, sf_dir))
+
+
+register(
+    "shingle_novelty_curve",
+    _q_novelty,
+    f"""
+    WITH {_TOK_CTE}, {_SH_CTE},
+    first AS (SELECT shingle, MIN(doc_id) AS first_doc
+              FROM sh GROUP BY shingle),
+    per AS (SELECT s.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                   CAST(SUM(CASE WHEN f.first_doc = s.doc_id
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+            FROM sh s JOIN first f USING (shingle)
+            GROUP BY s.doc_id)
+    SELECT doc_id, n_shingles, n_novel,
+           CAST(n_novel * 1000000 // n_shingles AS BIGINT) AS novelty_u
+    FROM per
+    """,
+)

@@ -610,3 +610,66 @@ def token_rarity(
             .alias("mean_df_u"),
         )
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int = 25,
+    weight_lcm: int = 840,
+    salt: str = "wps",
+) -> DataFrame:
+    """Deterministic weighted sampling — priority sampling (Duffield,
+    Lund & Thorup 2007): each row gets priority ``q = w / u`` with
+    ``u = h/2^48`` a uniform hash of the key; per stratum the k LARGEST
+    priorities win. Keeping the k largest ``w/h`` is keeping the k
+    smallest ``h/w``, and with integer weights that all divide
+    ``weight_lcm`` the ranking key is the EXACT integer
+    ``h * (weight_lcm / w)`` — no float ratio ever materialized, so a SQL
+    twin reproduces the draw bit-for-bit (the dataset_split reproducibility
+    contract extended to weighted draws). Heavier rows are
+    proportionally likelier to be picked; the draw is a pure function of
+    (salt, key, weight): stable across runs, engines, and layouts —
+    everything Spark's ``sample()``/``randomSplit`` is not.
+
+    ``weight_lcm`` defaults to 840 = lcm(1..8); weights outside 1..lcm or
+    not dividing it raise at plan level (a non-divisor would silently
+    floor the multiplier and bias the draw).
+
+    Scale shape: the hash + multiply is a zero-shuffle projection; the
+    per-stratum top-k is one window over the stratum key. For extreme
+    per-stratum cardinality, pre-filter with the stratified_take cutoff
+    trick before ranking; k rows per stratum is the output contract
+    either way.
+    """
+    from pyspark.sql import Window
+
+    guard = F.when(
+        (F.col(weight_col) < 1)
+        | (F.col(weight_col) > weight_lcm)
+        | (F.lit(weight_lcm) % F.col(weight_col) != 0),
+        F.raise_error(
+            F.concat(
+                F.lit(f"weight must be a divisor of {weight_lcm} in [1,"
+                      f" {weight_lcm}]; got "),
+                F.col(weight_col).cast("string"),
+            )
+        ).cast("bigint"),
+    ).otherwise(F.col(weight_col).cast("bigint"))
+    h = F.expr(
+        f"CAST(conv(substring(md5(concat('{salt}|', CAST({key_col} AS STRING))),"
+        f" 1, 12), 16, 10) AS BIGINT)"
+    )
+    ranked = df.withColumn("__w", guard).withColumn(
+        "priority_key", h * F.expr(f"CAST({weight_lcm} AS BIGINT) DIV __w")
+    )
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.col("priority_key").asc(), F.col(key_col).asc()
+    )
+    return (
+        ranked.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= k)
+        .select(stratum_col, key_col, F.col("__w").alias("w"), "priority_key", "rn")
+    )

@@ -918,3 +918,86 @@ def boilerplate_ngrams(
         .orderBy(F.desc("n_docs"), F.asc("shingle"))
         .limit(top_k)
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Pairwise shingle-set Jaccard between SOURCES (crawls, dumps,
+    feeds) — the corpus-level overlap audit run before mixing sources
+    into one training set: a near-1.0 pair means two feeds are the same
+    data relabeled and their quotas double-count. Emits only overlapping
+    pairs (inter ≥ 1), with exact intersection/set sizes and the µ-unit
+    Jaccard (inclusion-exclusion on the union).
+
+    Scale shape: (source, shingle) is distinct-ed shingle-keyed; the
+    per-shingle pair fan-out is bounded by |sources|², and source labels
+    are inherently few (tens), so the fan-out is a constant factor — for
+    a HIGH-cardinality grouping (e.g. per-domain) use MinHash signatures
+    per group and estimate instead. Set sizes are a tiny aggregate,
+    broadcast back onto the pair table.
+    """
+    gs = (
+        shingle_sets(df, text_col, id_col, n)
+        .join(df.select(id_col, group_col), id_col)
+        .select(group_col, "shingle")
+        .distinct()
+    )
+    sizes = gs.groupBy(group_col).agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
+    a = gs.select(F.col(group_col).alias("src_a"), "shingle")
+    b = gs.select(F.col(group_col).alias("src_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col(group_col).alias("src_a"),
+                                     F.col("n_sh").alias("n_a"))), "src_a")
+        .join(
+            F.broadcast(sizes.select(F.col(group_col).alias("src_b"),
+                                     F.col("n_sh").alias("n_b"))), "src_b")
+        .select(
+            "src_a", "src_b", "inter", "n_a", "n_b",
+            F.expr("inter * 1000000 DIV (n_a + n_b - inter)").alias("jaccard_u"),
+        )
+    )
+
+
+def shingle_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a document's distinct
+    shingles not seen in any earlier document (first-occurrence = min id
+    over the corpus). The diversity signal a crawl pipeline tracks over
+    time — a falling novelty curve means new data is re-crawl, and the
+    per-doc score doubles as a cheap near-dup prior (novelty ≈ 0 ⇒ the
+    document's content already exists piecewise).
+
+    Scale shape: exactly the crossdoc_duplication plan — one shingle-keyed
+    min aggregate (map-side partial), one shingle-keyed join back, one
+    per-doc aggregate; documents never pair-compare. Docs with fewer than
+    n tokens have no shingles and are absent (shingle_sets contract).
+    """
+    sh = shingle_sets(df, text_col, id_col, n)
+    first = sh.groupBy("shingle").agg(F.min(id_col).alias("__first"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("__first") == F.col(id_col), 1).otherwise(0)
+            ).cast("bigint").alias("n_novel"),
+        )
+        .withColumn("novelty_u", F.expr("n_novel * 1000000 DIV n_shingles"))
+    )

@@ -689,3 +689,41 @@ def quantize_int8_error(
         .otherwise(F.expr(err_agg.format(fold="acc + x")))
         .alias("sum_err_u"),
     )
+
+
+def mutual_knn(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mutual k-NN graph edges: undirected pairs (a, b) where each vector
+    is in the OTHER's exact top-k cosine neighbors. The mutuality filter
+    is the standard symmetrization for kNN graphs (mutual edges are far
+    more likely intra-cluster than asymmetric ones) — the building block
+    for kNN-graph clustering and HNSW-style index construction.
+
+    This arm computes directed lists with knn_bruteforce (exact; corpus
+    doubles as the query side, so the MAX_QUERY_VECTORS guard bounds it);
+    at scale feed knn_bucketed's directed output through the SAME
+    mutualization join — an id-keyed self-join on (a=b', b=a'), one
+    shuffle over k·n directed edges, never over vectors.
+
+    cos_sim is bitwise symmetric (integer dot; ||a||·||b|| commutes in
+    IEEE), so either direction's value may be reported.
+    """
+    queries = corpus.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias(vec_col)
+    )
+    nn = knn_bruteforce(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    fwd = nn.select(
+        F.col("query_id").alias("a"), F.col("neighbor_id").alias("b"), "cos_sim"
+    )
+    rev = nn.select(
+        F.col("neighbor_id").alias("a"), F.col("query_id").alias("b")
+    )
+    return (
+        fwd.join(rev, ["a", "b"], "left_semi")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "cos_sim")
+    )

@@ -174,3 +174,67 @@ def theta_set_estimates(
             "diff_distinct"
         ),
     )
+
+
+def kmv_distinct(
+    values: DataFrame,
+    value_col: str,
+    k: int = 256,
+    salt: str = "kmv",
+) -> DataFrame:
+    """K-Minimum-Values distinct-count estimate — the GRADABLE twin of the
+    Datasketches Theta wrappers above (Bar-Yossef et al. 2002; Theta is
+    KMV + theta thresholding). The k smallest 48-bit hashes of a column
+    determine the estimate ``(k-1) * 2^48 / kth_min``; everything is
+    md5-derived integer arithmetic, so a DuckDB oracle reproduces the
+    estimate AND its error versus the exact distinct count bit-for-bit —
+    the estimator's accuracy is itself a graded quantity (the
+    minhash_estimate_error pattern applied to cardinality).
+
+    Scale shape: hashes are distinct-ed (map-side partial collapses
+    duplicates; the key space is the 48-bit hash, so the shuffle is
+    bounded by min(n_distinct, 2^48)), then a global k-smallest via
+    sort+limit = per-partition top-k merge (TakeOrdered), never a full
+    sort. The exact count is computed here only to GRADE the estimate;
+    the production path returns the sketch row alone. One 1×1 cross join
+    assembles the report row.
+
+    Below k the retained set IS the distinct set and the estimate is
+    exact by construction (n_retained < k branch).
+    """
+    space = 1 << 48
+    h = F.expr(
+        f"CAST(conv(substring(md5(concat('{salt}|', CAST({value_col} AS STRING))),"
+        f" 1, 12), 16, 10) AS BIGINT)"
+    )
+    hashes = values.select(h.alias("h")).distinct()
+    sketch = (
+        hashes.orderBy("h")
+        .limit(k)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_retained"),
+            F.max("h").alias("kth_min"),
+        )
+    )
+    exact = (
+        values.select(value_col)
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_distinct"))
+    )
+    return (
+        sketch.crossJoin(exact)
+        .select(
+            F.lit(k).cast("bigint").alias("k"),
+            "n_retained",
+            "kth_min",
+            F.when(F.col("n_retained") < k, F.col("n_retained"))
+            .otherwise(F.expr(f"CAST({k - 1} AS BIGINT) * {space} DIV kth_min"))
+            .cast("bigint")
+            .alias("est_distinct"),
+            "exact_distinct",
+        )
+        .withColumn(
+            "err_u",
+            F.expr("abs(est_distinct - exact_distinct) * 1000000 DIV exact_distinct"),
+        )
+    )

@@ -63,6 +63,7 @@ _LOADED = False
 # imported but not evicted would silently lose its queries after rollback:
 # cached top-level code is a no-op on re-import)
 _QUERY_MODULES = (
+    "gcp_etl_pipeline_spark.operators.audit_queries",
     "gcp_etl_pipeline_spark.queries_analytic",
     "gcp_etl_pipeline_spark.queries_relational",
     "gcp_etl_pipeline_spark.operators.curation_queries",
