@@ -87,6 +87,12 @@ BENCH_QUERIES = [
     "mutual_knn_pairs",
     "source_overlap_jaccard",
     "shingle_novelty_curve",
+    "stream_kmv_distinct",
+    "source_minhash_overlap",
+    "tokenizer_vocab_coverage",
+    "bpe_merge_pairs",
+    "knn_graph_triangles",
+    "halflife_decay_engagement",
 ]
 
 

@@ -52,10 +52,10 @@ def _q_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.kmv_distinct(sh, "shingle", k=_KMV_K)
 
 
-register(
-    "kmv_distinct_estimate",
-    _q_kmv,
-    f"""
+# exported: stream_kmv_distinct (streaming/queries.py) grades against the
+# IDENTICAL one-shot SQL — the merged streaming sketch must equal the
+# direct sketch of the union (KMV merge is set-deterministic)
+KMV_ORACLE_SQL = f"""
     WITH {_TOK_CTE}, {_SH_CTE},
     hs AS (SELECT DISTINCT
              {_hex12("substring(md5('kmv|' || shingle), 1, 12)")} AS h
@@ -75,8 +75,9 @@ register(
            CAST(abs(est_distinct - exact_distinct) * 1000000
                 // exact_distinct AS BIGINT) AS err_u
     FROM est
-    """,
-)
+    """
+
+register("kmv_distinct_estimate", _q_kmv, KMV_ORACLE_SQL)
 
 
 # -------------------------------------------- weighted priority sampling
@@ -199,5 +200,170 @@ register(
     SELECT doc_id, n_shingles, n_novel,
            CAST(n_novel * 1000000 // n_shingles AS BIGINT) AS novelty_u
     FROM per
+    """,
+)
+
+
+# ------------------------------------- MinHash source overlap (scale path)
+# dedup.source_minhash_overlap: the signature-agreement estimate of the
+# source-pair Jaccard, with its error vs the exact value graded (group-
+# level minhash_estimate_error). 1e6/16 divides evenly → est = agree·62500.
+
+def _q_source_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.source_minhash_overlap(_docs(spark, sf_dir))
+
+
+register(
+    "source_minhash_overlap",
+    _q_source_minhash,
+    f"""
+    WITH {_TOK_CTE}, {_SH_CTE},
+    gs AS (SELECT DISTINCT d.source, s.shingle
+           FROM sh s JOIN documents d USING (doc_id)),
+    sig AS (SELECT source, k,
+                   MIN(substring(md5(CAST(k AS VARCHAR) || '|' || shingle),
+                       1, 16)) AS mh
+            FROM gs CROSS JOIN (SELECT unnest(range(0, 16)) AS k) t
+            GROUP BY source, k),
+    agree AS (SELECT a.source AS src_a, b.source AS src_b,
+                     CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+                          AS BIGINT) AS agree
+              FROM sig a JOIN sig b ON a.k = b.k AND a.source < b.source
+              GROUP BY 1, 2),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh
+              FROM gs GROUP BY source),
+    inter AS (SELECT a.source AS src_a, b.source AS src_b,
+                     CAST(COUNT(*) AS BIGINT) AS inter
+              FROM gs a JOIN gs b
+                ON a.shingle = b.shingle AND a.source < b.source
+              GROUP BY 1, 2),
+    exact AS (SELECT i.src_a, i.src_b,
+                     CAST(i.inter * 1000000
+                          // (sa.n_sh + sb.n_sh - i.inter) AS BIGINT)
+                       AS exact_j_u
+              FROM inter i
+              JOIN sizes sa ON sa.source = i.src_a
+              JOIN sizes sb ON sb.source = i.src_b)
+    SELECT g.src_a, g.src_b, g.agree,
+           CAST(g.agree * 62500 AS BIGINT) AS est_j_u,
+           COALESCE(e.exact_j_u, 0) AS exact_j_u,
+           CAST(abs(g.agree * 62500 - COALESCE(e.exact_j_u, 0)) AS BIGINT)
+             AS err_u
+    FROM agree g LEFT JOIN exact e USING (src_a, src_b)
+    """,
+)
+
+
+# --------------------------------------------- tokenizer vocab coverage
+
+def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.vocab_coverage(_docs(spark, sf_dir), vocab_size=200)
+
+
+register(
+    "tokenizer_vocab_coverage",
+    _q_vocab_coverage,
+    f"""
+    WITH {_TOK_CTE},
+    t AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+    c AS (SELECT t, COUNT(*) AS c FROM t GROUP BY t),
+    vocab AS (SELECT t FROM c ORDER BY c DESC, t LIMIT 200),
+    per AS (SELECT tt.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oov
+            FROM t tt LEFT JOIN vocab v USING (t)
+            GROUP BY tt.doc_id)
+    SELECT doc_id, n_tokens, n_oov,
+           CAST(n_oov * 1000000 // n_tokens AS BIGINT) AS oov_u
+    FROM per
+    """,
+)
+
+
+# --------------------------------------------- BPE first-merge induction
+
+def _q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gcp_etl_pipeline_spark.operators.text import char_pair_merges
+
+    return char_pair_merges(_docs(spark, sf_dir), k=50)
+
+
+register(
+    "bpe_merge_pairs",
+    _q_bpe_pairs,
+    f"""
+    WITH {_TOK_CTE},
+    t AS (SELECT unnest(toks) AS t FROM tok),
+    p AS (SELECT unnest(list_transform(range(1, length(t)),
+                        i -> substring(t, i, 2))) AS pair
+          FROM t WHERE length(t) >= 2),
+    c AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS pair_count
+          FROM p GROUP BY pair),
+    r AS (SELECT pair, pair_count,
+                 CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair)
+                      AS BIGINT) AS merge_rank
+          FROM c)
+    SELECT pair, pair_count, merge_rank FROM r WHERE merge_rank <= 50
+    """,
+)
+
+
+# --------------------------------------------- kNN-graph triangle census
+# similarity.knn_graph_triangles over the same vec_id%2=0 half as
+# mutual_knn_pairs: oriented-edge join, each triangle found once.
+
+def _q_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sub = _embs(spark, sf_dir).where(F.col("vec_id") % 2 == 0)
+    return similarity.knn_graph_triangles(sub, k=5)
+
+
+register(
+    "knn_graph_triangles",
+    _q_knn_triangles,
+    f"""
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings
+                 WHERE vec_id % 2 = 0),
+    s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                 {_qcos('q.embedding', 'e.embedding')} AS cos_sim
+          FROM sub e CROSS JOIN sub q WHERE e.vec_id <> q.vec_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s),
+    nn AS (SELECT query_id, neighbor_id FROM r WHERE rn <= 5),
+    e AS (SELECT n1.query_id AS a, n1.neighbor_id AS b
+          FROM nn n1 JOIN nn n2
+            ON n1.query_id = n2.neighbor_id AND n1.neighbor_id = n2.query_id
+          WHERE n1.query_id < n1.neighbor_id)
+    SELECT ab.a, ab.b, bc.c
+    FROM e ab
+    JOIN (SELECT a AS b, b AS c FROM e) bc USING (b)
+    WHERE EXISTS (SELECT 1 FROM e ac WHERE ac.a = ab.a AND ac.b = bc.c)
+    """,
+)
+
+
+# --------------------------------------- half-life decayed engagement
+# curation.halflife_decay_engagement over events: integer-shift decay,
+# no float exp anywhere.
+
+def _q_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return curation.halflife_decay_engagement(ev)
+
+
+register(
+    "halflife_decay_engagement",
+    _q_decay,
+    """
+    WITH ref AS (SELECT MAX(CAST(ts AS DATE)) AS r FROM events),
+    w AS (SELECT user_id,
+                 1000000 // (CAST(1 AS BIGINT) << CAST(LEAST(
+                     date_diff('day', CAST(ts AS DATE), ref.r) // 7,
+                     19) AS INT)) AS w
+          FROM events CROSS JOIN ref)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(w) AS BIGINT) AS engagement_u
+    FROM w GROUP BY user_id
     """,
 )

@@ -673,3 +673,84 @@ def weighted_priority_sample(
         .where(F.col("rn") <= k)
         .select(stratum_col, key_col, F.col("__w").alias("w"), "priority_key", "rn")
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_size: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: fix the vocab as the top-N
+    tokens by corpus occurrence count (ties broken by token text — the
+    boundary must be deterministic or the whole audit is
+    layout-dependent), then score every document's out-of-vocabulary
+    OCCURRENCE fraction in µ-units. The pre-training sanity check that a
+    tokenizer/vocab choice actually covers the corpus it will train on —
+    a high-OOV stratum is about to become UNK soup.
+
+    Scale shape: one token-keyed count aggregate (map-side partial), a
+    top-N via sort+limit (per-partition top-k merge), vocab broadcast
+    back onto the exploded tokens, one per-doc aggregate. Exact integer
+    end-to-end.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("__c"))
+    vocab = (
+        counts.orderBy(F.col("__c").desc(), F.col("t").asc())
+        .limit(vocab_size)
+        .select("t", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .withColumn("oov_u", F.expr("n_oov * 1000000 DIV n_tokens"))
+    )
+
+
+def halflife_decay_engagement(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    halflife_days: int = 7,
+    max_halflives: int = 19,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Recency-weighted per-user engagement: each event contributes
+    ``scale >> min(age/halflife, max_halflives)`` µ-units, where age is
+    whole days before the corpus' newest event — an exponential half-life
+    decay computed ENTIRELY in integer shifts (no exp()/pow(), so the
+    score is bit-identical cross-engine, unlike every float-decay
+    implementation). The freshness feature behind data-mixture recency
+    weighting and user-activity sampling.
+
+    Scale shape: the reference timestamp is a 1-row aggregate broadcast
+    onto the stream (scalar_max_crossjoin pattern); the decay weight is a
+    narrow projection; one user-keyed aggregate ends the plan.
+    ``max_halflives`` caps the shift at 19 (2^19 < scale), flooring
+    ancient events to weight 1 rather than shifting past the integer.
+    """
+    ref = events.agg(F.max(F.to_date(ts_col)).alias("__ref"))
+    return (
+        events.select(F.col(user_col), F.to_date(ts_col).alias("__d"))
+        .crossJoin(F.broadcast(ref))
+        .select(
+            user_col,
+            F.expr(
+                f"CAST({scale} AS BIGINT) DIV shiftleft(CAST(1 AS BIGINT),"
+                f" CAST(least(datediff(__ref, __d) DIV {halflife_days},"
+                f" {max_halflives}) AS INT))"
+            ).alias("__w"),
+        )
+        .groupBy(user_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("__w").cast("bigint").alias("engagement_u"),
+        )
+    )

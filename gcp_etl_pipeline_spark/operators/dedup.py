@@ -1001,3 +1001,68 @@ def shingle_novelty(
         )
         .withColumn("novelty_u", F.expr("n_novel * 1000000 DIV n_shingles"))
     )
+
+
+def source_minhash_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash-estimated source-pair Jaccard — the SCALE path promised by
+    source_overlap's docstring for high-cardinality groupings: one
+    K-component signature per group (a K-column aggregate over the
+    group's distinct shingles), then signature agreement over group
+    PAIRS — the shingle-keyed pair join disappears entirely; only
+    |groups|² tiny signature rows ever pair. The estimator's error
+    versus the exact Jaccard is itself graded (minhash_estimate_error
+    at group level): emits agree/K as the µ-unit estimate alongside the
+    exact µ-unit Jaccard (0 for non-overlapping pairs) and |est−exact|.
+
+    All md5-derived integer/hex arithmetic — bit-for-bit replayable.
+    """
+    gs = (
+        shingle_sets(df, text_col, id_col, n)
+        .join(df.select(id_col, group_col), id_col)
+        .select(group_col, "shingle")
+        .distinct()
+    )
+    sig = gs.groupBy(group_col).agg(
+        *[_minhash_expr(k).alias(f"mh{k}") for k in range(num_hashes)]
+    )
+    a = sig.select(
+        F.col(group_col).alias("src_a"),
+        *[F.col(f"mh{k}").alias(f"a{k}") for k in range(num_hashes)],
+    )
+    b = sig.select(
+        F.col(group_col).alias("src_b"),
+        *[F.col(f"mh{k}").alias(f"b{k}") for k in range(num_hashes)],
+    )
+    agree_expr = sum(
+        F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+        for k in range(num_hashes)
+    )
+    est = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            agree_expr.cast("bigint").alias("agree"),
+            F.expr(f"CAST({1_000_000} DIV {num_hashes} AS BIGINT)").alias("__per"),
+        )
+        .select(
+            "src_a", "src_b", "agree",
+            (F.col("agree") * F.col("__per")).cast("bigint").alias("est_j_u"),
+        )
+    )
+    exact = source_overlap(df, group_col, text_col, id_col, n).select(
+        "src_a", "src_b", F.col("jaccard_u").alias("exact_j_u")
+    )
+    return (
+        est.join(exact, ["src_a", "src_b"], "left")
+        .withColumn("exact_j_u", F.coalesce(F.col("exact_j_u"), F.lit(0).cast("bigint")))
+        .withColumn("err_u", F.expr("abs(est_j_u - exact_j_u)"))
+    )

@@ -202,27 +202,49 @@ def kmv_distinct(
     Below k the retained set IS the distinct set and the estimate is
     exact by construction (n_retained < k branch).
     """
-    space = 1 << 48
-    h = F.expr(
-        f"CAST(conv(substring(md5(concat('{salt}|', CAST({value_col} AS STRING))),"
-        f" 1, 12), 16, 10) AS BIGINT)"
-    )
-    hashes = values.select(h.alias("h")).distinct()
-    sketch = (
-        hashes.orderBy("h")
-        .limit(k)
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_retained"),
-            F.max("h").alias("kth_min"),
-        )
-    )
     exact = (
         values.select(value_col)
         .distinct()
         .agg(F.count(F.lit(1)).cast("bigint").alias("exact_distinct"))
     )
+    return kmv_report(kmv_sketch(values, value_col, k, salt), exact, k)
+
+
+def kmv_sketch(
+    values: DataFrame,
+    value_col: str,
+    k: int = 256,
+    salt: str = "kmv",
+) -> DataFrame:
+    """The mergeable KMV partial: (h) rows of the ≤k smallest distinct
+    48-bit hashes. Union is SET-DETERMINISTIC — the k smallest of a
+    union are a subset of the per-side retained sets, so
+    ``kmv_merge(sketch(A), sketch(B)) ≡ sketch(A ∪ B)`` exactly (the
+    theta_partials merge contract, here over gradable integers). Store
+    the k rows per batch/partition-slice and merge across batches; the
+    raw corpus is never re-scanned."""
+    h = F.expr(
+        f"CAST(conv(substring(md5(concat('{salt}|', CAST({value_col} AS STRING))),"
+        f" 1, 12), 16, 10) AS BIGINT)"
+    )
+    return values.select(h.alias("h")).distinct().orderBy("h").limit(k)
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
+    """Merge two KMV partials: distinct union, keep the k smallest."""
+    return a.union(b).distinct().orderBy("h").limit(k)
+
+
+def kmv_report(sketch: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """Assemble the graded report row from a KMV partial (``h`` rows) and
+    a 1-row exact-count frame (``exact_distinct``)."""
+    space = 1 << 48
+    agg = sketch.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_retained"),
+        F.max("h").alias("kth_min"),
+    )
     return (
-        sketch.crossJoin(exact)
+        agg.crossJoin(exact)
         .select(
             F.lit(k).cast("bigint").alias("k"),
             "n_retained",

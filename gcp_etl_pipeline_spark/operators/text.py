@@ -139,3 +139,45 @@ def fingerprint(text: Column | str) -> Column:
     document compare)."""
     c = F.col(text) if isinstance(text, str) else text
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def char_pair_merges(
+    df: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """First-round BPE merge-table induction: count adjacent CHARACTER
+    pairs inside token occurrences across the corpus and rank the top-k
+    (count desc, pair asc — deterministic boundary). The most frequent
+    pair IS byte-pair encoding's first merge; the full ranked table is
+    the data a tokenizer trainer consumes each round. Distinct from
+    word-level bigram_collocations: this operates within tokens, at the
+    character level.
+
+    Scale shape: tokens → per-token pair arrays via a JVM-side transform
+    HOF (no Python), one pair-keyed count aggregate (map-side partial),
+    top-k via sort+limit. Tokens shorter than 2 chars contribute nothing
+    (guarded: Spark's sequence() would generate a DESCENDING range for
+    them, not an empty one).
+    """
+    pairs = (
+        df.select(F.explode(tokens(text_col)).alias("t"))
+        .where(F.char_length("t") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, char_length(t) - 1),"
+                       " i -> substring(t, i, 2))")
+            ).alias("pair")
+        )
+    )
+    ranked = (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+    return ranked.withColumn("merge_rank", F.row_number().over(w).cast("bigint"))

@@ -523,3 +523,82 @@ def _register_stream_neardup() -> None:
 
 
 _register_stream_neardup()
+
+
+def _q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV cardinality maintenance: documents arrive as two
+    ordered micro-batches; each foreachBatch builds the batch's KMV
+    partial (k smallest 48-bit shingle hashes, operators/sketches.py)
+    and merges it into a chained k-min store — kmv_merge is
+    set-deterministic, so the final sketch is bit-identical to
+    sketching the whole corpus in one shot, which is EXACTLY what the
+    oracle does (kmv_distinct_estimate's SQL verbatim). The running
+    estimate never re-scans prior batches: state is k 8-byte rows.
+
+    Replay-idempotent: each batch overwrites its own batch_id-scoped
+    store generation and reads only its PREDECESSOR's — a retried
+    micro-batch rewrites generation b rather than merging twice.
+    """
+    import glob as _glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gcp_etl_pipeline_spark.operators import dedup, sketches
+    from gcp_etl_pipeline_spark.sources.files import read_parquet
+
+    K = 256
+    root = tempfile.mkdtemp(prefix="graft_skmv_")
+    src = f"{root}/in"
+    os.makedirs(src)
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    t = docs.agg(F.floor(F.max("doc_id") / 2)).collect()[0][0]
+    for i, pred in enumerate((f"doc_id <= {t}", f"doc_id > {t}")):
+        tmp = f"{root}/tmp{i}"
+        docs.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = sorted(_glob.glob(f"{tmp}/part-*.parquet"))[0]
+        dst = f"{src}/b{i}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+
+    store = f"{root}/kmv"
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark_b = batch.sparkSession
+        part = sketches.kmv_sketch(
+            dedup.shingle_sets(batch).select("shingle"), "shingle", K
+        )
+        prev = f"{store}/b{batch_id - 1}"
+        if os.path.isdir(prev):
+            part = sketches.kmv_merge(
+                part, spark_b.read.parquet(prev), K
+            )
+        part.coalesce(1).write.mode("overwrite").parquet(
+            f"{store}/b{batch_id}"
+        )
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(f"{store}/b1")
+    exact = (
+        dedup.shingle_sets(docs)
+        .select("shingle")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_distinct"))
+    )
+    return sketches.kmv_report(final, exact, K)
+
+
+from gcp_etl_pipeline_spark.operators.audit_queries import KMV_ORACLE_SQL
+
+register("stream_kmv_distinct", _q_stream_kmv, KMV_ORACLE_SQL)

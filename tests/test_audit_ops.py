@@ -139,3 +139,112 @@ def test_shingle_novelty_short_docs_absent(spark):
     df = spark.createDataFrame([(1, "only two"), (2, "a b c")], ["doc_id", "text"])
     out = {r.doc_id for r in shingle_novelty(df).collect()}
     assert out == {2}
+
+
+# ------------------------------------------------- kmv mergeable partials
+
+def test_kmv_merge_equals_direct_sketch(spark):
+    from gcp_etl_pipeline_spark.operators.sketches import kmv_merge, kmv_sketch
+
+    vals = spark.createDataFrame([(f"v{i}",) for i in range(1200)], ["v"])
+    a = kmv_sketch(spark.createDataFrame([(f"v{i}",) for i in range(600)], ["v"]), "v", k=64)
+    b = kmv_sketch(spark.createDataFrame([(f"v{i}",) for i in range(600, 1200)], ["v"]), "v", k=64)
+    merged = sorted(r.h for r in kmv_merge(a, b, k=64).collect())
+    direct = sorted(r.h for r in kmv_sketch(vals, "v", k=64).collect())
+    assert merged == direct
+
+
+# --------------------------------------------- source_minhash_overlap
+
+def test_source_minhash_identical_sources_agree_fully(spark):
+    from gcp_etl_pipeline_spark.operators.dedup import source_minhash_overlap
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon", "A"),
+        (2, "alpha beta gamma delta epsilon", "B"),
+        (3, "completely different words here now", "C"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {(r.src_a, r.src_b): r for r in source_minhash_overlap(df).collect()}
+    assert len(out) == 3  # every pair emitted, overlapping or not
+    ab = out[("A", "B")]
+    assert ab.agree == 16 and ab.est_j_u == 1_000_000 == ab.exact_j_u
+    assert ab.err_u == 0
+    ac = out[("A", "C")]
+    assert ac.exact_j_u == 0 and ac.err_u == ac.est_j_u
+
+
+# ------------------------------------------------------- vocab_coverage
+
+def test_vocab_coverage_oov_fraction(spark):
+    from gcp_etl_pipeline_spark.operators.curation import vocab_coverage
+
+    rows = [(1, "a a a b"), (2, "a b zz")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # vocab_size=2 → vocab {a, b}; zz is OOV
+    out = {r.doc_id: r for r in vocab_coverage(df, vocab_size=2).collect()}
+    assert out[1].n_oov == 0 and out[1].oov_u == 0
+    assert (out[2].n_tokens, out[2].n_oov) == (3, 1)
+    assert out[2].oov_u == 333_333
+
+
+def test_vocab_coverage_boundary_tie_is_deterministic(spark):
+    from gcp_etl_pipeline_spark.operators.curation import vocab_coverage
+
+    # b and c tie on count at the boundary; 'b' < 'c' wins the last slot
+    df = spark.createDataFrame([(1, "a a b c")], ["doc_id", "text"])
+    out = vocab_coverage(df, vocab_size=2).collect()[0]
+    assert out.n_oov == 1  # c is out
+
+
+# ------------------------------------------------------ char_pair_merges
+
+def test_char_pair_merges_counts_and_rank(spark):
+    from gcp_etl_pipeline_spark.operators.text import char_pair_merges
+
+    df = spark.createDataFrame([(1, "abab ab x")], ["doc_id", "text"])
+    # token "abab": pairs ab, ba, ab; token "ab": ab; "x" too short
+    out = {r.pair: r for r in char_pair_merges(df, k=10).collect()}
+    assert out["ab"].pair_count == 3 and out["ab"].merge_rank == 1
+    assert out["ba"].pair_count == 1
+    assert "x" not in out and len(out) == 2
+
+
+# ---------------------------------------------------- knn_graph_triangles
+
+def test_triangles_on_a_tight_triple(spark):
+    from gcp_etl_pipeline_spark.operators.similarity import knn_graph_triangles
+
+    rows = [
+        (1, [1.0, 0.0, 0.05]),
+        (2, [1.0, 0.02, 0.0]),
+        (3, [0.98, 0.01, 0.02]),
+        (4, [0.0, 1.0, 0.0]),   # far away, no triangle
+        (5, [0.0, 0.97, 0.1]),
+        (6, [-1.0, 0.2, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    tris = {(r.a, r.b, r.c) for r in knn_graph_triangles(df, k=2).collect()}
+    assert (1, 2, 3) in tris
+    assert all(a < b < c for a, b, c in tris)
+
+
+# ---------------------------------------------- halflife_decay_engagement
+
+def test_decay_weights_halve_per_halflife(spark):
+    import datetime as dt
+
+    from gcp_etl_pipeline_spark.operators.curation import halflife_decay_engagement
+
+    base = dt.datetime(2024, 1, 29, 12, 0, 0)
+    rows = [
+        (1, base),                               # age 0  → 1_000_000
+        (1, base - dt.timedelta(days=7)),        # age 7  → 500_000
+        (2, base - dt.timedelta(days=14)),       # age 14 → 250_000
+        (3, base - dt.timedelta(days=7 * 40)),   # ancient → floor 1<<19
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {r.user_id: r for r in halflife_decay_engagement(df).collect()}
+    assert out[1].engagement_u == 1_500_000 and out[1].n_events == 2
+    assert out[2].engagement_u == 250_000
+    assert out[3].engagement_u == 1_000_000 // (1 << 19)
