@@ -93,6 +93,9 @@ BENCH_QUERIES = [
     "bpe_merge_pairs",
     "knn_graph_triangles",
     "halflife_decay_engagement",
+    "rare_ngram_cosine_pairs",
+    "content_defined_chunks",
+    "kmv_source_set_algebra",
 ]
 
 

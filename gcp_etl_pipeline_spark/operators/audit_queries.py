@@ -367,3 +367,142 @@ register(
     FROM w GROUP BY user_id
     """,
 )
+
+
+# --------------------------------- sparse TF-cosine near-dup (rare-blocked)
+# dedup.rare_ngram_cosine_pairs: rare-shingle inverted-index blocking +
+# exact integer-dot tf-cosine verify — the sparse complement to Jaccard
+# and dense KNN; per-shingle fan-out hard-capped at max_block_df².
+
+def _q_rare_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.rare_ngram_cosine_pairs(
+        _docs(spark, sf_dir), max_block_df=5, threshold=0.8
+    )
+
+
+register(
+    "rare_ngram_cosine_pairs",
+    _q_rare_cosine,
+    f"""
+    WITH {_TOK_CTE}, {_SH_CTE},
+    rare AS (SELECT shingle FROM (SELECT shingle, COUNT(*) AS c
+                                  FROM sh GROUP BY shingle) WHERE c <= 5),
+    rsh AS (SELECT s.doc_id, s.shingle FROM sh s JOIN rare USING (shingle)),
+    cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+             FROM rsh a JOIN rsh b
+               ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+    t AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+    tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+    nrm AS (SELECT doc_id, sqrt(CAST(SUM(tf * tf) AS DOUBLE)) AS nrm
+            FROM tf GROUP BY doc_id),
+    dots AS (SELECT c.a, c.b, SUM(ta.tf * tb.tf) AS dot
+             FROM cand c
+             JOIN tf ta ON ta.doc_id = c.a
+             JOIN tf tb ON tb.doc_id = c.b AND tb.t = ta.t
+             GROUP BY c.a, c.b)
+    SELECT d.a, d.b,
+           CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm) AS cos_sim
+    FROM dots d
+    JOIN nrm na ON na.doc_id = d.a
+    JOIN nrm nb ON nb.doc_id = d.b
+    WHERE CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm) >= 0.8
+    """,
+)
+
+
+# --------------------------------------------- content-defined chunking
+
+def _q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gcp_etl_pipeline_spark.operators.text import content_defined_chunks
+
+    return content_defined_chunks(_docs(spark, sf_dir))
+
+
+register(
+    "content_defined_chunks",
+    _q_cdc_chunks,
+    f"""
+    WITH {_TOK_CTE},
+    b AS (SELECT doc_id, len(toks) AS n_tokens,
+                 list_filter(range(1, len(toks)),
+                             i -> substring(md5(toks[i]), 1, 1) = '0') AS bounds
+          FROM tok WHERE len(toks) >= 1),
+    a AS (SELECT doc_id, n_tokens,
+                 list_concat(list_concat([0], bounds), [n_tokens]) AS allb
+          FROM b),
+    s AS (SELECT doc_id, n_tokens,
+                 list_transform(range(1, len(allb)),
+                                j -> allb[j + 1] - allb[j]) AS sizes
+          FROM a)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(len(sizes) AS BIGINT) AS n_chunks,
+           CAST(list_aggregate(sizes, 'max') AS BIGINT) AS max_chunk_tokens
+    FROM s
+    """,
+)
+
+
+# ------------------------------------------------ KMV set algebra per pair
+# sketches.kmv_group_set_estimates over source shingle sets: union from
+# the merged sketch, intersection by inclusion-exclusion, both errors
+# gradable against the exact cardinalities riding along.
+
+_KSA_K = 64
+_KSA_EST = (
+    f"CAST(CASE WHEN {{n}} < {_KSA_K} THEN {{n}} "
+    f"ELSE ({_KSA_K - 1} * CAST({1 << 48} AS BIGINT)) // {{kth}} END AS BIGINT)"
+)
+
+
+def _q_kmv_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    gs = (
+        dedup.shingle_sets(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle")
+    )
+    return sketches.kmv_group_set_estimates(gs, "source", "shingle", k=_KSA_K)
+
+
+register(
+    "kmv_source_set_algebra",
+    _q_kmv_set,
+    f"""
+    WITH {_TOK_CTE}, {_SH_CTE},
+    gs AS (SELECT DISTINCT d.source AS g, s.shingle
+           FROM sh s JOIN documents d USING (doc_id)),
+    gh AS (SELECT DISTINCT g,
+             {_hex12("substring(md5('kmv|' || shingle), 1, 12)")} AS h
+           FROM gs),
+    sk AS (SELECT g, h FROM (SELECT g, h, ROW_NUMBER() OVER
+             (PARTITION BY g ORDER BY h) AS r FROM gh) WHERE r <= {_KSA_K}),
+    pere AS (SELECT g, {_KSA_EST.format(n="COUNT(*)", kth="MAX(h)")} AS est
+             FROM sk GROUP BY g),
+    pairs AS (SELECT a.g AS src_a, b.g AS src_b
+              FROM pere a JOIN pere b ON a.g < b.g),
+    merged AS (SELECT DISTINCT p.src_a, p.src_b, s.h
+               FROM pairs p JOIN sk s ON s.g = p.src_a OR s.g = p.src_b),
+    um AS (SELECT src_a, src_b, h, ROW_NUMBER() OVER
+             (PARTITION BY src_a, src_b ORDER BY h) AS r FROM merged),
+    unie AS (SELECT src_a, src_b,
+                    {_KSA_EST.format(n="COUNT(*)", kth="MAX(h)")} AS est_union
+             FROM um WHERE r <= {_KSA_K} GROUP BY src_a, src_b),
+    sizes AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS sz FROM gs GROUP BY g),
+    inter AS (SELECT a.g AS src_a, b.g AS src_b,
+                     CAST(COUNT(*) AS BIGINT) AS xinter
+              FROM gs a JOIN gs b ON a.shingle = b.shingle AND a.g < b.g
+              GROUP BY 1, 2)
+    SELECT u.src_a, u.src_b, u.est_union,
+           CAST(GREATEST(0, ea.est + eb.est - u.est_union) AS BIGINT)
+             AS est_inter,
+           CAST(sa.sz + sb.sz - COALESCE(i.xinter, 0) AS BIGINT)
+             AS exact_union,
+           COALESCE(i.xinter, 0) AS exact_inter
+    FROM unie u
+    JOIN pere ea ON ea.g = u.src_a
+    JOIN pere eb ON eb.g = u.src_b
+    JOIN sizes sa ON sa.g = u.src_a
+    JOIN sizes sb ON sb.g = u.src_b
+    LEFT JOIN inter i ON i.src_a = u.src_a AND i.src_b = u.src_b
+    """,
+)

@@ -1066,3 +1066,74 @@ def source_minhash_overlap(
         .withColumn("exact_j_u", F.coalesce(F.col("exact_j_u"), F.lit(0).cast("bigint")))
         .withColumn("err_u", F.expr("abs(est_j_u - exact_j_u)"))
     )
+
+
+def rare_ngram_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_block_df: int = 5,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Sparse TF-cosine near-dup: candidate pairs come from a RARE-n-gram
+    inverted index (documents sharing at least one shingle that occurs in
+    ≤ max_block_df documents), then each candidate pair is scored with
+    the exact token-frequency cosine — integer dot product over shared
+    tokens divided by the two L2 norms (one sqrt each, the _qcos float
+    recipe, bit-identical cross-engine). The frequency-weighted
+    complement to set-Jaccard (dedup_ngram_jaccard) and to dense
+    embedding KNN: the classic blocking-then-verify shape of sparse
+    similarity search.
+
+    Scale shape: blocking is a shingle-keyed self-join restricted to
+    rare shingles — per-shingle fan-out is ≤ max_block_df², a hard cap
+    (the hot boilerplate shingle that wrecks all-pairs joins is excluded
+    by construction, the same philosophy as minhash_dedup_pairs'
+    max_df). Scoring joins the candidate list against the (doc, token,
+    tf) table twice on the token key; the corpus itself never
+    self-joins.
+    """
+    sh = shingle_sets(df, text_col, id_col, n)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") <= max_block_df)
+        .select("shingle")
+    )
+    rsh = sh.join(rare, "shingle")
+    cand = (
+        rsh.select(F.col(id_col).alias("a"), "shingle")
+        .join(rsh.select(F.col(id_col).alias("b"), "shingle"), "shingle")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+        .groupBy(id_col, "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    norms = tf.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("__nrm")
+    )
+    ta = tf.select(F.col(id_col).alias("a"), "t", F.col("tf").alias("__tfa"))
+    tb = tf.select(F.col(id_col).alias("b"), "t", F.col("tf").alias("__tfb"))
+    dots = (
+        cand.join(ta, "a")
+        .join(tb, ["b", "t"])
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("__tfa") * F.col("__tfb")).alias("__dot"))
+    )
+    return (
+        dots.join(norms.select(F.col(id_col).alias("a"),
+                               F.col("__nrm").alias("__na")), "a")
+        .join(norms.select(F.col(id_col).alias("b"),
+                           F.col("__nrm").alias("__nb")), "b")
+        .select(
+            "a", "b",
+            (F.col("__dot").cast("double") / (F.col("__na") * F.col("__nb")))
+            .alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -260,3 +260,110 @@ def kmv_report(sketch: DataFrame, exact: DataFrame, k: int) -> DataFrame:
             F.expr("abs(est_distinct - exact_distinct) * 1000000 DIV exact_distinct"),
         )
     )
+
+
+def kmv_group_set_estimates(
+    values: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """KMV set ALGEBRA per group pair — the gradable twin of
+    theta_set_estimates: one k-min sketch per group, then for every
+    group pair the union estimate comes from the MERGED sketch (k
+    smallest of the union — set-deterministic) and the intersection by
+    inclusion-exclusion ``max(0, estA + estB − estU)``. Exact
+    union/intersection cardinalities ride along so both estimators'
+    errors are graded quantities. Everything is md5/integer arithmetic.
+
+    Scale shape: sketches are one distinct + one per-group top-k window
+    over 8-byte hashes; pair merging touches only |groups|²·k sketch
+    rows — the underlying corpus never pair-joins (the source_overlap
+    exact path is run here only to GRADE; production reads the sketch
+    columns alone).
+    """
+    from pyspark.sql import Window
+
+    space = 1 << 48
+    h = F.expr(
+        f"CAST(conv(substring(md5(concat('{salt}|', CAST({value_col} AS STRING))),"
+        f" 1, 12), 16, 10) AS BIGINT)"
+    )
+    gh = values.select(F.col(group_col).alias("g"), h.alias("h")).distinct()
+    wg = Window.partitionBy("g").orderBy("h")
+    sk = (
+        gh.withColumn("__r", F.row_number().over(wg))
+        .where(F.col("__r") <= k)
+        .select("g", "h")
+    )
+
+    def est(n_col: str, kth_col: str) -> F.Column:
+        return (
+            F.when(F.col(n_col) < k, F.col(n_col))
+            .otherwise(F.expr(f"CAST({k - 1} AS BIGINT) * {space} DIV {kth_col}"))
+            .cast("bigint")
+        )
+
+    per = sk.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.max("h").alias("__kth"),
+    ).select("g", est("__n", "__kth").alias("__est"))
+
+    ga = sk.select(F.col("g").alias("src_a"), "h")
+    gb = sk.select(F.col("g").alias("src_b"), "h")
+    pairs = (
+        per.select(F.col("g").alias("src_a"))
+        .crossJoin(per.select(F.col("g").alias("src_b")))
+        .where(F.col("src_a") < F.col("src_b"))
+    )
+    merged = pairs.join(ga, "src_a").select("src_a", "src_b", "h").union(
+        pairs.join(gb, "src_b").select("src_a", "src_b", "h")
+    ).distinct()
+    wp = Window.partitionBy("src_a", "src_b").orderBy("h")
+    uni = (
+        merged.withColumn("__r", F.row_number().over(wp))
+        .where(F.col("__r") <= k)
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n"),
+            F.max("h").alias("__kth"),
+        )
+        .select("src_a", "src_b", est("__n", "__kth").alias("est_union"))
+    )
+    # exact cardinalities (grading arm)
+    sizes = values.select(F.col(group_col).alias("g"), value_col).distinct() \
+        .groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("__sz"))
+    va = values.select(F.col(group_col).alias("src_a"), F.col(value_col).alias("v")).distinct()
+    vb = values.select(F.col(group_col).alias("src_b"), F.col(value_col).alias("v")).distinct()
+    inter = (
+        va.join(vb, "v")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__exact_inter"))
+    )
+    return (
+        uni
+        .join(F.broadcast(per.select(F.col("g").alias("src_a"),
+                                     F.col("__est").alias("__ea"))), "src_a")
+        .join(F.broadcast(per.select(F.col("g").alias("src_b"),
+                                     F.col("__est").alias("__eb"))), "src_b")
+        .join(F.broadcast(sizes.select(F.col("g").alias("src_a"),
+                                       F.col("__sz").alias("__sza"))), "src_a")
+        .join(F.broadcast(sizes.select(F.col("g").alias("src_b"),
+                                       F.col("__sz").alias("__szb"))), "src_b")
+        .join(inter, ["src_a", "src_b"], "left")
+        .withColumn("__exact_inter",
+                    F.coalesce(F.col("__exact_inter"), F.lit(0).cast("bigint")))
+        .select(
+            "src_a", "src_b",
+            "est_union",
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                (F.col("__ea") + F.col("__eb") - F.col("est_union")),
+            ).cast("bigint").alias("est_inter"),
+            (F.col("__sza") + F.col("__szb") - F.col("__exact_inter"))
+            .cast("bigint").alias("exact_union"),
+            F.col("__exact_inter").alias("exact_inter"),
+        )
+    )

@@ -181,3 +181,47 @@ def char_pair_merges(
 
     w = Window.orderBy(F.col("pair_count").desc(), F.col("pair").asc())
     return ranked.withColumn("merge_rank", F.row_number().over(w).cast("bigint"))
+
+
+def content_defined_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking over the token stream (the rolling-hash
+    boundary trick storage dedup uses — Muthitacharoen et al.'s LBFS —
+    lifted to tokens): a chunk boundary falls after every token whose
+    md5 starts with nibble '0' (P = 1/16 → ~16-token expected chunks).
+    Because boundaries depend only on LOCAL content, an insertion early
+    in a document shifts ONE chunk instead of re-chunking everything —
+    exactly why CDC beats fixed windows for incremental near-dup and
+    delta storage. Emits per-doc chunk count and the largest chunk.
+
+    All JVM higher-order functions over the token array — zero shuffle,
+    zero Python; a narrow projection that fuses with the scan. Spark's
+    sequence(1, n) generates a DESCENDING range when n < 1, so the
+    boundary scan is guarded for 1-token docs.
+    """
+    bounds = (
+        "CASE WHEN size(__t) >= 2 THEN "
+        "filter(sequence(1, size(__t) - 1),"
+        " i -> substring(md5(element_at(__t, i)), 1, 1) = '0') "
+        "ELSE CAST(array() AS ARRAY<INT>) END"
+    )
+    return (
+        df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        .where(F.size("__t") >= 1)
+        .withColumn("__allb", F.expr(
+            f"concat(array(0), {bounds}, array(size(__t)))"
+        ))
+        .withColumn("__sizes", F.expr(
+            "transform(sequence(1, size(__allb) - 1),"
+            " j -> element_at(__allb, j + 1) - element_at(__allb, j))"
+        ))
+        .select(
+            id_col,
+            F.size("__t").cast("bigint").alias("n_tokens"),
+            F.size("__sizes").cast("bigint").alias("n_chunks"),
+            F.array_max("__sizes").cast("bigint").alias("max_chunk_tokens"),
+        )
+    )

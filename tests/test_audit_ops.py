@@ -248,3 +248,74 @@ def test_decay_weights_halve_per_halflife(spark):
     assert out[1].engagement_u == 1_500_000 and out[1].n_events == 2
     assert out[2].engagement_u == 250_000
     assert out[3].engagement_u == 1_000_000 // (1 << 19)
+
+
+# --------------------------------------------- rare_ngram_cosine_pairs
+
+def test_rare_cosine_blocks_and_scores(spark):
+    from gcp_etl_pipeline_spark.operators.dedup import rare_ngram_cosine_pairs
+
+    rows = [
+        (1, "unique marker alpha shared tail words here"),
+        (2, "unique marker alpha different middle words here"),
+        (3, "totally unrelated text about other things"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r.a, r.b): r.cos_sim for r in
+           rare_ngram_cosine_pairs(df, threshold=0.1).collect()}
+    assert (1, 2) in out and out[(1, 2)] > 0.3
+    assert all(p != (1, 3) for p in out) or out.get((1, 3), 0) < 0.3
+
+
+def test_rare_cosine_hot_shingle_excluded(spark):
+    from gcp_etl_pipeline_spark.operators.dedup import rare_ngram_cosine_pairs
+
+    # the same shingle in every doc: with max_block_df=2 it cannot block,
+    # so no candidates at all
+    rows = [(i, "common three gram") for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert rare_ngram_cosine_pairs(df, max_block_df=2).count() == 0
+
+
+# --------------------------------------------- content_defined_chunks
+
+def test_cdc_chunks_partition_token_stream(spark):
+    from gcp_etl_pipeline_spark.operators.text import content_defined_chunks
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "single")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in content_defined_chunks(df).collect()}
+    r1 = out[1]
+    assert r1.n_tokens == 6 and r1.n_chunks >= 1
+    assert r1.max_chunk_tokens <= r1.n_tokens
+    assert out[2].n_chunks == 1 and out[2].max_chunk_tokens == 1
+
+
+def test_cdc_insertion_shifts_locally(spark):
+    from gcp_etl_pipeline_spark.operators.text import content_defined_chunks
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base), (2, "inserted " + base)], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in content_defined_chunks(df).collect()}
+    # boundaries are content-local: chunk count differs by at most 1
+    assert abs(out[1].n_chunks - out[2].n_chunks) <= 1
+
+
+# --------------------------------------------- kmv_group_set_estimates
+
+def test_kmv_set_algebra_exact_below_k(spark):
+    from gcp_etl_pipeline_spark.operators.sketches import kmv_group_set_estimates
+
+    rows = [("A", f"v{i}") for i in range(30)] + [
+        ("B", f"v{i}") for i in range(20, 50)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = kmv_group_set_estimates(df, "g", "v", k=64).collect()[0]
+    # below k both sketches are exact: estimates equal exact cardinalities
+    assert (r.src_a, r.src_b) == ("A", "B")
+    assert r.est_union == r.exact_union == 50
+    assert r.est_inter == r.exact_inter == 10
