@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "rare_ngram_cosine_pairs",
     "content_defined_chunks",
     "kmv_source_set_algebra",
+    "winnowing_fingerprints",
+    "window_percent_rank_cume",
 ]
 
 

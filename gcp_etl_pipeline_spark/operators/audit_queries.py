@@ -30,10 +30,16 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _hex12(expr: str) -> str:
     """DuckDB twin of Spark's CAST(conv(<12 hex chars>, 16, 10) AS BIGINT):
-    Horner fold of the nibbles — exact BIGINT, no pow(), no conv()."""
+    Horner fold of the nibbles — exact BIGINT, no pow(), no conv().
+
+    The fold's lambda variable is deliberately obscure (``__hx``): this
+    snippet gets interpolated INSIDE callers' own list lambdas
+    (winnowing's ``i -> ...``), and DuckDB resolves the innermost
+    binding — a plain ``i`` here once captured the caller's loop
+    variable and silently hashed the wrong slice."""
     return (
-        "list_reduce(list_transform(range(1, 13), i -> CAST("
-        f"strpos('0123456789abcdef', substring({expr}, i, 1)) - 1 AS BIGINT)),"
+        "list_reduce(list_transform(range(1, 13), __hx -> CAST("
+        f"strpos('0123456789abcdef', substring({expr}, __hx, 1)) - 1 AS BIGINT)),"
         " (a, b) -> a * 16 + b)"
     )
 
@@ -504,5 +510,96 @@ register(
     JOIN sizes sa ON sa.g = u.src_a
     JOIN sizes sb ON sb.g = u.src_b
     LEFT JOIN inter i ON i.src_a = u.src_a AND i.src_b = u.src_b
+    """,
+)
+
+
+# ------------------------------------------------ winnowing fingerprints
+# dedup.winnowing_fingerprints: MOSS local fingerprints — sliding-window
+# minima over n-gram hashes, rightmost tie-break, positions kept so
+# matches are alignable. Window w=4, n=3 (shared substrings ≥ 6 tokens
+# guaranteed to share a fingerprint).
+
+def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.winnowing_fingerprints(_docs(spark, sf_dir))
+
+
+register(
+    "winnowing_fingerprints",
+    _q_winnow,
+    f"""
+    WITH {_TOK_CTE},
+    base AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 6),
+    h AS MATERIALIZED (SELECT doc_id,
+            list_transform(range(1, len(toks) - 1), i ->
+              {_hex12("substring(md5(array_to_string(toks[i:i+2], ' ')), 1, 12)")}
+            ) AS hs
+          FROM base),
+    m AS MATERIALIZED (SELECT doc_id, hs,
+            list_transform(range(1, len(hs) - 2),
+                           j -> list_aggregate(hs[j:j+3], 'min')) AS mins
+          FROM h),
+    sel AS (SELECT doc_id,
+              list_transform(range(1, len(hs) - 2), j -> {{
+                'pos': list_aggregate(list_filter(range(j, j + 4),
+                         i -> hs[i] = mins[j]), 'max'),
+                'fp': mins[j]
+              }}) AS sels
+            FROM m),
+    x AS (SELECT doc_id, unnest(sels) AS s FROM sel)
+    SELECT DISTINCT doc_id, CAST(s.pos AS BIGINT) AS pos,
+           CAST(s.fp AS BIGINT) AS fp
+    FROM x
+    """,
+)
+
+
+# -------------------------------- percent_rank / cume_dist (integer-exact)
+# The rank-ratio window surface computed as exact integer µ-units from
+# rank() and the tie-inclusive running count (RANGE frame), instead of
+# the engines' float percent_rank/cume_dist built-ins.
+
+def _q_pr_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    wp = Window.partitionBy("o_orderpriority")
+    w_rank = wp.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    w_range = wp.orderBy(F.col("o_totalprice").asc()).rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        orders.select(
+            "o_orderkey", "o_orderpriority",
+            F.rank().over(w_rank).alias("__rk"),
+            F.count(F.lit(1)).over(w_range).alias("__le"),
+            F.count(F.lit(1)).over(wp).alias("__n"),
+        )
+        .where(F.col("o_orderkey") % 20 == 0)
+        .select(
+            "o_orderkey", "o_orderpriority",
+            F.expr("CAST((CAST(__rk AS BIGINT) - 1) * 1000000 DIV (__n - 1) AS BIGINT)")
+            .alias("pr_u"),
+            F.expr("CAST(__le * 1000000 DIV __n AS BIGINT)").alias("cd_u"),
+        )
+    )
+
+
+register(
+    "window_percent_rank_cume",
+    _q_pr_cume,
+    """
+    WITH w AS (SELECT o_orderkey, o_orderpriority,
+                 RANK() OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey) AS rk,
+                 COUNT(*) OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice
+                   RANGE UNBOUNDED PRECEDING) AS le,
+                 COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+               FROM orders)
+    SELECT o_orderkey, o_orderpriority,
+           CAST((rk - 1) * 1000000 // (n - 1) AS BIGINT) AS pr_u,
+           CAST(le * 1000000 // n AS BIGINT) AS cd_u
+    FROM w WHERE o_orderkey % 20 = 0
     """,
 )

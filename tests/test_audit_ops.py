@@ -319,3 +319,37 @@ def test_kmv_set_algebra_exact_below_k(spark):
     assert (r.src_a, r.src_b) == ("A", "B")
     assert r.est_union == r.exact_union == 50
     assert r.est_inter == r.exact_inter == 10
+
+
+# ---------------------------------------------- winnowing_fingerprints
+
+def test_winnowing_shared_substring_shares_fingerprint(spark):
+    from gcp_etl_pipeline_spark.operators.dedup import winnowing_fingerprints
+
+    shared = "one two three four five six"
+    rows = [
+        (1, f"prefix words here {shared}"),
+        (2, f"{shared} and a different tail"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = winnowing_fingerprints(df).collect()
+    fps = {1: set(), 2: set()}
+    for r in out:
+        fps[r.doc_id].add(r.fp)
+    # guarantee: a shared run of >= n+w-1 = 6 tokens shares a fingerprint
+    assert fps[1] & fps[2]
+
+
+def test_winnowing_density_and_short_doc_contract(spark):
+    from gcp_etl_pipeline_spark.operators.dedup import winnowing_fingerprints
+
+    rows = [(1, "a b c d e"), (2, " ".join(f"t{i}" for i in range(30)))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = winnowing_fingerprints(df).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 1 not in by_doc            # 5 tokens < n+w-1
+    # selected fingerprints are a strict subsample of the 28 hashes
+    assert 0 < len(by_doc[2]) < 28
+    assert all(1 <= r.pos <= 28 for r in by_doc[2])

@@ -9,6 +9,12 @@ on one query) sailed under a looser gate; BENCH_HISTORY shows ~±10%
 host drift on medians, so 1.3 is above the noise floor but below any
 plan-shape regression worth catching.
 
+The ratio gate additionally requires an ABSOLUTE delta >= 0.25s: on
+sub-second queries even medians bounce ±0.1s run to run (three
+consecutive r6 runs flagged three DIFFERENT <0.5s queries), and a 1.3x
+ratio there is pure noise — every regression this gate exists to catch
+(r4's was +0.8s) clears the floor easily.
+
 Runs recorded with different ``stat`` markers (e.g. the pre-r6
 min-of-2 era vs median-of-3) are NOT gated against each other — the
 first run after a stat change prints a rebaseline notice and passes.
@@ -47,8 +53,9 @@ def main() -> int:
             print(f"  new      {name}: {t:.3f}s")
             continue
         ratio = t / prev[name]
-        marker = " <-- REGRESSED" if gating and ratio >= threshold else ""
-        if gating and ratio >= threshold:
+        regressed = gating and ratio >= threshold and t - prev[name] >= 0.25
+        marker = " <-- REGRESSED" if regressed else ""
+        if regressed:
             flagged.append(name)
         if ratio >= threshold or ratio <= 1 / threshold:
             print(f"  {ratio:5.2f}x  {name}: {prev[name]:.3f}s -> {t:.3f}s{marker}")

@@ -766,6 +766,43 @@ def main() -> int:
     )
     stage_rows["neardup_ledger_compact_midstream_200k"] = 2 * n_nd
 
+    # KMV cardinality sketch at full scale, GRADED two ways: (1) the
+    # estimate of a PLANTED cardinality (id % D over n rows, n > D, so
+    # the true distinct count is exactly D — no 20M-row countDistinct
+    # needed) must land within 5 standard errors (se ≈ 1/sqrt(k−2));
+    # (2) merge-consistency: sketch(half A) ⊕ sketch(half B) must equal
+    # sketch(all) EXACTLY — KMV union is set-deterministic, the property
+    # the streaming ledger (stream_kmv_distinct) rests on.
+    from gcp_etl_pipeline_spark.operators.sketches import (
+        kmv_merge,
+        kmv_report,
+        kmv_sketch,
+    )
+
+    t0 = time.time()
+    kmv_d = max(1_000, n * 3 // 20)  # 3M planted distincts at n=20M
+    vals = spark.range(n).select((F.col("id") % kmv_d).alias("v"))
+    kmv_k = 256
+    direct = kmv_sketch(vals, "v", k=kmv_k).collect()
+    est = kmv_report(
+        spark.createDataFrame(direct, "h bigint"),
+        spark.createDataFrame([(kmv_d,)], "exact_distinct bigint"),
+        kmv_k,
+    ).collect()[0]
+    se = (kmv_k - 2) ** -0.5
+    assert est.n_retained == kmv_k, est
+    assert abs(est.est_distinct - kmv_d) <= 5 * se * kmv_d, est
+    half = n // 2
+    merged = kmv_merge(
+        kmv_sketch(spark.range(half).select((F.col("id") % kmv_d).alias("v")),
+                   "v", k=kmv_k),
+        kmv_sketch(spark.range(half, n).select((F.col("id") % kmv_d).alias("v")),
+                   "v", k=kmv_k),
+        k=kmv_k,
+    ).collect()
+    assert sorted(r.h for r in merged) == sorted(r.h for r in direct)
+    timings["kmv_sketch_graded_20m"] = round(time.time() - t0, 2)
+
     out = {
         "rows": n,
         "total_sec": round(sum(timings.values()), 2),
