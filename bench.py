@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "kmv_source_set_algebra",
     "winnowing_fingerprints",
     "window_percent_rank_cume",
+    "winnow_match_spans",
+    "source_containment",
 ]
 
 

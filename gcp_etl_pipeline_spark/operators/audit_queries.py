@@ -524,11 +524,10 @@ def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.winnowing_fingerprints(_docs(spark, sf_dir))
 
 
-register(
-    "winnowing_fingerprints",
-    _q_winnow,
-    f"""
-    WITH {_TOK_CTE},
+# Shared winnowing CTE chain ending in a MATERIALIZED fps(doc_id, pos, fp)
+# — reused by winnow_match_spans, whose self-join references fps twice
+# (the multiply-referenced-CTE inlining gotcha).
+_WINNOW_CTES = f"""{_TOK_CTE},
     base AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 6),
     h AS MATERIALIZED (SELECT doc_id,
             list_transform(range(1, len(toks) - 1), i ->
@@ -546,10 +545,73 @@ register(
                 'fp': mins[j]
               }}) AS sels
             FROM m),
-    x AS (SELECT doc_id, unnest(sels) AS s FROM sel)
-    SELECT DISTINCT doc_id, CAST(s.pos AS BIGINT) AS pos,
+    x AS (SELECT doc_id, unnest(sels) AS s FROM sel),
+    fps AS MATERIALIZED (SELECT DISTINCT doc_id, CAST(s.pos AS BIGINT) AS pos,
            CAST(s.fp AS BIGINT) AS fp
-    FROM x
+    FROM x)"""
+
+register(
+    "winnowing_fingerprints",
+    _q_winnow,
+    f"WITH {_WINNOW_CTES} SELECT doc_id, pos, fp FROM fps",
+)
+
+
+# --------------------------------------------- winnowing match spans
+# dedup.winnow_match_spans: what MOSS reports — pairs sharing >= 2
+# fingerprints with positional extents on both sides.
+
+def _q_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.winnow_match_spans(_docs(spark, sf_dir))
+
+
+register(
+    "winnow_match_spans",
+    _q_winnow_spans,
+    f"""
+    WITH {_WINNOW_CTES}
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(COUNT(DISTINCT a.fp) AS BIGINT) AS n_shared,
+           CAST(MIN(a.pos) AS BIGINT) AS a_from,
+           CAST(MAX(a.pos) AS BIGINT) AS a_to,
+           CAST(MIN(b.pos) AS BIGINT) AS b_from,
+           CAST(MAX(b.pos) AS BIGINT) AS b_to
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(DISTINCT a.fp) >= 2
+    """,
+)
+
+
+# --------------------------------------------- source containment
+# dedup.source_containment: directed |A∩B|/|A| — the asymmetric signal
+# (subset feeds) Jaccard hides; both directions of each overlapping pair.
+
+def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.source_containment(_docs(spark, sf_dir))
+
+
+register(
+    "source_containment",
+    _q_containment,
+    f"""
+    WITH {_TOK_CTE}, {_SH_CTE},
+    gs AS (SELECT DISTINCT d.source, s.shingle
+           FROM sh s JOIN documents d USING (doc_id)),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh
+              FROM gs GROUP BY source),
+    inter AS (SELECT a.source AS src_a, b.source AS src_b,
+                     CAST(COUNT(*) AS BIGINT) AS inter
+              FROM gs a JOIN gs b
+                ON a.shingle = b.shingle AND a.source < b.source
+              GROUP BY 1, 2),
+    dirs AS (
+      SELECT src_a AS src_from, src_b AS src_to, inter FROM inter
+      UNION ALL
+      SELECT src_b AS src_from, src_a AS src_to, inter FROM inter)
+    SELECT d.src_from, d.src_to, d.inter, s.n_sh AS n_from,
+           CAST(d.inter * 1000000 // s.n_sh AS BIGINT) AS containment_u
+    FROM dirs d JOIN sizes s ON s.source = d.src_from
     """,
 )
 

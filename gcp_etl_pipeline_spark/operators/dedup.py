@@ -1222,3 +1222,76 @@ def winnowing_fingerprints(
             F.col("__s.fp").alias("fp"),
         )
     )
+
+
+def winnow_match_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Aligned match detection over winnowing fingerprints — what MOSS
+    actually reports: document pairs sharing ≥ min_shared selected
+    fingerprints, with the positional EXTENT of the match on each side
+    (min/max fingerprint position). Because winnowing guarantees a
+    shared fingerprint for every ≥ n+w−1-token overlap, span extents
+    localize WHERE the copied region sits — the signal Jaccard/MinHash
+    (set-level) cannot give.
+
+    Scale shape: one fp-keyed equi-join of the (doc, pos, fp) table with
+    itself — fingerprints are ~2/(w+1) of hashes, so the join input is
+    already winnowed; one pair-keyed aggregate ends the plan. A
+    boilerplate fingerprint shared by many docs fans out like any hot
+    join key — cap with a df filter upstream for adversarial corpora
+    (the minhash max_df pattern).
+    """
+    fps = winnowing_fingerprints(df, text_col, id_col, n, window)
+    a = fps.select(F.col(id_col).alias("a"), F.col("pos").alias("pa"), "fp")
+    b = fps.select(F.col(id_col).alias("b"), F.col("pos").alias("pb"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.countDistinct("fp").cast("bigint").alias("n_shared"),
+            F.min("pa").cast("bigint").alias("a_from"),
+            F.max("pa").cast("bigint").alias("a_to"),
+            F.min("pb").cast("bigint").alias("b_from"),
+            F.max("pb").cast("bigint").alias("b_to"),
+        )
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def source_containment(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Directed containment between sources: |A∩B| / |A| per ordered
+    pair — the ASYMMETRIC companion to source_overlap's Jaccard. A pair
+    with low Jaccard but containment(A→B) ≈ 1 means feed A is a SUBSET
+    of B (a re-crawl, a filtered mirror) — the direction Jaccard hides,
+    and exactly what source-quota decisions need to know. µ-unit exact
+    integer division; only overlapping ordered pairs are emitted.
+
+    Same plan shape as source_overlap (shingle-keyed distinct + bounded
+    pair fan-out); emits both directions of each unordered pair.
+    """
+    base = source_overlap(df, group_col, text_col, id_col, n)
+    fwd = base.select(
+        F.col("src_a").alias("src_from"), F.col("src_b").alias("src_to"),
+        "inter", F.col("n_a").alias("n_from"),
+    )
+    rev = base.select(
+        F.col("src_b").alias("src_from"), F.col("src_a").alias("src_to"),
+        "inter", F.col("n_b").alias("n_from"),
+    )
+    return fwd.union(rev).select(
+        "src_from", "src_to", "inter", "n_from",
+        F.expr("inter * 1000000 DIV n_from").alias("containment_u"),
+    )

@@ -353,3 +353,38 @@ def test_winnowing_density_and_short_doc_contract(spark):
     # selected fingerprints are a strict subsample of the 28 hashes
     assert 0 < len(by_doc[2]) < 28
     assert all(1 <= r.pos <= 28 for r in by_doc[2])
+
+
+# ------------------------------------------------ winnow_match_spans
+
+def test_winnow_spans_localize_copy(spark):
+    from gcp_etl_pipeline_spark.operators.dedup import winnow_match_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, f"{shared} completely original ending words go right here"),
+        (2, f"different opening material sits here {shared}"),
+        (3, "nothing in common with either of the other documents at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r.a, r.b): r for r in winnow_match_spans(df).collect()}
+    assert (1, 2) in out and (1, 3) not in out and (2, 3) not in out
+    m = out[(1, 2)]
+    # the copied block sits at the START of doc 1 and the END of doc 2
+    assert m.a_from < 8 and m.b_from > 5 and m.n_shared >= 2
+
+
+# ------------------------------------------------ source_containment
+
+def test_containment_detects_subset_feed(spark):
+    from gcp_etl_pipeline_spark.operators.dedup import source_containment
+
+    sub = "one two three four five"
+    rows = [
+        (1, sub, "SUB"),
+        (2, f"{sub} six seven eight nine ten eleven twelve", "SUPER"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {(r.src_from, r.src_to): r for r in source_containment(df).collect()}
+    assert out[("SUB", "SUPER")].containment_u == 1_000_000  # SUB ⊆ SUPER
+    assert out[("SUPER", "SUB")].containment_u < 1_000_000
