@@ -646,15 +646,20 @@ def weighted_priority_sample(
     """
     from pyspark.sql import Window
 
+    # NULL weight must fail fast too (dataset_split's NULL-key contract):
+    # a NULL here would make every guard comparison NULL → the otherwise
+    # branch returns a NULL ranking key, which Spark sorts FIRST and SQL
+    # engines sort LAST — a silently engine-dependent draw.
     guard = F.when(
-        (F.col(weight_col) < 1)
+        F.col(weight_col).isNull()
+        | (F.col(weight_col) < 1)
         | (F.col(weight_col) > weight_lcm)
         | (F.lit(weight_lcm) % F.col(weight_col) != 0),
         F.raise_error(
             F.concat(
-                F.lit(f"weight must be a divisor of {weight_lcm} in [1,"
-                      f" {weight_lcm}]; got "),
-                F.col(weight_col).cast("string"),
+                F.lit(f"weight must be a non-null divisor of {weight_lcm} in"
+                      f" [1, {weight_lcm}]; got "),
+                F.coalesce(F.col(weight_col).cast("string"), F.lit("NULL")),
             )
         ).cast("bigint"),
     ).otherwise(F.col(weight_col).cast("bigint"))

@@ -203,7 +203,8 @@ def kmv_distinct(
     exact by construction (n_retained < k branch).
     """
     exact = (
-        values.select(value_col)
+        values.where(F.col(value_col).isNotNull())
+        .select(value_col)
         .distinct()
         .agg(F.count(F.lit(1)).cast("bigint").alias("exact_distinct"))
     )
@@ -222,12 +223,23 @@ def kmv_sketch(
     ``kmv_merge(sketch(A), sketch(B)) ≡ sketch(A ∪ B)`` exactly (the
     theta_partials merge contract, here over gradable integers). Store
     the k rows per batch/partition-slice and merge across batches; the
-    raw corpus is never re-scanned."""
+    raw corpus is never re-scanned.
+
+    NULL values are excluded (the COUNT(DISTINCT) convention) — and
+    necessarily so: a NULL hash would sort FIRST in Spark's orderBy and
+    LAST in SQL engines, silently poisoning the k-min set differently
+    per engine."""
     h = F.expr(
         f"CAST(conv(substring(md5(concat('{salt}|', CAST({value_col} AS STRING))),"
         f" 1, 12), 16, 10) AS BIGINT)"
     )
-    return values.select(h.alias("h")).distinct().orderBy("h").limit(k)
+    return (
+        values.where(F.col(value_col).isNotNull())
+        .select(h.alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
 
 
 def kmv_merge(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
@@ -290,7 +302,11 @@ def kmv_group_set_estimates(
         f"CAST(conv(substring(md5(concat('{salt}|', CAST({value_col} AS STRING))),"
         f" 1, 12), 16, 10) AS BIGINT)"
     )
-    gh = values.select(F.col(group_col).alias("g"), h.alias("h")).distinct()
+    gh = (
+        values.where(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("g"), h.alias("h"))
+        .distinct()
+    )
     wg = Window.partitionBy("g").orderBy("h")
     sk = (
         gh.withColumn("__r", F.row_number().over(wg))
@@ -332,10 +348,11 @@ def kmv_group_set_estimates(
         .select("src_a", "src_b", est("__n", "__kth").alias("est_union"))
     )
     # exact cardinalities (grading arm)
-    sizes = values.select(F.col(group_col).alias("g"), value_col).distinct() \
+    nn = values.where(F.col(value_col).isNotNull())
+    sizes = nn.select(F.col(group_col).alias("g"), value_col).distinct() \
         .groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("__sz"))
-    va = values.select(F.col(group_col).alias("src_a"), F.col(value_col).alias("v")).distinct()
-    vb = values.select(F.col(group_col).alias("src_b"), F.col(value_col).alias("v")).distinct()
+    va = nn.select(F.col(group_col).alias("src_a"), F.col(value_col).alias("v")).distinct()
+    vb = nn.select(F.col(group_col).alias("src_b"), F.col(value_col).alias("v")).distinct()
     inter = (
         va.join(vb, "v")
         .where(F.col("src_a") < F.col("src_b"))

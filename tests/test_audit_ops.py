@@ -388,3 +388,17 @@ def test_containment_detects_subset_feed(spark):
     out = {(r.src_from, r.src_to): r for r in source_containment(df).collect()}
     assert out[("SUB", "SUPER")].containment_u == 1_000_000  # SUB ⊆ SUPER
     assert out[("SUPER", "SUB")].containment_u < 1_000_000
+
+
+def test_wps_rejects_null_weight(spark):
+    bad = spark.createDataFrame([("s", 1, None)], "g string, k int, w int")
+    with pytest.raises(Exception, match="divisor"):
+        weighted_priority_sample(bad, "g", "k", "w", k=5).collect()
+
+
+def test_kmv_ignores_null_values(spark):
+    vals = spark.createDataFrame(
+        [("a",), (None,), ("b",), (None,)], "v string"
+    )
+    row = kmv_distinct(vals, "v", k=8).collect()[0]
+    assert row.exact_distinct == 2 == row.est_distinct == row.n_retained
