@@ -78,8 +78,9 @@ KMV_ORACLE_SQL = f"""
                    exact_distinct
             FROM agg CROSS JOIN ex)
     SELECT k, n_retained, kth_min, est_distinct, exact_distinct,
-           CAST(abs(est_distinct - exact_distinct) * 1000000
-                // exact_distinct AS BIGINT) AS err_u
+           CAST(CASE WHEN exact_distinct = 0 THEN 0
+                ELSE abs(est_distinct - exact_distinct) * 1000000
+                     // exact_distinct END AS BIGINT) AS err_u
     FROM est
     """
 
@@ -640,8 +641,12 @@ def _q_pr_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("o_orderkey") % 20 == 0)
         .select(
             "o_orderkey", "o_orderpriority",
-            F.expr("CAST((CAST(__rk AS BIGINT) - 1) * 1000000 DIV (__n - 1) AS BIGINT)")
-            .alias("pr_u"),
+            # single-row partition: percent_rank is 0 by definition (both
+            # engines otherwise diverge - Spark DIV by 0 yields NULL,
+            # DuckDB // raises)
+            F.expr("CAST(CASE WHEN __n = 1 THEN 0 ELSE "
+                   "(CAST(__rk AS BIGINT) - 1) * 1000000 DIV (__n - 1) "
+                   "END AS BIGINT)").alias("pr_u"),
             F.expr("CAST(__le * 1000000 DIV __n AS BIGINT)").alias("cd_u"),
         )
     )
@@ -660,7 +665,8 @@ register(
                  COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
                FROM orders)
     SELECT o_orderkey, o_orderpriority,
-           CAST((rk - 1) * 1000000 // (n - 1) AS BIGINT) AS pr_u,
+           CAST(CASE WHEN n = 1 THEN 0
+                ELSE (rk - 1) * 1000000 // (n - 1) END AS BIGINT) AS pr_u,
            CAST(le * 1000000 // n AS BIGINT) AS cd_u
     FROM w WHERE o_orderkey % 20 = 0
     """,

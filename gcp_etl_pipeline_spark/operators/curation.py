@@ -542,7 +542,13 @@ def gopher_gates(
               (top_count * 100 <= max_top_pct * n_tokens)
 
     Scale shape: one (doc, token) explode + two keyed aggregates — the
-    TF-IDF shuffle shape; the gate columns are a free projection."""
+    TF-IDF shuffle shape; the gate columns are a free projection.
+
+    Zero-token documents (empty/NULL/all-punctuation text) get an
+    explicit row with counts 0 and ``keep = false`` (g_len fails for any
+    min_tokens ≥ 1): a DECISION layer that silently omits the emptiest
+    documents would let exactly the junk it exists to drop sail through
+    an anti-join-on-rejects pipeline."""
     from gcp_etl_pipeline_spark.operators.text import tokens
 
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
@@ -551,6 +557,17 @@ def gopher_gates(
         F.sum("c").cast("bigint").alias("n_tokens"),
         F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
         F.max("c").cast("bigint").alias("top_count"),
+    )
+    zero = F.lit(0).cast("bigint")
+    agg = (
+        df.select(id_col).distinct()
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", zero).alias("n_tokens"),
+            F.coalesce("n_distinct", zero).alias("n_distinct"),
+            F.coalesce("top_count", zero).alias("top_count"),
+        )
     )
     g_len = (F.col("n_tokens") >= min_tokens) & (
         F.col("n_tokens") <= max_tokens
@@ -654,6 +671,10 @@ def weighted_priority_sample(
         F.col(weight_col).isNull()
         | (F.col(weight_col) < 1)
         | (F.col(weight_col) > weight_lcm)
+        # fractional weights are rejected too: 840 % 2.5 == 0.0 would
+        # slip the divisor test and then be silently floored by the cast
+        | (F.col(weight_col).cast("double")
+           != F.col(weight_col).cast("bigint").cast("double"))
         | (F.lit(weight_lcm) % F.col(weight_col) != 0),
         F.raise_error(
             F.concat(
@@ -742,8 +763,16 @@ def halflife_decay_engagement(
     ancient events to weight 1 rather than shifting past the integer.
     """
     ref = events.agg(F.max(F.to_date(ts_col)).alias("__ref"))
+    # NULL timestamps fail fast (the dataset_split/priority-sample NULL
+    # contract): least() ignores a NULL datediff, so a corrupt feed
+    # would otherwise silently score as maximally ancient weight-1 events
+    d = F.when(
+        F.col(ts_col).isNull(),
+        F.raise_error(F.lit("halflife_decay_engagement: NULL timestamp")
+                      ).cast("date"),
+    ).otherwise(F.to_date(ts_col))
     return (
-        events.select(F.col(user_col), F.to_date(ts_col).alias("__d"))
+        events.select(F.col(user_col), d.alias("__d"))
         .crossJoin(F.broadcast(ref))
         .select(
             user_col,

@@ -776,11 +776,17 @@ register(
     WITH {_TOK_CTE},
     t AS (SELECT doc_id, unnest(toks) AS t FROM tok),
     per AS (SELECT doc_id, t, COUNT(*) AS c FROM t GROUP BY 1, 2),
-    agg AS (SELECT doc_id,
+    agg0 AS (SELECT doc_id,
                    CAST(SUM(c) AS BIGINT) AS n_tokens,
                    CAST(COUNT(*) AS BIGINT) AS n_distinct,
                    CAST(MAX(c) AS BIGINT) AS top_count
-            FROM per GROUP BY doc_id)
+            FROM per GROUP BY doc_id),
+    agg AS (SELECT d.doc_id,
+                   COALESCE(a.n_tokens, 0) AS n_tokens,
+                   COALESCE(a.n_distinct, 0) AS n_distinct,
+                   COALESCE(a.top_count, 0) AS top_count
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN agg0 a USING (doc_id))
     SELECT doc_id, n_tokens, n_distinct, top_count,
            (n_tokens >= 8 AND n_tokens <= 2000) AS g_len,
            ((n_tokens - n_distinct) * 100 <= 30 * n_tokens) AS g_dup,

@@ -53,43 +53,25 @@ def _ledger_guard(store_path: str, timeout_sec: float = 60.0):
     (``layout.compact_small_files``'s snapshot check) and mutual
     exclusion is the orchestrator's documented contract."""
     import contextlib
-    import fcntl
     import os
-    import time as _time
+
+    from gcp_etl_pipeline_spark.locks import flock_guard
 
     if "://" in store_path:
         return contextlib.nullcontext()
 
     norm = store_path.rstrip("/")
     parent, name = os.path.dirname(norm) or ".", os.path.basename(norm)
-    lock = f"{parent}/.{name}.ledger.lock"
-
-    @contextlib.contextmanager
-    def held():
-        os.makedirs(parent, exist_ok=True)
-        fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o644)
-        try:
-            deadline = _time.time() + timeout_sec
-            while True:
-                try:
-                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-                    break
-                except OSError:
-                    if _time.time() > deadline:
-                        raise LedgerBusyError(
-                            f"{store_path}: another increment or compaction "
-                            f"holds the ledger lock (> {timeout_sec:.0f}s); "
-                            "compact BETWEEN increments, never concurrently"
-                        ) from None
-                    _time.sleep(0.05)
-            yield
-        finally:
-            try:
-                fcntl.flock(fd, fcntl.LOCK_UN)
-            finally:
-                os.close(fd)
-
-    return held()
+    return flock_guard(
+        f"{parent}/.{name}.ledger.lock",
+        timeout_sec,
+        lambda: LedgerBusyError(
+            f"{store_path}: another increment or compaction "
+            f"holds the ledger lock (> {timeout_sec:.0f}s); "
+            "compact BETWEEN increments, never concurrently"
+        ),
+        poll_sec=0.05,
+    )
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

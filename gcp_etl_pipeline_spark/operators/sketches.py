@@ -269,7 +269,11 @@ def kmv_report(sketch: DataFrame, exact: DataFrame, k: int) -> DataFrame:
         )
         .withColumn(
             "err_u",
-            F.expr("abs(est_distinct - exact_distinct) * 1000000 DIV exact_distinct"),
+            # empty input: est and exact are both 0 — a defined err of 0,
+            # not a NULL-vs-division-error engine divergence
+            F.expr("CASE WHEN exact_distinct = 0 THEN CAST(0 AS BIGINT) "
+                   "ELSE abs(est_distinct - exact_distinct) * 1000000 "
+                   "DIV exact_distinct END"),
         )
     )
 

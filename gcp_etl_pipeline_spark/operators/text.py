@@ -145,7 +145,6 @@ def char_pair_merges(
     df: DataFrame,
     k: int = 50,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """First-round BPE merge-table induction: count adjacent CHARACTER
     pairs inside token occurrences across the corpus and rank the top-k

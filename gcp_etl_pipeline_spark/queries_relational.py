@@ -2477,11 +2477,20 @@ register(
     cum AS (SELECT SUM(c_a) OVER (ORDER BY v) AS cum_a,
                    SUM(c_b) OVER (ORDER BY v) AS cum_b
             FROM u)
+    -- empty-snapshot contract replayed (quality.py:ks_drift): either
+    -- side empty -> ONE scream row (n_a, n_b, scale), never 0 rows or
+    -- a 0/0 division
+    SELECT COALESCE(na, 0) AS n_a, COALESCE(nb, 0) AS n_b,
+           CAST(1000000 AS BIGINT) AS ks_u
+    FROM t WHERE COALESCE(na, 0) = 0 OR COALESCE(nb, 0) = 0
+    UNION ALL
     SELECT na AS n_a, nb AS n_b,
            CAST(ROUND(CAST(MAX(ABS(cum_a * nb - cum_b * na)) AS DOUBLE)
                       * 1000000 / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)),
                       0) AS BIGINT) AS ks_u
-    FROM cum CROSS JOIN t
+    FROM cum CROSS JOIN (SELECT * FROM t
+                         WHERE COALESCE(na, 0) > 0
+                           AND COALESCE(nb, 0) > 0) t
     GROUP BY na, nb
     """,
 )

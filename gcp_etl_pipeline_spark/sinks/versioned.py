@@ -89,38 +89,20 @@ class VersionedTable:
 
         Scope: local/NFSv4 filesystems (the tier this parquet-manifest
         table targets — see module docstring). Object stores need the
-        real Delta/Iceberg commit protocol."""
-        import contextlib
-        import fcntl
-        import time as _time
+        real Delta/Iceberg commit protocol.
 
-        lock = f"{self.path}/_manifest.lock"
+        The acquire/poll/release choreography itself lives in
+        `locks.flock_guard` (shared with the dedup-ledger guard)."""
+        from gcp_etl_pipeline_spark.locks import flock_guard
 
-        @contextlib.contextmanager
-        def held():
-            os.makedirs(self.path, exist_ok=True)
-            fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o644)
-            try:
-                deadline = _time.time() + self._LOCK_TIMEOUT_SEC
-                while True:
-                    try:
-                        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-                        break
-                    except OSError:
-                        if _time.time() > deadline:
-                            raise ConcurrentWriteError(
-                                f"{self.path}: commit lock not acquired "
-                                f"within {self._LOCK_TIMEOUT_SEC:.0f}s"
-                            ) from None
-                        _time.sleep(0.01)
-                yield
-            finally:
-                try:
-                    fcntl.flock(fd, fcntl.LOCK_UN)
-                finally:
-                    os.close(fd)
-
-        return held()
+        return flock_guard(
+            f"{self.path}/_manifest.lock",
+            self._LOCK_TIMEOUT_SEC,
+            lambda: ConcurrentWriteError(
+                f"{self.path}: commit lock not acquired "
+                f"within {self._LOCK_TIMEOUT_SEC:.0f}s"
+            ),
+        )
 
     # ------------------------------------------------------------ write
 

@@ -402,3 +402,22 @@ def test_kmv_ignores_null_values(spark):
     )
     row = kmv_distinct(vals, "v", k=8).collect()[0]
     assert row.exact_distinct == 2 == row.est_distinct == row.n_retained
+
+
+def test_wps_rejects_fractional_weight(spark):
+    bad = spark.createDataFrame([("s", 1, 2.5)], "g string, k int, w double")
+    with pytest.raises(Exception, match="divisor"):
+        weighted_priority_sample(bad, "g", "k", "w", k=5).collect()
+
+
+def test_decay_rejects_null_timestamp(spark):
+    import datetime as dt
+
+    from gcp_etl_pipeline_spark.operators.curation import halflife_decay_engagement
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1)), (2, None)],
+        "user_id long, ts timestamp",
+    )
+    with pytest.raises(Exception, match="NULL timestamp"):
+        halflife_decay_engagement(df).collect()

@@ -351,3 +351,19 @@ def test_quantize_int8_zero_vector_and_exact_roundtrip(spark):
     # 0.5 -> q=500000, m=1000000: code = trunc(500000*127/1e6) = 63,
     # recon = trunc(63*1e6/127) = 496062 -> err 3938
     assert got[3].max_err_u == 500_000 - (63 * 1_000_000) // 127
+
+
+def test_gopher_gates_zero_token_doc_gets_explicit_reject(spark):
+    from gcp_etl_pipeline_spark.operators.curation import gopher_gates
+
+    df = spark.createDataFrame(
+        [(1, "enough normal words sit right here to pass the length gate"),
+         (2, ""), (3, "...")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in gopher_gates(df, min_tokens=3).collect()}
+    assert set(out) == {1, 2, 3}  # empty docs present, not silently absent
+    assert out[1].keep is True
+    for d in (2, 3):
+        assert out[d].n_tokens == 0 and out[d].keep is False
+        assert out[d].g_len is False
