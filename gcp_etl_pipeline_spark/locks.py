@@ -26,6 +26,7 @@ themselves (see `_ledger_guard`'s URI check).
 from __future__ import annotations
 
 import contextlib
+import errno
 import fcntl
 import os
 import time
@@ -47,7 +48,19 @@ def flock_guard(
             try:
                 fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
                 break
-            except OSError:
+            except OSError as e:
+                # Only "lock is busy" errnos are retryable. Filesystems
+                # whose flock is unsupported (ENOTSUP/ENOLCK on some
+                # FUSE/NFSv3 mounts) must fail IMMEDIATELY with the real
+                # error — spinning the full timeout and then raising a
+                # concurrency error would misdiagnose a broken mount as
+                # contention.
+                if e.errno not in (
+                    errno.EWOULDBLOCK,
+                    errno.EAGAIN,
+                    errno.EINTR,
+                ):
+                    raise
                 if time.time() > deadline:
                     raise make_error() from None
                 time.sleep(poll_sec)

@@ -128,15 +128,17 @@ def dedup_incremental(
     # PIN the store read to its current part files: a directory-level
     # read re-lists on every execution, so a lazy plan re-executed after
     # the append below would see the batch's own just-written
-    # fingerprints and anti-join itself to empty. Reading the explicit
-    # pre-append file list makes the returned (lazy) plan immune to the
-    # append with ZERO executor storage — at a 100-TB-shape increment
-    # that beats checkpointing the accepted text, at the cost of the
-    # increment being scanned once by the append and once by the
-    # caller's consumption.
-    # the list→anti-join→append section holds the ledger guard: an
-    # overlapping compaction (or second increment) raises LedgerBusyError
-    # instead of silently racing the store listing
+    # fingerprints and anti-join itself to empty.
+    # The list→anti-join→checkpoint→append section holds the ledger
+    # guard: an overlapping compaction (or second increment) raises
+    # LedgerBusyError instead of silently racing the store listing.
+    # The kept frame is localCheckpoint'ed INSIDE the guard (matching
+    # neardup_incremental): the returned frame must not lazily re-read
+    # the pinned file list after the guard is released — a compaction
+    # running in that gap deletes those exact files and fails the
+    # caller's first action on the result. The checkpoint also means the
+    # append below and the caller's consumption share one scan of the
+    # increment instead of two.
     with _ledger_guard(store_path):
         store_files = _ledger_files(
             store_path, spark, exclude_attempt=attempt_id
@@ -149,6 +151,7 @@ def dedup_incremental(
             )
         else:
             kept = batch
+        kept = kept.localCheckpoint(eager=True)
         if attempt_id is None:
             kept.select("__fp").write.mode("append").parquet(store_path)
         else:

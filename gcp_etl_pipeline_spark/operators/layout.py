@@ -123,7 +123,11 @@ def compact_small_files(
         # writer landing files between the read and the swap
         out = set()
         it = fs.listFiles(p, True)
-        base = str(p)
+        # fully-qualified base: listFiles returns qualified URIs
+        # (file:/..., hdfs://...), so stripping an unqualified str(p)
+        # would misalign — and misalign DIFFERENTLY for the live path
+        # vs __pre_compact, breaking the snapshot comparison
+        base = str(fs.makeQualified(p))
         while it.hasNext():
             q = str(it.next().getPath())
             if q.rsplit("/", 1)[-1].startswith("part-"):
@@ -169,6 +173,28 @@ def compact_small_files(
         )
     if not fs.rename(jpath, jold):
         raise IOError(f"rename {path} -> {old} failed")
+    # SECOND drift check, after the rename-aside: a file landing between
+    # the first re-list and the rename now sits under __pre_compact and
+    # would be deleted with it. Re-list the renamed tree and roll back
+    # if anything new appeared — this closes the silent-loss window on
+    # no-flock tiers (object stores) down to the rename itself, which is
+    # a metadata operation, not a data-copy window. If the rollback
+    # rename fails (a writer already recreated the live path), raise
+    # LOUDLY with both trees intact — nothing is deleted.
+    late = _data_file_names(jold) - snapshot
+    if late:
+        fs.delete(jstaging, True)
+        if not fs.rename(jold, jpath):
+            raise IOError(
+                f"compaction of {path} aborted ({len(late)} late file(s)) "
+                f"and rollback rename {old} -> {path} failed; original "
+                f"data is intact under {old} — merge it back manually"
+            )
+        raise IOError(
+            f"compaction of {path} aborted: {len(late)} file(s) appeared "
+            "between the drift check and the swap (concurrent writer); "
+            "rolled back, live path restored"
+        )
     if not fs.rename(jstaging, jpath):
         fs.rename(jold, jpath)  # roll back: live path restored
         raise IOError(f"rename {staging} -> {path} failed (rolled back)")

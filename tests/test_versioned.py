@@ -414,3 +414,29 @@ def test_versioned_concurrent_writers_stress(spark, tmp_path):
     assert len(versions) == len(set(versions)) == 19  # v1 + 18 commits
     assert t.latest_version() == max(versions) == max(committed)
     assert t.read(spark).count() == 2  # latest snapshot intact
+
+
+def test_flock_guard_unsupported_fs_fails_fast(tmp_path, monkeypatch):
+    """On mounts where flock itself is unsupported (ENOTSUP/ENOLCK on
+    some FUSE/NFSv3 filesystems) the guard must surface the REAL error
+    immediately — not spin the full timeout and then raise a misleading
+    'lock busy' concurrency error (ADVICE r6 #1)."""
+    import errno
+    import fcntl as _fcntl
+    import time
+
+    from gcp_etl_pipeline_spark import locks
+
+    def broken_flock(fd, op):
+        if op != _fcntl.LOCK_UN:
+            raise OSError(errno.ENOTSUP, "flock not supported")
+
+    monkeypatch.setattr(locks.fcntl, "flock", broken_flock)
+    t0 = time.time()
+    with pytest.raises(OSError) as ei:
+        with locks.flock_guard(
+            str(tmp_path / "l.lock"), 5.0, lambda: RuntimeError("busy")
+        ):
+            pass
+    assert ei.value.errno == errno.ENOTSUP
+    assert time.time() - t0 < 1.0  # immediate, not the 5s timeout

@@ -164,11 +164,12 @@ def _record_evidence(passed: list[str], sf_dir: str) -> None:
         axis = sf_dir.rstrip("/").rsplit("/", 1)[-1]
         if os.environ.get("SPARK_GRAFT_CPUS") == "7":
             axis = "partitions7"
-        # current round = r{N} of the CORRECTNESS file the driver will
-        # write for THIS round (already-present files are prior rounds)
-        rnd = 1 + len(
-            [f for f in os.listdir(root) if f.startswith("CORRECTNESS_r")]
-        )
+        # single round source shared with evidence.py --check
+        # (SPARK_GRAFT_ROUND override, else 1 + newest CORRECTNESS round)
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from evidence import current_round
+
+        rnd = current_round()
         path = f"{root}/EVIDENCE.json"
         try:
             ev = json.load(open(path))
