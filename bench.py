@@ -100,6 +100,13 @@ BENCH_QUERIES = [
     "window_percent_rank_cume",
     "winnow_match_spans",
     "source_containment",
+    # round-7 additions
+    "dedup_substring_excise",
+    "bpe_train_merges",
+    "mutual_knn_bucketed",
+    "knn_triangles_bucketed",
+    "excise_source_stats",
+    "neardup_top1",
 ]
 
 

@@ -1216,6 +1216,7 @@ def winnow_match_spans(
     n: int = 3,
     window: int = 4,
     min_shared: int = 2,
+    max_fp_df: int | None = None,
 ) -> DataFrame:
     """Aligned match detection over winnowing fingerprints — what MOSS
     actually reports: document pairs sharing ≥ min_shared selected
@@ -1227,12 +1228,27 @@ def winnow_match_spans(
 
     Scale shape: one fp-keyed equi-join of the (doc, pos, fp) table with
     itself — fingerprints are ~2/(w+1) of hashes, so the join input is
-    already winnowed; one pair-keyed aggregate ends the plan. A
-    boilerplate fingerprint shared by many docs fans out like any hot
-    join key — cap with a df filter upstream for adversarial corpora
-    (the minhash max_df pattern).
+    already winnowed; one pair-keyed aggregate ends the plan.
+
+    ``max_fp_df`` is the hot-key guard every pair-generating operator
+    here carries (minhash_dedup_pairs' max_df discipline): a BOILERPLATE
+    fingerprint — a license header, a nav bar — selected in d documents
+    fans the self-join out d² on that one key. With the cap, any
+    fingerprint appearing in more than max_fp_df distinct documents is
+    dropped BEFORE the join (one fp-keyed distinct-count + anti-join,
+    moving 8-byte keys only), bounding per-key fan-out at max_fp_df²
+    and, at 100 TB, turning an adversarial quadratic blowup into a
+    tunable recall knob. None (default) preserves exact MOSS semantics.
     """
     fps = winnowing_fingerprints(df, text_col, id_col, n, window)
+    if max_fp_df is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.countDistinct(id_col).alias("__df"))
+            .where(F.col("__df") > max_fp_df)
+            .select("fp")
+        )
+        fps = fps.join(hot, "fp", "left_anti")
     a = fps.select(F.col(id_col).alias("a"), F.col("pos").alias("pa"), "fp")
     b = fps.select(F.col(id_col).alias("b"), F.col("pos").alias("pb"), "fp")
     return (
@@ -1280,3 +1296,172 @@ def source_containment(
         "src_from", "src_to", "inter", "n_from",
         F.expr("inter * 1000000 DIV n_from").alias("containment_u"),
     )
+
+
+def dedup_substring_excise(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Substring-LEVEL duplicate removal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the excision their
+    suffix-array pipeline performs, re-expressed over content-defined
+    chunks): drop the REPEATED SPANS from otherwise-unique documents
+    instead of dropping whole documents/paragraphs.
+
+    1. chunk each document's token stream at content-defined boundaries
+       (``text.content_defined_chunks``' rolling-hash rule — a boundary
+       after every token whose md5 starts with nibble '0', ~16-token
+       expected chunks; boundaries are LOCAL, so an insertion shifts one
+       chunk, not the whole doc's chunking)
+    2. fingerprint each chunk (md5 of its space-joined tokens)
+    3. a chunk whose fingerprint occurs in ≥ min_doc_freq DISTINCT
+       documents is boilerplate/duplication — excise every occurrence
+    4. reassemble each document from its surviving chunks in order
+
+    Emits (doc_id, n_chunks, excised_chunks, kept_tokens, clean_text).
+    Deterministic md5/integer arithmetic end to end — a SQL oracle can
+    replay it exactly.
+
+    Scale shape: document TEXT never shuffles. The fingerprint stream
+    (doc_id, idx, 32-char fp) is what moves: one fp-keyed aggregate
+    finds hot fingerprints, one join + doc-keyed collect builds each
+    doc's (small) excise index set, and the final doc-keyed join filters
+    the chunk array in place with an index-aware HOF. The token/chunk
+    projection is computed twice (once under the fp stream, once under
+    the reassembly) — a narrow, shuffle-free recompute, deliberately
+    cheaper at 100 TB than shuffling full text through a doc-keyed
+    aggregate or checkpointing the chunked corpus.
+
+    Reference parity: the reference has no substring dedup; this is part
+    of the beyond-reference LLM-curation tier (SURVEY §2 extension).
+    """
+    bounds = (
+        "CASE WHEN size(__t) >= 2 THEN "
+        "filter(sequence(1, size(__t) - 1),"
+        " i -> substring(md5(element_at(__t, i)), 1, 1) = '0') "
+        "ELSE CAST(array() AS ARRAY<INT>) END"
+    )
+    base = (
+        df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        .where(F.size("__t") >= 1)
+        .withColumn(
+            "__allb", F.expr(f"concat(array(0), {bounds}, array(size(__t)))")
+        )
+        .withColumn(
+            "__ch",
+            F.expr(
+                "transform(sequence(1, size(__allb) - 1),"
+                " j -> array_join(slice(__t, element_at(__allb, j) + 1,"
+                " element_at(__allb, j + 1) - element_at(__allb, j)), ' '))"
+            ),
+        )
+        .select(id_col, "__ch")
+    )
+    fps = base.select(
+        F.col(id_col),
+        F.posexplode(F.expr("transform(__ch, c -> md5(c))")).alias(
+            "__idx", "__fp"
+        ),
+    )
+    hot = (
+        fps.groupBy("__fp")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .where(F.col("__df") >= min_doc_freq)
+        .select("__fp")
+    )
+    excise = (
+        fps.join(hot, "__fp")
+        .groupBy(id_col)
+        .agg(F.collect_set("__idx").alias("__ex"))
+    )
+    return (
+        base.join(excise, id_col, "left")
+        .withColumn(
+            "__ex",
+            F.coalesce("__ex", F.expr("CAST(array() AS ARRAY<INT>)")),
+        )
+        .withColumn(
+            "__kept",
+            F.expr("filter(__ch, (c, i) -> NOT array_contains(__ex, i))"),
+        )
+        .select(
+            id_col,
+            F.size("__ch").cast("bigint").alias("n_chunks"),
+            F.size("__ex").cast("bigint").alias("excised_chunks"),
+            F.expr(
+                "aggregate(__kept, 0, (a, c) -> a + size(split(c, ' ')), a -> a)"
+            ).cast("bigint").alias("kept_tokens"),
+            F.array_join("__kept", " ").alias("clean_text"),
+        )
+    )
+
+
+def neardup_top1(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Each document's single NEAREST near-duplicate by MinHash-estimated
+    Jaccard — the per-doc "what should I diff this against" answer a
+    curation review UI needs, where the pair table
+    (``minhash_dedup_pairs``) answers the corpus-level question. For
+    every doc with at least one LSH candidate: the candidate with the
+    highest signature agreement (ties → lowest neighbor id), with the
+    agreement count and the estimated Jaccard (agree/num_hashes,
+    µ-unit integer division — exact on both engines).
+
+    Scale shape: candidates come from the banded bucket join (never
+    all-pairs; ``max_bucket`` caps pathological buckets), agreement is a
+    signature-only comparison (num_hashes small ints per pair — shingle
+    sets never re-join), and top-1 is a per-doc window over the
+    candidate fan-in. Signatures feed the candidate self-join AND the
+    scoring joins, so they are persisted and released when the result
+    is GC'd (the sketch-self-join discipline)."""
+    from gcp_etl_pipeline_spark.operators.similarity import _release_on_gc
+
+    arr = shingle_arrays(df, text_col, id_col, n)
+    sig = minhash_signatures_from_arrays(arr, id_col, num_hashes).persist()
+    cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands,
+                               max_bucket=max_bucket)
+    both = cand.unionByName(
+        cand.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    sa = sig.select(
+        F.col(id_col).alias("a"),
+        *[F.col(f"mh{k}").alias(f"__a{k}") for k in range(num_hashes)],
+    )
+    sb = sig.select(
+        F.col(id_col).alias("b"),
+        *[F.col(f"mh{k}").alias(f"__b{k}") for k in range(num_hashes)],
+    )
+    agree = sum(
+        F.when(F.col(f"__a{k}") == F.col(f"__b{k}"), 1).otherwise(0)
+        for k in range(num_hashes)
+    ).cast("bigint")
+    scored = (
+        both.join(sa, "a").join(sb, "b")
+        .select("a", "b", agree.alias("agree"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a").orderBy(
+        F.col("agree").desc(), F.col("b").asc()
+    )
+    out = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col("a").alias(id_col),
+            F.col("b").alias("neighbor_id"),
+            "agree",
+            F.expr(f"agree * 1000000 div {num_hashes}")
+            .cast("bigint").alias("est_j_u"),
+        )
+    )
+    return _release_on_gc(out, sig)

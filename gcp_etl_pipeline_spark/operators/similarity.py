@@ -764,3 +764,79 @@ def knn_graph_triangles(
         .join(ac, ["a", "c"], "left_semi")
         .select("a", "b", "c")
     )
+
+
+def mutual_knn_bucketed(
+    corpus: DataFrame,
+    k: int = 5,
+    n_lists: int | None = None,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: str = "kmeans",
+    kmeans_iters: int = 2,
+) -> DataFrame:
+    """Mutual k-NN graph edges on the AT-SCALE feed: ``knn_bucketed``'s
+    directed top-k (distributed probe assignment, no query collect, no
+    MAX_QUERY_VECTORS bound) through the SAME mutualization join as
+    ``mutual_knn`` — the path mutual_knn's docstring points
+    billion-vector corpora at, now a first-class operator instead of a
+    comment. Mutuality under IVF is approximate on BOTH sides (an edge
+    needs each endpoint inside the other's probed lists), which is the
+    behavior a production kNN-graph build actually has; recall vs the
+    exact graph is what ``similarity_bucketed_recall`` grades.
+
+    Defaults mirror the graded at-scale configuration: Lloyd k-means
+    centroids, auto ~sqrt(N) lists. One list_id-keyed equi-join to
+    score, one id-keyed semi-join to mutualize — k·n directed edges
+    shuffle, vectors never pair. cos_sim is bitwise symmetric, so either
+    direction's value is reportable."""
+    n = n_lists if n_lists is not None else auto_n_lists(corpus.count())
+    queries = corpus.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias(vec_col)
+    )
+    nn = knn_bucketed(
+        corpus, queries, k=k, n_lists=n, n_probe=n_probe, id_col=id_col,
+        vec_col=vec_col, centroids=centroids, kmeans_iters=kmeans_iters,
+    )
+    fwd = nn.select(
+        F.col("query_id").alias("a"), F.col("neighbor_id").alias("b"), "cos_sim"
+    )
+    rev = nn.select(
+        F.col("neighbor_id").alias("a"), F.col("query_id").alias("b")
+    )
+    return (
+        fwd.join(rev, ["a", "b"], "left_semi")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "cos_sim")
+    )
+
+
+def knn_triangles_bucketed(
+    corpus: DataFrame,
+    k: int = 5,
+    n_lists: int | None = None,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: str = "kmeans",
+    kmeans_iters: int = 2,
+) -> DataFrame:
+    """``knn_graph_triangles`` on the bucketed-ANN edge list: the same
+    oriented-edge closure (each a<b<c triangle found exactly once) over
+    ``mutual_knn_bucketed``'s output — the composition that actually
+    runs at cluster scale, where the exact-kNN edge feed is unavailable.
+    Two edge-list shuffles; vectors never join. The edge subplans'
+    exchanges are identical, so AQE exchange reuse runs the bucketed
+    scoring once (the knn_graph_triangles measurement)."""
+    e = mutual_knn_bucketed(
+        corpus, k, n_lists, n_probe, id_col, vec_col, centroids, kmeans_iters
+    ).select("a", "b")
+    ab = e.select(F.col("a"), F.col("b"))
+    bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = e.select(F.col("a"), F.col("b").alias("c"))
+    return (
+        ab.join(bc, "b")
+        .join(ac, ["a", "c"], "left_semi")
+        .select("a", "b", "c")
+    )

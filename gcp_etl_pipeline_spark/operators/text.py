@@ -224,3 +224,81 @@ def content_defined_chunks(
             F.array_max("__sizes").cast("bigint").alias("max_chunk_tokens"),
         )
     )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    rounds: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Multi-round BPE merge-table TRAINING (Sennrich et al. 2016): the
+    iterated count → pick-top-pair → apply-merge → recount loop a real
+    tokenizer trainer runs, not just the first round's pair table
+    (``char_pair_merges``). Emits one row per round: (round, x, y,
+    merged, pair_count) — the merge table in training order.
+
+    Fully declarative, zero driver collects: each round's winning pair
+    is a 1-row aggregate that CROSS-JOINS (broadcast, 1 row) onto the
+    symbol table, and the merge is applied by a JVM fold over each
+    token's symbol array referencing the pair columns — greedy
+    left-to-right, the reference BPE semantics ('aaaa' + merge (a,a) →
+    [aa, aa], never [aa, a, a]). The trainer operates on the DISTINCT
+    token table weighted by occurrence count, so round cost scales with
+    |vocab|, not corpus size — at 100 TB the vocab table is MBs after
+    one corpus-wide count, and every subsequent round touches only it.
+
+    Ties break deterministically (count desc, x asc, y asc). Rounds are
+    unrolled lazily; AQE exchange reuse dedups the shared subplans (the
+    Lloyd-unroll precedent).
+    """
+    merge_fold = (
+        "aggregate(syms, CAST(array() AS ARRAY<STRING>),"
+        " (acc, c) -> IF(size(acc) > 0 AND element_at(acc, -1) = x"
+        "                AND c = y,"
+        "   concat(slice(acc, 1, size(acc) - 1), array(concat(x, y))),"
+        "   concat(acc, array(c))), acc -> acc)"
+    )
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            F.expr("filter(split(t, ''), c -> c <> '')").alias("syms"),
+            "cnt",
+        )
+    )
+    out = None
+    for r in range(1, rounds + 1):
+        top = (
+            vocab.where(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(element_at(syms, i) AS x,"
+                        "             element_at(syms, i + 1) AS y))"
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy("p.x", "p.y")
+            .agg(F.sum("cnt").cast("bigint").alias("pair_count"))
+            .orderBy(
+                F.col("pair_count").desc(), F.col("x").asc(), F.col("y").asc()
+            )
+            .limit(1)
+        )
+        row = top.select(
+            F.lit(r).cast("bigint").alias("round"),
+            "x",
+            "y",
+            F.concat("x", "y").alias("merged"),
+            "pair_count",
+        )
+        out = row if out is None else out.unionByName(row)
+        if r < rounds:
+            vocab = (
+                vocab.crossJoin(F.broadcast(top.select("x", "y")))
+                .select(F.expr(merge_fold).alias("syms"), "cnt")
+            )
+    return out

@@ -374,6 +374,36 @@ def test_winnow_spans_localize_copy(spark):
     assert m.a_from < 8 and m.b_from > 5 and m.n_shared >= 2
 
 
+def test_winnow_spans_max_fp_df_drops_boilerplate(spark):
+    """Adversarial boilerplate: a license-header block shared by EVERY
+    doc would fan the fp self-join out |docs|² on its fingerprints.
+    max_fp_df must drop those fingerprints before the join — killing
+    the boilerplate-only pairs — while a genuine low-df copy between
+    two docs survives untouched."""
+    from gcp_etl_pipeline_spark.operators.dedup import winnow_match_spans
+
+    boiler = "licensed under the apache license version two point zero"
+    copy = "unique stolen passage reproduced verbatim across both docs"
+    rows = [(i, f"{boiler} filler{i} pad{i} body{i} tail{i}") for i in range(1, 7)]
+    rows += [
+        (7, f"{boiler} {copy} seven closing words here"),
+        (8, f"other opening material {copy} {boiler}"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = {(r.a, r.b) for r in winnow_match_spans(df).collect()}
+    # boilerplate alone links everything: far more pairs than the 1 copy
+    assert len(uncapped) > 10 and (7, 8) in uncapped
+
+    capped = {
+        (r.a, r.b)
+        for r in winnow_match_spans(df, max_fp_df=4).collect()
+    }
+    # boilerplate fps (df=8 > 4) are gone; the genuine df=2 copy stays
+    assert (7, 8) in capped
+    assert all(p == (7, 8) for p in capped), capped
+
+
 # ------------------------------------------------ source_containment
 
 def test_containment_detects_subset_feed(spark):
@@ -421,3 +451,125 @@ def test_decay_rejects_null_timestamp(spark):
     )
     with pytest.raises(Exception, match="NULL timestamp"):
         halflife_decay_engagement(df).collect()
+
+
+# ------------------------------------------------ dedup_substring_excise
+
+def test_substring_excise_removes_shared_chunks_only(spark):
+    """A doc duplicated verbatim loses ALL its chunks on both copies
+    (every chunk fingerprint appears in 2 docs); a unique doc keeps its
+    full normalized text. Counts are consistent: kept + excised =
+    n_chunks, kept_tokens = tokens of clean_text."""
+    from gcp_etl_pipeline_spark.operators.dedup import dedup_substring_excise
+
+    dup = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+           "lambda mu nu xi omicron pi rho sigma tau upsilon") * 2
+    uniq = "completely original content nothing shared anywhere at all"
+    df = spark.createDataFrame(
+        [(1, dup), (2, dup), (3, uniq)], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in dedup_substring_excise(df).collect()}
+    assert out[1].excised_chunks == out[1].n_chunks
+    assert out[1].clean_text == "" and out[1].kept_tokens == 0
+    assert out[2].clean_text == ""
+    assert out[3].excised_chunks == 0
+    assert out[3].clean_text == uniq  # already-normalized tokens
+    assert out[3].kept_tokens == len(uniq.split())
+
+
+def test_substring_excise_is_locally_scoped(spark):
+    """The Lee-et-al property the CDC composition buys: excising a
+    shared region from an otherwise-unique doc keeps the unique
+    remainder — whole docs are NOT dropped."""
+    from gcp_etl_pipeline_spark.operators.dedup import dedup_substring_excise
+
+    shared = " ".join(f"boiler{i}" for i in range(120))
+    rows = [
+        (1, f"{shared}"),
+        (2, f"{shared} unique2 tail2 words2 here2 now2"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in dedup_substring_excise(df).collect()}
+    # doc 2 keeps at least its unique tail (interior shared chunks are
+    # identical across docs; only border chunks may differ)
+    assert out[2].excised_chunks > 0
+    assert "unique2" in out[2].clean_text
+    assert out[2].kept_tokens < 120 + 5
+
+
+# ---------------------------------------------------- bpe_train_merges
+
+def test_bpe_merges_are_greedy_and_iterated(spark):
+    """Round 1 must pick the globally most frequent char pair; the
+    merge application must be greedy left-to-right ('aaaa' + (a,a) ->
+    [aa, aa], so round 2 can pick (aa, aa)); later rounds must count
+    over MERGED symbols, not raw chars."""
+    from gcp_etl_pipeline_spark.operators.text import bpe_train_merges
+
+    df = spark.createDataFrame(
+        [(1, "aaaa aaaa aaaa xy xy xz")], ["doc_id", "text"]
+    )
+    rows = {r["round"]: r for r in bpe_train_merges(df, rounds=3).collect()}
+    # 'aaaa' x3 -> pair (a,a) appears 3*3=9 times; (x,y) 2; (x,z) 1
+    assert (rows[1].x, rows[1].y, rows[1].pair_count) == ("a", "a", 9)
+    # greedy: aaaa -> [aa, aa] (x3) -> (aa, aa) count 3 beats (x,y) 2
+    assert (rows[2].x, rows[2].y, rows[2].merged) == ("aa", "aa", "aaaa")
+    assert rows[2].pair_count == 3
+    # round 3: aaaa now one symbol; (x,y) 2 wins over (x,z) 1
+    assert (rows[3].x, rows[3].y) == ("x", "y")
+
+
+# ------------------------------------------- bucketed mutual-kNN graph
+
+def test_mutual_knn_bucketed_exhaustive_probe_equals_exact(spark):
+    """With n_probe >= n_lists every query scans every list, so the
+    bucketed mutual graph must equal the exact one — the same
+    exhaustive-probe ≡ brute invariant the 500k smoke asserts for
+    knn_bucketed, here for the graph composition."""
+    from gcp_etl_pipeline_spark.operators.similarity import (
+        mutual_knn,
+        mutual_knn_bucketed,
+    )
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) / 11.0 for j in range(4)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {(r.a, r.b) for r in mutual_knn(df, k=3).collect()}
+    bucketed = {
+        (r.a, r.b)
+        for r in mutual_knn_bucketed(
+            df, k=3, n_lists=4, n_probe=4, centroids="kmeans"
+        ).collect()
+    }
+    assert bucketed == exact and len(exact) > 0
+
+
+def test_knn_triangles_bucketed_close_under_edges(spark):
+    """Every reported triangle's three edges must all be mutual edges,
+    and orientation is a<b<c."""
+    from gcp_etl_pipeline_spark.operators.similarity import (
+        knn_triangles_bucketed,
+        mutual_knn_bucketed,
+    )
+
+    rows = [
+        (i, [1.0 + 0.01 * i, 0.0]) for i in range(5)
+    ] + [
+        (10 + i, [0.0, 1.0 + 0.01 * i]) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    edges = {
+        (r.a, r.b)
+        for r in mutual_knn_bucketed(
+            df, k=3, n_lists=2, n_probe=1, centroids="kmeans"
+        ).collect()
+    }
+    tris = knn_triangles_bucketed(
+        df, k=3, n_lists=2, n_probe=1, centroids="kmeans"
+    ).collect()
+    assert tris
+    for t in tris:
+        assert t.a < t.b < t.c
+        assert {(t.a, t.b), (t.b, t.c), (t.a, t.c)} <= edges

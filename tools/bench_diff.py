@@ -18,6 +18,16 @@ ratio there is pure noise — every regression this gate exists to catch
 Runs recorded with different ``stat`` markers (e.g. the pre-r6
 min-of-2 era vs median-of-3) are NOT gated against each other — the
 first run after a stat change prints a rebaseline notice and passes.
+
+ROUND-ANCHOR MODE (r6 judge #1): consecutive-run gating is structurally
+blind to slow creep — r6 drifted +16% on the common subset while every
+step stayed under threshold. ``--set-anchor`` snapshots the latest run
+as the ROUND-OPEN baseline (BENCH_ANCHOR.json); ``--anchor`` gates the
+latest run against that snapshot instead of the previous run, adding a
+COMMON-SUBSET TOTAL gate (default 1.15x — above the ±12% host-drift
+envelope BENCH_HISTORY shows, below a real round-long creep) on top of
+the per-query gate. ci.sh runs both modes; set a fresh anchor at every
+round open.
 """
 
 from __future__ import annotations
@@ -26,18 +36,37 @@ import json
 import sys
 from pathlib import Path
 
+TOTAL_ANCHOR_RATIO = 1.15
+
 
 def main() -> int:
-    threshold = float(sys.argv[1]) if len(sys.argv) > 1 else 1.3
-    hist = Path(__file__).resolve().parent.parent / "BENCH_HISTORY.jsonl"
+    args = [a for a in sys.argv[1:]]
+    anchor_mode = "--anchor" in args
+    set_anchor = "--set-anchor" in args
+    pos = [a for a in args if not a.startswith("--")]
+    threshold = float(pos[0]) if pos else 1.3
+    root = Path(__file__).resolve().parent.parent
+    hist = root / "BENCH_HISTORY.jsonl"
+    anchor_path = root / "BENCH_ANCHOR.json"
     if not hist.exists():
         print("no BENCH_HISTORY.jsonl yet")
         return 0
     runs = [json.loads(ln) for ln in hist.read_text().splitlines() if ln.strip()]
-    if len(runs) < 2:
+    if set_anchor:
+        anchor_path.write_text(json.dumps(runs[-1]))
+        print(f"anchor set: {runs[-1]['value']:.2f}s "
+              f"({len(runs[-1]['queries'])} queries)")
+        return 0
+    if len(runs) < 2 and not anchor_mode:
         print(f"only {len(runs)} run(s) recorded — nothing to diff")
         return 0
-    prev_run, cur_run = runs[-2], runs[-1]
+    if anchor_mode:
+        if not anchor_path.exists():
+            print("no BENCH_ANCHOR.json — run --set-anchor at round open")
+            return 0
+        prev_run, cur_run = json.loads(anchor_path.read_text()), runs[-1]
+    else:
+        prev_run, cur_run = runs[-2], runs[-1]
     prev_stat = prev_run.get("stat", "min2")
     cur_stat = cur_run.get("stat", "min2")
     gating = prev_stat == cur_stat
@@ -62,6 +91,20 @@ def main() -> int:
     t_prev = prev_run["value"]
     t_cur = cur_run["value"]
     print(f"total: {t_prev:.2f}s -> {t_cur:.2f}s ({t_cur / t_prev:.2f}x)")
+    if anchor_mode and gating:
+        # creep gate: total over the COMMON query subset vs the round
+        # anchor — catches the slow aggregate drift per-query ratios hide
+        common = sorted(set(prev) & set(cur))
+        cp, cc = sum(prev[n] for n in common), sum(cur[n] for n in common)
+        if cp > 0:
+            r = cc / cp
+            print(f"anchor common-subset ({len(common)} queries): "
+                  f"{cp:.2f}s -> {cc:.2f}s ({r:.2f}x, gate "
+                  f"{TOTAL_ANCHOR_RATIO}x)")
+            if r >= TOTAL_ANCHOR_RATIO:
+                print("ROUND CREEP: common-subset total regressed vs the "
+                      "round-open anchor — bisect or attribute before push")
+                return 1
     if flagged:
         print(f"REGRESSIONS (median vs median, >={threshold}x): {flagged}")
         return 1

@@ -159,6 +159,10 @@ def _record_evidence(passed: list[str], sf_dir: str) -> None:
 
     if not passed:
         return
+    # evidence tracks DRIVER fixtures only: an alternate-seed sweep
+    # (tools/gen_testdata.py output) must not stamp sf0.01 evidence
+    if not os.path.abspath(sf_dir).startswith("/root/testdata"):
+        return
     try:
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         axis = sf_dir.rstrip("/").rsplit("/", 1)[-1]

@@ -39,6 +39,17 @@ print(f"day {day}: 50/{len(names)} queries at sf0.1")
 PY
 python tools/check.py /root/testdata/sf0.1 $(tr '\n' ' ' < /tmp/ci_q01.txt)
 
+if [ -n "${SEED:-}" ]; then
+  echo "== alternate-seed full sweep (seed=$SEED) =="
+  # oracle-overfit guard (r6 judge #5): regenerate the sf0.01-shaped
+  # fixtures with a different seed and run the FULL differential sweep
+  # against them. check.py skips EVIDENCE stamping for non-/root/testdata
+  # paths, so this cannot masquerade as driver-fixture evidence.
+  python tools/gen_testdata.py "$SEED"
+  python tools/check.py "/tmp/testdata_seed$SEED/sf0.01" $(tr '\n' ' ' < /tmp/ci_q1.txt)
+  python tools/check.py "/tmp/testdata_seed$SEED/sf0.01" $(tr '\n' ' ' < /tmp/ci_q2.txt)
+fi
+
 echo "== unit + e2e + plan-assertion tests =="
 python -m pytest tests/ -q
 
@@ -57,3 +68,5 @@ python tools/plan_profile.py --check
 echo "== bench (sf0.1) + regression diff =="
 python bench.py
 python tools/bench_diff.py 1.3
+# round-anchor creep gate (no-op until --set-anchor runs at round open)
+python tools/bench_diff.py 1.3 --anchor
