@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "knn_triangles_bucketed",
     "excise_source_stats",
     "neardup_top1",
+    "stream_substring_excise",
 ]
 
 

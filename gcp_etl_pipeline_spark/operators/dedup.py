@@ -1337,13 +1337,28 @@ def dedup_substring_excise(
     Reference parity: the reference has no substring dedup; this is part
     of the beyond-reference LLM-curation tier (SURVEY §2 extension).
     """
+    base = _cdc_chunk_base(df, text_col, id_col)
+    fps = _cdc_chunk_fps(base, id_col)
+    hot = (
+        fps.groupBy("__fp")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .where(F.col("__df") >= min_doc_freq)
+        .select("__fp")
+    )
+    return _excise_assemble(base, fps, hot, id_col)
+
+
+def _cdc_chunk_base(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, __ch) — per-doc array of content-defined chunk texts (the
+    content_defined_chunks boundary rule; chunk text = space-joined
+    tokens). Shared by the one-shot and incremental excision paths."""
     bounds = (
         "CASE WHEN size(__t) >= 2 THEN "
         "filter(sequence(1, size(__t) - 1),"
         " i -> substring(md5(element_at(__t, i)), 1, 1) = '0') "
         "ELSE CAST(array() AS ARRAY<INT>) END"
     )
-    base = (
+    return (
         df.select(F.col(id_col), tokens(text_col).alias("__t"))
         .where(F.size("__t") >= 1)
         .withColumn(
@@ -1359,20 +1374,27 @@ def dedup_substring_excise(
         )
         .select(id_col, "__ch")
     )
-    fps = base.select(
+
+
+def _cdc_chunk_fps(base: DataFrame, id_col: str) -> DataFrame:
+    """(id, __idx, __fp) — exploded chunk fingerprints with positions."""
+    return base.select(
         F.col(id_col),
         F.posexplode(F.expr("transform(__ch, c -> md5(c))")).alias(
             "__idx", "__fp"
         ),
     )
-    hot = (
-        fps.groupBy("__fp")
-        .agg(F.countDistinct(id_col).alias("__df"))
-        .where(F.col("__df") >= min_doc_freq)
-        .select("__fp")
-    )
+
+
+def _excise_assemble(
+    base: DataFrame, fps: DataFrame, excise_fps: DataFrame, id_col: str
+) -> DataFrame:
+    """Excise every chunk whose fingerprint is in ``excise_fps`` and
+    reassemble the survivors in order. Text never shuffles: the excise
+    set joins the 48-byte fp stream, and only the per-doc excise INDEX
+    sets come back to the chunk-array row."""
     excise = (
-        fps.join(hot, "__fp")
+        fps.join(excise_fps.select("__fp"), "__fp")
         .groupBy(id_col)
         .agg(F.collect_set("__idx").alias("__ex"))
     )
@@ -1396,6 +1418,62 @@ def dedup_substring_excise(
             F.array_join("__kept", " ").alias("clean_text"),
         )
     )
+
+
+def substring_excise_incremental(
+    new_docs: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_freq: int = 2,
+    attempt_id: str | None = None,
+) -> DataFrame:
+    """Cross-run substring excision against a persisted CHUNK-FINGERPRINT
+    ledger — ``dedup_substring_excise``'s incremental twin, in
+    ``dedup_incremental``'s ledger discipline: a chunk is excised if its
+    fingerprint is already in the ledger (seen in ANY prior increment)
+    OR occurs in ≥ min_doc_freq distinct documents of THIS batch. The
+    batch's complete distinct fingerprint set (kept AND excised — a
+    chunk seen once is a duplicate when seen again later) is then
+    written to the ledger: append, or an OVERWRITE of
+    ``store/attempt=<id>/`` when ``attempt_id`` is given (replay-
+    idempotent retries; the anti-join never reads the attempt's own
+    partition). The list→excise→write section holds the shared ledger
+    flock, and the result is localCheckpoint'ed inside the guard so the
+    returned frame survives a later compaction of the pinned file list.
+
+    Scale shape: the corpus increment is chunked once; only 32-byte
+    chunk fingerprints hit the ledger join and the store; reassembly is
+    the same index-set filter as the one-shot path."""
+    spark = new_docs.sparkSession
+    base = _cdc_chunk_base(new_docs, text_col, id_col)
+    fps = _cdc_chunk_fps(base, id_col)
+    hot = (
+        fps.groupBy("__fp")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .where(F.col("__df") >= min_doc_freq)
+        .select("__fp")
+    )
+    with _ledger_guard(store_path):
+        store_files = _ledger_files(
+            store_path, spark, exclude_attempt=attempt_id
+        )
+        if store_files:
+            ledger = spark.read.parquet(*store_files).select("__fp")
+            excise_set = hot.unionByName(ledger).distinct()
+        else:
+            excise_set = hot
+        out = _excise_assemble(base, fps, excise_set, id_col).localCheckpoint(
+            eager=True
+        )
+        batch_fps = fps.select("__fp").distinct()
+        if attempt_id is None:
+            batch_fps.write.mode("append").parquet(store_path)
+        else:
+            batch_fps.write.mode("overwrite").parquet(
+                f"{store_path.rstrip('/')}/attempt={attempt_id}"
+            )
+    return out
 
 
 def neardup_top1(

@@ -602,3 +602,120 @@ def _q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 from gcp_etl_pipeline_spark.operators.audit_queries import KMV_ORACLE_SQL
 
 register("stream_kmv_distinct", _q_stream_kmv, KMV_ORACLE_SQL)
+
+
+def _q_stream_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming substring excision: the documents table arrives as two
+    ordered micro-batches; each foreachBatch invocation runs
+    `substring_excise_incremental` against the shared chunk-fingerprint
+    ledger with a batch-scoped attempt_id (replay-idempotent: a retried
+    batch overwrites its attempt partition and never excises against its
+    own first attempt). The oracle replays both batches sequentially —
+    batch 2's excise set is its own in-batch duplicates UNION every
+    chunk fingerprint batch 1 contributed."""
+    import glob as _glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gcp_etl_pipeline_spark.operators.dedup import (
+        substring_excise_incremental,
+    )
+    from gcp_etl_pipeline_spark.sources.files import read_parquet
+
+    root = tempfile.mkdtemp(prefix="graft_sexcise_")
+    src = f"{root}/in"
+    os.makedirs(src)
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    t = docs.agg(F.floor(F.max("doc_id") / 2)).collect()[0][0]
+    for i, pred in enumerate((f"doc_id <= {t}", f"doc_id > {t}")):
+        tmp = f"{root}/tmp{i}"
+        docs.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = sorted(_glob.glob(f"{tmp}/part-*.parquet"))[0]
+        dst = f"{src}/b{i}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+
+    store = f"{root}/chunk_fps"
+    out_dir = f"{root}/cleaned"
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        out = substring_excise_incremental(
+            batch, store, attempt_id=f"b{batch_id}"
+        )
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        F.when(F.col("doc_id") <= t, 1).otherwise(2).cast("int").alias("batch"),
+        "doc_id", "n_chunks", "excised_chunks", "kept_tokens", "clean_text",
+    )
+
+
+def _stream_excise_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators.dedup_queries import _tok_cte
+
+    per_batch = """
+    m{i} AS (SELECT e{i}.doc_id, e{i}.idx, e{i}.chunk,
+                    (h.fp IS NOT NULL) AS dup
+             FROM e{i} LEFT JOIN hot{i} h ON md5(e{i}.chunk) = h.fp),
+    p{i} AS (SELECT CAST({i} AS INT) AS batch, doc_id,
+                    CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                    CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+                      AS excised_chunks,
+                    CAST(SUM(CASE WHEN dup THEN 0
+                             ELSE len(string_split(chunk, ' ')) END)
+                         AS BIGINT) AS kept_tokens,
+                    COALESCE(string_agg(CASE WHEN NOT dup THEN chunk END,
+                                        ' ' ORDER BY idx), '') AS clean_text
+             FROM m{i} GROUP BY doc_id)"""
+    return f"""
+    WITH {_tok_cte()},
+    tsplit AS (SELECT CAST(FLOOR(MAX(doc_id) / 2) AS BIGINT) AS t
+               FROM documents),
+    b AS (SELECT doc_id, toks, len(toks) AS n_tokens,
+                 list_filter(range(1, len(toks)),
+                             i -> substring(md5(toks[i]), 1, 1) = '0') AS bounds
+          FROM tok WHERE len(toks) >= 1),
+    a AS (SELECT doc_id, toks,
+                 list_concat(list_concat([0], bounds), [n_tokens]) AS allb
+          FROM b),
+    ch AS (SELECT doc_id,
+                  list_transform(range(1, len(allb)),
+                      j -> array_to_string(
+                             list_slice(toks, allb[j] + 1, allb[j + 1]),
+                             ' ')) AS chunks
+           FROM a),
+    e AS (SELECT doc_id, unnest(chunks) AS chunk,
+                 unnest(range(1, len(chunks) + 1)) AS idx
+          FROM ch),
+    e1 AS MATERIALIZED (SELECT e.* FROM e, tsplit WHERE doc_id <= tsplit.t),
+    e2 AS MATERIALIZED (SELECT e.* FROM e, tsplit WHERE doc_id > tsplit.t),
+    hot1 AS (SELECT md5(chunk) AS fp FROM e1
+             GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+    hot2 AS (SELECT md5(chunk) AS fp FROM e2
+             GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+             UNION
+             SELECT DISTINCT md5(chunk) AS fp FROM e1),
+    {per_batch.format(i=1)},
+    {per_batch.format(i=2)}
+    SELECT * FROM p1 UNION ALL SELECT * FROM p2
+    """
+
+
+register(
+    "stream_substring_excise",
+    _q_stream_substring_excise,
+    _stream_excise_oracle(),
+)

@@ -161,3 +161,74 @@ def test_ledger_stream_kill_and_resume_equals_uninterrupted(
     # sanity on the semantics themselves: cross-batch dups dropped
     accepted_ids = {d for _, d in clean[0]}
     assert accepted_ids == {1, 2, 11, 21}
+
+
+def _excise_process(store: str, out_dir: str, crash_once: dict | None):
+    """substring_excise_incremental twin (attempt-scoped chunk-fp
+    ledger): the batch body writes the excised per-doc output, crashing
+    once inside the durable-but-uncommitted window."""
+
+    def process(batch, batch_id: int) -> None:
+        from gcp_etl_pipeline_spark.operators.dedup import (
+            substring_excise_incremental,
+        )
+
+        out = substring_excise_incremental(
+            batch, store, attempt_id=f"b{batch_id}"
+        )
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        if crash_once is not None and batch_id == 1 and not crash_once["hit"]:
+            crash_once["hit"] = True
+            raise RuntimeError("injected crash after writes, before commit")
+
+    return process
+
+
+def test_excise_ledger_kill_and_resume_equals_uninterrupted(spark, tmp_path):
+    """The substring-excision ledger under the same crash window: a
+    replayed batch must overwrite its attempt partition (not double-
+    append chunk fps) and converge to the uninterrupted twin's cleaned
+    corpus and ledger."""
+    frames = _docs(spark)
+    schema = frames[0].schema
+
+    def _state(root):
+        out = spark.read.option("basePath", f"{root}/out").parquet(
+            f"{root}/out"
+        )
+        cleaned = {
+            (r.batch, r.doc_id, r.excised_chunks, r.clean_text)
+            for r in out.select(
+                F.col("batch").cast("int").alias("batch"),
+                "doc_id", "excised_chunks", "clean_text",
+            ).collect()
+        }
+        led = spark.read.option("recursiveFileLookup", "true").parquet(
+            f"{root}/store"
+        )
+        return cleaned, {tuple(r) for r in led.collect()}
+
+    root_a = str(tmp_path / "clean")
+    src_a = _stage_batches(spark, root_a, frames)
+    _run_stream(
+        spark, src_a, schema, f"{root_a}/ckpt",
+        _excise_process(f"{root_a}/store", f"{root_a}/out", None),
+    )
+
+    root_b = str(tmp_path / "crash")
+    src_b = _stage_batches(spark, root_b, frames)
+    crash = {"hit": False}
+    proc = _excise_process(f"{root_b}/store", f"{root_b}/out", crash)
+    with pytest.raises(Exception, match="injected crash"):
+        _run_stream(spark, src_b, schema, f"{root_b}/ckpt", proc)
+    assert crash["hit"]
+    _run_stream(spark, src_b, schema, f"{root_b}/ckpt", proc)
+
+    assert _state(root_b) == _state(root_a)
+    # semantics: doc 10 (exact dup of batch-0 doc 1) is fully excised
+    # on replayed state too — every chunk fp already in the ledger
+    cleaned = dict(
+        ((b, d), (e, t)) for b, d, e, t in _state(root_b)[0]
+    )
+    full_doc10 = cleaned[(1, 10)]
+    assert full_doc10[1] == ""  # all chunks ledgered by doc 1

@@ -783,11 +783,17 @@ def main() -> int:
 
     def _sdoc_batch(lo: int, size: int, replay_from: int | None):
         ids = spark.range(lo, lo + size)
+        # replays (id%10 in {0,1}) map to PREVIOUS-batch ids in the
+        # %10 in {2,3} class — ids that were FRESH (not themselves
+        # replays) in every batch, hence ledgered; mapping to the same
+        # %10<2 class would target texts the previous batch itself
+        # replayed (and the ledger therefore never saw), silently
+        # accepting the "duplicate"
         src_id = (
             F.when(
                 (F.col("id") % 10 < 2) & F.lit(replay_from is not None),
                 F.col("id")
-                - F.lit(0 if replay_from is None else lo - replay_from),
+                - F.lit(0 if replay_from is None else lo - replay_from - 2),
             ).otherwise(F.col("id"))
         )
         words = [
