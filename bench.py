@@ -108,6 +108,9 @@ BENCH_QUERIES = [
     "excise_source_stats",
     "neardup_top1",
     "stream_substring_excise",
+    "doc_surprisal_score",
+    "dup_cluster_histogram",
+    "knn_label_agreement",
 ]
 
 

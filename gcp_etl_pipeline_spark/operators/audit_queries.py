@@ -1008,3 +1008,115 @@ def _neardup_top1_oracle() -> str:
 
 
 register("neardup_top1", _q_neardup_top1, _neardup_top1_oracle())
+
+
+# --------------------------------------------------- unigram surprisal
+# curation.doc_surprisal: floor(log2(N/cf)) per token occurrence via
+# bit-length (length(bin(x)) - 1 in BOTH engines) — the log-free unigram
+# cross-entropy quality proxy, exact integer end-to-end.
+
+def _q_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.doc_surprisal(_docs(spark, sf_dir))
+
+
+register(
+    "doc_surprisal_score",
+    _q_surprisal,
+    f"""
+    WITH {_TOK_CTE},
+    t AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+    cf AS (SELECT t, COUNT(*) AS cf FROM t GROUP BY t),
+    n AS (SELECT SUM(cf) AS n FROM cf),
+    s AS (SELECT t.doc_id,
+                 length(bin(CAST(n.n // cf.cf AS BIGINT))) - 1 AS s
+          FROM t JOIN cf USING (t) CROSS JOIN n),
+    p AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 CAST(SUM(s) AS BIGINT) AS surprisal_sum
+          FROM s GROUP BY doc_id)
+    SELECT doc_id, n_tokens, surprisal_sum,
+           CAST(surprisal_sum * 1000000 // n_tokens AS BIGINT)
+             AS mean_surprisal_u
+    FROM p
+    """,
+)
+
+
+# --------------------------------------- duplicate-cluster size histogram
+
+def _q_dup_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the driver fixtures contain no EXACT duplicates (near-dups only),
+    # which would make this histogram a vacuous single row — plant
+    # deterministic clusters by re-adding every doc_id%5=0 text (size-2
+    # clusters) and every doc_id%50=0 text twice more (size-4); the
+    # oracle replays the same construction
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = docs.unionByName(
+        docs.where(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    for off in (2_000_000, 3_000_000):
+        planted = planted.unionByName(
+            docs.where(F.col("doc_id") % 50 == 0)
+            .select((F.col("doc_id") + off).alias("doc_id"), "text")
+        )
+    return dedup.dup_cluster_histogram(planted)
+
+
+register(
+    "dup_cluster_histogram",
+    _q_dup_hist,
+    """
+    WITH planted AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 50 = 0
+      UNION ALL
+      SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 50 = 0),
+    fp AS (SELECT md5(regexp_replace(lower(trim(text)),
+                                     '\\s+', ' ', 'g')) AS f
+           FROM planted),
+    cl AS (SELECT f, COUNT(*) AS sz FROM fp GROUP BY f)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs
+    FROM cl GROUP BY sz
+    """,
+)
+
+
+# ------------------------------------------------- kNN label agreement
+# similarity.knn_label_agreement on the vec_id%2=0 half (bounds the
+# oracle's quadratic arm, the mutual_knn_pairs convention).
+
+def _q_label_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sub = _embs(spark, sf_dir).where(F.col("vec_id") % 2 == 0)
+    return similarity.knn_label_agreement(sub, k=5)
+
+
+register(
+    "knn_label_agreement",
+    _q_label_agree,
+    f"""
+    WITH sub AS (SELECT vec_id, embedding, label FROM embeddings
+                 WHERE vec_id % 2 = 0),
+    s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                 {_qcos('q.embedding', 'e.embedding')} AS cos_sim
+          FROM sub e CROSS JOIN sub q WHERE e.vec_id <> q.vec_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s),
+    nn AS (SELECT query_id, neighbor_id FROM r WHERE rn <= 5),
+    j AS (SELECT nn.query_id, ql.label AS ql, nl.label AS nl
+          FROM nn JOIN sub ql ON ql.vec_id = nn.query_id
+                  JOIN sub nl ON nl.vec_id = nn.neighbor_id),
+    p AS (SELECT query_id, CAST(MIN(ql) AS BIGINT) AS label,
+                 CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+                 CAST(SUM(CASE WHEN nl = ql THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_same
+          FROM j GROUP BY query_id)
+    SELECT query_id, label, n_neighbors, n_same,
+           CAST(n_same * 1000000 // n_neighbors AS BIGINT) AS agree_u
+    FROM p
+    """,
+)

@@ -788,3 +788,44 @@ def halflife_decay_engagement(
             F.sum("__w").cast("bigint").alias("engagement_u"),
         )
     )
+
+
+def doc_surprisal(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document unigram SURPRISAL score without floating log():
+    surprisal of a token occurrence = floor(log2(N / cf)) computed as
+    length(bin(N div cf)) − 1 — bit-length arithmetic, exact integer
+    end-to-end, identical in Spark and DuckDB. N = total corpus token
+    occurrences, cf = the token's corpus occurrence count. A document of
+    common words scores low; rare-token/garbage documents score high —
+    the unigram-LM cross-entropy quality signal, made differentially
+    testable (a real ln() diverges across libms at the ulp level).
+
+    Scale shape: token-keyed count aggregate (map-side partial), 1-row
+    total broadcast, token-keyed join back, per-doc aggregate — the
+    crossdoc shape; documents never pair-compare."""
+    from gcp_etl_pipeline_spark.operators.text import tokens
+
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+    cf = tok.groupBy("t").agg(F.count(F.lit(1)).alias("__cf"))
+    total = cf.agg(F.sum("__cf").alias("__n"))
+    scored = (
+        tok.join(cf, "t")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.expr("length(bin(__n div __cf)) - 1").alias("__s"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("__s").cast("bigint").alias("surprisal_sum"),
+        )
+        .withColumn(
+            "mean_surprisal_u",
+            F.expr("surprisal_sum * 1000000 div n_tokens").cast("bigint"),
+        )
+    )

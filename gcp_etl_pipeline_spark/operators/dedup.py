@@ -1543,3 +1543,25 @@ def neardup_top1(
         )
     )
     return _release_on_gc(out, sig)
+
+
+def dup_cluster_histogram(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Histogram of exact-duplicate cluster sizes — the first corpus
+    audit a dedup pass reports (how much of the corpus is singletons vs
+    2-dup pairs vs thousand-copy boilerplate): md5-fingerprint groups →
+    per-cluster size → per-size cluster and document counts. Two short-
+    key aggregates, documents never compared or shuffled whole."""
+    sizes = (
+        df.withColumn("__fp", fingerprint(text_col))
+        .groupBy("__fp")
+        .agg(F.count(F.lit(1)).alias("__sz"))
+    )
+    return (
+        sizes.groupBy(F.col("__sz").cast("bigint").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("__sz").cast("bigint").alias("n_docs"),
+        )
+    )

@@ -840,3 +840,44 @@ def knn_triangles_bucketed(
         .join(ac, ["a", "c"], "left_semi")
         .select("a", "b", "c")
     )
+
+
+def knn_label_agreement(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Label-noise audit over the exact kNN graph: for each vector, how
+    many of its k nearest cosine neighbors share its label (and the
+    µ-unit fraction). Low agreement flags mislabeled points or
+    incoherent classes — the standard embedding-space sanity check run
+    before trusting labels for curation/eval. One labels join onto the
+    directed edge list; vectors never pair beyond the kNN computation."""
+    labels = corpus.select(F.col(id_col), F.col(label_col))
+    queries = corpus.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias(vec_col)
+    )
+    nn = knn_bruteforce(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    ql = labels.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("__ql")
+    )
+    nl = labels.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__nl")
+    )
+    return (
+        nn.join(ql, "query_id").join(nl, "neighbor_id")
+        .groupBy("query_id")
+        .agg(
+            F.first("__ql").cast("bigint").alias("label"),
+            F.count(F.lit(1)).cast("bigint").alias("n_neighbors"),
+            F.sum(
+                F.when(F.col("__nl") == F.col("__ql"), 1).otherwise(0)
+            ).cast("bigint").alias("n_same"),
+        )
+        .withColumn(
+            "agree_u",
+            F.expr("n_same * 1000000 div n_neighbors").cast("bigint"),
+        )
+    )

@@ -573,3 +573,88 @@ def test_knn_triangles_bucketed_close_under_edges(spark):
     for t in tris:
         assert t.a < t.b < t.c
         assert {(t.a, t.b), (t.b, t.c), (t.a, t.c)} <= edges
+
+
+# ---------------------------------------------------- doc_surprisal
+
+def test_doc_surprisal_rare_tokens_score_higher(spark):
+    from gcp_etl_pipeline_spark.operators.curation import doc_surprisal
+
+    rows = [(1, "common common common common"), (2, "common rareword")]
+    # corpus: common cf=5, rareword cf=1, N=6
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in doc_surprisal(df).collect()}
+    # surprisal(common) = len(bin(6//5))-1 = 0; surprisal(rareword) =
+    # len(bin(6//1))-1 = 2
+    assert out[1].surprisal_sum == 0 and out[1].mean_surprisal_u == 0
+    assert out[2].surprisal_sum == 2
+    assert out[2].mean_surprisal_u == 1_000_000  # 2*1e6 div 2
+
+
+# ------------------------------------------- dup_cluster_histogram
+
+def test_dup_cluster_histogram_counts_clusters(spark):
+    from gcp_etl_pipeline_spark.operators.dedup import dup_cluster_histogram
+
+    rows = [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "c"), (6, "c")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.cluster_size: r for r in dup_cluster_histogram(df).collect()}
+    assert out[3].n_clusters == 1 and out[3].n_docs == 3
+    assert out[2].n_clusters == 1 and out[2].n_docs == 2
+    assert out[1].n_clusters == 1 and out[1].n_docs == 1
+
+
+# ------------------------------------------- knn_label_agreement
+
+def test_knn_label_agreement_flags_mislabel(spark):
+    from gcp_etl_pipeline_spark.operators.similarity import knn_label_agreement
+
+    # two tight clusters of 4; vector 13 sits in cluster B but carries
+    # label 0 -> its neighbors all disagree, and it poisons exactly one
+    # neighbor slot of the true-B points
+    rows = [(i, [1.0 + 0.01 * i, 0.0], 0) for i in range(4)]
+    rows += [(10 + i, [0.0, 1.0 + 0.01 * i], 1) for i in range(4)]
+    rows[7] = (13, [0.0, 1.03], 0)  # mislabeled B point
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {r.query_id: r for r in knn_label_agreement(df, k=3).collect()}
+    assert out[13].n_same == 0 and out[13].agree_u == 0
+    for i in (0, 1, 2, 3):  # pure cluster A: all 3 neighbors agree
+        assert out[i].agree_u == 1_000_000
+    for i in (10, 11, 12):  # true-B: 2 of 3 neighbors agree (13 lies)
+        assert out[i].n_same == 2 and out[i].agree_u == 666_666
+
+
+# --------------------------- substring excise ledger x compact_ledger
+
+def test_excise_incremental_survives_ledger_compaction(spark, tmp_path):
+    """compact_ledger between excise increments must change file layout
+    only, never excision decisions: increment 2 sees the same ledger
+    fingerprint SET after compaction, and chunks repeated from increment
+    1 are still excised."""
+    from gcp_etl_pipeline_spark.operators.dedup import (
+        compact_ledger,
+        substring_excise_incremental,
+    )
+
+    store = str(tmp_path / "chunk_fps")
+    shared = " ".join(f"w{i}" for i in range(80))
+    b1 = spark.createDataFrame([(1, shared)], ["doc_id", "text"])
+    out1 = substring_excise_incremental(b1, store, attempt_id="b1").collect()
+    assert out1[0].excised_chunks == 0  # nothing prior
+
+    files_before, files_after = compact_ledger(spark, store)
+    assert files_after <= files_before
+
+    b2 = spark.createDataFrame(
+        [(2, shared), (3, "totally fresh words only here")],
+        ["doc_id", "text"],
+    )
+    out2 = {
+        r.doc_id: r
+        for r in substring_excise_incremental(
+            b2, store, attempt_id="b2"
+        ).collect()
+    }
+    assert out2[2].excised_chunks == out2[2].n_chunks  # fully ledgered
+    assert out2[2].clean_text == ""
+    assert out2[3].excised_chunks == 0  # fresh doc untouched
