@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "doc_surprisal_score",
     "dup_cluster_histogram",
     "knn_label_agreement",
+    "shard_assign_balanced",
 ]
 
 

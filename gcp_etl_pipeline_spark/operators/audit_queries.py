@@ -1120,3 +1120,36 @@ register(
     FROM p
     """,
 )
+
+
+# ------------------------------------------------ balanced shard layout
+# curation.shard_assign: exclusive cumulative token count in global id
+# order -> shard = tokens_before div budget. The oracle's single-node
+# window IS the semantic spec; the engine replays it with the two-phase
+# distributed prefix sum (no single-task global window).
+
+_SHARD_BUDGET = 2_000
+
+
+def _q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.shard_assign(
+        _docs(spark, sf_dir), tokens_per_shard=_SHARD_BUDGET
+    )
+
+
+register(
+    "shard_assign_balanced",
+    _q_shard_assign,
+    f"""
+    WITH {_TOK_CTE},
+    n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok),
+    c AS (SELECT doc_id, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS tokens_before
+          FROM n)
+    SELECT doc_id, n_tokens, tokens_before,
+           CAST(tokens_before // {_SHARD_BUDGET} AS BIGINT) AS shard
+    FROM c
+    """,
+)

@@ -829,3 +829,75 @@ def doc_surprisal(
             F.expr("surprisal_sum * 1000000 div n_tokens").cast("bigint"),
         )
     )
+
+
+def shard_assign(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_per_shard: int = 10_000,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Size-balanced output sharding — the LAST step of a curation
+    pipeline: in deterministic global id order, each document goes to
+    the shard where its EXCLUSIVE cumulative token count lands
+    (shard = tokens_before div tokens_per_shard), so every shard holds
+    ~tokens_per_shard tokens regardless of document-length skew and a
+    training loader can stream shards of near-equal work. Emits
+    (doc_id, n_tokens, tokens_before, shard) — feed `shard` to
+    partitionBy on the write.
+
+    Scale shape: a global cumulative sum via the two-phase distributed
+    prefix sum (quality.ks_drift's pattern — per-id-range bucket
+    subtotals to the driver as n_buckets scalars, exclusive offsets
+    broadcast back, in-bucket windows n_buckets-way parallel), never a
+    single-task global window."""
+    from pyspark.sql import Window
+
+    from gcp_etl_pipeline_spark.operators.text import token_count
+
+    toks = df.select(
+        F.col(id_col), token_count(text_col).cast("bigint").alias("__n")
+    )
+    stats = toks.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).collect()[0]
+    spark = df.sparkSession
+    if stats["lo"] is None:
+        return spark.createDataFrame(
+            [],
+            f"{id_col} BIGINT, n_tokens BIGINT, tokens_before BIGINT, "
+            "shard BIGINT",
+        )
+    lo, hi = int(stats["lo"]), int(stats["hi"])
+    width = (hi - lo) or 1
+    b = F.floor((F.col(id_col) - lo) * n_buckets / width).cast("long")
+    bucketed = toks.withColumn(
+        "__b", F.least(F.greatest(b, F.lit(0)), F.lit(n_buckets - 1))
+    )
+    sub = {
+        int(r["__b"]): int(r["s"])
+        for r in bucketed.groupBy("__b").agg(F.sum("__n").alias("s")).collect()
+    }
+    offs, run = [], 0
+    for i in range(n_buckets):
+        offs.append((i, run))
+        run += sub.get(i, 0)
+    off_df = spark.createDataFrame(offs, "__b BIGINT, __off BIGINT")
+    w = (
+        Window.partitionBy("__b")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bucketed.join(F.broadcast(off_df), "__b")
+        .withColumn("__cum", F.sum("__n").over(w) + F.col("__off"))
+        .select(
+            F.col(id_col),
+            F.col("__n").alias("n_tokens"),
+            (F.col("__cum") - F.col("__n")).cast("bigint")
+            .alias("tokens_before"),
+            F.expr(f"(__cum - __n) div {tokens_per_shard}")
+            .cast("bigint").alias("shard"),
+        )
+    )

@@ -658,3 +658,37 @@ def test_excise_incremental_survives_ledger_compaction(spark, tmp_path):
     assert out2[2].excised_chunks == out2[2].n_chunks  # fully ledgered
     assert out2[2].clean_text == ""
     assert out2[3].excised_chunks == 0  # fresh doc untouched
+
+
+# ------------------------------------------------------- shard_assign
+
+def test_shard_assign_balanced_and_layout_invariant(spark):
+    from gcp_etl_pipeline_spark.operators.curation import shard_assign
+
+    rows = [(i, " ".join(["w"] * (10 + i % 7))) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = shard_assign(df, tokens_per_shard=100).collect()
+    by_doc = {r.doc_id: r for r in out}
+    # exclusive cumsum in id order: doc 0 starts at 0; monotone
+    assert by_doc[0].tokens_before == 0 and by_doc[0].shard == 0
+    ordered = sorted(out, key=lambda r: r.doc_id)
+    for prev, cur in zip(ordered, ordered[1:]):
+        assert cur.tokens_before == prev.tokens_before + prev.n_tokens
+    # every shard except the last is within one max-doc of the budget
+    # (a boundary-straddling doc shifts a shard's start by < max_doc)
+    import collections
+    per = collections.Counter()
+    for r in out:
+        per[r.shard] += r.n_tokens
+    last = max(per)
+    for s, tot in per.items():
+        if s != last:
+            assert 100 - 16 <= tot <= 100 + 16
+    # layout invariance: same assignment after repartition(13)
+    out2 = {
+        r.doc_id: (r.tokens_before, r.shard)
+        for r in shard_assign(
+            df.repartition(13), tokens_per_shard=100
+        ).collect()
+    }
+    assert out2 == {d: (r.tokens_before, r.shard) for d, r in by_doc.items()}
