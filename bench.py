@@ -112,6 +112,9 @@ BENCH_QUERIES = [
     "dup_cluster_histogram",
     "knn_label_agreement",
     "shard_assign_balanced",
+    "bpe_apply_compression",
+    "split_leakage_spans",
+    "ivf_list_stats",
 ]
 
 

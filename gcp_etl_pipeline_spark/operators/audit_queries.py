@@ -1153,3 +1153,129 @@ register(
     FROM c
     """,
 )
+
+
+# --------------------------------------------- BPE merge APPLICATION
+# text.bpe_apply_merges_stats at rounds=3: corpus symbol compression
+# after applying the trained merge table — extends the bpe_train oracle
+# chain one fold further and aggregates.
+
+def _q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gcp_etl_pipeline_spark.operators.text import bpe_apply_merges_stats
+
+    return bpe_apply_merges_stats(_docs(spark, sf_dir), rounds=3)
+
+
+register(
+    "bpe_apply_compression",
+    _q_bpe_apply,
+    f"""
+    WITH {_TOK_CTE},
+    v0 AS MATERIALIZED (
+      SELECT list_transform(range(1, length(t) + 1),
+                            i -> substring(t, i, 1)) AS syms,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(toks) AS t FROM tok) GROUP BY t),
+    p1 AS MATERIALIZED ({_BPE_PAIRS.format(src='v0')}),
+    v1 AS MATERIALIZED ({_BPE_APPLY.format(src='v0', pair='p1')}),
+    p2 AS MATERIALIZED ({_BPE_PAIRS.format(src='v1')}),
+    v2 AS MATERIALIZED ({_BPE_APPLY.format(src='v1', pair='p2')}),
+    p3 AS MATERIALIZED ({_BPE_PAIRS.format(src='v2')}),
+    v3 AS MATERIALIZED ({_BPE_APPLY.format(src='v2', pair='p3')}),
+    bef AS (SELECT CAST(SUM(len(syms) * cnt) AS BIGINT) AS chars_total
+            FROM v0),
+    aft AS (SELECT CAST(SUM(len(syms) * cnt) AS BIGINT) AS symbols_total
+            FROM v3)
+    SELECT chars_total, symbols_total,
+           CAST(symbols_total * 1000000 // chars_total AS BIGINT)
+             AS compression_u
+    FROM bef CROSS JOIN aft
+    """,
+)
+
+
+# ------------------------------------- cross-split leakage, LOCALIZED
+# winnow_match_spans x dataset_split: near-dup pairs that straddle the
+# train/val/test boundary WITH the positional extent of the shared
+# region on both sides — split_leakage_check says HOW MUCH leaks,
+# this says WHERE (the actionable form: excise the span or move the
+# doc). Oracle composes the shared winnowing CTEs with the split hash.
+
+def _q_leakage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gcp_etl_pipeline_spark.operators.curation import dataset_split
+
+    docs = _docs(spark, sf_dir)
+    spans = dedup.winnow_match_spans(docs)
+    split = dataset_split(docs, "doc_id", val_pct=10.0, test_pct=10.0).select(
+        "doc_id", "split"
+    )
+    return (
+        spans.join(
+            split.select(F.col("doc_id").alias("a"),
+                         F.col("split").alias("split_a")), "a")
+        .join(
+            split.select(F.col("doc_id").alias("b"),
+                         F.col("split").alias("split_b")), "b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("a", "b", "split_a", "split_b", "n_shared",
+                "a_from", "a_to", "b_from", "b_to")
+    )
+
+
+def _leakage_spans_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators.dedup_queries import _TOK_CTE as _T
+
+    t_test = format(int(10.0 * 65536 / 100), "04x")
+    t_val = format(int(20.0 * 65536 / 100), "04x")
+    split_case = (
+        f"CASE WHEN substring(md5('split|' || CAST({{id}} AS VARCHAR)), 1, 4)"
+        f" < '{t_test}' THEN 'test'"
+        f" WHEN substring(md5('split|' || CAST({{id}} AS VARCHAR)), 1, 4)"
+        f" < '{t_val}' THEN 'val' ELSE 'train' END"
+    )
+    return f"""
+    WITH {_WINNOW_CTES},
+    spans AS (
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             CAST(COUNT(DISTINCT a.fp) AS BIGINT) AS n_shared,
+             CAST(MIN(a.pos) AS BIGINT) AS a_from,
+             CAST(MAX(a.pos) AS BIGINT) AS a_to,
+             CAST(MIN(b.pos) AS BIGINT) AS b_from,
+             CAST(MAX(b.pos) AS BIGINT) AS b_to
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(DISTINCT a.fp) >= 2),
+    tagged AS (
+      SELECT s.*, {split_case.format(id='s.a')} AS split_a,
+             {split_case.format(id='s.b')} AS split_b
+      FROM spans s)
+    SELECT a, b, split_a, split_b, n_shared, a_from, a_to, b_from, b_to
+    FROM tagged WHERE split_a <> split_b
+    """
+
+
+register("split_leakage_spans", _q_leakage_spans, _leakage_spans_oracle())
+
+
+# ------------------------------------------------- IVF list health
+# similarity.ivf_list_stats: per-list member counts for the graded
+# Lloyd/auto-lists configuration — the index-health table an IVF
+# deployment watches after every rebuild. Oracle reuses the lists CTE.
+
+def _q_ivf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_list_stats(_embs(spark, sf_dir))
+
+
+register(
+    "ivf_list_stats",
+    _q_ivf_stats,
+    f"""
+    WITH {_lloyd_lists_ctes(_KM_ITERS, _AUTO_LISTS_SQL)},
+    tot AS (SELECT COUNT(*) AS n FROM lists)
+    SELECT CAST(list_id AS BIGINT) AS list_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(*) * 1000000 // MAX(tot.n) AS BIGINT) AS share_u
+    FROM lists CROSS JOIN tot
+    GROUP BY list_id
+    """,
+)

@@ -881,3 +881,36 @@ def knn_label_agreement(
             F.expr("n_same * 1000000 div n_neighbors").cast("bigint"),
         )
     )
+
+
+def ivf_list_stats(
+    corpus: DataFrame,
+    n_lists: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: str = "kmeans",
+    kmeans_iters: int = 2,
+) -> DataFrame:
+    """IVF index HEALTH audit: per-list member counts and µ-unit share
+    of the corpus for the same Lloyd/auto-lists assignment the bucketed
+    searchers use. Imbalanced lists are the IVF failure mode — a
+    mega-list degrades both recall (probes waste budget) and the
+    list_id join's reducer balance — so a deployment watches this table
+    after every (re)build. One assignment pass + one short-key count."""
+    n = n_lists if n_lists is not None else auto_n_lists(corpus.count())
+    if centroids == "kmeans":
+        cent_ids, C, cn = kmeans_centroids(
+            corpus, n, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        cent_ids, C, cn = _centroids(corpus, n, id_col, vec_col)
+    assigned = _ivf_assign(corpus, cent_ids, C, cn, id_col, vec_col)
+    total = assigned.count()
+    return (
+        assigned.groupBy(F.col("list_id").cast("bigint").alias("list_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+        .withColumn(
+            "share_u",
+            F.expr(f"n_vecs * 1000000 div {total}").cast("bigint"),
+        )
+    )

@@ -302,3 +302,75 @@ def bpe_train_merges(
                 .select(F.expr(merge_fold).alias("syms"), "cnt")
             )
     return out
+
+
+def bpe_apply_merges_stats(
+    df: DataFrame,
+    rounds: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus compression achieved by APPLYING the first ``rounds`` BPE
+    merges (the follow-through on ``bpe_train_merges``: train, apply,
+    measure): one row with total occurrence-weighted symbol counts
+    before (= characters) and after the merges, and the µ-unit
+    compression ratio. The number a tokenizer-training loop watches to
+    decide when more merges stop paying.
+
+    Same zero-collect shape as the trainer — each round's winning pair
+    rides a 1-row broadcast into a JVM fold over the distinct-token
+    symbol table."""
+    merge_fold = (
+        "aggregate(syms, CAST(array() AS ARRAY<STRING>),"
+        " (acc, c) -> IF(size(acc) > 0 AND element_at(acc, -1) = x"
+        "                AND c = y,"
+        "   concat(slice(acc, 1, size(acc) - 1), array(concat(x, y))),"
+        "   concat(acc, array(c))), acc -> acc)"
+    )
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            F.expr("filter(split(t, ''), c -> c <> '')").alias("syms"),
+            "cnt",
+        )
+    )
+    before = vocab.select("syms", "cnt")
+    for _r in range(1, rounds + 1):
+        top = (
+            vocab.where(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(element_at(syms, i) AS x,"
+                        "             element_at(syms, i + 1) AS y))"
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy("p.x", "p.y")
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(
+                F.col("pair_count").desc(), F.col("x").asc(), F.col("y").asc()
+            )
+            .limit(1)
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(top.select("x", "y")))
+            .select(F.expr(merge_fold).alias("syms"), "cnt")
+        )
+    agg_before = before.agg(
+        F.sum(F.size("syms") * F.col("cnt")).cast("bigint").alias("chars_total")
+    )
+    agg_after = vocab.agg(
+        F.sum(F.size("syms") * F.col("cnt")).cast("bigint")
+        .alias("symbols_total")
+    )
+    return (
+        agg_before.crossJoin(agg_after)
+        .withColumn(
+            "compression_u",
+            F.expr("symbols_total * 1000000 div chars_total").cast("bigint"),
+        )
+    )
