@@ -870,10 +870,17 @@ def shard_assign(
             "shard BIGINT",
         )
     lo, hi = int(stats["lo"]), int(stats["hi"])
-    width = (hi - lo) or 1
-    b = F.floor((F.col(id_col) - lo) * n_buckets / width).cast("long")
+    # INTEGER bucket placement: a float ((id-lo)/width) loses integer
+    # precision beyond 2^53 — real at 100-TB id ranges — and a bucket
+    # boundary that wobbles between runs would break the prefix-sum's
+    # monotone-by-id contract. (id-lo)*n div (width+1) is exact, monotone
+    # in id, and lands in [0, n_buckets-1] with no clamp.
+    width = hi - lo
     bucketed = toks.withColumn(
-        "__b", F.least(F.greatest(b, F.lit(0)), F.lit(n_buckets - 1))
+        "__b",
+        F.expr(
+            f"(({id_col} - {lo}) * {n_buckets}) div {width + 1}"
+        ).cast("long"),
     )
     sub = {
         int(r["__b"]): int(r["s"])

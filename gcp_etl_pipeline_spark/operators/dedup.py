@@ -1242,6 +1242,16 @@ def winnow_match_spans(
     """
     fps = winnowing_fingerprints(df, text_col, id_col, n, window)
     if max_fp_df is not None:
+        # the fp table now feeds THREE legs (df-count, anti-join probe,
+        # and the self-join) whose exchanges differ — persist it so the
+        # Arrow winnowing pass runs once, released when the result is
+        # GC'd (the sketch-self-join discipline)
+        from gcp_etl_pipeline_spark.operators.similarity import (
+            _release_on_gc,
+        )
+
+        fps = fps.persist()
+        pinned_fps = fps
         hot = (
             fps.groupBy("fp")
             .agg(F.countDistinct(id_col).alias("__df"))
@@ -1251,7 +1261,7 @@ def winnow_match_spans(
         fps = fps.join(hot, "fp", "left_anti")
     a = fps.select(F.col(id_col).alias("a"), F.col("pos").alias("pa"), "fp")
     b = fps.select(F.col(id_col).alias("b"), F.col("pos").alias("pb"), "fp")
-    return (
+    out = (
         a.join(b, "fp")
         .where(F.col("a") < F.col("b"))
         .groupBy("a", "b")
@@ -1264,6 +1274,11 @@ def winnow_match_spans(
         )
         .where(F.col("n_shared") >= min_shared)
     )
+    if max_fp_df is not None:
+        from gcp_etl_pipeline_spark.operators.similarity import _release_on_gc
+
+        return _release_on_gc(out, pinned_fps)
+    return out
 
 
 def source_containment(
