@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "bpe_apply_compression",
     "split_leakage_spans",
     "ivf_list_stats",
+    "lang_id_confusion",
 ]
 
 

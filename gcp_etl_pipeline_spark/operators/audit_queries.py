@@ -1279,3 +1279,37 @@ register(
     GROUP BY list_id
     """,
 )
+
+
+# --------------------------------------------- language-ID confusion
+# text.lang_id prediction vs the documents table's labeled lang column —
+# the eval CONFUSION MATRIX for the heuristic classifier (text_lang_id
+# grades only the prediction marginals). Reuses the lang-fold CTEs.
+
+def _q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", _text.lang_id("text").alias("lang_detected"))
+        .groupBy("lang", "lang_detected")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+def _lang_confusion_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators.dedup_queries import (
+        _lang_ctes,
+        _tok_cte,
+    )
+
+    return f"""
+    WITH {_tok_cte("doc_id, text, lang")}, {_lang_ctes()}
+    SELECT t.lang, l.lang_det AS lang_detected,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM tok t JOIN langd l USING (doc_id)
+    GROUP BY 1, 2
+    """
+
+
+register("lang_id_confusion", _q_lang_confusion, _lang_confusion_oracle())

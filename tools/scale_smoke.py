@@ -917,6 +917,61 @@ def main() -> int:
         2 * s_batches * n_sb
     )
 
+    # (6) SUBSTRING EXCISION at volume with CLOSED-FORM counts (round-7
+    # headline op): 10% of docs are exact copies of one base text (every
+    # CDC chunk shared corpus-wide -> fully excised, base included), 90%
+    # are unique 32-token docs with full-64-bit per-position tokens (a
+    # cross-doc chunk match would need two docs to collide on a full
+    # token run — ~2^-64 per position, absent by construction). The
+    # shared chunks' fingerprints are single hot keys with df = 0.1n —
+    # the adversarial-boilerplate shape the fp-keyed plan must absorb
+    # without pair blowup. All asserts are aggregates; no row collect.
+    from gcp_etl_pipeline_spark.operators.dedup import dedup_substring_excise
+
+    t0 = time.time()
+    n_ex = max(10_000, n // 10)
+    base_text = " ".join(f"b{k}n" for k in range(32))
+    # pmod keeps the token sign-free: a negative xxhash64 renders as
+    # "-123..." and the '-' SPLITS the token under the alnum tokenizer,
+    # leaving a bare "u{k}q" token repeated across all docs — which
+    # manufactures exactly the cross-doc chunk matches this stage must
+    # exclude by construction (caught by the closed-form assert)
+    uniq_words = [
+        F.concat(
+            F.lit(f"u{k}q"),
+            F.pmod(
+                F.xxhash64(F.col("id") * 31 + k), F.lit(1 << 62)
+            ).cast("string"),
+        )
+        for k in range(32)
+    ]
+    ex_docs = spark.range(n_ex).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 == 0, F.lit(base_text))
+        .otherwise(F.concat_ws(" ", *uniq_words))
+        .alias("text"),
+    )
+    ex_out = dedup_substring_excise(ex_docs)
+    agg = ex_out.agg(
+        F.sum(F.when(F.col("excised_chunks") == F.col("n_chunks"), 1)
+              .otherwise(0)).alias("fully_excised"),
+        F.sum(F.when(F.col("excised_chunks") == 0, 1).otherwise(0))
+        .alias("untouched"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("kept_tokens").alias("kept"),
+        F.max(F.when(F.col("excised_chunks") == F.col("n_chunks"),
+                     F.col("kept_tokens"))).alias("max_kept_excised"),
+    ).collect()[0]
+    n_dup = (n_ex + 9) // 10  # ids 0, 10, 20, ...
+    assert agg["fully_excised"] == n_dup, agg
+    assert agg["untouched"] == n_ex - n_dup, agg
+    assert agg["n"] == n_ex and agg["max_kept_excised"] == 0, agg
+    assert agg["kept"] == 32 * (n_ex - n_dup), agg
+    timings[f"substring_excise_closed_form_{n_ex // 1000}k"] = round(
+        time.time() - t0, 2
+    )
+    stage_rows[f"substring_excise_closed_form_{n_ex // 1000}k"] = n_ex
+
     # KMV cardinality sketch at full scale, GRADED two ways: (1) the
     # estimate of a PLANTED cardinality (id % D over n rows, n > D, so
     # the true distinct count is exactly D — no 20M-row countDistinct
