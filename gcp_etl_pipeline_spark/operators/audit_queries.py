@@ -740,6 +740,9 @@ _BPE_PAIRS = """
   ORDER BY pair_count DESC, x ASC, y ASC LIMIT 1
 """
 
+# LEFT JOIN ON TRUE, not a comma cross join: a round with no mergeable
+# pair must be a no-op (NULL p.x fails the CASE equality -> append
+# branch); a cross join with an empty pair CTE would empty the vocab.
 _BPE_APPLY = """
   SELECT list_reduce(list_transform(syms, s -> [s]),
            (acc, e) -> CASE WHEN acc[-1] = p.x AND e[1] = p.y
@@ -747,7 +750,7 @@ _BPE_APPLY = """
                                    [p.x || p.y])
                   ELSE list_concat(acc, e) END) AS syms,
          cnt
-  FROM {src}, {pair} p
+  FROM {src} LEFT JOIN {pair} p ON TRUE
 """
 
 
@@ -1223,8 +1226,6 @@ def _q_leakage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _leakage_spans_oracle() -> str:
-    from gcp_etl_pipeline_spark.operators.dedup_queries import _TOK_CTE as _T
-
     t_test = format(int(10.0 * 65536 / 100), "04x")
     t_val = format(int(20.0 * 65536 / 100), "04x")
     split_case = (

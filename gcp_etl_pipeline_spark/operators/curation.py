@@ -873,14 +873,16 @@ def shard_assign(
     # INTEGER bucket placement: a float ((id-lo)/width) loses integer
     # precision beyond 2^53 — real at 100-TB id ranges — and a bucket
     # boundary that wobbles between runs would break the prefix-sum's
-    # monotone-by-id contract. (id-lo)*n div (width+1) is exact, monotone
-    # in id, and lands in [0, n_buckets-1] with no clamp.
+    # monotone-by-id contract. Divide by a precomputed STRIDE instead of
+    # multiplying by n_buckets: (id-lo)*n overflows signed-64 once the
+    # id range exceeds ~2^63/n, precisely the domain this exists for.
+    # (id-lo) div stride is overflow-free, exact, monotone in id, and
+    # lands in [0, n_buckets-1] since stride > width/n_buckets.
     width = hi - lo
+    stride = (width // n_buckets) + 1
     bucketed = toks.withColumn(
         "__b",
-        F.expr(
-            f"(({id_col} - {lo}) * {n_buckets}) div {width + 1}"
-        ).cast("long"),
+        F.expr(f"({id_col} - {lo}) div {stride}").cast("long"),
     )
     sub = {
         int(r["__b"]): int(r["s"])

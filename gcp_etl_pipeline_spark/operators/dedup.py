@@ -1246,10 +1246,6 @@ def winnow_match_spans(
         # and the self-join) whose exchanges differ — persist it so the
         # Arrow winnowing pass runs once, released when the result is
         # GC'd (the sketch-self-join discipline)
-        from gcp_etl_pipeline_spark.operators.similarity import (
-            _release_on_gc,
-        )
-
         fps = fps.persist()
         pinned_fps = fps
         hot = (
@@ -1461,33 +1457,41 @@ def substring_excise_incremental(
     chunk fingerprints hit the ledger join and the store; reassembly is
     the same index-set filter as the one-shot path."""
     spark = new_docs.sparkSession
-    base = _cdc_chunk_base(new_docs, text_col, id_col)
-    fps = _cdc_chunk_fps(base, id_col)
-    hot = (
-        fps.groupBy("__fp")
-        .agg(F.countDistinct(id_col).alias("__df"))
-        .where(F.col("__df") >= min_doc_freq)
-        .select("__fp")
-    )
-    with _ledger_guard(store_path):
-        store_files = _ledger_files(
-            store_path, spark, exclude_attempt=attempt_id
+    # persist the chunked base for the guard's duration: the excision
+    # checkpoint and the ledger write below are SEPARATE actions, and
+    # without the cache the second one would re-tokenize, re-chunk, and
+    # re-hash the whole increment ("chunked once" is a cached claim,
+    # not a plan-shape accident)
+    base = _cdc_chunk_base(new_docs, text_col, id_col).persist()
+    try:
+        fps = _cdc_chunk_fps(base, id_col)
+        hot = (
+            fps.groupBy("__fp")
+            .agg(F.countDistinct(id_col).alias("__df"))
+            .where(F.col("__df") >= min_doc_freq)
+            .select("__fp")
         )
-        if store_files:
-            ledger = spark.read.parquet(*store_files).select("__fp")
-            excise_set = hot.unionByName(ledger).distinct()
-        else:
-            excise_set = hot
-        out = _excise_assemble(base, fps, excise_set, id_col).localCheckpoint(
-            eager=True
-        )
-        batch_fps = fps.select("__fp").distinct()
-        if attempt_id is None:
-            batch_fps.write.mode("append").parquet(store_path)
-        else:
-            batch_fps.write.mode("overwrite").parquet(
-                f"{store_path.rstrip('/')}/attempt={attempt_id}"
+        with _ledger_guard(store_path):
+            store_files = _ledger_files(
+                store_path, spark, exclude_attempt=attempt_id
             )
+            if store_files:
+                ledger = spark.read.parquet(*store_files).select("__fp")
+                excise_set = hot.unionByName(ledger).distinct()
+            else:
+                excise_set = hot
+            out = _excise_assemble(
+                base, fps, excise_set, id_col
+            ).localCheckpoint(eager=True)
+            batch_fps = fps.select("__fp").distinct()
+            if attempt_id is None:
+                batch_fps.write.mode("append").parquet(store_path)
+            else:
+                batch_fps.write.mode("overwrite").parquet(
+                    f"{store_path.rstrip('/')}/attempt={attempt_id}"
+                )
+    finally:
+        base.unpersist()
     return out
 
 

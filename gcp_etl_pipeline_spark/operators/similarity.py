@@ -854,7 +854,12 @@ def knn_label_agreement(
     µ-unit fraction). Low agreement flags mislabeled points or
     incoherent classes — the standard embedding-space sanity check run
     before trusting labels for curation/eval. One labels join onto the
-    directed edge list; vectors never pair beyond the kNN computation."""
+    directed edge list; vectors never pair beyond the kNN computation.
+
+    This arm uses knn_bruteforce with the corpus as the query side, so
+    it inherits the MAX_QUERY_VECTORS driver-collect bound (the
+    mutual_knn contract): above ~100k vectors, feed knn_bucketed's
+    directed edges through the same labels join instead."""
     labels = corpus.select(F.col(id_col), F.col(label_col))
     queries = corpus.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias(vec_col)
@@ -905,12 +910,15 @@ def ivf_list_stats(
     else:
         cent_ids, C, cn = _centroids(corpus, n, id_col, vec_col)
     assigned = _ivf_assign(corpus, cent_ids, C, cn, id_col, vec_col)
-    total = assigned.count()
+    # share from a window over the GROUPED result (~n_lists rows), not a
+    # separate count(): an assigned.count() action would execute the
+    # whole assignment matmul pass a second time
     return (
         assigned.groupBy(F.col("list_id").cast("bigint").alias("list_id"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
         .withColumn(
             "share_u",
-            F.expr(f"n_vecs * 1000000 div {total}").cast("bigint"),
+            F.expr("n_vecs * 1000000 div (sum(n_vecs) OVER ())")
+            .cast("bigint"),
         )
     )

@@ -297,8 +297,14 @@ def bpe_train_merges(
         )
         out = row if out is None else out.unionByName(row)
         if r < rounds:
+            # LEFT join on TRUE, not a crossJoin: a round with no
+            # mergeable pair (top empty) must leave the vocab UNCHANGED
+            # — a cross join with an empty frame would empty it and
+            # silently truncate every later round. With NULL x/y the
+            # fold's equality check is NULL -> false -> append branch,
+            # i.e. a no-op merge.
             vocab = (
-                vocab.crossJoin(F.broadcast(top.select("x", "y")))
+                vocab.join(F.broadcast(top.select("x", "y")), F.lit(True), "left")
                 .select(F.expr(merge_fold).alias("syms"), "cnt")
             )
     return out
@@ -356,8 +362,10 @@ def bpe_apply_merges_stats(
             )
             .limit(1)
         )
+        # LEFT join on TRUE (see bpe_train_merges): an empty top pair
+        # must be a no-op merge, not a vocab-emptying cross join
         vocab = (
-            vocab.crossJoin(F.broadcast(top.select("x", "y")))
+            vocab.join(F.broadcast(top.select("x", "y")), F.lit(True), "left")
             .select(F.expr(merge_fold).alias("syms"), "cnt")
         )
     agg_before = before.agg(

@@ -692,3 +692,23 @@ def test_shard_assign_balanced_and_layout_invariant(spark):
         ).collect()
     }
     assert out2 == {d: (r.tokens_before, r.shard) for d, r in by_doc.items()}
+
+
+def test_bpe_exhausted_merges_are_noops(spark):
+    """When rounds exceed available merges (single-char tokens after
+    round 1), later rounds must be NO-OPS — not a vocab-emptying cross
+    join with an empty pair frame. Train emits only the achievable
+    merges; apply returns the correct compression, never NULLs."""
+    from gcp_etl_pipeline_spark.operators.text import (
+        bpe_apply_merges_stats,
+        bpe_train_merges,
+    )
+
+    df = spark.createDataFrame([(1, "ab ab c d e")], ["doc_id", "text"])
+    rows = bpe_train_merges(df, rounds=3).collect()
+    # only one mergeable pair exists: (a,b) x2; rounds 2-3 have none
+    assert [(r["round"], r.x, r.y) for r in rows] == [(1, "a", "b")]
+    stats = bpe_apply_merges_stats(df, rounds=3).collect()[0]
+    # chars 2+2+1+1+1 = 7; after merging (a,b): 1+1+1+1+1 = 5
+    assert (stats.chars_total, stats.symbols_total) == (7, 5)
+    assert stats.compression_u == 5 * 1_000_000 // 7

@@ -52,6 +52,9 @@ def main() -> int:
         print("no BENCH_HISTORY.jsonl yet")
         return 0
     runs = [json.loads(ln) for ln in hist.read_text().splitlines() if ln.strip()]
+    if not runs:
+        print("BENCH_HISTORY.jsonl has no runs — nothing to diff/anchor")
+        return 0
     if set_anchor:
         anchor_path.write_text(json.dumps(runs[-1]))
         print(f"anchor set: {runs[-1]['value']:.2f}s "

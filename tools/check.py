@@ -161,7 +161,7 @@ def _record_evidence(passed: list[str], sf_dir: str) -> None:
         return
     # evidence tracks DRIVER fixtures only: an alternate-seed sweep
     # (tools/gen_testdata.py output) must not stamp sf0.01 evidence
-    if not os.path.abspath(sf_dir).startswith("/root/testdata"):
+    if not os.path.abspath(sf_dir).startswith("/root/testdata/"):
         return
     try:
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
