@@ -775,6 +775,7 @@ def mutual_knn_bucketed(
     vec_col: str = "embedding",
     centroids: str = "kmeans",
     kmeans_iters: int = 2,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Mutual k-NN graph edges on the AT-SCALE feed: ``knn_bucketed``'s
     directed top-k (distributed probe assignment, no query collect, no
@@ -790,8 +791,16 @@ def mutual_knn_bucketed(
     centroids, auto ~sqrt(N) lists. One list_id-keyed equi-join to
     score, one id-keyed semi-join to mutualize — k·n directed edges
     shuffle, vectors never pair. cos_sim is bitwise symmetric, so either
-    direction's value is reportable."""
-    n = n_lists if n_lists is not None else auto_n_lists(corpus.count())
+    direction's value is reportable.
+
+    NOTE: ``n_lists=None`` runs an EAGER ``corpus.count()`` action here
+    (before the lazy plan) to auto-size the lists — one full scan. At
+    cluster scale pass ``n_lists`` (or ``n_vectors``, from which it is
+    derived) when the caller already knows the corpus size."""
+    if n_lists is not None:
+        n = n_lists
+    else:
+        n = auto_n_lists(n_vectors if n_vectors is not None else corpus.count())
     queries = corpus.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias(vec_col)
     )
@@ -821,6 +830,7 @@ def knn_triangles_bucketed(
     vec_col: str = "embedding",
     centroids: str = "kmeans",
     kmeans_iters: int = 2,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """``knn_graph_triangles`` on the bucketed-ANN edge list: the same
     oriented-edge closure (each a<b<c triangle found exactly once) over
@@ -828,7 +838,15 @@ def knn_triangles_bucketed(
     runs at cluster scale, where the exact-kNN edge feed is unavailable.
     Two edge-list shuffles; vectors never join. The edge subplans'
     exchanges are identical, so AQE exchange reuse runs the bucketed
-    scoring once (the knn_graph_triangles measurement)."""
+    scoring once (the knn_graph_triangles measurement).
+
+    The list count is resolved HERE (one ``corpus.count()`` at most,
+    none when ``n_lists``/``n_vectors`` is given) and passed down
+    concrete, so the edge build never re-derives it (ADVICE r7)."""
+    if n_lists is None:
+        n_lists = auto_n_lists(
+            n_vectors if n_vectors is not None else corpus.count()
+        )
     e = mutual_knn_bucketed(
         corpus, k, n_lists, n_probe, id_col, vec_col, centroids, kmeans_iters
     ).select("a", "b")

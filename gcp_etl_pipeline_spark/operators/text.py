@@ -226,6 +226,70 @@ def content_defined_chunks(
     )
 
 
+# Shared BPE building blocks — ONE definition used by both the trainer and
+# the apply-side stats so a tie-break or fold change can never desynchronize
+# them (ADVICE r7). Greedy left-to-right merge fold over a token's symbol
+# array, referencing the broadcast pair columns x/y; NULL x/y (empty top
+# pair) falls through to the append branch, i.e. a no-op merge.
+_BPE_MERGE_FOLD = (
+    "aggregate(syms, CAST(array() AS ARRAY<STRING>),"
+    " (acc, c) -> IF(size(acc) > 0 AND element_at(acc, -1) = x"
+    "                AND c = y,"
+    "   concat(slice(acc, 1, size(acc) - 1), array(concat(x, y))),"
+    "   concat(acc, array(c))), acc -> acc)"
+)
+
+
+def _bpe_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """Distinct-token symbol table weighted by occurrence count — the
+    structure every BPE round operates on (cost scales with |vocab|,
+    not corpus size)."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            F.expr("filter(split(t, ''), c -> c <> '')").alias("syms"),
+            "cnt",
+        )
+    )
+
+
+def _bpe_top_pair(vocab: DataFrame) -> DataFrame:
+    """The round's winning adjacent pair as a 1-row frame (x, y,
+    pair_count); ties break deterministically (count desc, x asc, y asc)."""
+    return (
+        vocab.where(F.size("syms") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(element_at(syms, i) AS x,"
+                    "             element_at(syms, i + 1) AS y))"
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        .groupBy("p.x", "p.y")
+        .agg(F.sum("cnt").cast("bigint").alias("pair_count"))
+        .orderBy(
+            F.col("pair_count").desc(), F.col("x").asc(), F.col("y").asc()
+        )
+        .limit(1)
+    )
+
+
+def _bpe_apply_top(vocab: DataFrame, top: DataFrame) -> DataFrame:
+    """Apply the winning pair to every vocab row. LEFT join on TRUE, not
+    a crossJoin: a round with no mergeable pair (top empty) must leave
+    the vocab UNCHANGED — a cross join with an empty frame would empty
+    it and silently truncate every later round."""
+    return (
+        vocab.join(F.broadcast(top.select("x", "y")), F.lit(True), "left")
+        .select(F.expr(_BPE_MERGE_FOLD).alias("syms"), "cnt")
+    )
+
+
 def bpe_train_merges(
     df: DataFrame,
     rounds: int = 3,
@@ -251,43 +315,10 @@ def bpe_train_merges(
     unrolled lazily; AQE exchange reuse dedups the shared subplans (the
     Lloyd-unroll precedent).
     """
-    merge_fold = (
-        "aggregate(syms, CAST(array() AS ARRAY<STRING>),"
-        " (acc, c) -> IF(size(acc) > 0 AND element_at(acc, -1) = x"
-        "                AND c = y,"
-        "   concat(slice(acc, 1, size(acc) - 1), array(concat(x, y))),"
-        "   concat(acc, array(c))), acc -> acc)"
-    )
-    vocab = (
-        df.select(F.explode(tokens(text_col)).alias("t"))
-        .groupBy("t")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        .select(
-            F.expr("filter(split(t, ''), c -> c <> '')").alias("syms"),
-            "cnt",
-        )
-    )
+    vocab = _bpe_vocab(df, text_col)
     out = None
     for r in range(1, rounds + 1):
-        top = (
-            vocab.where(F.size("syms") >= 2)
-            .select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(syms) - 1),"
-                        " i -> struct(element_at(syms, i) AS x,"
-                        "             element_at(syms, i + 1) AS y))"
-                    )
-                ).alias("p"),
-                "cnt",
-            )
-            .groupBy("p.x", "p.y")
-            .agg(F.sum("cnt").cast("bigint").alias("pair_count"))
-            .orderBy(
-                F.col("pair_count").desc(), F.col("x").asc(), F.col("y").asc()
-            )
-            .limit(1)
-        )
+        top = _bpe_top_pair(vocab)
         row = top.select(
             F.lit(r).cast("bigint").alias("round"),
             "x",
@@ -297,16 +328,7 @@ def bpe_train_merges(
         )
         out = row if out is None else out.unionByName(row)
         if r < rounds:
-            # LEFT join on TRUE, not a crossJoin: a round with no
-            # mergeable pair (top empty) must leave the vocab UNCHANGED
-            # — a cross join with an empty frame would empty it and
-            # silently truncate every later round. With NULL x/y the
-            # fold's equality check is NULL -> false -> append branch,
-            # i.e. a no-op merge.
-            vocab = (
-                vocab.join(F.broadcast(top.select("x", "y")), F.lit(True), "left")
-                .select(F.expr(merge_fold).alias("syms"), "cnt")
-            )
+            vocab = _bpe_apply_top(vocab, top)
     return out
 
 
@@ -325,49 +347,10 @@ def bpe_apply_merges_stats(
     Same zero-collect shape as the trainer — each round's winning pair
     rides a 1-row broadcast into a JVM fold over the distinct-token
     symbol table."""
-    merge_fold = (
-        "aggregate(syms, CAST(array() AS ARRAY<STRING>),"
-        " (acc, c) -> IF(size(acc) > 0 AND element_at(acc, -1) = x"
-        "                AND c = y,"
-        "   concat(slice(acc, 1, size(acc) - 1), array(concat(x, y))),"
-        "   concat(acc, array(c))), acc -> acc)"
-    )
-    vocab = (
-        df.select(F.explode(tokens(text_col)).alias("t"))
-        .groupBy("t")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        .select(
-            F.expr("filter(split(t, ''), c -> c <> '')").alias("syms"),
-            "cnt",
-        )
-    )
+    vocab = _bpe_vocab(df, text_col)
     before = vocab.select("syms", "cnt")
     for _r in range(1, rounds + 1):
-        top = (
-            vocab.where(F.size("syms") >= 2)
-            .select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(syms) - 1),"
-                        " i -> struct(element_at(syms, i) AS x,"
-                        "             element_at(syms, i + 1) AS y))"
-                    )
-                ).alias("p"),
-                "cnt",
-            )
-            .groupBy("p.x", "p.y")
-            .agg(F.sum("cnt").alias("pair_count"))
-            .orderBy(
-                F.col("pair_count").desc(), F.col("x").asc(), F.col("y").asc()
-            )
-            .limit(1)
-        )
-        # LEFT join on TRUE (see bpe_train_merges): an empty top pair
-        # must be a no-op merge, not a vocab-emptying cross join
-        vocab = (
-            vocab.join(F.broadcast(top.select("x", "y")), F.lit(True), "left")
-            .select(F.expr(merge_fold).alias("syms"), "cnt")
-        )
+        vocab = _bpe_apply_top(vocab, _bpe_top_pair(vocab))
     agg_before = before.agg(
         F.sum(F.size("syms") * F.col("cnt")).cast("bigint").alias("chars_total")
     )

@@ -25,6 +25,11 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+# the driver's fixture root — EVIDENCE stamping is restricted to sweeps
+# over these parquet tables (trailing slash: '/root/testdata_evil' must
+# not match); compared via os.path.realpath so symlinks can't confuse it
+DRIVER_FIXTURE_ROOT = "/root/testdata/"
+
 
 def _canon(v):
     if v is None:
@@ -160,8 +165,12 @@ def _record_evidence(passed: list[str], sf_dir: str) -> None:
     if not passed:
         return
     # evidence tracks DRIVER fixtures only: an alternate-seed sweep
-    # (tools/gen_testdata.py output) must not stamp sf0.01 evidence
-    if not os.path.abspath(sf_dir).startswith("/root/testdata/"):
+    # (tools/gen_testdata.py output) must not stamp sf0.01 evidence.
+    # realpath (not abspath) so a symlinked route to the driver fixtures
+    # still stamps, and a symlink INTO /tmp never does (ADVICE r7)
+    real = os.path.realpath(sf_dir)
+    if not (real == DRIVER_FIXTURE_ROOT.rstrip("/")
+            or real.startswith(DRIVER_FIXTURE_ROOT)):
         return
     try:
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

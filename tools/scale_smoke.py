@@ -778,7 +778,11 @@ def main() -> int:
     # asserted equal, at a volume where a silent double-append or a
     # dropped replay would move the numbers.
     t0 = time.time()
-    n_sb = max(10_000, n // 40)  # 500k/batch at n=20M
+    # rounded DOWN to a multiple of 10: the closed-form acceptance
+    # asserts and the %10 replay-class mapping (offset n_sb-2) assume
+    # every id%10 class has exactly n_sb/10 members — an n not divisible
+    # by 400 would otherwise trip a spurious assert (ADVICE r7)
+    n_sb = max(10_000, n // 40 // 10 * 10)  # 500k/batch at n=20M
     s_batches = 4
 
     def _sdoc_batch(lo: int, size: int, replay_from: int | None):
