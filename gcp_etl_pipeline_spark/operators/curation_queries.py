@@ -868,3 +868,99 @@ register(
     FROM e
     """,
 )
+
+
+# --------------------------------------- perceptual-hash image near-dup
+
+def _q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection end-to-end over REAL PNG blobs:
+    480 spec-valid grayscale PNGs (160 groups x 3 variants — base,
+    brightness-shifted, pixel-bumped) are generated distributed,
+    dHash'd inside the Arrow decode loop, and paired by Hamming-banded
+    bucket matching (never all-pairs). Pixels are a pure md5 function of
+    (group, position), so the oracle replays encode → zlib decode →
+    9x8 resample → gradient hash → band join → Hamming verify entirely
+    closed-form — any corruption anywhere in that chain moves a hash
+    and breaks the match. Brightness shifts (+24 everywhere) preserve
+    every gradient sign (Hamming 0); the single-pixel bump variant
+    flips at most one sampled comparison (Hamming <= 1) — the planted
+    near-dup classes a perceptual hash must catch."""
+    from pyspark.sql import functions as F  # noqa: F401 (parity imports)
+
+    from gcp_etl_pipeline_spark.operators import multimodal
+
+    def gen(batches):
+        import hashlib as _hl
+
+        import pandas as _p
+
+        from gcp_etl_pipeline_spark.operators import codecs
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                g, v = divmod(i, 3)
+                chunks = [
+                    _hl.md5(f"{g}|{c}".encode()).hexdigest()
+                    for c in range(18)
+                ]
+                px = bytearray(288)
+                for p in range(288):
+                    hx = chunks[p // 16]
+                    b = int(hx[2 * (p % 16) : 2 * (p % 16) + 2], 16)
+                    px[p] = (
+                        b % 200 + 8
+                        + (24 if v == 1 else 0)
+                        + (40 if v == 2 and p % 89 == 0 else 0)
+                    )
+                blobs.append(codecs.encode_png(18, 16, bytes(px)))
+                ids.append(i)
+            yield _p.DataFrame({"media_id": ids, "content": blobs})
+
+    media = spark.range(480).mapInPandas(gen, "media_id BIGINT, content BINARY")
+    return multimodal.phash_neardup_pairs(
+        multimodal.image_dhash(media), max_hamming=6
+    )
+
+
+_PNIB1 = (
+    "(strpos('0123456789abcdef', substring(md5(CAST(i // 3 AS VARCHAR) "
+    "|| '|' || CAST(p // 16 AS VARCHAR)), 2 * (p % 16) + 1, 1)) - 1)"
+)
+_PNIB2 = (
+    "(strpos('0123456789abcdef', substring(md5(CAST(i // 3 AS VARCHAR) "
+    "|| '|' || CAST(p // 16 AS VARCHAR)), 2 * (p % 16) + 2, 1)) - 1)"
+)
+
+register(
+    "image_phash_neardup",
+    _q_image_phash_neardup,
+    f"""
+    WITH g AS (SELECT unnest(range(480)) AS i),
+    px AS (SELECT i, list_transform(range(288), p ->
+             ({_PNIB1} * 16 + {_PNIB2}) % 200 + 8
+             + CASE WHEN i % 3 = 1 THEN 24 ELSE 0 END
+             + CASE WHEN i % 3 = 2 AND p % 89 = 0 THEN 40 ELSE 0 END)
+           AS px FROM g),
+    bits AS (SELECT i, list_transform(range(64), k ->
+               CASE WHEN px[36 * (k // 8) + 2 * (k % 8) + 1]
+                       > px[36 * (k // 8) + 2 * (k % 8) + 3]
+                    THEN 1 ELSE 0 END) AS bits FROM px),
+    bands AS MATERIALIZED (
+      SELECT i, k AS band_id,
+             CAST(list_sum(list_transform(range(16),
+                    j -> bits[16 * k + j + 1] * (1 << j))) AS BIGINT) AS bv
+      FROM bits, (SELECT unnest(range(4)) AS k) ks),
+    cand AS (SELECT DISTINCT l.i AS a, r.i AS b
+             FROM bands l JOIN bands r
+               ON l.band_id = r.band_id AND l.bv = r.bv AND l.i < r.i)
+    SELECT c.a, c.b,
+           CAST(SUM(bit_count(xor(ba.bv, bb.bv))) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN bands ba ON ba.i = c.a
+    JOIN bands bb ON bb.i = c.b AND bb.band_id = ba.band_id
+    GROUP BY c.a, c.b
+    HAVING SUM(bit_count(xor(ba.bv, bb.bv))) <= 6
+    """,
+)

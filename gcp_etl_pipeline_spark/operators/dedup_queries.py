@@ -292,6 +292,123 @@ register(
 )
 
 
+def excise_replay_oracle(split_preds: list[str], extra_cte: str = "") -> str:
+    """The ONE DuckDB replay oracle for ``substring_excise_incremental``
+    lifecycles, shared by the batch-compaction and streaming graded
+    queries so the two can never desynchronize (the BPE-helper lesson,
+    ADVICE r7). Replays N sequential increments: increment i's excise
+    set is its own in-batch hot chunks (doc-freq ≥ 2) UNION every chunk
+    fingerprint any PRIOR increment contributed (the ledger writes each
+    batch's complete distinct fp set, kept and excised alike).
+
+    ``split_preds[i]`` is a SQL predicate over the exploded chunk rows
+    (columns doc_id/idx/chunk) selecting increment i+1; ``extra_cte``
+    optionally prepends CTEs the predicates reference."""
+    per_batch = """
+    m{i} AS (SELECT e{i}.doc_id, e{i}.idx, e{i}.chunk,
+                    (h.fp IS NOT NULL) AS dup
+             FROM e{i} LEFT JOIN hot{i} h ON md5(e{i}.chunk) = h.fp),
+    p{i} AS (SELECT CAST({i} AS INT) AS batch, doc_id,
+                    CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                    CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+                      AS excised_chunks,
+                    CAST(SUM(CASE WHEN dup THEN 0
+                             ELSE len(string_split(chunk, ' ')) END)
+                         AS BIGINT) AS kept_tokens,
+                    COALESCE(string_agg(CASE WHEN NOT dup THEN chunk END,
+                                        ' ' ORDER BY idx), '') AS clean_text
+             FROM m{i} GROUP BY doc_id)"""
+    n = len(split_preds)
+    pieces = []
+    for i, pred in enumerate(split_preds, start=1):
+        pieces.append(
+            f"e{i} AS MATERIALIZED (SELECT e.* FROM e WHERE {pred})"
+        )
+    for i in range(1, n + 1):
+        prior = "\n             UNION\n             ".join(
+            f"SELECT DISTINCT md5(chunk) AS fp FROM e{j}"
+            for j in range(1, i)
+        )
+        pieces.append(
+            f"""hot{i} AS (SELECT md5(chunk) AS fp FROM e{i}
+             GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2"""
+            + (f"\n             UNION\n             {prior}" if prior else "")
+            + ")"
+        )
+    pieces.extend(per_batch.format(i=i) for i in range(1, n + 1))
+    selects = "\n    UNION ALL ".join(
+        f"SELECT * FROM p{i}" for i in range(1, n + 1)
+    )
+    extra = f"{extra_cte}," if extra_cte else ""
+    return f"""
+    WITH {_tok_cte()}, {extra}
+    b AS (SELECT doc_id, toks, len(toks) AS n_tokens,
+                 list_filter(range(1, len(toks)),
+                             i -> substring(md5(toks[i]), 1, 1) = '0') AS bounds
+          FROM tok WHERE len(toks) >= 1),
+    a AS (SELECT doc_id, toks,
+                 list_concat(list_concat([0], bounds), [n_tokens]) AS allb
+          FROM b),
+    ch AS (SELECT doc_id,
+                  list_transform(range(1, len(allb)),
+                      j -> array_to_string(
+                             list_slice(toks, allb[j] + 1, allb[j + 1]),
+                             ' ')) AS chunks
+           FROM a),
+    e AS (SELECT doc_id, unnest(chunks) AS chunk,
+                 unnest(range(1, len(chunks) + 1)) AS idx
+          FROM ch),
+    {",".join(pieces)}
+    {selects}
+    """
+
+
+def _q_excise_ledger_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-fp ledger LIFECYCLE end-to-end (parity with
+    `dedup_ledger_compacted` / `neardup_ledger_compacted`): increments
+    1+2 run attempt-scoped substring excision, ``compact_ledger``
+    rewrites the attempt tree into flat files, and increment 3 excises
+    against the COMPACTED ledger. The oracle replays all three excise
+    sets from scratch, so a compaction that drops, duplicates, or
+    mangles a chunk fingerprint — or leaks the attempt directory name in
+    as a column — changes increment 3's excisions and breaks the hash.
+    Results are checkpointed inside the operator's ledger guard, so
+    their lazy plans survive the staged-swap file rewrite."""
+    import tempfile
+
+    store = tempfile.mkdtemp(prefix="graft_excompact_") + "/chunk_fps"
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    acc1 = dedup.substring_excise_incremental(
+        docs.where("doc_id % 3 = 0"), store, attempt_id="i1"
+    )
+    acc2 = dedup.substring_excise_incremental(
+        docs.where("doc_id % 3 = 1"), store, attempt_id="i2"
+    )
+    before, after = dedup.compact_ledger(spark, store)
+    if after >= before and before > 1:  # the point of the maintenance op
+        raise AssertionError(f"compaction did not shrink: {before}->{after}")
+    acc3 = dedup.substring_excise_incremental(
+        docs.where("doc_id % 3 = 2"), store, attempt_id="i3"
+    )
+
+    def tag(df: DataFrame, n: int) -> DataFrame:
+        return df.select(
+            F.lit(n).cast("int").alias("batch"), "doc_id", "n_chunks",
+            "excised_chunks", "kept_tokens", "clean_text",
+        )
+
+    return tag(acc1, 1).unionByName(tag(acc2, 2)).unionByName(tag(acc3, 3))
+
+
+register(
+    "substring_excise_ledger_compacted",
+    _q_excise_ledger_compacted,
+    excise_replay_oracle(
+        ["doc_id % 3 = 0", "doc_id % 3 = 1", "doc_id % 3 = 2"]
+    ),
+)
+
+
 def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)

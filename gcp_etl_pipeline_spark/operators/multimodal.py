@@ -261,3 +261,120 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(
         run, "media_id BIGINT, content BINARY"
     )
+
+
+def image_dhash(df: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) over grayscale PNG blobs: each
+    image is resampled to a 9x8 grid (nearest neighbor, pure integer
+    index math) and bit (y, x) of the 64-bit hash is 1 iff
+    sample(y, x) > sample(y, x + 1) — the standard brightness-gradient
+    fingerprint image dedup pipelines bucket on. Returns
+    (media_id, dhash BIGINT, band0..band3 INT) where the bands are the
+    hash's four 16-bit halves-of-halves, precomputed here so the banded
+    candidate join downstream never touches shift semantics in SQL.
+
+    Decode + hash run inside one Arrow batch loop (the image-lib seam —
+    pure-stdlib PNG inflate, deterministic integer arithmetic, so a SQL
+    oracle can replay the hash closed-form from the pixel recipe).
+    Corrupt or non-PNG blobs are dropped, mirroring decode_media's
+    error-row contract."""
+    from gcp_etl_pipeline_spark.operators import codecs
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            bands: list[list[int]] = [[], [], [], []]
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    w, h, px = codecs.png_pixels(bytes(content))
+                except Exception:  # noqa: BLE001
+                    continue
+                if w < 9 or h < 8:
+                    continue
+                u = 0
+                for y in range(8):
+                    sy = y * h // 8
+                    row = [px[sy * w + (x * w // 9)] for x in range(9)]
+                    for x in range(8):
+                        if row[x] > row[x + 1]:
+                            u |= 1 << (y * 8 + x)
+                ids.append(int(mid))
+                hashes.append(u - (1 << 64) if u >= (1 << 63) else u)
+                for k in range(4):
+                    bands[k].append((u >> (16 * k)) & 0xFFFF)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "dhash": pd.Series(hashes, dtype="int64"),
+                    **{
+                        f"band{k}": pd.Series(bands[k], dtype="int32")
+                        for k in range(4)
+                    },
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        run,
+        "media_id BIGINT, dhash BIGINT, band0 INT, band1 INT, "
+        "band2 INT, band3 INT",
+    )
+
+
+def phash_neardup_pairs(
+    hashes: DataFrame, max_hamming: int = 6
+) -> DataFrame:
+    """Image near-dup pairs by banded perceptual-hash matching — the
+    MinHash-band discipline on 64-bit dHashes, never all-pairs: a pair
+    is a CANDIDATE iff any of its four 16-bit bands collide (a pair
+    within Hamming distance d differs in at most d bands, so d < 4
+    guarantees recall at the band level), then candidates are verified
+    with one JVM bit_count over the xor'd hashes. Returns
+    (a, b, hamming) for verified pairs with hamming <= max_hamming.
+
+    Scale shape: the band table is 4 small ints per image; the self-join
+    shuffles on (band_id, band_val) buckets; full 64-bit hashes join
+    back onto the candidate ids only — images and pixels never pair.
+    The hash/band frame feeds the candidate self-join AND both scoring
+    joins, so it is persisted and released when the result is GC'd (the
+    sketch-self-join discipline)."""
+    from pyspark.sql import functions as F
+
+    from gcp_etl_pipeline_spark.operators.similarity import _release_on_gc
+
+    hp = hashes.persist()
+    stacked = hp.select(
+        "media_id",
+        F.expr(
+            "stack(4, 0, band0, 1, band1, 2, band2, 3, band3)"
+        ).alias("band_id", "band_val"),
+    )
+    cand = (
+        stacked.alias("l")
+        .join(
+            stacked.alias("r"),
+            [
+                F.col("l.band_id") == F.col("r.band_id"),
+                F.col("l.band_val") == F.col("r.band_val"),
+                F.col("l.media_id") < F.col("r.media_id"),
+            ],
+        )
+        .select(
+            F.col("l.media_id").alias("a"), F.col("r.media_id").alias("b")
+        )
+        .distinct()
+    )
+    ha = hp.select(F.col("media_id").alias("a"), F.col("dhash").alias("__ha"))
+    hb = hp.select(F.col("media_id").alias("b"), F.col("dhash").alias("__hb"))
+    out = (
+        cand.join(ha, "a")
+        .join(hb, "b")
+        .select(
+            "a",
+            "b",
+            F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return _release_on_gc(out, hp)

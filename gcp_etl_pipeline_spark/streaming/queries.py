@@ -664,54 +664,22 @@ def _q_stream_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stream_excise_oracle() -> str:
-    from gcp_etl_pipeline_spark.operators.dedup_queries import _tok_cte
+    # the shared N-increment replay builder (dedup_queries) — ONE oracle
+    # definition for the batch-compaction and streaming lifecycles
+    from gcp_etl_pipeline_spark.operators.dedup_queries import (
+        excise_replay_oracle,
+    )
 
-    per_batch = """
-    m{i} AS (SELECT e{i}.doc_id, e{i}.idx, e{i}.chunk,
-                    (h.fp IS NOT NULL) AS dup
-             FROM e{i} LEFT JOIN hot{i} h ON md5(e{i}.chunk) = h.fp),
-    p{i} AS (SELECT CAST({i} AS INT) AS batch, doc_id,
-                    CAST(COUNT(*) AS BIGINT) AS n_chunks,
-                    CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
-                      AS excised_chunks,
-                    CAST(SUM(CASE WHEN dup THEN 0
-                             ELSE len(string_split(chunk, ' ')) END)
-                         AS BIGINT) AS kept_tokens,
-                    COALESCE(string_agg(CASE WHEN NOT dup THEN chunk END,
-                                        ' ' ORDER BY idx), '') AS clean_text
-             FROM m{i} GROUP BY doc_id)"""
-    return f"""
-    WITH {_tok_cte()},
-    tsplit AS (SELECT CAST(FLOOR(MAX(doc_id) / 2) AS BIGINT) AS t
-               FROM documents),
-    b AS (SELECT doc_id, toks, len(toks) AS n_tokens,
-                 list_filter(range(1, len(toks)),
-                             i -> substring(md5(toks[i]), 1, 1) = '0') AS bounds
-          FROM tok WHERE len(toks) >= 1),
-    a AS (SELECT doc_id, toks,
-                 list_concat(list_concat([0], bounds), [n_tokens]) AS allb
-          FROM b),
-    ch AS (SELECT doc_id,
-                  list_transform(range(1, len(allb)),
-                      j -> array_to_string(
-                             list_slice(toks, allb[j] + 1, allb[j + 1]),
-                             ' ')) AS chunks
-           FROM a),
-    e AS (SELECT doc_id, unnest(chunks) AS chunk,
-                 unnest(range(1, len(chunks) + 1)) AS idx
-          FROM ch),
-    e1 AS MATERIALIZED (SELECT e.* FROM e, tsplit WHERE doc_id <= tsplit.t),
-    e2 AS MATERIALIZED (SELECT e.* FROM e, tsplit WHERE doc_id > tsplit.t),
-    hot1 AS (SELECT md5(chunk) AS fp FROM e1
-             GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
-    hot2 AS (SELECT md5(chunk) AS fp FROM e2
-             GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
-             UNION
-             SELECT DISTINCT md5(chunk) AS fp FROM e1),
-    {per_batch.format(i=1)},
-    {per_batch.format(i=2)}
-    SELECT * FROM p1 UNION ALL SELECT * FROM p2
-    """
+    return excise_replay_oracle(
+        [
+            "doc_id <= (SELECT t FROM tsplit)",
+            "doc_id > (SELECT t FROM tsplit)",
+        ],
+        extra_cte=(
+            "tsplit AS (SELECT CAST(FLOOR(MAX(doc_id) / 2) AS BIGINT) AS t"
+            " FROM documents)"
+        ),
+    )
 
 
 register(
