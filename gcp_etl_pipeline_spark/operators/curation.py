@@ -910,3 +910,125 @@ def shard_assign(
             .cast("bigint").alias("shard"),
         )
     )
+
+
+def _token_bucket(t, n_buckets: int):
+    """md5-derived feature-hash bucket for a token: the first four hex
+    nibbles as an integer, mod n_buckets — JVM-side (md5 + conv), and
+    replayable in any engine by folding the same nibbles."""
+    return (
+        F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("bigint")
+        % F.lit(n_buckets)
+    )
+
+
+def fit_quality_classifier(
+    df: DataFrame,
+    label_expr: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """TRAIN a linear quality classifier over hashed token counts — the
+    fastText-shaped tier above rule gates (``gopher_gates``) and
+    surprisal scores: one µ-unit weight per feature-hash bucket, learned
+    from a labeled corpus as the Laplace-smoothed positive-rate of the
+    bucket's token occurrences, centered to [-1e6, +1e6]:
+
+        w_u(b) = (pos_b + 1) * 2_000_000 div (tot_b + 2) - 1_000_000
+
+    All-integer fixed point (no log/exp), so training is bit-identical
+    in any engine and under any partitioning — the price is a linear
+    probability model rather than true log-odds, which for a gate
+    threshold is monotonically equivalent. ``label_expr`` is a boolean
+    SQL expression over the input columns (e.g. "lang = 'en'").
+
+    Scale shape: one (doc, token) explode + one n_buckets-row aggregate;
+    the output weights table is KBs at any corpus size — made to ride a
+    broadcast join at inference."""
+    from gcp_etl_pipeline_spark.operators.text import tokens
+
+    tb = df.select(
+        F.expr(label_expr).alias("__pos"),
+        F.explode(tokens(text_col)).alias("t"),
+    ).select("__pos", _token_bucket(F.col("t"), n_buckets).alias("bucket"))
+    return tb.groupBy("bucket").agg(
+        (
+            (F.sum(F.when(F.col("__pos"), 1).otherwise(0)) + 1)
+            * F.lit(2_000_000)
+        ).cast("bigint").alias("__p"),
+        (F.count(F.lit(1)) + 2).cast("bigint").alias("__t"),
+    ).select(
+        "bucket",
+        (F.expr("__p div __t") - F.lit(1_000_000)).cast("bigint").alias("w_u"),
+    )
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    threshold_u: int = 500_000,
+) -> DataFrame:
+    """SCORE documents with a trained hashed-feature linear classifier
+    (``fit_quality_classifier``): per doc, the mean bucket weight of its
+    token stream (µ-unit, sign-split integer division so truncation
+    direction is engine-independent), squashed through the algebraic
+    sigmoid
+
+        prob_u = 500_000 + sign(s) * (500_000 * |s| div (1_000_000 + |s|))
+
+    — a monotone [0, 1e6] probability with zero floating point — and
+    gated at ``threshold_u``. Zero-token documents keep an explicit row
+    (score 0, prob 500_000, keep = false): the emptiest documents must
+    not sail through an anti-join-on-rejects pipeline unseen.
+
+    Scale shape: one explode + one BROADCAST join against the
+    n_buckets-row weights table + one per-doc aggregate; zero Python in
+    the hot path (md5/conv/sum are all JVM expressions)."""
+    from gcp_etl_pipeline_spark.operators.text import tokens
+
+    tb = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("t")
+    ).select(id_col, _token_bucket(F.col("t"), n_buckets).alias("bucket"))
+    ds = (
+        tb.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("w_u").cast("bigint").alias("__s"),
+        )
+        .withColumn(
+            "score_u",
+            F.expr(
+                "CASE WHEN __s < 0 THEN -((-__s) div n_tokens)"
+                " ELSE __s div n_tokens END"
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "prob_u",
+            (
+                F.lit(500_000)
+                + F.when(F.col("score_u") < 0, -1).otherwise(1)
+                * F.expr(
+                    "(500000 * ABS(score_u)) div (1000000 + ABS(score_u))"
+                )
+            ).cast("bigint"),
+        )
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        df.select(id_col).distinct()
+        .join(ds, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", zero).alias("n_tokens"),
+            F.coalesce("score_u", zero).alias("score_u"),
+            F.coalesce("prob_u", F.lit(500_000).cast("bigint")).alias("prob_u"),
+            (
+                F.coalesce("prob_u", zero) >= F.lit(threshold_u)
+            ).alias("keep"),
+        )
+    )

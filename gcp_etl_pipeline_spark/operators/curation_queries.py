@@ -964,3 +964,63 @@ register(
     HAVING SUM(bit_count(xor(ba.bv, bb.bv))) <= 6
     """,
 )
+
+
+# --------------------------------------- learned quality classifier
+
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-score in one plan: fit the hashed-feature linear
+    classifier on the fixture corpus (label: lang = 'en' — the
+    fastText-style lang/quality target) and score every document with
+    the broadcast weights. The oracle retrains from scratch in SQL, so
+    a drifted hash bucket, smoothing term, truncation direction, or
+    sigmoid constant breaks the hash."""
+    docs = _docs(spark, sf_dir)
+    w = curation.fit_quality_classifier(docs, "lang = 'en'")
+    return curation.quality_classifier_score(docs, w)
+
+
+_QC_NIB = (
+    "(strpos('0123456789abcdef', substring(md5(t), {p}, 1)) - 1)"
+)
+_QC_BUCKET = (
+    f"(({_QC_NIB.format(p=1)} * 4096 + {_QC_NIB.format(p=2)} * 256"
+    f" + {_QC_NIB.format(p=3)} * 16 + {_QC_NIB.format(p=4)}) % 64)"
+)
+
+from gcp_etl_pipeline_spark.operators.dedup_queries import _tok_cte as _dq_tok_cte
+
+register(
+    "quality_classifier_score",
+    _q_quality_classifier,
+    f"""
+    WITH {_dq_tok_cte("doc_id, lang, text")},
+    tb AS (SELECT doc_id, (lang = 'en') AS pos,
+                  {_QC_BUCKET} AS bucket
+           FROM (SELECT doc_id, lang, unnest(toks) AS t FROM tok)),
+    w AS (SELECT bucket,
+                 CAST((SUM(CASE WHEN pos THEN 1 ELSE 0 END) + 1) * 2000000
+                      // (COUNT(*) + 2) - 1000000 AS BIGINT) AS w_u
+          FROM tb GROUP BY bucket),
+    ds AS (SELECT tb.doc_id,
+                  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                  CAST(SUM(w.w_u) AS BIGINT) AS s
+           FROM tb JOIN w USING (bucket) GROUP BY tb.doc_id),
+    sc AS (SELECT doc_id, n_tokens,
+                  CASE WHEN s < 0 THEN -((-s) // n_tokens)
+                       ELSE s // n_tokens END AS score_u
+           FROM ds),
+    pr AS (SELECT doc_id, n_tokens, score_u,
+                  500000 + (CASE WHEN score_u < 0 THEN -1 ELSE 1 END)
+                    * ((500000 * ABS(score_u)) // (1000000 + ABS(score_u)))
+                    AS prob_u
+           FROM sc)
+    SELECT d.doc_id,
+           COALESCE(pr.n_tokens, 0) AS n_tokens,
+           CAST(COALESCE(pr.score_u, 0) AS BIGINT) AS score_u,
+           CAST(COALESCE(pr.prob_u, 500000) AS BIGINT) AS prob_u,
+           (COALESCE(pr.prob_u, 0) >= 500000) AS keep
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN pr ON d.doc_id = pr.doc_id
+    """,
+)
