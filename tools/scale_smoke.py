@@ -976,6 +976,167 @@ def main() -> int:
     )
     stage_rows[f"substring_excise_closed_form_{n_ex // 1000}k"] = n_ex
 
+    # The COMPOSED intake chain at volume (r7 judge #5): quality gates →
+    # language gate → exact dedup → substring excise → split → balanced
+    # shard assignment, one 2M-doc corpus end to end, with a planted
+    # closed-form class per stage (id % 10): class 0 fails the length
+    # gate, class 1 is Spanish (lang gate), class 3 duplicates class 2's
+    # text (dedup keeps the lower id), classes 4/5 carry a shared
+    # 32-token block behind a guaranteed-boundary separator (excised
+    # down to their unique lead chunk), classes 2 and 6-9 are single-chunk
+    # unique texts (untouched). Every stage's survivor count and the
+    # excise output's per-doc (n_chunks, excised, kept_tokens) are
+    # asserted EXACTLY — the per-doc expectation is recomputed from the
+    # construction formula and anti-joined against the operator output.
+    from gcp_etl_pipeline_spark.operators.curation import (
+        dataset_split as _ic_split,
+        shard_assign as _ic_shard,
+    )
+    from gcp_etl_pipeline_spark.operators.dedup import (
+        dedup_exact as _ic_dedup_exact,
+    )
+    from gcp_etl_pipeline_spark.operators.text import (
+        lang_id as _ic_lang_id,
+        quality_features as _ic_quality,
+    )
+
+    t0 = time.time()
+    n_ip = max(20_000, n // 10 // 10 * 10)  # 2M at n=20M, multiple of 10
+    # base block chunk shape (fresh-start decomposition): boundaries at
+    # b23n and b27n -> 3 chunks; "edge" is itself a boundary token
+    # (md5 starts '0'), so the block always starts a fresh chunk
+    _ip_base = " ".join(f"b{k}n" for k in range(32))
+    _ip_gid = (F.col("id") / 10).cast("bigint")
+    _ip_prefix = F.concat(F.lit("u"), F.col("id").cast("string"), F.lit("q"))
+    ip_docs = spark.range(n_ip).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 == 0, F.lit("x"))
+        .when(
+            F.col("id") % 10 == 1,
+            F.lit("el la de que los senor casa perro gato azul rojo verde"),
+        )
+        .when(
+            (F.col("id") % 10 == 2) | (F.col("id") % 10 == 3),
+            F.concat(
+                F.lit("the quick brown fox and wolf of forest near camp g"),
+                _ip_gid.cast("string"),
+            ),
+        )
+        .when(
+            (F.col("id") % 10 == 4) | (F.col("id") % 10 == 5),
+            F.concat(F.lit("the and of "), _ip_prefix,
+                     F.lit(" edge " + _ip_base)),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("the data and science of systems work well here now "
+                      "fine u"),
+                F.col("id").cast("string"),
+                F.lit("q"),
+            )
+        )
+        .alias("text"),
+    )
+    q = _ic_quality(ip_docs).where(
+        (F.col("n_tokens") >= 10)
+        & (F.col("alpha_ratio") >= 0.25)
+        & (F.col("uniq_token_ratio") >= 0.3)
+    )
+    assert q.count() == n_ip * 9 // 10, "quality gate survivor count"
+    # pin the lang survivors: the dedup chain below would otherwise
+    # re-run the Arrow quality pass a third time
+    lang_kept = (
+        q.where(_ic_lang_id("text") == "en")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    assert lang_kept.count() == n_ip * 8 // 10, "lang gate survivor count"
+    deduped = _ic_dedup_exact(lang_kept).localCheckpoint(eager=True)
+    assert deduped.count() == n_ip * 7 // 10, "dedup survivor count"
+    from gcp_etl_pipeline_spark.operators.dedup import (
+        dedup_substring_excise as _ic_excise,
+    )
+
+    cleaned = _ic_excise(deduped).localCheckpoint(eager=True)
+    # per-doc closed-form expectation: class 4/5 keeps its unique prefix
+    # chunk (plus the separator when the prefix is NOT itself a chunk
+    # boundary); single-chunk classes pass through whole
+    _ip_bnd = F.substring(F.md5(_ip_prefix), 1, 1) == "0"
+    expect = spark.range(n_ip).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            (F.col("id") % 10 == 4) | (F.col("id") % 10 == 5),
+            F.when(_ip_bnd, F.struct(
+                F.lit(5).cast("bigint").alias("n_chunks"),
+                F.lit(4).cast("bigint").alias("excised_chunks"),
+                F.lit(4).cast("bigint").alias("kept_tokens"),
+            )).otherwise(F.struct(
+                F.lit(4).cast("bigint").alias("n_chunks"),
+                F.lit(3).cast("bigint").alias("excised_chunks"),
+                F.lit(5).cast("bigint").alias("kept_tokens"),
+            )),
+        )
+        .when(
+            (F.col("id") % 10 == 2),
+            F.struct(
+                F.lit(1).cast("bigint").alias("n_chunks"),
+                F.lit(0).cast("bigint").alias("excised_chunks"),
+                F.lit(11).cast("bigint").alias("kept_tokens"),
+            ),
+        )
+        .when(
+            F.col("id") % 10 >= 6,
+            F.struct(
+                F.lit(1).cast("bigint").alias("n_chunks"),
+                F.lit(0).cast("bigint").alias("excised_chunks"),
+                F.lit(12).cast("bigint").alias("kept_tokens"),
+            ),
+        ).alias("e"),
+    ).where(F.col("e").isNotNull()).select("doc_id", "e.*")
+    mism = (
+        cleaned.select("doc_id", "n_chunks", "excised_chunks", "kept_tokens")
+        .exceptAll(expect)
+        .count()
+    )
+    assert mism == 0, f"excise per-doc expectation mismatches: {mism}"
+    # split: disjoint cover of the survivors, layout-independent
+    sp = _ic_split(cleaned.select("doc_id"), "doc_id", val_pct=2.0,
+                   test_pct=2.0)
+    assert sp.count() == n_ip * 7 // 10, "split must cover all survivors"
+    _ip_hsum = F.sum(
+        F.pmod(F.xxhash64("doc_id", "split"), F.lit(1_000_000_007))
+    ).alias("h")
+    assert (
+        sp.agg(_ip_hsum).collect()[0]["h"]
+        == _ic_split(cleaned.select("doc_id").repartition(13), "doc_id",
+                     val_pct=2.0, test_pct=2.0).agg(_ip_hsum).collect()[0]["h"]
+    ), "split must be layout-independent"
+    # shard: token totals preserved, per-shard size within one max-doc
+    # of the target (the balanced-packing contract)
+    shard_t = 10_000
+    sh = _ic_shard(
+        cleaned.select("doc_id", F.col("clean_text").alias("text")),
+        tokens_per_shard=shard_t,
+    )
+    tot_expected = int(
+        expect.agg(F.sum("kept_tokens").cast("bigint")).collect()[0][0]
+    )
+    sums = sh.groupBy("shard").agg(
+        F.sum("n_tokens").alias("s")
+    ).collect()
+    assert sum(int(r["s"]) for r in sums) == tot_expected, "shard token total"
+    max_doc = 37
+    last = max(int(r["shard"]) for r in sums)
+    for r in sums:
+        if int(r["shard"]) != last:
+            assert shard_t - max_doc <= int(r["s"]) <= shard_t + max_doc, (
+                f"shard {r['shard']} size {r['s']} outside balance bound"
+            )
+    timings[f"intake_chain_composed_{n_ip // 1000}k"] = round(
+        time.time() - t0, 2
+    )
+    stage_rows[f"intake_chain_composed_{n_ip // 1000}k"] = n_ip
+
     # KMV cardinality sketch at full scale, GRADED two ways: (1) the
     # estimate of a PLANTED cardinality (id % D over n rows, n > D, so
     # the true distinct count is exactly D — no 20M-row countDistinct
