@@ -116,6 +116,12 @@ BENCH_QUERIES = [
     "split_leakage_spans",
     "ivf_list_stats",
     "lang_id_confusion",
+    # round-8 additions
+    "substring_excise_ledger_compacted",
+    "image_phash_neardup",
+    "quality_classifier_score",
+    "audio_fingerprint_neardup",
+    "intradoc_paragraph_dedup",
 ]
 
 

@@ -190,3 +190,12 @@ def stdlib_codec(content: bytes) -> dict[str, Any]:
     from gcp_etl_pipeline_spark.operators.multimodal import _fake_decode
 
     return _fake_decode(content)
+
+
+def wav_samples(data: bytes) -> tuple[int, bytes]:
+    """Decode a WAV (the supported mono-8-bit subset) to
+    (sample_rate, raw sample bytes) — the audio twin of ``png_pixels``."""
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        return w.getframerate(), w.readframes(w.getnframes())

@@ -1024,3 +1024,99 @@ register(
     LEFT JOIN pr ON d.doc_id = pr.doc_id
     """,
 )
+
+
+# --------------------------------------- acoustic fingerprint near-dup
+
+def _q_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate detection end-to-end over REAL WAV blobs:
+    600 stdlib-encoded mono clips (200 groups x 3 variants — base,
+    DC-offset +7, one-sample bump) are generated distributed,
+    energy-fingerprinted inside the Arrow decode loop, and paired by
+    the same Hamming-banded bucket matching as the image path. Samples
+    are a pure md5 function of (group, position), so the oracle replays
+    encode → wave decode → window sums → gradient fingerprint → band
+    join → Hamming verify closed-form. The DC offset preserves every
+    window comparison (Hamming 0); the single-sample bump perturbs one
+    window (Hamming <= 1)."""
+    from gcp_etl_pipeline_spark.operators import multimodal
+
+    def gen(batches):
+        import hashlib as _hl
+
+        import pandas as _p
+
+        from gcp_etl_pipeline_spark.operators import codecs
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                g, v = divmod(i, 3)
+                chunks = [
+                    _hl.md5(f"a{g}|{c}".encode()).hexdigest()
+                    for c in range(9)
+                ]
+                smp = bytearray(132)
+                for t in range(132):
+                    hx = chunks[t // 16]
+                    b = int(hx[2 * (t % 16) : 2 * (t % 16) + 2], 16)
+                    smp[t] = (
+                        b % 180 + 10
+                        + (7 if v == 1 else 0)
+                        + (50 if v == 2 and t == 1 else 0)
+                    )
+                blobs.append(
+                    codecs.encode_wav(8000 + (i % 4) * 4000, bytes(smp))
+                )
+                ids.append(i)
+            yield _p.DataFrame({"media_id": ids, "content": blobs})
+
+    media = spark.range(600).mapInPandas(gen, "media_id BIGINT, content BINARY")
+    return multimodal.phash_neardup_pairs(
+        multimodal.audio_fingerprint(media), max_hamming=4
+    )
+
+
+_ANIB1 = (
+    "(strpos('0123456789abcdef', substring(md5('a' || CAST(i // 3 AS VARCHAR)"
+    " || '|' || CAST(t // 16 AS VARCHAR)), 2 * (t % 16) + 1, 1)) - 1)"
+)
+_ANIB2 = (
+    "(strpos('0123456789abcdef', substring(md5('a' || CAST(i // 3 AS VARCHAR)"
+    " || '|' || CAST(t // 16 AS VARCHAR)), 2 * (t % 16) + 2, 1)) - 1)"
+)
+
+register(
+    "audio_fingerprint_neardup",
+    _q_audio_fp_neardup,
+    f"""
+    WITH g AS (SELECT unnest(range(600)) AS i),
+    smp AS (SELECT i, list_transform(range(132), t ->
+              ({_ANIB1} * 16 + {_ANIB2}) % 180 + 10
+              + CASE WHEN i % 3 = 1 THEN 7 ELSE 0 END
+              + CASE WHEN i % 3 = 2 AND t = 1 THEN 50 ELSE 0 END)
+            AS s FROM g),
+    w AS (SELECT i, list_transform(range(33), k ->
+            s[4 * k + 1] + s[4 * k + 2] + s[4 * k + 3] + s[4 * k + 4]) AS ws
+          FROM smp),
+    bits AS (SELECT i, list_transform(range(32), k ->
+               CASE WHEN ws[k + 1] > ws[k + 2] THEN 1 ELSE 0 END) AS bits
+             FROM w),
+    bands AS MATERIALIZED (
+      SELECT i, k AS band_id,
+             CAST(list_sum(list_transform(range(8),
+                    j -> bits[8 * k + j + 1] * (1 << j))) AS BIGINT) AS bv
+      FROM bits, (SELECT unnest(range(4)) AS k) ks),
+    cand AS (SELECT DISTINCT l.i AS a, r.i AS b
+             FROM bands l JOIN bands r
+               ON l.band_id = r.band_id AND l.bv = r.bv AND l.i < r.i)
+    SELECT c.a, c.b,
+           CAST(SUM(bit_count(xor(ba.bv, bb.bv))) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN bands ba ON ba.i = c.a
+    JOIN bands bb ON bb.i = c.b AND bb.band_id = ba.band_id
+    GROUP BY c.a, c.b
+    HAVING SUM(bit_count(xor(ba.bv, bb.bv))) <= 4
+    """,
+)

@@ -1584,3 +1584,57 @@ def dup_cluster_histogram(
             F.sum("__sz").cast("bigint").alias("n_docs"),
         )
     )
+
+
+def intradoc_chunk_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SELF-repetition removal WITHIN each document: repeated CDC chunks
+    of a single document are excised down to their first occurrence
+    (kept in order), the intra-document counterpart to the cross-corpus
+    ``dedup_substring_excise`` — the cleaner that strips boilerplate a
+    page repeats inside itself (navigation blocks, duplicated
+    paragraphs, template stutter), which corpus-level df thresholds
+    never see when the repetition is unique to one document.
+
+    Returns (id, n_chunks, removed_chunks, kept_tokens, clean_text).
+
+    Scale shape: the text is chunked once; duplicate detection is a
+    per-(doc, fingerprint) row_number over the 48-byte fp stream — the
+    window key CONTAINS the document id, so the shuffle is doc-local
+    and no corpus-wide frequency state exists at all; reassembly is the
+    same index-set filter as the excision family (text never joins
+    text)."""
+    from pyspark.sql import Window
+
+    base = _cdc_chunk_base(df, text_col, id_col)
+    fps = _cdc_chunk_fps(base, id_col)
+    w = Window.partitionBy(id_col, "__fp").orderBy("__idx")
+    dup_idx = (
+        fps.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > 1)
+        .groupBy(id_col)
+        .agg(F.collect_set("__idx").alias("__ex"))
+    )
+    return (
+        base.join(dup_idx, id_col, "left")
+        .withColumn(
+            "__ex",
+            F.coalesce("__ex", F.expr("CAST(array() AS ARRAY<INT>)")),
+        )
+        .withColumn(
+            "__kept",
+            F.expr("filter(__ch, (c, i) -> NOT array_contains(__ex, i))"),
+        )
+        .select(
+            id_col,
+            F.size("__ch").cast("bigint").alias("n_chunks"),
+            F.size("__ex").cast("bigint").alias("removed_chunks"),
+            F.expr(
+                "aggregate(__kept, 0, (a, c) -> a + size(split(c, ' ')), a -> a)"
+            ).cast("bigint").alias("kept_tokens"),
+            F.array_join("__kept", " ").alias("clean_text"),
+        )
+    )

@@ -292,6 +292,28 @@ register(
 )
 
 
+# The ONE CDC chunk decomposition in SQL (expects a `tok` CTE with
+# doc_id/toks in scope; Spark twin: operators/dedup._cdc_chunk_base) —
+# shared by every chunk-level oracle so the boundary rule can't fork
+CDC_CHUNK_CTES = """
+    b AS (SELECT doc_id, toks, len(toks) AS n_tokens,
+                 list_filter(range(1, len(toks)),
+                             i -> substring(md5(toks[i]), 1, 1) = '0') AS bounds
+          FROM tok WHERE len(toks) >= 1),
+    a AS (SELECT doc_id, toks,
+                 list_concat(list_concat([0], bounds), [n_tokens]) AS allb
+          FROM b),
+    ch AS (SELECT doc_id,
+                  list_transform(range(1, len(allb)),
+                      j -> array_to_string(
+                             list_slice(toks, allb[j] + 1, allb[j + 1]),
+                             ' ')) AS chunks
+           FROM a),
+    e AS (SELECT doc_id, unnest(chunks) AS chunk,
+                 unnest(range(1, len(chunks) + 1)) AS idx
+          FROM ch)"""
+
+
 def excise_replay_oracle(split_preds: list[str], extra_cte: str = "") -> str:
     """The ONE DuckDB replay oracle for ``substring_excise_incremental``
     lifecycles, shared by the batch-compaction and streaming graded
@@ -342,22 +364,7 @@ def excise_replay_oracle(split_preds: list[str], extra_cte: str = "") -> str:
     extra = f"{extra_cte}," if extra_cte else ""
     return f"""
     WITH {_tok_cte()}, {extra}
-    b AS (SELECT doc_id, toks, len(toks) AS n_tokens,
-                 list_filter(range(1, len(toks)),
-                             i -> substring(md5(toks[i]), 1, 1) = '0') AS bounds
-          FROM tok WHERE len(toks) >= 1),
-    a AS (SELECT doc_id, toks,
-                 list_concat(list_concat([0], bounds), [n_tokens]) AS allb
-          FROM b),
-    ch AS (SELECT doc_id,
-                  list_transform(range(1, len(allb)),
-                      j -> array_to_string(
-                             list_slice(toks, allb[j] + 1, allb[j + 1]),
-                             ' ')) AS chunks
-           FROM a),
-    e AS (SELECT doc_id, unnest(chunks) AS chunk,
-                 unnest(range(1, len(chunks) + 1)) AS idx
-          FROM ch),
+    {CDC_CHUNK_CTES},
     {",".join(pieces)}
     {selects}
     """
@@ -1722,5 +1729,54 @@ register(
     FROM sh GROUP BY shingle
     ORDER BY n_docs DESC, shingle ASC
     LIMIT 20
+    """,
+)
+
+
+# ------------------------------------------- intra-doc chunk dedup
+
+def _q_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-repetition removal graded against planted stutter: every
+    5th document's text is DOUBLED (the template-repeat shape), then
+    `intradoc_chunk_dedup` must excise exactly the repeated chunks —
+    the oracle replays the doubling, the CDC decomposition, and the
+    keep-first-occurrence rule per document. Note the doubled stream's
+    seam chunk (copy 1's unboundaried tail merged with copy 2's head)
+    is handled by replay, not by assumption."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat("text", F.lit(" "), "text"),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return dedup.intradoc_chunk_dedup(docs)
+
+
+register(
+    "intradoc_paragraph_dedup",
+    _q_intradoc_dedup,
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(
+               CASE WHEN doc_id % 5 = 0 THEN text || ' ' || text
+                    ELSE text END), '[^a-z0-9]+'),
+               t -> t <> '') AS toks
+      FROM documents),
+    {CDC_CHUNK_CTES},
+    m AS (SELECT doc_id, idx, chunk,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id, chunk
+                                    ORDER BY idx) AS rn
+          FROM e)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS removed_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN len(string_split(chunk, ' '))
+                    ELSE 0 END) AS BIGINT) AS kept_tokens,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END,
+                               ' ' ORDER BY idx), '') AS clean_text
+    FROM m GROUP BY doc_id
     """,
 )

@@ -378,3 +378,65 @@ def phash_neardup_pairs(
         .where(F.col("hamming") <= max_hamming)
     )
     return _release_on_gc(out, hp)
+
+
+def audio_fingerprint(df: DataFrame, n_windows: int = 33) -> DataFrame:
+    """Acoustic difference-fingerprint over mono 8-bit WAV blobs — the
+    audio twin of ``image_dhash``: the first ``4 * n_windows`` samples
+    are grouped into ``n_windows`` energy windows (integer sums of 4
+    samples), and bit k of the (n_windows - 1)-bit fingerprint is 1 iff
+    window k's energy exceeds window k+1's — a DC-offset-invariant
+    gradient signature (adding a constant to every sample preserves
+    every comparison), the chromaprint-style shape audio dedup pipelines
+    bucket on. Returns the same (media_id, dhash, band0..band3) schema
+    as ``image_dhash`` with four 8-bit bands, so
+    ``phash_neardup_pairs`` applies unchanged.
+
+    Decode + fingerprint run inside one Arrow batch loop (stdlib wave,
+    deterministic integer sums — SQL-replayable closed-form). Corrupt
+    blobs and clips shorter than the window span are dropped, mirroring
+    decode_media's error-row contract."""
+    from gcp_etl_pipeline_spark.operators import codecs
+
+    span = 4 * n_windows
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            bands: list[list[int]] = [[], [], [], []]
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    _, smp = codecs.wav_samples(bytes(content))
+                except Exception:  # noqa: BLE001
+                    continue
+                if len(smp) < span:
+                    continue
+                w = [
+                    smp[4 * k] + smp[4 * k + 1] + smp[4 * k + 2]
+                    + smp[4 * k + 3]
+                    for k in range(n_windows)
+                ]
+                u = 0
+                for k in range(n_windows - 1):
+                    if w[k] > w[k + 1]:
+                        u |= 1 << k
+                ids.append(int(mid))
+                hashes.append(u)
+                for b in range(4):
+                    bands[b].append((u >> (8 * b)) & 0xFF)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "dhash": pd.Series(hashes, dtype="int64"),
+                    **{
+                        f"band{b}": pd.Series(bands[b], dtype="int32")
+                        for b in range(4)
+                    },
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        run,
+        "media_id BIGINT, dhash BIGINT, band0 INT, band1 INT, "
+        "band2 INT, band3 INT",
+    )

@@ -128,3 +128,63 @@ def test_excise_compaction_preserves_ledger_semantics(spark):
         assert r["excised_chunks"] == r["n_chunks"]
         assert r["clean_text"] == ""
         assert r["n_chunks"] > 0  # non-vacuous: chunks actually existed
+
+
+def test_audio_fingerprint_dc_offset_invariant(spark):
+    def clip(off):
+        smp = bytes(((t * 13 + 29) % 180) + 10 + off for t in range(140))
+        return codecs.encode_wav(16000, smp)
+
+    df = spark.createDataFrame(
+        [(0, clip(0)), (1, clip(7))], "media_id BIGINT, content BINARY"
+    )
+    out = {r["media_id"]: r["dhash"]
+           for r in multimodal.audio_fingerprint(df).collect()}
+    assert out[0] == out[1]
+
+
+def test_audio_fingerprint_drops_short_and_corrupt(spark):
+    ok = codecs.encode_wav(8000, bytes(range(132)))
+    short = codecs.encode_wav(8000, bytes(range(50)))
+    df = spark.createDataFrame(
+        [(0, ok), (1, short), (2, b"junk")],
+        "media_id BIGINT, content BINARY",
+    )
+    out = multimodal.audio_fingerprint(df).collect()
+    assert [r["media_id"] for r in out] == [0]
+
+
+def test_intradoc_chunk_dedup_removes_planted_stutter(spark):
+    # 'gamma' and 'edge' are CDC boundary tokens (md5 starts '0'); the
+    # trailing boundary makes both copies of the doubled text decompose
+    # into the SAME two chunks -> exactly those two repeats removed
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa edge"
+    docs = spark.createDataFrame(
+        [(1, base + " " + base), (2, base)],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r["doc_id"]: r
+           for r in dedup.intradoc_chunk_dedup(docs).collect()}
+    # the unique doc is untouched
+    assert out[2]["removed_chunks"] == 0
+    assert out[2]["kept_tokens"] == 11
+    # the doubled doc collapses back to one copy
+    assert out[1]["n_chunks"] == 4
+    assert out[1]["removed_chunks"] == 2
+    assert out[1]["kept_tokens"] == 11
+    assert out[1]["clean_text"] == base
+
+
+def test_intradoc_chunk_dedup_idempotent(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base + " " + base)], "doc_id BIGINT, text STRING"
+    )
+    once = dedup.intradoc_chunk_dedup(docs).collect()[0]
+    again = dedup.intradoc_chunk_dedup(
+        spark.createDataFrame(
+            [(1, once["clean_text"])], "doc_id BIGINT, text STRING"
+        )
+    ).collect()[0]
+    assert again["removed_chunks"] == 0
+    assert again["clean_text"] == once["clean_text"]
