@@ -1120,3 +1120,190 @@ register(
     HAVING SUM(bit_count(xor(ba.bv, bb.bv))) <= 4
     """,
 )
+
+
+# ------------------------------- learned-vs-rule gate agreement matrix
+
+def _q_classifier_vs_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration cross-tab between the LEARNED quality gate and the
+    RULE gates — the table a curation team reads before swapping a
+    fastText-style classifier into a Gopher-rule pipeline: per
+    (rule_keep, learned_keep) cell, document count and mean token count
+    (µ-unit). High off-diagonal mass means the two tiers disagree and
+    the threshold needs recalibration. Both gates run in one plan over
+    one scan of the corpus; the classifier weights ride the same
+    broadcast as quality_classifier_score."""
+    from gcp_etl_pipeline_spark.operators.curation import gopher_gates
+
+    docs = _docs(spark, sf_dir)
+    w = curation.fit_quality_classifier(docs, "lang = 'en'")
+    learned = curation.quality_classifier_score(docs, w).select(
+        "doc_id", F.col("keep").alias("learned_keep"), "n_tokens"
+    )
+    rules = gopher_gates(docs, min_tokens=8, max_tokens=2000).select(
+        "doc_id", F.col("keep").alias("rule_keep")
+    )
+    return (
+        learned.join(rules, "doc_id")
+        .groupBy("rule_keep", "learned_keep")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("sum(n_tokens) * 1000000 div count(1)")
+            .cast("bigint")
+            .alias("mean_tokens_u"),
+        )
+    )
+
+
+register(
+    "classifier_vs_gates_confusion",
+    _q_classifier_vs_gates,
+    f"""
+    WITH {_dq_tok_cte("doc_id, lang, text")},
+    tb AS (SELECT doc_id, (lang = 'en') AS pos,
+                  {_QC_BUCKET} AS bucket
+           FROM (SELECT doc_id, lang, unnest(toks) AS t FROM tok)),
+    w AS (SELECT bucket,
+                 CAST((SUM(CASE WHEN pos THEN 1 ELSE 0 END) + 1) * 2000000
+                      // (COUNT(*) + 2) - 1000000 AS BIGINT) AS w_u
+          FROM tb GROUP BY bucket),
+    ds AS (SELECT tb.doc_id,
+                  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                  CAST(SUM(w.w_u) AS BIGINT) AS s
+           FROM tb JOIN w USING (bucket) GROUP BY tb.doc_id),
+    learned AS (
+      SELECT d.doc_id,
+             COALESCE(pr2.n_tokens, 0) AS n_tokens,
+             (COALESCE(pr2.prob_u, 0) >= 500000) AS learned_keep
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      LEFT JOIN (
+        SELECT doc_id, n_tokens,
+               500000 + (CASE WHEN score_u < 0 THEN -1 ELSE 1 END)
+                 * ((500000 * ABS(score_u)) // (1000000 + ABS(score_u)))
+                 AS prob_u
+        FROM (SELECT doc_id, n_tokens,
+                     CASE WHEN s < 0 THEN -((-s) // n_tokens)
+                          ELSE s // n_tokens END AS score_u
+              FROM ds)
+      ) pr2 ON d.doc_id = pr2.doc_id),
+    per AS (SELECT doc_id, t, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(toks) AS t FROM tok)
+            GROUP BY doc_id, t),
+    agg AS (SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
+                   MAX(c) AS top_count
+            FROM per GROUP BY doc_id),
+    rules AS (
+      SELECT d.doc_id,
+             (COALESCE(a.n_tokens, 0) BETWEEN 8 AND 2000
+              AND (COALESCE(a.n_tokens, 0) - COALESCE(a.n_distinct, 0)) * 100
+                  <= 30 * COALESCE(a.n_tokens, 0)
+              AND COALESCE(a.top_count, 0) * 100
+                  <= 20 * COALESCE(a.n_tokens, 0)) AS rule_keep
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      LEFT JOIN agg a ON d.doc_id = a.doc_id)
+    SELECT r.rule_keep, l.learned_keep,
+           COUNT(*) AS n,
+           CAST(SUM(l.n_tokens) * 1000000 // COUNT(*) AS BIGINT)
+             AS mean_tokens_u
+    FROM learned l JOIN rules r ON l.doc_id = r.doc_id
+    GROUP BY r.rule_keep, l.learned_keep
+    """,
+)
+
+
+# --------------------------------------- video frame-level near-dup
+
+def _q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level video near-dup end-to-end: 150 generated 4-frame
+    videos (50 groups x 3 variants — base, brightness-shifted, half the
+    frames replaced with unique ones), frames dHash'd in the Arrow
+    loop, videos paired on >= 2 matching frames. Planted truth per
+    group: (base, bright) share all 4 frames; each shares exactly 2
+    with the half-replaced variant. The oracle replays frame pixels,
+    hashes, band candidates, Hamming verify, and the video-pair
+    rollup closed-form."""
+    from gcp_etl_pipeline_spark.operators import multimodal
+
+    def gen(batches):
+        import hashlib as _hl
+
+        import pandas as _p
+
+        from gcp_etl_pipeline_spark.operators import codecs
+
+        for pdf in batches:
+            ids, frame_lists = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                g, v = divmod(i, 3)
+                frames = []
+                for f in range(4):
+                    key = f"u{i}" if (v == 2 and f >= 2) else f"v{g}"
+                    chunks = [
+                        _hl.md5(f"{key}|{f}|{c}".encode()).hexdigest()
+                        for c in range(18)
+                    ]
+                    px = bytearray(288)
+                    for p in range(288):
+                        hx = chunks[p // 16]
+                        b = int(hx[2 * (p % 16) : 2 * (p % 16) + 2], 16)
+                        px[p] = b % 200 + 8 + (24 if v == 1 else 0)
+                    frames.append(codecs.encode_png(18, 16, bytes(px)))
+                ids.append(i)
+                frame_lists.append(frames)
+            yield _p.DataFrame({"media_id": ids, "frames": frame_lists})
+
+    videos = spark.range(150).mapInPandas(
+        gen, "media_id BIGINT, frames ARRAY<BINARY>"
+    )
+    return multimodal.video_neardup_pairs(videos, max_hamming=6, min_shared=2)
+
+
+_VKEY = (
+    "(CASE WHEN i % 3 = 2 AND f >= 2 THEN 'u' || CAST(i AS VARCHAR) "
+    "ELSE 'v' || CAST(i // 3 AS VARCHAR) END "
+    "|| '|' || CAST(f AS VARCHAR) || '|' || CAST(p // 16 AS VARCHAR))"
+)
+_VNIB1 = (
+    f"(strpos('0123456789abcdef', substring(md5({_VKEY}),"
+    " 2 * (p % 16) + 1, 1)) - 1)"
+)
+_VNIB2 = (
+    f"(strpos('0123456789abcdef', substring(md5({_VKEY}),"
+    " 2 * (p % 16) + 2, 1)) - 1)"
+)
+
+register(
+    "video_frame_neardup",
+    _q_video_neardup,
+    f"""
+    WITH g AS (SELECT unnest(range(150)) AS i),
+    fr AS (SELECT i, unnest(range(4)) AS f FROM g),
+    px AS (SELECT i, f, list_transform(range(288), p ->
+             ({_VNIB1} * 16 + {_VNIB2}) % 200 + 8
+             + CASE WHEN i % 3 = 1 THEN 24 ELSE 0 END)
+           AS px FROM fr),
+    bits AS (SELECT i, f, list_transform(range(64), k ->
+               CASE WHEN px[36 * (k // 8) + 2 * (k % 8) + 1]
+                       > px[36 * (k // 8) + 2 * (k % 8) + 3]
+                    THEN 1 ELSE 0 END) AS bits FROM px),
+    bands AS MATERIALIZED (
+      SELECT i, f, k AS band_id,
+             CAST(list_sum(list_transform(range(16),
+                    j -> bits[16 * k + j + 1] * (1 << j))) AS BIGINT) AS bv
+      FROM bits, (SELECT unnest(range(4)) AS k) ks),
+    cand AS (SELECT DISTINCT l.i AS a, l.f AS af, r.i AS b, r.f AS bf
+             FROM bands l JOIN bands r
+               ON l.band_id = r.band_id AND l.bv = r.bv AND l.i < r.i),
+    ham AS (SELECT c.a, c.af, c.b, c.bf
+            FROM cand c
+            JOIN bands ba ON ba.i = c.a AND ba.f = c.af
+            JOIN bands bb ON bb.i = c.b AND bb.f = c.bf
+                         AND bb.band_id = ba.band_id
+            GROUP BY c.a, c.af, c.b, c.bf
+            HAVING SUM(bit_count(xor(ba.bv, bb.bv))) <= 6)
+    SELECT a, b, CAST(COUNT(DISTINCT af) AS BIGINT) AS shared_frames
+    FROM ham GROUP BY a, b
+    HAVING COUNT(DISTINCT af) >= 2
+    """,
+)

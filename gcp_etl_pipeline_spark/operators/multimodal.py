@@ -440,3 +440,81 @@ def audio_fingerprint(df: DataFrame, n_windows: int = 33) -> DataFrame:
         "media_id BIGINT, dhash BIGINT, band0 INT, band1 INT, "
         "band2 INT, band3 INT",
     )
+
+
+def video_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    min_shared: int = 2,
+    frames_col: str = "frames",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Video near-duplicate pairs by FRAME-level perceptual matching —
+    the third modality of the near-dup tier: each video is an
+    ``array<binary>`` of PNG frames (the engine-native layout after
+    ``sample_frames``-style extraction); frames are dHash'd in one
+    Arrow pass and two videos pair when at least ``min_shared`` of the
+    first video's frames match SOME frame of the second within
+    ``max_hamming`` (banded candidates first — frames never all-pair).
+    Returns (a, b, shared_frames).
+
+    Scale shape: one posexplode (JVM), one Arrow decode/hash pass over
+    frames, the band-bucket self-join, and a (video-pair)-keyed
+    count-distinct — videos and pixels never join; only 64-bit hashes
+    and band ints shuffle. Frame indexes pack into the hash row's id
+    (``video_id * 1024 + frame_idx``), so videos are capped at 1024
+    frames — sample longer videos first, which a real pipeline does
+    anyway."""
+    from pyspark.sql import functions as F
+
+    from gcp_etl_pipeline_spark.operators.similarity import _release_on_gc
+
+    frames = df.select(
+        F.col(id_col), F.posexplode(frames_col).alias("__f", "content")
+    ).select(
+        (F.col(id_col) * 1024 + F.col("__f")).alias("media_id"), "content"
+    )
+    fh = image_dhash(frames).persist()
+    stacked = fh.select(
+        "media_id",
+        F.expr("stack(4, 0, band0, 1, band1, 2, band2, 3, band3)")
+        .alias("band_id", "band_val"),
+    )
+    cand = (
+        stacked.alias("l")
+        .join(
+            stacked.alias("r"),
+            [
+                F.col("l.band_id") == F.col("r.band_id"),
+                F.col("l.band_val") == F.col("r.band_val"),
+                # different VIDEOS, ordered — frame ids divide back out
+                F.expr("l.media_id div 1024") < F.expr("r.media_id div 1024"),
+            ],
+        )
+        .select(
+            F.col("l.media_id").alias("__fa"),
+            F.col("r.media_id").alias("__fb"),
+        )
+        .distinct()
+    )
+    ha = fh.select(F.col("media_id").alias("__fa"), F.col("dhash").alias("__ha"))
+    hb = fh.select(F.col("media_id").alias("__fb"), F.col("dhash").alias("__hb"))
+    matched = (
+        cand.join(ha, "__fa")
+        .join(hb, "__fb")
+        .where(
+            F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+            <= max_hamming
+        )
+    )
+    out = (
+        matched.select(
+            F.expr("__fa div 1024").alias("a"),
+            F.expr("__fb div 1024").alias("b"),
+            F.expr("__fa % 1024").alias("__af"),
+        )
+        .groupBy("a", "b")
+        .agg(F.countDistinct("__af").cast("bigint").alias("shared_frames"))
+        .where(F.col("shared_frames") >= min_shared)
+    )
+    return _release_on_gc(out, fh)
