@@ -122,6 +122,9 @@ BENCH_QUERIES = [
     "quality_classifier_score",
     "audio_fingerprint_neardup",
     "intradoc_paragraph_dedup",
+    "video_frame_neardup",
+    "classifier_vs_gates_confusion",
+    "image_phash_incremental_ledger",
 ]
 
 

@@ -970,7 +970,7 @@ def quality_classifier_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 64,
-    threshold_u: int = 500_000,
+    threshold_u: int | None = None,
 ) -> DataFrame:
     """SCORE documents with a trained hashed-feature linear classifier
     (``fit_quality_classifier``): per doc, the mean bucket weight of its
@@ -981,9 +981,14 @@ def quality_classifier_score(
         prob_u = 500_000 + sign(s) * (500_000 * |s| div (1_000_000 + |s|))
 
     — a monotone [0, 1e6] probability with zero floating point — and
-    gated at ``threshold_u``. Zero-token documents keep an explicit row
-    (score 0, prob 500_000, keep = false): the emptiest documents must
-    not sail through an anti-join-on-rejects pipeline unseen.
+    gated at ``threshold_u``, or (default, ``None``) at the CORPUS MEAN
+    probability of the scored documents — the self-calibrating gate
+    that keeps both classes populated when the label's base rate shifts
+    the whole distribution to one side of 0.5 (a 1-row aggregate
+    broadcast back, exact integer mean). Zero-token documents keep an
+    explicit row (score 0, prob 500_000, keep = false): the emptiest
+    documents must not sail through an anti-join-on-rejects pipeline
+    unseen.
 
     Scale shape: one explode + one BROADCAST join against the
     n_buckets-row weights table + one per-doc aggregate; zero Python in
@@ -1018,6 +1023,16 @@ def quality_classifier_score(
             ).cast("bigint"),
         )
     )
+    if threshold_u is None:
+        # self-calibrating gate: the exact integer mean prob of the
+        # SCORED docs (zero-token rows excluded from the mean AND from
+        # keep), one tiny aggregate broadcast onto the row stream
+        thr = ds.agg(
+            F.expr("sum(prob_u) div count(1)").cast("bigint").alias("__thr")
+        )
+        ds = ds.join(F.broadcast(thr), F.lit(True), "left")
+    else:
+        ds = ds.withColumn("__thr", F.lit(threshold_u).cast("bigint"))
     zero = F.lit(0).cast("bigint")
     return (
         df.select(id_col).distinct()
@@ -1027,8 +1042,9 @@ def quality_classifier_score(
             F.coalesce("n_tokens", zero).alias("n_tokens"),
             F.coalesce("score_u", zero).alias("score_u"),
             F.coalesce("prob_u", F.lit(500_000).cast("bigint")).alias("prob_u"),
-            (
-                F.coalesce("prob_u", zero) >= F.lit(threshold_u)
+            # NULL prob (zero-token doc) -> NULL comparison -> false
+            F.coalesce(
+                F.col("prob_u") >= F.col("__thr"), F.lit(False)
             ).alias("keep"),
         )
     )

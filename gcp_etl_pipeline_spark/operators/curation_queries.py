@@ -1014,14 +1014,15 @@ register(
                   500000 + (CASE WHEN score_u < 0 THEN -1 ELSE 1 END)
                     * ((500000 * ABS(score_u)) // (1000000 + ABS(score_u)))
                     AS prob_u
-           FROM sc)
+           FROM sc),
+    thr AS (SELECT SUM(prob_u) // COUNT(*) AS m FROM pr)
     SELECT d.doc_id,
            COALESCE(pr.n_tokens, 0) AS n_tokens,
            CAST(COALESCE(pr.score_u, 0) AS BIGINT) AS score_u,
            CAST(COALESCE(pr.prob_u, 500000) AS BIGINT) AS prob_u,
-           (COALESCE(pr.prob_u, 0) >= 500000) AS keep
+           COALESCE(pr.prob_u >= thr.m, false) AS keep
     FROM (SELECT DISTINCT doc_id FROM documents) d
-    LEFT JOIN pr ON d.doc_id = pr.doc_id
+    LEFT JOIN pr ON d.doc_id = pr.doc_id, thr
     """,
 )
 
@@ -1140,7 +1141,9 @@ def _q_classifier_vs_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     learned = curation.quality_classifier_score(docs, w).select(
         "doc_id", F.col("keep").alias("learned_keep"), "n_tokens"
     )
-    rules = gopher_gates(docs, min_tokens=8, max_tokens=2000).select(
+    # max_tokens at the fixture's ~p75 so the cross-tab has real mass
+    # in BOTH rule classes (2000 left rule_keep vacuously true)
+    rules = gopher_gates(docs, min_tokens=8, max_tokens=70).select(
         "doc_id", F.col("keep").alias("rule_keep")
     )
     return (
@@ -1171,12 +1174,7 @@ register(
                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
                   CAST(SUM(w.w_u) AS BIGINT) AS s
            FROM tb JOIN w USING (bucket) GROUP BY tb.doc_id),
-    learned AS (
-      SELECT d.doc_id,
-             COALESCE(pr2.n_tokens, 0) AS n_tokens,
-             (COALESCE(pr2.prob_u, 0) >= 500000) AS learned_keep
-      FROM (SELECT DISTINCT doc_id FROM documents) d
-      LEFT JOIN (
+    pr2 AS (
         SELECT doc_id, n_tokens,
                500000 + (CASE WHEN score_u < 0 THEN -1 ELSE 1 END)
                  * ((500000 * ABS(score_u)) // (1000000 + ABS(score_u)))
@@ -1184,8 +1182,14 @@ register(
         FROM (SELECT doc_id, n_tokens,
                      CASE WHEN s < 0 THEN -((-s) // n_tokens)
                           ELSE s // n_tokens END AS score_u
-              FROM ds)
-      ) pr2 ON d.doc_id = pr2.doc_id),
+              FROM ds)),
+    thr2 AS (SELECT SUM(prob_u) // COUNT(*) AS m FROM pr2),
+    learned AS (
+      SELECT d.doc_id,
+             COALESCE(pr2.n_tokens, 0) AS n_tokens,
+             COALESCE(pr2.prob_u >= thr2.m, false) AS learned_keep
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      LEFT JOIN pr2 ON d.doc_id = pr2.doc_id, thr2),
     per AS (SELECT doc_id, t, COUNT(*) AS c
             FROM (SELECT doc_id, unnest(toks) AS t FROM tok)
             GROUP BY doc_id, t),
@@ -1194,7 +1198,7 @@ register(
             FROM per GROUP BY doc_id),
     rules AS (
       SELECT d.doc_id,
-             (COALESCE(a.n_tokens, 0) BETWEEN 8 AND 2000
+             (COALESCE(a.n_tokens, 0) BETWEEN 8 AND 70
               AND (COALESCE(a.n_tokens, 0) - COALESCE(a.n_distinct, 0)) * 100
                   <= 30 * COALESCE(a.n_tokens, 0)
               AND COALESCE(a.top_count, 0) * 100
@@ -1305,5 +1309,125 @@ register(
     SELECT a, b, CAST(COUNT(DISTINCT af) AS BIGINT) AS shared_frames
     FROM ham GROUP BY a, b
     HAVING COUNT(DISTINCT af) >= 2
+    """,
+)
+
+
+# --------------------------------- cross-run image near-dup ledger
+
+def _q_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image band-ledger lifecycle: increment 1 (even ids) seeds the
+    perceptual-band store, increment 2 (odd ids) near-dedups against
+    it. Planted classes per id: i%4==1 is a brightness variant of the
+    even i-1 (identical dHash -> cross-run drop via the ledger);
+    i%8==7 is a brightness variant of the odd i-4 (in-batch drop);
+    everything else is unique. The oracle replays every hash and the
+    full band set-algebra from the pixel recipe — including any
+    incidental 16-bit band collisions between 'unique' images — so a
+    ledger leak, a self-read, or an attempt-partition slip changes the
+    accept set and breaks the hash."""
+    import tempfile
+
+    from gcp_etl_pipeline_spark.operators.dedup import phash_incremental
+
+    def gen(batches):
+        import hashlib as _hl
+
+        import pandas as _p
+
+        from gcp_etl_pipeline_spark.operators import codecs
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                if i % 4 == 1:
+                    key, bright = i - 1, 24
+                elif i % 8 == 7:
+                    key, bright = i - 4, 24
+                else:
+                    key, bright = i, 0
+                chunks = [
+                    _hl.md5(f"L{key}|{c}".encode()).hexdigest()
+                    for c in range(18)
+                ]
+                px = bytearray(288)
+                for p in range(288):
+                    hx = chunks[p // 16]
+                    b = int(hx[2 * (p % 16) : 2 * (p % 16) + 2], 16)
+                    px[p] = b % 200 + 8 + bright
+                blobs.append(codecs.encode_png(18, 16, bytes(px)))
+                ids.append(i)
+            yield _p.DataFrame({"media_id": ids, "content": blobs})
+
+    media = spark.range(300).mapInPandas(gen, "media_id BIGINT, content BINARY")
+    store = tempfile.mkdtemp(prefix="graft_phledger_") + "/bands"
+    acc1 = phash_incremental(
+        media.where("media_id % 2 = 0"), store, attempt_id="i1"
+    ).localCheckpoint(eager=True)
+    acc2 = phash_incremental(
+        media.where("media_id % 2 = 1"), store, attempt_id="i2"
+    )
+
+    def tag(df: DataFrame, n: int) -> DataFrame:
+        return df.select(
+            F.lit(n).cast("int").alias("batch"), "media_id"
+        )
+
+    return tag(acc1, 1).unionByName(tag(acc2, 2))
+
+
+_LKEY = (
+    "('L' || CAST(CASE WHEN i % 4 = 1 THEN i - 1 "
+    "WHEN i % 8 = 7 THEN i - 4 ELSE i END AS VARCHAR)"
+    " || '|' || CAST(p // 16 AS VARCHAR))"
+)
+_LNIB1 = (
+    f"(strpos('0123456789abcdef', substring(md5({_LKEY}),"
+    " 2 * (p % 16) + 1, 1)) - 1)"
+)
+_LNIB2 = (
+    f"(strpos('0123456789abcdef', substring(md5({_LKEY}),"
+    " 2 * (p % 16) + 2, 1)) - 1)"
+)
+
+register(
+    "image_phash_incremental_ledger",
+    _q_phash_incremental,
+    f"""
+    WITH g AS (SELECT unnest(range(300)) AS i),
+    px AS (SELECT i, list_transform(range(288), p ->
+             ({_LNIB1} * 16 + {_LNIB2}) % 200 + 8
+             + CASE WHEN i % 4 = 1 OR i % 8 = 7 THEN 24 ELSE 0 END)
+           AS px FROM g),
+    bits AS (SELECT i, list_transform(range(64), k ->
+               CASE WHEN px[36 * (k // 8) + 2 * (k % 8) + 1]
+                       > px[36 * (k // 8) + 2 * (k % 8) + 3]
+                    THEN 1 ELSE 0 END) AS bits FROM px),
+    bands AS MATERIALIZED (
+      SELECT i, k AS band_id,
+             CAST(list_sum(list_transform(range(16),
+                    j -> bits[16 * k + j + 1] * (1 << j))) AS BIGINT) AS bv
+      FROM bits, (SELECT unnest(range(4)) AS k) ks),
+    b1 AS (SELECT * FROM bands WHERE i % 2 = 0),
+    b2 AS (SELECT * FROM bands WHERE i % 2 = 1),
+    drop1 AS (SELECT DISTINCT hi.i FROM b1 hi
+              JOIN b1 lo ON lo.band_id = hi.band_id AND lo.bv = hi.bv
+                        AND lo.i < hi.i),
+    s1 AS MATERIALIZED (SELECT * FROM b1
+                        WHERE i NOT IN (SELECT i FROM drop1)),
+    drop2a AS (SELECT DISTINCT hi.i FROM b2 hi
+               JOIN b2 lo ON lo.band_id = hi.band_id AND lo.bv = hi.bv
+                         AND lo.i < hi.i),
+    drop2b AS (SELECT DISTINCT b2.i FROM b2
+               JOIN s1 ON s1.band_id = b2.band_id AND s1.bv = b2.bv
+               WHERE b2.i NOT IN (SELECT i FROM drop2a)),
+    a1 AS (SELECT DISTINCT i FROM s1),
+    a2 AS (SELECT DISTINCT i FROM b2
+           WHERE i NOT IN (SELECT i FROM drop2a)
+             AND i NOT IN (SELECT i FROM drop2b))
+    SELECT CAST(1 AS INT) AS batch, i AS media_id FROM a1
+    UNION ALL
+    SELECT CAST(2 AS INT), i FROM a2
     """,
 )

@@ -1638,3 +1638,86 @@ def intradoc_chunk_dedup(
             F.array_join("__kept", " ").alias("clean_text"),
         )
     )
+
+
+def phash_incremental(
+    new_media: DataFrame,
+    store_path: str,
+    id_col: str = "media_id",
+    attempt_id: str | None = None,
+) -> DataFrame:
+    """Cross-run IMAGE near-dup dedup against a persisted PERCEPTUAL-
+    BAND ledger — ``neardup_incremental``'s discipline applied to the
+    image modality: the ledger stores each accepted image's four 16-bit
+    dHash bands (8 bytes/image), so a daily crawl increment near-dedups
+    against the whole accepted history with one band-keyed join; pixels
+    are never re-read.
+
+    Contract (the one-pass band-collision rule of the text twin):
+      - in-batch: an image is dropped iff a LOWER-id image of the
+        increment shares any band with it;
+      - cross-run: a survivor is dropped iff it shares any band with
+        the ledger;
+      - survivors' band rows are appended (checkpointed BEFORE the
+        append — the self-read hazard), or OVERWRITE their
+        ``attempt=<id>`` partition for replay-idempotent retries;
+        compact with ``compact_ledger`` between increments.
+    Band collision IS the drop criterion (the crawl-pipeline trade —
+    exact Hamming verification against history would need full hashes
+    per candidate pair; at 4x16-bit bands the collision rule is the
+    d<=? LSH guarantee of the banding). Undecodable blobs have no hash
+    rows: always accepted, never ledgered (decode_media's error-row
+    contract).
+
+    Scale shape: one Arrow decode+hash pass over the increment, one
+    band self-join and one ledger semi-join keyed on (band_id, h), one
+    id anti-join back — images never pair-compare, and only 8-byte
+    band rows ride the ledger."""
+    from gcp_etl_pipeline_spark.operators.multimodal import image_dhash
+
+    spark = new_media.sparkSession
+    fh = image_dhash(new_media)
+    stacked = fh.select(
+        id_col,
+        F.expr("stack(4, 0, band0, 1, band1, 2, band2, 3, band3)")
+        .alias("band_id", "h"),
+    ).persist()
+
+    a = stacked.select(F.col(id_col).alias("__a"), "band_id", "h")
+    b = stacked.select(F.col(id_col).alias("__b"), "band_id", "h")
+    dropped = (
+        a.join(b, ["band_id", "h"])
+        .where(F.col("__a") < F.col("__b"))
+        .select(F.col("__b").alias(id_col))
+        .distinct()
+    )
+    surv = stacked.join(dropped, id_col, "left_anti")
+    with _ledger_guard(store_path):
+        store_files = _ledger_files(
+            store_path, spark, exclude_attempt=attempt_id
+        )
+        if store_files:
+            store = spark.read.parquet(*store_files)
+            led_dropped = (
+                surv.join(
+                    store.select("band_id", "h"), ["band_id", "h"], "left_semi"
+                )
+                .select(id_col)
+                .distinct()
+            )
+            surv = surv.join(led_dropped, id_col, "left_anti")
+            dropped = dropped.unionByName(led_dropped)
+        surv = surv.localCheckpoint(eager=True)
+        dropped = dropped.localCheckpoint(eager=True)
+        stacked.unpersist()
+        if attempt_id is None:
+            surv.write.mode("append").parquet(store_path)
+        else:
+            surv.write.mode("overwrite").parquet(
+                f"{store_path.rstrip('/')}/attempt={attempt_id}"
+            )
+    return new_media.join(
+        dropped.withColumnRenamed(id_col, "__drop"),
+        F.col(id_col) == F.col("__drop"),
+        "left_anti",
+    )
