@@ -926,7 +926,6 @@ def fit_quality_classifier(
     df: DataFrame,
     label_expr: str,
     text_col: str = "text",
-    id_col: str = "doc_id",
     n_buckets: int = 64,
 ) -> DataFrame:
     """TRAIN a linear quality classifier over hashed token counts — the
@@ -998,12 +997,16 @@ def quality_classifier_score(
     tb = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("t")
     ).select(id_col, _token_bucket(F.col("t"), n_buckets).alias("bucket"))
+    # LEFT join: a token whose bucket never appeared in training scores
+    # a NEUTRAL 0, and still counts in n_tokens — an inner join would
+    # silently drop it from both the numerator and the denominator (and
+    # report an all-unseen-vocabulary doc as n_tokens = 0)
     ds = (
-        tb.join(F.broadcast(weights), "bucket")
+        tb.join(F.broadcast(weights), "bucket", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.sum("w_u").cast("bigint").alias("__s"),
+            F.sum(F.coalesce("w_u", F.lit(0))).cast("bigint").alias("__s"),
         )
         .withColumn(
             "score_u",

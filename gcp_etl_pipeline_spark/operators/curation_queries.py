@@ -920,7 +920,7 @@ def _q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = spark.range(480).mapInPandas(gen, "media_id BIGINT, content BINARY")
     return multimodal.phash_neardup_pairs(
-        multimodal.image_dhash(media), max_hamming=6
+        multimodal.image_dhash(media), max_hamming=3
     )
 
 
@@ -961,7 +961,7 @@ register(
     JOIN bands ba ON ba.i = c.a
     JOIN bands bb ON bb.i = c.b AND bb.band_id = ba.band_id
     GROUP BY c.a, c.b
-    HAVING SUM(bit_count(xor(ba.bv, bb.bv))) <= 6
+    HAVING SUM(bit_count(xor(ba.bv, bb.bv))) <= 3
     """,
 )
 
@@ -1004,8 +1004,8 @@ register(
           FROM tb GROUP BY bucket),
     ds AS (SELECT tb.doc_id,
                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
-                  CAST(SUM(w.w_u) AS BIGINT) AS s
-           FROM tb JOIN w USING (bucket) GROUP BY tb.doc_id),
+                  CAST(SUM(COALESCE(w.w_u, 0)) AS BIGINT) AS s
+           FROM tb LEFT JOIN w USING (bucket) GROUP BY tb.doc_id),
     sc AS (SELECT doc_id, n_tokens,
                   CASE WHEN s < 0 THEN -((-s) // n_tokens)
                        ELSE s // n_tokens END AS score_u
@@ -1075,7 +1075,7 @@ def _q_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = spark.range(600).mapInPandas(gen, "media_id BIGINT, content BINARY")
     return multimodal.phash_neardup_pairs(
-        multimodal.audio_fingerprint(media), max_hamming=4
+        multimodal.audio_fingerprint(media), max_hamming=3
     )
 
 
@@ -1118,7 +1118,7 @@ register(
     JOIN bands ba ON ba.i = c.a
     JOIN bands bb ON bb.i = c.b AND bb.band_id = ba.band_id
     GROUP BY c.a, c.b
-    HAVING SUM(bit_count(xor(ba.bv, bb.bv))) <= 4
+    HAVING SUM(bit_count(xor(ba.bv, bb.bv))) <= 3
     """,
 )
 
@@ -1172,8 +1172,8 @@ register(
           FROM tb GROUP BY bucket),
     ds AS (SELECT tb.doc_id,
                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
-                  CAST(SUM(w.w_u) AS BIGINT) AS s
-           FROM tb JOIN w USING (bucket) GROUP BY tb.doc_id),
+                  CAST(SUM(COALESCE(w.w_u, 0)) AS BIGINT) AS s
+           FROM tb LEFT JOIN w USING (bucket) GROUP BY tb.doc_id),
     pr2 AS (
         SELECT doc_id, n_tokens,
                500000 + (CASE WHEN score_u < 0 THEN -1 ELSE 1 END)
@@ -1260,7 +1260,7 @@ def _q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     videos = spark.range(150).mapInPandas(
         gen, "media_id BIGINT, frames ARRAY<BINARY>"
     )
-    return multimodal.video_neardup_pairs(videos, max_hamming=6, min_shared=2)
+    return multimodal.video_neardup_pairs(videos, max_hamming=3, min_shared=2)
 
 
 _VKEY = (
@@ -1305,7 +1305,7 @@ register(
             JOIN bands bb ON bb.i = c.b AND bb.f = c.bf
                          AND bb.band_id = ba.band_id
             GROUP BY c.a, c.af, c.b, c.bf
-            HAVING SUM(bit_count(xor(ba.bv, bb.bv))) <= 6)
+            HAVING SUM(bit_count(xor(ba.bv, bb.bv))) <= 3)
     SELECT a, b, CAST(COUNT(DISTINCT af) AS BIGINT) AS shared_frames
     FROM ham GROUP BY a, b
     HAVING COUNT(DISTINCT af) >= 2

@@ -1397,6 +1397,37 @@ def _cdc_chunk_fps(base: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def _assemble_kept(
+    base: DataFrame, idx_sets: DataFrame, id_col: str, removed_alias: str
+) -> DataFrame:
+    """THE index-set reassembly shared by every chunk-removal operator
+    (one-shot/incremental excision and the intra-doc dedup): drop the
+    per-doc ``__ex`` chunk indexes from the chunk array and emit
+    (id, n_chunks, <removed_alias>, kept_tokens, clean_text). A single
+    definition so the removal contract can't fork between the family's
+    operators (the BPE-helper lesson)."""
+    return (
+        base.join(idx_sets, id_col, "left")
+        .withColumn(
+            "__ex",
+            F.coalesce("__ex", F.expr("CAST(array() AS ARRAY<INT>)")),
+        )
+        .withColumn(
+            "__kept",
+            F.expr("filter(__ch, (c, i) -> NOT array_contains(__ex, i))"),
+        )
+        .select(
+            id_col,
+            F.size("__ch").cast("bigint").alias("n_chunks"),
+            F.size("__ex").cast("bigint").alias(removed_alias),
+            F.expr(
+                "aggregate(__kept, 0, (a, c) -> a + size(split(c, ' ')), a -> a)"
+            ).cast("bigint").alias("kept_tokens"),
+            F.array_join("__kept", " ").alias("clean_text"),
+        )
+    )
+
+
 def _excise_assemble(
     base: DataFrame, fps: DataFrame, excise_fps: DataFrame, id_col: str
 ) -> DataFrame:
@@ -1409,26 +1440,7 @@ def _excise_assemble(
         .groupBy(id_col)
         .agg(F.collect_set("__idx").alias("__ex"))
     )
-    return (
-        base.join(excise, id_col, "left")
-        .withColumn(
-            "__ex",
-            F.coalesce("__ex", F.expr("CAST(array() AS ARRAY<INT>)")),
-        )
-        .withColumn(
-            "__kept",
-            F.expr("filter(__ch, (c, i) -> NOT array_contains(__ex, i))"),
-        )
-        .select(
-            id_col,
-            F.size("__ch").cast("bigint").alias("n_chunks"),
-            F.size("__ex").cast("bigint").alias("excised_chunks"),
-            F.expr(
-                "aggregate(__kept, 0, (a, c) -> a + size(split(c, ' ')), a -> a)"
-            ).cast("bigint").alias("kept_tokens"),
-            F.array_join("__kept", " ").alias("clean_text"),
-        )
-    )
+    return _assemble_kept(base, excise, id_col, "excised_chunks")
 
 
 def substring_excise_incremental(
@@ -1618,26 +1630,7 @@ def intradoc_chunk_dedup(
         .groupBy(id_col)
         .agg(F.collect_set("__idx").alias("__ex"))
     )
-    return (
-        base.join(dup_idx, id_col, "left")
-        .withColumn(
-            "__ex",
-            F.coalesce("__ex", F.expr("CAST(array() AS ARRAY<INT>)")),
-        )
-        .withColumn(
-            "__kept",
-            F.expr("filter(__ch, (c, i) -> NOT array_contains(__ex, i))"),
-        )
-        .select(
-            id_col,
-            F.size("__ch").cast("bigint").alias("n_chunks"),
-            F.size("__ex").cast("bigint").alias("removed_chunks"),
-            F.expr(
-                "aggregate(__kept, 0, (a, c) -> a + size(split(c, ' ')), a -> a)"
-            ).cast("bigint").alias("kept_tokens"),
-            F.array_join("__kept", " ").alias("clean_text"),
-        )
-    )
+    return _assemble_kept(base, dup_idx, id_col, "removed_chunks")
 
 
 def phash_incremental(
@@ -1692,30 +1685,37 @@ def phash_incremental(
         .distinct()
     )
     surv = stacked.join(dropped, id_col, "left_anti")
-    with _ledger_guard(store_path):
-        store_files = _ledger_files(
-            store_path, spark, exclude_attempt=attempt_id
-        )
-        if store_files:
-            store = spark.read.parquet(*store_files)
-            led_dropped = (
-                surv.join(
-                    store.select("band_id", "h"), ["band_id", "h"], "left_semi"
+    # try/finally: a LedgerBusyError from the guard (or any failure before
+    # the in-guard unpersist) must not leave the band table pinned in
+    # executor storage — the substring_excise_incremental discipline
+    try:
+        with _ledger_guard(store_path):
+            store_files = _ledger_files(
+                store_path, spark, exclude_attempt=attempt_id
+            )
+            if store_files:
+                store = spark.read.parquet(*store_files)
+                led_dropped = (
+                    surv.join(
+                        store.select("band_id", "h"),
+                        ["band_id", "h"],
+                        "left_semi",
+                    )
+                    .select(id_col)
+                    .distinct()
                 )
-                .select(id_col)
-                .distinct()
-            )
-            surv = surv.join(led_dropped, id_col, "left_anti")
-            dropped = dropped.unionByName(led_dropped)
-        surv = surv.localCheckpoint(eager=True)
-        dropped = dropped.localCheckpoint(eager=True)
+                surv = surv.join(led_dropped, id_col, "left_anti")
+                dropped = dropped.unionByName(led_dropped)
+            surv = surv.localCheckpoint(eager=True)
+            dropped = dropped.localCheckpoint(eager=True)
+            if attempt_id is None:
+                surv.write.mode("append").parquet(store_path)
+            else:
+                surv.write.mode("overwrite").parquet(
+                    f"{store_path.rstrip('/')}/attempt={attempt_id}"
+                )
+    finally:
         stacked.unpersist()
-        if attempt_id is None:
-            surv.write.mode("append").parquet(store_path)
-        else:
-            surv.write.mode("overwrite").parquet(
-                f"{store_path.rstrip('/')}/attempt={attempt_id}"
-            )
     return new_media.join(
         dropped.withColumnRenamed(id_col, "__drop"),
         F.col(id_col) == F.col("__drop"),

@@ -321,15 +321,20 @@ def image_dhash(df: DataFrame) -> DataFrame:
 
 
 def phash_neardup_pairs(
-    hashes: DataFrame, max_hamming: int = 6
+    hashes: DataFrame, max_hamming: int = 3
 ) -> DataFrame:
     """Image near-dup pairs by banded perceptual-hash matching — the
     MinHash-band discipline on 64-bit dHashes, never all-pairs: a pair
-    is a CANDIDATE iff any of its four 16-bit bands collide (a pair
-    within Hamming distance d differs in at most d bands, so d < 4
-    guarantees recall at the band level), then candidates are verified
-    with one JVM bit_count over the xor'd hashes. Returns
-    (a, b, hamming) for verified pairs with hamming <= max_hamming.
+    is a CANDIDATE iff any of its four bands collide (a pair within
+    Hamming distance d differs in at most d bands, so the pigeonhole
+    guarantee holds iff d < 4 — the default max_hamming=3 is the
+    largest EXACT threshold), then candidates are verified with one JVM
+    bit_count over the xor'd hashes. Returns (a, b, hamming) for
+    verified pairs with hamming <= max_hamming. A max_hamming >= 4 is
+    accepted but is LSH-recall-only above distance 3: a pair differing
+    by exactly one bit in every band has no colliding band and is never
+    a candidate — raise the band count, not the threshold, if exact
+    recall at larger distances is required.
 
     Scale shape: the band table is 4 small ints per image; the self-join
     shuffles on (band_id, band_val) buckets; full 64-bit hashes join
@@ -421,7 +426,9 @@ def audio_fingerprint(df: DataFrame, n_windows: int = 33) -> DataFrame:
                     if w[k] > w[k + 1]:
                         u |= 1 << k
                 ids.append(int(mid))
-                hashes.append(u)
+                # same signed-64 wrap as image_dhash: n_windows >= 66
+                # can set bit 63+ and must not overflow the int64 column
+                hashes.append(u - (1 << 64) if u >= (1 << 63) else u)
                 for b in range(4):
                     bands[b].append((u >> (8 * b)) & 0xFF)
             yield pd.DataFrame(
@@ -444,7 +451,7 @@ def audio_fingerprint(df: DataFrame, n_windows: int = 33) -> DataFrame:
 
 def video_neardup_pairs(
     df: DataFrame,
-    max_hamming: int = 6,
+    max_hamming: int = 3,
     min_shared: int = 2,
     frames_col: str = "frames",
     id_col: str = "media_id",
@@ -455,8 +462,9 @@ def video_neardup_pairs(
     ``sample_frames``-style extraction); frames are dHash'd in one
     Arrow pass and two videos pair when at least ``min_shared`` of the
     first video's frames match SOME frame of the second within
-    ``max_hamming`` (banded candidates first — frames never all-pair).
-    Returns (a, b, shared_frames).
+    ``max_hamming`` (banded candidates first — frames never all-pair;
+    the exact-recall bound is max_hamming <= 3 with 4 bands, the
+    phash_neardup_pairs contract). Returns (a, b, shared_frames).
 
     Scale shape: one posexplode (JVM), one Arrow decode/hash pass over
     frames, the band-bucket self-join, and a (video-pair)-keyed
@@ -472,7 +480,22 @@ def video_neardup_pairs(
     frames = df.select(
         F.col(id_col), F.posexplode(frames_col).alias("__f", "content")
     ).select(
-        (F.col(id_col) * 1024 + F.col("__f")).alias("media_id"), "content"
+        # ENFORCE the 1024-frame cap loudly: frame 1024 of video V would
+        # otherwise alias to frame 0 of video V+1 and corrupt the pair
+        # attribution silently; raise_error is lazy, so compliant videos
+        # pay nothing
+        (
+            F.col(id_col) * 1024
+            + F.when(F.col("__f") < 1024, F.col("__f")).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "video_neardup_pairs: video exceeds the 1024-frame "
+                        "id-packing cap — sample frames first"
+                    )
+                ).cast("int")
+            )
+        ).alias("media_id"),
+        "content",
     )
     fh = image_dhash(frames).persist()
     stacked = fh.select(

@@ -104,16 +104,28 @@ def _driver_window_order(names) -> list[str]:
     return core + rest
 
 
+_ORDER: list[str] | None = None
+
+
+def _order() -> list[str]:
+    """The driver-window order, computed ONCE per process after load:
+    queries() and oracles() must agree on it even if a CORRECTNESS file
+    lands between the two calls, and re-listing the repo root per call
+    is waste."""
+    global _ORDER
+    if _ORDER is None:
+        _ORDER = _driver_window_order(_QUERIES.keys())
+    return _ORDER
+
+
 def queries() -> dict[str, QueryFn]:
     _load_all()
-    order = _driver_window_order(_QUERIES.keys())
-    return {name: _self_contained(_QUERIES[name]) for name in order}
+    return {name: _self_contained(_QUERIES[name]) for name in _order()}
 
 
 def oracles() -> dict[str, str]:
     _load_all()
-    order = _driver_window_order(_QUERIES.keys())
-    return {name: _ORACLES[name] for name in order if name in _ORACLES}
+    return {name: _ORACLES[name] for name in _order() if name in _ORACLES}
 
 
 _LOADED = False
@@ -152,8 +164,10 @@ def _load_all() -> None:
     except Exception:
         import sys
 
+        global _ORDER
         _QUERIES.clear()
         _ORACLES.clear()
+        _ORDER = None
         for mod in _QUERY_MODULES:
             sys.modules.pop(mod, None)
         raise
