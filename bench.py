@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "video_frame_neardup",
     "classifier_vs_gates_confusion",
     "image_phash_incremental_ledger",
+    "media_transform_roundtrip",
 ]
 
 

@@ -1431,3 +1431,96 @@ register(
     SELECT CAST(2 AS INT), i FROM a2
     """,
 )
+
+
+# ------------------------------- media transform roundtrip (resize/clip)
+
+def _q_media_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media TRANSFORM plumbing graded end-to-end: 400 generated
+    blobs (even ids PNG, odd ids WAV) flow through resize_images(6, 5)
+    THEN clip_audio(3ms, 7ms) — each transform touches its own modality
+    and passes the other through — and the results are re-decoded.
+    Pixels/samples are linear-congruential functions of (id, position),
+    so the oracle replays generate → resize's nearest-neighbor gather /
+    clip's frame slice → re-encode → decode closed-form, per row: any
+    corruption in either transform's decode-modify-encode loop moves a
+    sum and breaks the hash."""
+    from pyspark.sql import functions as F
+
+    from gcp_etl_pipeline_spark.operators import multimodal
+
+    def gen(batches):
+        import pandas as _p
+
+        from gcp_etl_pipeline_spark.operators import codecs
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                if i % 2 == 0:
+                    w, h = 8 + i % 8, 8 + i % 5
+                    px = bytes((i * 31 + p * 7) % 251 for p in range(w * h))
+                    blobs.append(codecs.encode_png(w, h, px))
+                else:
+                    sr = 8000 + (i % 4) * 4000
+                    nf = 200 + i % 100
+                    smp = bytes((i * 13 + t * 5) % 200 for t in range(nf))
+                    blobs.append(codecs.encode_wav(sr, smp))
+                ids.append(i)
+            yield _p.DataFrame({"media_id": ids, "content": blobs})
+
+    media = spark.range(400).mapInPandas(gen, "media_id BIGINT, content BINARY")
+    out = multimodal.clip_audio(
+        multimodal.resize_images(media, 6, 5), start_ms=3, dur_ms=7
+    )
+    dec = multimodal.decode_media(out)
+    return dec.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        "n_frames",
+        # exact content digest: mean_byte * element count recovers the
+        # integer pixel/sample sum bit-exactly (numerator < 2^24)
+        F.round(
+            F.col("mean_byte")
+            * F.when(F.col("kind") == "image", F.col("width") * F.col("height"))
+            .otherwise(F.col("n_frames"))
+        ).cast("bigint").alias("content_sum"),
+    )
+
+
+register(
+    "media_transform_roundtrip",
+    _q_media_transform,
+    """
+    WITH g AS (SELECT unnest(range(400)) AS i),
+    img AS (SELECT i, 8 + i % 8 AS w, 8 + i % 5 AS h FROM g WHERE i % 2 = 0),
+    rimg AS (SELECT i,
+               list_sum(list_transform(range(30), k ->
+                 (i * 31 + (LEAST(h - 1, ((k // 6) * h) // 5) * w
+                            + LEAST(w - 1, ((k % 6) * w) // 6)) * 7) % 251))
+               AS pix_sum
+             FROM img),
+    aud AS (SELECT i, 8000 + (i % 4) * 4000 AS sr, 200 + i % 100 AS nf
+            FROM g WHERE i % 2 = 1),
+    caud AS (SELECT i,
+               (3 * sr) // 1000 AS lo,
+               LEAST(nf, (10 * sr) // 1000) AS hi
+             FROM aud),
+    raud AS (SELECT i, hi - lo AS n_frames,
+               list_sum(list_transform(range(lo, hi), t ->
+                 (i * 13 + t * 5) % 200)) AS smp_sum
+             FROM caud)
+    SELECT i AS media_id, 'image' AS kind,
+           CAST(6 AS INT) AS width, CAST(5 AS INT) AS height,
+           CAST(1 AS INT) AS n_frames,
+           CAST(pix_sum AS BIGINT) AS content_sum
+    FROM rimg
+    UNION ALL
+    SELECT i, 'audio', CAST(0 AS INT), CAST(0 AS INT),
+           CAST(n_frames AS INT), CAST(smp_sum AS BIGINT)
+    FROM raud
+    """,
+)

@@ -541,3 +541,32 @@ def video_neardup_pairs(
         .where(F.col("shared_frames") >= min_shared)
     )
     return _release_on_gc(out, fh)
+
+
+def clip_audio(df: DataFrame, start_ms: int, dur_ms: int) -> DataFrame:
+    """Audio clipping inside the Arrow batch loop — the temporal twin of
+    ``resize_images``: WAV blobs are sliced by time (decode → frame
+    slice → re-encode, still a spec-valid WAV); non-audio media pass
+    through untouched, corrupt blobs pass through unchanged (the
+    decode_media error-row contract)."""
+    from gcp_etl_pipeline_spark.operators import codecs
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                try:
+                    if b[:4] == b"RIFF":
+                        blobs.append(codecs.clip_wav(b, start_ms, dur_ms))
+                        ids.append(mid)
+                        continue
+                except Exception:  # noqa: BLE001
+                    pass
+                blobs.append(b)
+                ids.append(mid)
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return df.select("media_id", "content").mapInPandas(
+        run, "media_id BIGINT, content BINARY"
+    )

@@ -188,3 +188,21 @@ def test_intradoc_chunk_dedup_idempotent(spark):
     ).collect()[0]
     assert again["removed_chunks"] == 0
     assert again["clean_text"] == once["clean_text"]
+
+
+def test_clip_audio_slices_frames_and_passes_non_audio(spark):
+    sr = 8000
+    smp = bytes(t % 200 for t in range(300))
+    wav = codecs.encode_wav(sr, smp)
+    png = codecs.encode_png(4, 4, bytes(16))
+    df = spark.createDataFrame(
+        [(0, wav), (1, png), (2, b"junk")],
+        "media_id BIGINT, content BINARY",
+    )
+    out = {r["media_id"]: bytes(r["content"])
+           for r in multimodal.clip_audio(df, 3, 7).collect()}
+    lo, hi = 3 * sr // 1000, min(300, 10 * sr // 1000)
+    _, clipped = codecs.wav_samples(out[0])
+    assert clipped == smp[lo:hi]
+    assert out[1] == png       # image passthrough
+    assert out[2] == b"junk"   # corrupt passthrough
