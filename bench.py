@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "classifier_vs_gates_confusion",
     "image_phash_incremental_ledger",
     "media_transform_roundtrip",
+    "video_frame_sampling",
 ]
 
 

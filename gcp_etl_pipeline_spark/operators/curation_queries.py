@@ -1524,3 +1524,36 @@ register(
     FROM raud
     """,
 )
+
+
+# ------------------------------------------- video frame sampling fan-out
+
+def _q_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frame-sampling FAN-OUT graded end-to-end: 100 synthetic
+    videos (of 300 mixed media — images/audio must yield NO rows) fan
+    out to every 2nd frame with 10 fps timestamps and 16-byte frame
+    slices. The GRFT payload is md5 digests of "{seed}|{counter}" and
+    every sampled slice aligns to one whole digest, so the oracle
+    reproduces the exact frame BYTES with unhex(md5(...)) — a slice
+    offset bug, a header misparse, or a non-video leak breaks the
+    hash."""
+    from gcp_etl_pipeline_spark.operators import multimodal
+
+    media = multimodal.make_fake_media(spark, n=300)
+    return multimodal.sample_frames(media, every_n=2, fps=10)
+
+
+register(
+    "video_frame_sampling",
+    _q_frame_sampling,
+    """
+    WITH g AS (SELECT unnest(range(300)) AS i),
+    v AS (SELECT i, 4 + i % 13 AS nf FROM g WHERE i % 3 = 2),
+    fr AS (SELECT i, unnest(range(0, nf, 2)) AS fno FROM v)
+    SELECT i AS media_id, CAST(fno AS INT) AS frame_no,
+           CAST(fno * 100 AS BIGINT) AS frame_ms,
+           unhex(md5(CAST(i AS VARCHAR) || '|' || CAST(fno AS VARCHAR)))
+             AS frame_bytes
+    FROM fr
+    """,
+)
