@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "image_phash_incremental_ledger",
     "media_transform_roundtrip",
     "video_frame_sampling",
+    "stream_phash_ledger",
 ]
 
 

@@ -1391,10 +1391,7 @@ _LNIB2 = (
     " 2 * (p % 16) + 2, 1)) - 1)"
 )
 
-register(
-    "image_phash_incremental_ledger",
-    _q_phash_incremental,
-    f"""
+_PHASH_LEDGER_ORACLE = f"""
     WITH g AS (SELECT unnest(range(300)) AS i),
     px AS (SELECT i, list_transform(range(288), p ->
              ({_LNIB1} * 16 + {_LNIB2}) % 200 + 8
@@ -1429,7 +1426,12 @@ register(
     SELECT CAST(1 AS INT) AS batch, i AS media_id FROM a1
     UNION ALL
     SELECT CAST(2 AS INT), i FROM a2
-    """,
+    """
+
+register(
+    "image_phash_incremental_ledger",
+    _q_phash_incremental,
+    _PHASH_LEDGER_ORACLE,
 )
 
 

@@ -687,3 +687,107 @@ register(
     _q_stream_substring_excise,
     _stream_excise_oracle(),
 )
+
+
+def _q_stream_phash_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming image near-dup: the 300-image corpus of
+    `image_phash_incremental_ledger` (same planted variant classes)
+    arrives as two ordered micro-batches — evens then odds — and each
+    foreachBatch invocation runs `phash_incremental` against the shared
+    perceptual-band ledger with a batch-scoped attempt_id
+    (replay-idempotent retries, never excising against its own first
+    attempt). Accepted ids land per batch; the oracle is the BATCH
+    query's full band-set-algebra replay, shared verbatim — the
+    streaming path must converge to exactly the batch semantics."""
+    import glob as _glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gcp_etl_pipeline_spark.operators.curation_queries import (
+        _q_phash_incremental,  # noqa: F401 (documentation anchor)
+    )
+    from gcp_etl_pipeline_spark.operators.dedup import phash_incremental
+
+    root = tempfile.mkdtemp(prefix="graft_sphash_")
+    src = f"{root}/in"
+    os.makedirs(src)
+
+    def gen(batches):
+        import hashlib as _hl
+
+        import pandas as _p
+
+        from gcp_etl_pipeline_spark.operators import codecs
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                if i % 4 == 1:
+                    key, bright = i - 1, 24
+                elif i % 8 == 7:
+                    key, bright = i - 4, 24
+                else:
+                    key, bright = i, 0
+                chunks = [
+                    _hl.md5(f"L{key}|{c}".encode()).hexdigest()
+                    for c in range(18)
+                ]
+                px = bytearray(288)
+                for p in range(288):
+                    hx = chunks[p // 16]
+                    b = int(hx[2 * (p % 16) : 2 * (p % 16) + 2], 16)
+                    px[p] = b % 200 + 8 + bright
+                blobs.append(codecs.encode_png(18, 16, bytes(px)))
+                ids.append(i)
+            yield _p.DataFrame({"media_id": ids, "content": blobs})
+
+    media = spark.range(300).mapInPandas(gen, "media_id BIGINT, content BINARY")
+    for b, pred in enumerate(("media_id % 2 = 0", "media_id % 2 = 1")):
+        tmp = f"{root}/tmp{b}"
+        media.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = sorted(_glob.glob(f"{tmp}/part-*.parquet"))[0]
+        dst = f"{src}/b{b}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000_000 + b * 1000,) * 2)
+
+    store = f"{root}/bands"
+    out_dir = f"{root}/accepted"
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        acc = phash_incremental(batch, store, attempt_id=f"b{batch_id}")
+        acc.select("media_id").write.mode("overwrite").parquet(
+            f"{out_dir}/batch={batch_id}"
+        )
+
+    q = (
+        spark.readStream.schema("media_id BIGINT, content BINARY")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        F.when(F.col("media_id") % 2 == 0, 1).otherwise(2)
+        .cast("int").alias("batch"),
+        "media_id",
+    )
+
+
+def _stream_phash_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators.curation_queries import (
+        _PHASH_LEDGER_ORACLE,
+    )
+
+    return _PHASH_LEDGER_ORACLE
+
+
+register(
+    "stream_phash_ledger",
+    _q_stream_phash_ledger,
+    _stream_phash_oracle(),
+)
