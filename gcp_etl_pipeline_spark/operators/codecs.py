@@ -194,8 +194,17 @@ def stdlib_codec(content: bytes) -> dict[str, Any]:
 
 def wav_samples(data: bytes) -> tuple[int, bytes]:
     """Decode a WAV (the supported mono-8-bit subset) to
-    (sample_rate, raw sample bytes) — the audio twin of ``png_pixels``."""
+    (sample_rate, raw sample bytes) — the audio twin of ``png_pixels``.
+    The mono-8-bit contract is ENFORCED: a stereo or 16-bit clip would
+    otherwise be fingerprinted byte-wise into a meaningless-but-accepted
+    hash; raising routes it into callers' existing undecodable-drop
+    path instead."""
     import wave
 
     with wave.open(io.BytesIO(data), "rb") as w:
+        if w.getsampwidth() != 1 or w.getnchannels() != 1:
+            raise ValueError(
+                "wav_samples supports mono 8-bit only "
+                f"(got {w.getnchannels()}ch x {8 * w.getsampwidth()}-bit)"
+            )
         return w.getframerate(), w.readframes(w.getnframes())

@@ -287,12 +287,15 @@ def neardup_incremental(
     sig = minhash_signatures_from_arrays(arr, id_col, num_hashes)
     stacked = band_table(sig, id_col, num_hashes, bands).persist()
 
-    a = stacked.select(F.col(id_col).alias("__a"), "band_id", "h")
-    b = stacked.select(F.col(id_col).alias("__b"), "band_id", "h")
+    # in-batch rule "dropped iff a LOWER id shares a band" == "id exceeds
+    # its bucket's min id in some bucket" — a bucket-min groupBy (map-side
+    # partial agg) plus a linear join, NOT a bucket self-join: a crawl
+    # batch with a B-doc boilerplate bucket emits B rows here, not B^2/2
+    mins = stacked.groupBy("band_id", "h").agg(F.min(id_col).alias("__mn"))
     dropped = (
-        a.join(b, ["band_id", "h"])
-        .where(F.col("__a") < F.col("__b"))
-        .select(F.col("__b").alias(id_col))
+        stacked.join(mins, ["band_id", "h"])
+        .where(F.col(id_col) > F.col("__mn"))
+        .select(id_col)
         .distinct()
     )
     surv = stacked.join(dropped, id_col, "left_anti")
@@ -1676,12 +1679,14 @@ def phash_incremental(
         .alias("band_id", "h"),
     ).persist()
 
-    a = stacked.select(F.col(id_col).alias("__a"), "band_id", "h")
-    b = stacked.select(F.col(id_col).alias("__b"), "band_id", "h")
+    # linear in-batch drop (the neardup_incremental bucket-min shape): a
+    # 100k-copy logo makes one hot (band_id, h) bucket; the min-groupBy
+    # emits one row for it and the join 100k rows — never 10^10 pairs
+    mins = stacked.groupBy("band_id", "h").agg(F.min(id_col).alias("__mn"))
     dropped = (
-        a.join(b, ["band_id", "h"])
-        .where(F.col("__a") < F.col("__b"))
-        .select(F.col("__b").alias(id_col))
+        stacked.join(mins, ["band_id", "h"])
+        .where(F.col(id_col) > F.col("__mn"))
+        .select(id_col)
         .distinct()
     )
     surv = stacked.join(dropped, id_col, "left_anti")

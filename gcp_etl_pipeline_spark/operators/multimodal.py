@@ -321,7 +321,10 @@ def image_dhash(df: DataFrame) -> DataFrame:
 
 
 def phash_neardup_pairs(
-    hashes: DataFrame, max_hamming: int = 3
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    salt_factor: int | None = None,
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """Image near-dup pairs by banded perceptual-hash matching — the
     MinHash-band discipline on 64-bit dHashes, never all-pairs: a pair
@@ -336,53 +339,122 @@ def phash_neardup_pairs(
     a candidate — raise the band count, not the threshold, if exact
     recall at larger distances is required.
 
-    Scale shape: the band table is 4 small ints per image; the self-join
-    shuffles on (band_id, band_val) buckets; full 64-bit hashes join
-    back onto the candidate ids only — images and pixels never pair.
-    The hash/band frame feeds the candidate self-join AND both scoring
-    joins, so it is persisted and released when the result is GC'd (the
-    sketch-self-join discipline)."""
+    Skew discipline (real image corpora are duplicate-heavy — blank
+    frames, logos, default avatars — and an exact-duplicate cluster of
+    size m collides on ALL four bands): exact duplicates are collapsed
+    FIRST (groupBy dhash -> one representative row per DISTINCT hash),
+    the banded self-join runs over distinct hashes only, and verified
+    representative pairs expand back to member pairs at the end —
+    intra-cluster pairs are emitted directly at Hamming 0, never
+    through the band join. A 100k-copy logo therefore contributes ONE
+    row to the candidate join instead of a 2x10^10-row bucket fan-out.
+    Residual hot bands (many DISTINCT hashes sharing a band value)
+    take the lsh_candidate_pairs guards: ``salt_factor`` spreads each
+    band bucket's pair fan-out across that many reducers (result
+    identical), ``max_band_df`` drops band buckets with more than that
+    many distinct hashes before pairing (capped recall — a band that
+    hot is a near-identical blob the cluster pass already collapses).
+
+    Note the OUTPUT itself is quadratic in exact-dup cluster size (all
+    member pairs is this operator's contract); consumers that only
+    need dedup decisions should group by dhash or use
+    ``phash_incremental`` and never materialize member pairs.
+
+    Scale shape: the band table is 4 small ints per DISTINCT hash; the
+    self-join shuffles on (band_id, band_val) buckets; only 64-bit
+    hashes and ids shuffle — images and pixels never pair. The hash
+    frame feeds the collapse AND both expansion joins, so it is
+    persisted and released when the result is GC'd."""
     from pyspark.sql import functions as F
 
     from gcp_etl_pipeline_spark.operators.similarity import _release_on_gc
 
     hp = hashes.persist()
-    stacked = hp.select(
-        "media_id",
-        F.expr(
-            "stack(4, 0, band0, 1, band1, 2, band2, 3, band3)"
-        ).alias("band_id", "band_val"),
-    )
-    cand = (
-        stacked.alias("l")
-        .join(
-            stacked.alias("r"),
-            [
-                F.col("l.band_id") == F.col("r.band_id"),
-                F.col("l.band_val") == F.col("r.band_val"),
-                F.col("l.media_id") < F.col("r.media_id"),
-            ],
+    members = hp.select("media_id", "dhash")
+    # one row per DISTINCT hash; the representative id only orders the
+    # self-join (each unordered hash pair meets exactly once). Identical
+    # dhash implies identical bands, so min() carries them through the
+    # collapse without a join back.
+    stacked = (
+        hp.groupBy("dhash")
+        .agg(
+            F.min("media_id").alias("__rep"),
+            *[F.min(f"band{k}").alias(f"band{k}") for k in range(4)],
         )
         .select(
-            F.col("l.media_id").alias("a"), F.col("r.media_id").alias("b")
+            "__rep",
+            "dhash",
+            F.expr(
+                "stack(4, 0, band0, 1, band1, 2, band2, 3, band3)"
+            ).alias("band_id", "band_val"),
         )
+    )
+    if max_band_df is not None:
+        hot = (
+            stacked.groupBy("band_id", "band_val")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .where(F.col("__bn") > max_band_df)
+            .select("band_id", "band_val")
+        )
+        stacked = stacked.join(hot, ["band_id", "band_val"], "left_anti")
+    lft = stacked.select(
+        F.col("__rep").alias("__ra"),
+        F.col("dhash").alias("__ha"),
+        "band_id",
+        "band_val",
+    )
+    rgt = stacked.select(
+        F.col("__rep").alias("__rb"),
+        F.col("dhash").alias("__hb"),
+        "band_id",
+        "band_val",
+    )
+    if salt_factor is not None:
+        from gcp_etl_pipeline_spark.operators.skew import salted_join
+
+        joined = salted_join(
+            lft, rgt, on=["band_id", "band_val"], salt_factor=salt_factor
+        )
+    else:
+        joined = lft.join(rgt, ["band_id", "band_val"])
+    verified = (
+        joined.where(F.col("__ra") < F.col("__rb"))
+        .select("__ha", "__hb")
         .distinct()
-    )
-    ha = hp.select(F.col("media_id").alias("a"), F.col("dhash").alias("__ha"))
-    hb = hp.select(F.col("media_id").alias("b"), F.col("dhash").alias("__hb"))
-    out = (
-        cand.join(ha, "a")
-        .join(hb, "b")
-        .select(
-            "a",
-            "b",
+        .withColumn(
+            "hamming",
             F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
-            .cast("bigint")
-            .alias("hamming"),
+            .cast("bigint"),
         )
         .where(F.col("hamming") <= max_hamming)
     )
-    return _release_on_gc(out, hp)
+    ma = members.select(
+        F.col("media_id").alias("__ma"), F.col("dhash").alias("__ha")
+    )
+    mb = members.select(
+        F.col("media_id").alias("__mb"), F.col("dhash").alias("__hb")
+    )
+    cross = verified.join(ma, "__ha").join(mb, "__hb").select(
+        F.least("__ma", "__mb").alias("a"),
+        F.greatest("__ma", "__mb").alias("b"),
+        "hamming",
+    )
+    intra = (
+        members.alias("x")
+        .join(
+            members.alias("y"),
+            [
+                F.col("x.dhash") == F.col("y.dhash"),
+                F.col("x.media_id") < F.col("y.media_id"),
+            ],
+        )
+        .select(
+            F.col("x.media_id").alias("a"),
+            F.col("y.media_id").alias("b"),
+            F.lit(0).cast("bigint").alias("hamming"),
+        )
+    )
+    return _release_on_gc(cross.unionByName(intra), hp)
 
 
 def audio_fingerprint(df: DataFrame, n_windows: int = 33) -> DataFrame:
@@ -403,6 +475,13 @@ def audio_fingerprint(df: DataFrame, n_windows: int = 33) -> DataFrame:
     decode_media's error-row contract."""
     from gcp_etl_pipeline_spark.operators import codecs
 
+    # the fingerprint has n_windows - 1 bits and must fit a signed int64
+    # column: n_windows >= 66 would set bits >= 64 and overflow the
+    # pandas int64 construction below (one 2^64 wrap only covers bit 63)
+    if not 2 <= n_windows <= 65:
+        raise ValueError(
+            f"audio_fingerprint: n_windows must be in [2, 65], got {n_windows}"
+        )
     span = 4 * n_windows
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -426,8 +505,8 @@ def audio_fingerprint(df: DataFrame, n_windows: int = 33) -> DataFrame:
                     if w[k] > w[k + 1]:
                         u |= 1 << k
                 ids.append(int(mid))
-                # same signed-64 wrap as image_dhash: n_windows >= 66
-                # can set bit 63+ and must not overflow the int64 column
+                # same signed-64 wrap as image_dhash (n_windows is capped
+                # at 65 above, so u < 2^64 and one wrap suffices)
                 hashes.append(u - (1 << 64) if u >= (1 << 63) else u)
                 for b in range(4):
                     bands[b].append((u >> (8 * b)) & 0xFF)
@@ -455,6 +534,8 @@ def video_neardup_pairs(
     min_shared: int = 2,
     frames_col: str = "frames",
     id_col: str = "media_id",
+    salt_factor: int | None = None,
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """Video near-duplicate pairs by FRAME-level perceptual matching —
     the third modality of the near-dup tier: each video is an
@@ -467,25 +548,43 @@ def video_neardup_pairs(
     phash_neardup_pairs contract). Returns (a, b, shared_frames).
 
     Scale shape: one posexplode (JVM), one Arrow decode/hash pass over
-    frames, the band-bucket self-join, and a (video-pair)-keyed
+    frames, then THE shared guarded pair join (``phash_neardup_pairs``
+    — exact-dup frame collapse + optional salted/capped band buckets,
+    so a corpus-wide repeated frame like a black intro card never fans
+    out quadratically in the candidate join), and a (video-pair)-keyed
     count-distinct — videos and pixels never join; only 64-bit hashes
     and band ints shuffle. Frame indexes pack into the hash row's id
     (``video_id * 1024 + frame_idx``), so videos are capped at 1024
     frames — sample longer videos first, which a real pipeline does
-    anyway."""
+    anyway — and video ids must be in [0, 2^62/1024] for the packing
+    to be collision-free (negative ids would alias under truncating
+    div/%; both bounds are enforced)."""
     from pyspark.sql import functions as F
 
-    from gcp_etl_pipeline_spark.operators.similarity import _release_on_gc
-
+    id_max = (1 << 62) // 1024
     frames = df.select(
-        F.col(id_col), F.posexplode(frames_col).alias("__f", "content")
+        # ENFORCE the packing domain loudly: frame 1024 of video V would
+        # alias to frame 0 of video V+1, negative video ids collide with
+        # id 0's range under truncate-toward-zero div/%, and ids past
+        # 2^62/1024 overflow int64 — all three corrupt pair attribution
+        # silently. raise_error is lazy, so compliant rows pay nothing.
+        F.when(
+            (F.col(id_col) >= 0) & (F.col(id_col) <= F.lit(id_max)),
+            F.col(id_col).cast("long"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "video_neardup_pairs: video id outside [0, 2^62/1024] "
+                    "— the frame id packing would collide"
+                )
+            ).cast("long")
+        )
+        .alias("__vid"),
+        F.posexplode(frames_col).alias("__f", "content"),
     ).select(
-        # ENFORCE the 1024-frame cap loudly: frame 1024 of video V would
-        # otherwise alias to frame 0 of video V+1 and corrupt the pair
-        # attribution silently; raise_error is lazy, so compliant videos
-        # pay nothing
         (
-            F.col(id_col) * 1024
+            F.col("__vid") * 1024
             + F.when(F.col("__f") < 1024, F.col("__f")).otherwise(
                 F.raise_error(
                     F.lit(
@@ -497,50 +596,26 @@ def video_neardup_pairs(
         ).alias("media_id"),
         "content",
     )
-    fh = image_dhash(frames).persist()
-    stacked = fh.select(
-        "media_id",
-        F.expr("stack(4, 0, band0, 1, band1, 2, band2, 3, band3)")
-        .alias("band_id", "band_val"),
+    pairs = phash_neardup_pairs(
+        image_dhash(frames),
+        max_hamming=max_hamming,
+        salt_factor=salt_factor,
+        max_band_df=max_band_df,
     )
-    cand = (
-        stacked.alias("l")
-        .join(
-            stacked.alias("r"),
-            [
-                F.col("l.band_id") == F.col("r.band_id"),
-                F.col("l.band_val") == F.col("r.band_val"),
-                # different VIDEOS, ordered — frame ids divide back out
-                F.expr("l.media_id div 1024") < F.expr("r.media_id div 1024"),
-            ],
-        )
+    # packed ids order by (video, frame), so a < b implies video_a <=
+    # video_b: cross-video pairs keep the lower video on the a side,
+    # same-video frame matches drop here
+    return (
+        pairs.where(F.expr("a div 1024") != F.expr("b div 1024"))
         .select(
-            F.col("l.media_id").alias("__fa"),
-            F.col("r.media_id").alias("__fb"),
+            F.expr("a div 1024").alias("__va"),
+            F.expr("b div 1024").alias("__vb"),
+            F.expr("a % 1024").alias("__af"),
         )
-        .distinct()
-    )
-    ha = fh.select(F.col("media_id").alias("__fa"), F.col("dhash").alias("__ha"))
-    hb = fh.select(F.col("media_id").alias("__fb"), F.col("dhash").alias("__hb"))
-    matched = (
-        cand.join(ha, "__fa")
-        .join(hb, "__fb")
-        .where(
-            F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
-            <= max_hamming
-        )
-    )
-    out = (
-        matched.select(
-            F.expr("__fa div 1024").alias("a"),
-            F.expr("__fb div 1024").alias("b"),
-            F.expr("__fa % 1024").alias("__af"),
-        )
-        .groupBy("a", "b")
+        .groupBy(F.col("__va").alias("a"), F.col("__vb").alias("b"))
         .agg(F.countDistinct("__af").cast("bigint").alias("shared_frames"))
         .where(F.col("shared_frames") >= min_shared)
     )
-    return _release_on_gc(out, fh)
 
 
 def clip_audio(df: DataFrame, start_ms: int, dur_ms: int) -> DataFrame:

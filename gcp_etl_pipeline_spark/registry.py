@@ -44,88 +44,19 @@ def _self_contained(fn: QueryFn) -> QueryFn:
     return wrapped
 
 
-# Always-on head of the driver's first-50 correctness window: the gosales
-# verticals (the reference's actual pipeline, end to end) plus the
-# surrogate-key maintenance query — these stay driver-validated every round.
-_CORE = (
-    "gosales_method_hlp",
-    "gosales_retailer_hlp",
-    "gosales_product_lkp",
-    "gosales_retailer_dim",
-    "gosales_sales_fact",
-    "gosales_sales_overview",
-    "gosales_catalog_overview",
-    "stream_gosales_overview",
-    "surrogate_increment",
-    "ingest_cast_ladder",
-)
-
-
-def _driver_window_order(names) -> list[str]:
-    """Deterministic rotation of the driver's first-50 sampling window.
-
-    The grading driver validates ``list(queries())[:50]`` each round, so
-    insertion order decides which queries earn a driver-green correctness
-    row. Order = _CORE first, then every other query sorted by the LAST
-    round the driver sampled it (never-sampled first, 0), ties broken by
-    name. The sampled-at history is read from the repo's own
-    CORRECTNESS_r*.json files, so the window self-rotates: each round's
-    freshly-sampled ~40 queries sink to the back and the stalest ~40
-    surface. Unreadable/absent files degrade to plain name order (still
-    deterministic)."""
-    import json
-    import os
-    import re
-
-    last_sampled: dict[str, int] = {}
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    try:
-        entries = os.listdir(root)
-    except OSError:
-        entries = []
-    for f in entries:
-        m = re.match(r"CORRECTNESS_r(\d+)\.json$", f)
-        if not m:
-            continue
-        rnd = int(m.group(1))
-        try:
-            with open(os.path.join(root, f)) as fh:
-                keys = json.load(fh)
-        except (OSError, ValueError):
-            continue
-        for k in keys:
-            if last_sampled.get(k, 0) < rnd:
-                last_sampled[k] = rnd
-    core = [n for n in _CORE if n in names]
-    rest = sorted(
-        (n for n in names if n not in set(core)),
-        key=lambda n: (last_sampled.get(n, 0), n),
-    )
-    return core + rest
-
-
-_ORDER: list[str] | None = None
-
-
-def _order() -> list[str]:
-    """The driver-window order, computed ONCE per process after load:
-    queries() and oracles() must agree on it even if a CORRECTNESS file
-    lands between the two calls, and re-listing the repo root per call
-    is waste."""
-    global _ORDER
-    if _ORDER is None:
-        _ORDER = _driver_window_order(_QUERIES.keys())
-    return _ORDER
-
-
 def queries() -> dict[str, QueryFn]:
+    """All graded queries in registration order — the neutral,
+    content-independent order in which modules register() them (fixed by
+    the _QUERY_MODULES tuple and each module's top-level code, so it is
+    deterministic across processes and rounds and depends on nothing but
+    the source tree)."""
     _load_all()
-    return {name: _self_contained(_QUERIES[name]) for name in _order()}
+    return {name: _self_contained(fn) for name, fn in _QUERIES.items()}
 
 
 def oracles() -> dict[str, str]:
     _load_all()
-    return {name: _ORACLES[name] for name in _order() if name in _ORACLES}
+    return dict(_ORACLES)
 
 
 _LOADED = False
@@ -164,10 +95,8 @@ def _load_all() -> None:
     except Exception:
         import sys
 
-        global _ORDER
         _QUERIES.clear()
         _ORACLES.clear()
-        _ORDER = None
         for mod in _QUERY_MODULES:
             sys.modules.pop(mod, None)
         raise

@@ -206,3 +206,122 @@ def test_clip_audio_slices_frames_and_passes_non_audio(spark):
     assert clipped == smp[lo:hi]
     assert out[1] == png       # image passthrough
     assert out[2] == b"junk"   # corrupt passthrough
+
+
+def test_phash_hot_cluster_collapses_before_band_join(spark):
+    """The r9 skew guard: a planted exact-duplicate cluster (the
+    100k-copy-logo shape, scaled down) must reach the banded self-join
+    as ONE distinct-hash row, and the full member-pair output must
+    still come back exactly — m*(m-1)/2 intra pairs at hamming 0 plus
+    every cross pair to the near-dup variant."""
+    m = 40  # exact copies of the "logo"
+
+    def px(i, p):
+        base = (p * 37 + 11) % 200 + 8
+        # ids [0, m): identical logo; id m: one-pixel bump near-dup;
+        # id m+1: unrelated image
+        if i == m:
+            return base + (100 if p == 0 else 0)
+        if i == m + 1:
+            return ((p * 53 + 7) % 200) + 8
+        return base
+
+    hashes = multimodal.image_dhash(_png_df(spark, px, m + 2))
+    # the banded join must see one row per DISTINCT hash, not per image
+    assert hashes.select("dhash").distinct().count() == 3
+    rows = multimodal.phash_neardup_pairs(hashes, max_hamming=6).collect()
+    intra = [r for r in rows if r["hamming"] == 0]
+    cross = [r for r in rows if r["hamming"] > 0]
+    assert len(intra) == m * (m - 1) // 2
+    assert all(r["a"] < r["b"] < m for r in intra)
+    # the bumped variant pairs with every cluster member, never with
+    # the unrelated image
+    assert len(cross) == m
+    assert all(r["b"] == m and r["hamming"] <= 1 for r in cross)
+
+
+def test_phash_salt_factor_result_identical(spark):
+    def px(i, p):
+        base = (p * 37 + 11) % 200 + 8
+        return base + (40 if i % 3 == 2 and p == i // 3 else 0)
+
+    hashes = multimodal.image_dhash(_png_df(spark, px, 24)).persist()
+    plain = sorted(
+        map(tuple, multimodal.phash_neardup_pairs(hashes, 6).collect())
+    )
+    salted = sorted(
+        map(
+            tuple,
+            multimodal.phash_neardup_pairs(hashes, 6, salt_factor=4).collect(),
+        )
+    )
+    assert plain == salted and len(plain) > 0
+
+
+def test_phash_max_band_df_caps_hot_bands(spark):
+    """max_band_df drops band buckets with more DISTINCT hashes than the
+    cap — near-dup pairs that only collide there are lost (capped
+    recall), but exact-duplicate pairs survive: they never ride the
+    band join."""
+    # synthesized hash table: ids 0..5 are DISTINCT hashes all sharing
+    # band0 = 0 (the hot band) with unique other bands; ids 6..10 are
+    # one exact 5-copy cluster
+    rows = [(i, i, 0, 100 + i, 200 + i, 300 + i) for i in range(6)]
+    rows += [(i, 1024, 9, 19, 29, 39) for i in range(6, 11)]
+    hashes = spark.createDataFrame(
+        rows,
+        "media_id BIGINT, dhash BIGINT, band0 INT, band1 INT, "
+        "band2 INT, band3 INT",
+    )
+    uncapped = multimodal.phash_neardup_pairs(hashes, 6).collect()
+    capped = multimodal.phash_neardup_pairs(hashes, 6, max_band_df=2).collect()
+    # uncapped: all 15 hot-band pairs + the cluster's 10 hamming-0 pairs
+    assert len(uncapped) == 25
+    # capped: the hot band (6 distinct hashes > 2) is dropped; the exact
+    # cluster's pairs are immune — they never ride the band join
+    assert len(capped) == 10
+    assert all(r["hamming"] == 0 and 6 <= r["a"] < r["b"] <= 10 for r in capped)
+
+
+def test_audio_fingerprint_rejects_oversized_n_windows(spark):
+    import pytest
+
+    df = spark.createDataFrame([(0, b"")], "media_id BIGINT, content BINARY")
+    with pytest.raises(ValueError, match=r"\[2, 65\]"):
+        multimodal.audio_fingerprint(df, n_windows=66)
+
+
+def test_wav_samples_rejects_stereo_and_16bit():
+    import io
+    import wave
+
+    import pytest
+
+    def make(nch, width):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(width)
+            w.setframerate(8000)
+            w.writeframes(bytes(64 * nch * width))
+        return buf.getvalue()
+
+    with pytest.raises(ValueError, match="mono 8-bit"):
+        codecs.wav_samples(make(2, 1))
+    with pytest.raises(ValueError, match="mono 8-bit"):
+        codecs.wav_samples(make(1, 2))
+    # the supported subset still decodes
+    sr, smp = codecs.wav_samples(make(1, 1))
+    assert sr == 8000 and len(smp) == 64
+
+
+def test_video_neardup_rejects_negative_video_id(spark):
+    import pytest
+
+    frame = codecs.encode_png(18, 16, bytes((p * 37 + 11) % 200 + 8 for p in range(288)))
+    df = spark.createDataFrame(
+        [(-1, [frame]), (0, [frame])],
+        "media_id BIGINT, frames ARRAY<BINARY>",
+    )
+    with pytest.raises(Exception, match="id outside"):
+        multimodal.video_neardup_pairs(df, min_shared=1).collect()
