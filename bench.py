@@ -65,6 +65,9 @@ BENCH_QUERIES = [
     "vector_ops_hof",
     "chunk_documents_udtf",
     "corpus_intake_pipeline",
+    # round-9 additions
+    "html_extract_text",
+    "html_intake_pipeline",
     # round-5 additions
     "similarity_bucketed_recall",
     "dedup_ledger_compacted",

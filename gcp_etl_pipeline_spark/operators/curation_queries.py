@@ -1559,3 +1559,165 @@ register(
     FROM fr
     """,
 )
+
+
+# --------------------------------------- HTML/markup -> text extraction
+#
+# The crawl-corpus front door (reference parity: none — the reference
+# ingests already-clean rows; this is the LLM-tier gap every crawl
+# pipeline hits first). The fixture wraps each documents row in a
+# deterministic HTML page — head chrome, script/style bodies, comments,
+# attributes, entities, block structure — IDENTICALLY in both engines,
+# then the oracle replays operators/text.py's exact strip/decode/
+# normalize step tables compiled to RE2, so a drifted regex, decode
+# order, or collapse rule anywhere in the chain breaks the value hash.
+
+_HTML_PIECES: tuple[tuple[str, str], ...] = (
+    (
+        "lit",
+        '<html><head><title>Corpus page</title>'
+        '<style type="text/css">body { color: #abc; }</style>'
+        '<script>if (1 < 2 && 3 > 0) { x = "boo"; }</script>'
+        '</head><body><h1 class="t" id="h',
+    ),
+    ("col", "doc_id"),
+    ("lit", '">Overview</h1><!-- crawl artifact --><p>'),
+    ("col", "text"),
+    ("lit", "</p><ul><li>lang hint: "),
+    ("col", "lang"),
+    ("lit", "</li><li>src: "),
+    ("col", "source"),
+    (
+        "lit",
+        "</li></ul><div>Tom &amp; Jerry &lt;3&nbsp;&quot;q&quot; "
+        "&#39;n &apos;t &copy;stays</div></body></html>",
+    ),
+)
+
+
+def _html_wrap(docs: DataFrame) -> DataFrame:
+    from gcp_etl_pipeline_spark.operators import text as _text  # noqa: F401
+
+    parts = [
+        F.lit(v) if kind == "lit" else F.col(v).cast("string")
+        for kind, v in _HTML_PIECES
+    ]
+    return docs.select("doc_id", "source", F.concat(*parts).alias("html"))
+
+
+_HTML_SQL = " || ".join(
+    "'" + v.replace("'", "''") + "'" if kind == "lit"
+    else f"CAST({v} AS VARCHAR)"
+    for kind, v in _HTML_PIECES
+)
+
+
+def _sql_rep(s: str) -> str:
+    """Replacement literal for the oracle: a real newline must be chr(10)
+    (DuckDB standard strings keep backslashes literal)."""
+    return "chr(10)" if s == "\n" else "'" + s.replace("'", "''") + "'"
+
+
+def _html_to_text_sql(expr: str) -> str:
+    """Compile text.py's step tables to one nested DuckDB expression —
+    the SAME tuples the Spark column chain walks."""
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    out = expr
+    for pat, rep in _text.HTML_STRIP_STEPS:
+        out = f"regexp_replace({out}, '{pat}', {_sql_rep(rep)}, 'g')"
+    for ent, ch in _text.HTML_ENTITIES:
+        out = f"replace({out}, '{ent}', {_sql_rep(ch)})"
+    for pat, rep in _text.HTML_WS_STEPS:
+        out = f"regexp_replace({out}, '{pat}', {_sql_rep(rep)}, 'g')"
+    return f"trim({out})"
+
+
+def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup stripping as one codegen'd projection: page chrome, script
+    and style bodies, and comments vanish; block boundaries become
+    newlines; entities decode (unknown ones pass through); whitespace
+    collapses. No shuffle, no Python — the transform fuses into the
+    parquet scan."""
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    html = _html_wrap(_docs(spark, sf_dir))
+    return html.select(
+        "doc_id",
+        _text.html_to_text("html").alias("clean_text"),
+    ).withColumn("n_chars", F.length("clean_text").cast("bigint"))
+
+
+register(
+    "html_extract_text",
+    _q_html_extract,
+    f"""
+    WITH h AS (SELECT doc_id, {_HTML_SQL} AS html FROM documents),
+    x AS (SELECT doc_id, {_html_to_text_sql('html')} AS clean_text FROM h)
+    SELECT doc_id, clean_text,
+           CAST(length(clean_text) AS BIGINT) AS n_chars
+    FROM x
+    """,
+)
+
+
+def _q_html_intake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The extraction COMPOSED ahead of the intake chain — raw HTML in,
+    gated deduped rows out, one lazy plan: strip/decode/normalize ->
+    quality gates -> language gate -> exact dedup (keep min id). The
+    page chrome the wrapper plants (title, list labels, the entity
+    line) rides every document through tokenization, the gates, and
+    the fingerprint, so the oracle replaying the same chain over the
+    same HTML certifies the extraction is safe to put in FRONT of the
+    existing curation tier. Gate survivors are pinned once before the
+    fingerprint self-join (the corpus_intake_pipeline economics)."""
+    from gcp_etl_pipeline_spark.operators import dedup as _dedup
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    html = _html_wrap(_docs(spark, sf_dir))
+    extracted = html.select(
+        "doc_id", "source", _text.html_to_text("html").alias("text")
+    )
+    q = _text.quality_features(extracted)
+    filtered = q.where(
+        (F.col("n_tokens") >= 15)
+        & (F.col("alpha_ratio") >= 0.45)
+        & (_text.lang_id("text") == "en")
+    )
+    pinned = filtered.select(
+        "doc_id", "source", "n_tokens", "text"
+    ).localCheckpoint(eager=True)
+    return _dedup.dedup_exact(pinned).select("doc_id", "source", "n_tokens")
+
+
+def _html_intake_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators.dedup_queries import (
+        _FP,
+        _lang_ctes,
+    )
+
+    return f"""
+    WITH h AS (SELECT doc_id, source, {_HTML_SQL} AS html FROM documents),
+    x AS (SELECT doc_id, source, {_html_to_text_sql('html')} AS text FROM h),
+    tok AS (SELECT doc_id, source, text,
+              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                          t -> t <> '') AS toks
+            FROM x),
+    {_lang_ctes()},
+    q AS (SELECT doc_id, source, text,
+            CAST(len(toks) AS BIGINT) AS n_tokens,
+            CASE WHEN length(text) > 0 THEN
+              CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   AS DOUBLE) / length(text) ELSE 0.0 END AS alpha_ratio
+          FROM tok),
+    f AS (SELECT q.* FROM q JOIN langd USING (doc_id)
+          WHERE n_tokens >= 15 AND alpha_ratio >= 0.45
+            AND lang_det = 'en'),
+    fp AS (SELECT doc_id, source, n_tokens, {_FP} AS fhash FROM f),
+    keep AS (SELECT fhash, MIN(doc_id) AS doc_id FROM fp GROUP BY fhash)
+    SELECT fp.doc_id, fp.source, fp.n_tokens
+    FROM fp JOIN keep ON fp.doc_id = keep.doc_id AND fp.fhash = keep.fhash
+    """
+
+
+register("html_intake_pipeline", _q_html_intake, _html_intake_oracle())

@@ -365,3 +365,74 @@ def bpe_apply_merges_stats(
             F.expr("symbols_total * 1000000 div chars_total").cast("bigint"),
         )
     )
+
+
+# ------------------- HTML/markup -> text extraction (the crawl front door)
+#
+# Every crawl-derived corpus passes through tag stripping before any
+# dedup/gating; these tables are the SINGLE definition of that transform —
+# operators/curation_queries.py compiles the same steps into the DuckDB
+# oracle, so an edit here keeps both engines in lockstep. All steps are
+# plain regex/replace column expressions (JVM whole-stage codegen; RE2-
+# compatible so the oracle replays them): no backreferences, no lookaround.
+
+HTML_STRIP_STEPS: tuple[tuple[str, str], ...] = (
+    # script/style bodies go first — their CONTENT must never leak
+    (r"(?is)<script\b[^>]*>.*?</script\s*>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style\s*>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    # block-level boundaries become newlines so paragraph structure
+    # survives for downstream chunkers/dedup
+    (
+        r"(?i)</?(p|div|br|hr|h[1-6]|li|ul|ol|dl|dt|dd|tr|td|th|table"
+        r"|thead|tbody|blockquote|section|article|header|footer|nav"
+        r"|aside|pre|title|form)\b[^>]*>",
+        "\n",
+    ),
+    # every remaining tag (inline: a, b, span, ...) vanishes in place
+    (r"(?s)<[^>]*>", ""),
+)
+
+# decoded AFTER tag removal so a literal &lt;div&gt; in text can never be
+# re-parsed as markup; &amp; decodes LAST so "&amp;lt;" yields "&lt;".
+# Unknown entities pass through untouched.
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#34;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+)
+
+HTML_WS_STEPS: tuple[tuple[str, str], ...] = (
+    (r"[ \t\r]+", " "),      # horizontal runs -> one space
+    (r" ?\n ?", "\n"),       # spaces hugging a newline fold into it
+    (r"\n+", "\n"),          # block-boundary runs -> one newline
+    (r"^\n|\n$", ""),        # strip the (single, post-collapse) edges
+)
+
+
+def html_to_text(html: Column | str) -> Column:
+    """Markup -> clean text: script/style/comment excision, block tags to
+    newlines, inline tags dropped, common entities decoded, whitespace
+    normalized. One narrow projection per document — fuses into the scan,
+    shuffles nothing, needs no Python."""
+    c = F.col(html) if isinstance(html, str) else html
+    for pat, rep in HTML_STRIP_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    for ent, ch in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    for pat, rep in HTML_WS_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    return F.trim(c)
+
+
+def extract_html_text(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Dataframe form of ``html_to_text``: (id, text) with every other
+    column dropped — the shape the gate -> dedup intake chain consumes."""
+    return df.select(F.col(id_col), html_to_text(html_col).alias("text"))
