@@ -1315,52 +1315,78 @@ register(
 
 # --------------------------------- cross-run image near-dup ledger
 
+def _phash_corpus_gen(batches):
+    """The planted-class PNG generator for the band-ledger lifecycles:
+    i%4==1 is a brightness variant of the even i-1 (identical dHash ->
+    cross-run drop via the ledger); i%8==7 is a brightness variant of
+    the odd i-4 (in-batch drop); everything else is unique."""
+    import hashlib as _hl
+
+    import pandas as _p
+
+    from gcp_etl_pipeline_spark.operators import codecs
+
+    for pdf in batches:
+        ids, blobs = [], []
+        for i in pdf["id"]:
+            i = int(i)
+            if i % 4 == 1:
+                key, bright = i - 1, 24
+            elif i % 8 == 7:
+                key, bright = i - 4, 24
+            else:
+                key, bright = i, 0
+            chunks = [
+                _hl.md5(f"L{key}|{c}".encode()).hexdigest()
+                for c in range(18)
+            ]
+            px = bytearray(288)
+            for p in range(288):
+                hx = chunks[p // 16]
+                b = int(hx[2 * (p % 16) : 2 * (p % 16) + 2], 16)
+                px[p] = b % 200 + 8 + bright
+            blobs.append(codecs.encode_png(18, 16, bytes(px)))
+            ids.append(i)
+        yield _p.DataFrame({"media_id": ids, "content": blobs})
+
+
+_PHASH_CORPUS_CACHE: dict[str, str] = {}
+
+
+def phash_ledger_corpus(spark: SparkSession) -> DataFrame:
+    """The 300-image planted-class corpus SHARED by the batch and
+    streaming band-ledger twins — generated once per session and cached
+    as parquet, so repeated runs (bench warm-up + timed passes, and the
+    two twins inside one sweep) measure the ENGINE lifecycles, not
+    repeated in-query PNG generation (r8 judged the streaming twin's
+    bench slot fixture-dominated at 13.2s)."""
+    import tempfile
+
+    key = spark.sparkContext.applicationId
+    path = _PHASH_CORPUS_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="graft_phcorpus_") + "/media"
+        spark.range(300).mapInPandas(
+            _phash_corpus_gen, "media_id BIGINT, content BINARY"
+        ).write.mode("overwrite").parquet(path)
+        _PHASH_CORPUS_CACHE[key] = path
+    return read_parquet(spark, path)
+
+
 def _q_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image band-ledger lifecycle: increment 1 (even ids) seeds the
     perceptual-band store, increment 2 (odd ids) near-dedups against
-    it. Planted classes per id: i%4==1 is a brightness variant of the
-    even i-1 (identical dHash -> cross-run drop via the ledger);
-    i%8==7 is a brightness variant of the odd i-4 (in-batch drop);
-    everything else is unique. The oracle replays every hash and the
-    full band set-algebra from the pixel recipe — including any
-    incidental 16-bit band collisions between 'unique' images — so a
-    ledger leak, a self-read, or an attempt-partition slip changes the
-    accept set and breaks the hash."""
+    it. Planted classes per id: see _phash_corpus_gen. The oracle
+    replays every hash and the full band set-algebra from the pixel
+    recipe — including any incidental 16-bit band collisions between
+    'unique' images — so a ledger leak, a self-read, or an
+    attempt-partition slip changes the accept set and breaks the
+    hash."""
     import tempfile
 
     from gcp_etl_pipeline_spark.operators.dedup import phash_incremental
 
-    def gen(batches):
-        import hashlib as _hl
-
-        import pandas as _p
-
-        from gcp_etl_pipeline_spark.operators import codecs
-
-        for pdf in batches:
-            ids, blobs = [], []
-            for i in pdf["id"]:
-                i = int(i)
-                if i % 4 == 1:
-                    key, bright = i - 1, 24
-                elif i % 8 == 7:
-                    key, bright = i - 4, 24
-                else:
-                    key, bright = i, 0
-                chunks = [
-                    _hl.md5(f"L{key}|{c}".encode()).hexdigest()
-                    for c in range(18)
-                ]
-                px = bytearray(288)
-                for p in range(288):
-                    hx = chunks[p // 16]
-                    b = int(hx[2 * (p % 16) : 2 * (p % 16) + 2], 16)
-                    px[p] = b % 200 + 8 + bright
-                blobs.append(codecs.encode_png(18, 16, bytes(px)))
-                ids.append(i)
-            yield _p.DataFrame({"media_id": ids, "content": blobs})
-
-    media = spark.range(300).mapInPandas(gen, "media_id BIGINT, content BINARY")
+    media = phash_ledger_corpus(spark)
     store = tempfile.mkdtemp(prefix="graft_phledger_") + "/bands"
     acc1 = phash_incremental(
         media.where("media_id % 2 = 0"), store, attempt_id="i1"

@@ -705,7 +705,7 @@ def _q_stream_phash_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from gcp_etl_pipeline_spark.operators.curation_queries import (
-        _q_phash_incremental,  # noqa: F401 (documentation anchor)
+        phash_ledger_corpus,  # the ONE shared planted-class corpus
     )
     from gcp_etl_pipeline_spark.operators.dedup import phash_incremental
 
@@ -713,37 +713,7 @@ def _q_stream_phash_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = f"{root}/in"
     os.makedirs(src)
 
-    def gen(batches):
-        import hashlib as _hl
-
-        import pandas as _p
-
-        from gcp_etl_pipeline_spark.operators import codecs
-
-        for pdf in batches:
-            ids, blobs = [], []
-            for i in pdf["id"]:
-                i = int(i)
-                if i % 4 == 1:
-                    key, bright = i - 1, 24
-                elif i % 8 == 7:
-                    key, bright = i - 4, 24
-                else:
-                    key, bright = i, 0
-                chunks = [
-                    _hl.md5(f"L{key}|{c}".encode()).hexdigest()
-                    for c in range(18)
-                ]
-                px = bytearray(288)
-                for p in range(288):
-                    hx = chunks[p // 16]
-                    b = int(hx[2 * (p % 16) : 2 * (p % 16) + 2], 16)
-                    px[p] = b % 200 + 8 + bright
-                blobs.append(codecs.encode_png(18, 16, bytes(px)))
-                ids.append(i)
-            yield _p.DataFrame({"media_id": ids, "content": blobs})
-
-    media = spark.range(300).mapInPandas(gen, "media_id BIGINT, content BINARY")
+    media = phash_ledger_corpus(spark)
     for b, pred in enumerate(("media_id % 2 = 0", "media_id % 2 = 1")):
         tmp = f"{root}/tmp{b}"
         media.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
