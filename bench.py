@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     # round-9 additions
     "html_extract_text",
     "html_intake_pipeline",
+    "image_phash_neardup_reps",
     # round-5 additions
     "similarity_bucketed_recall",
     "dedup_ledger_compacted",

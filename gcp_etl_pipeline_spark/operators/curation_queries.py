@@ -885,43 +885,47 @@ def _q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     every gradient sign (Hamming 0); the single-pixel bump variant
     flips at most one sampled comparison (Hamming <= 1) — the planted
     near-dup classes a perceptual hash must catch."""
-    from pyspark.sql import functions as F  # noqa: F401 (parity imports)
-
     from gcp_etl_pipeline_spark.operators import multimodal
 
-    def gen(batches):
-        import hashlib as _hl
-
-        import pandas as _p
-
-        from gcp_etl_pipeline_spark.operators import codecs
-
-        for pdf in batches:
-            ids, blobs = [], []
-            for i in pdf["id"]:
-                i = int(i)
-                g, v = divmod(i, 3)
-                chunks = [
-                    _hl.md5(f"{g}|{c}".encode()).hexdigest()
-                    for c in range(18)
-                ]
-                px = bytearray(288)
-                for p in range(288):
-                    hx = chunks[p // 16]
-                    b = int(hx[2 * (p % 16) : 2 * (p % 16) + 2], 16)
-                    px[p] = (
-                        b % 200 + 8
-                        + (24 if v == 1 else 0)
-                        + (40 if v == 2 and p % 89 == 0 else 0)
-                    )
-                blobs.append(codecs.encode_png(18, 16, bytes(px)))
-                ids.append(i)
-            yield _p.DataFrame({"media_id": ids, "content": blobs})
-
-    media = spark.range(480).mapInPandas(gen, "media_id BIGINT, content BINARY")
+    media = spark.range(480).mapInPandas(
+        _phash_fixture_gen, "media_id BIGINT, content BINARY"
+    )
     return multimodal.phash_neardup_pairs(
         multimodal.image_dhash(media), max_hamming=3
     )
+
+
+def _phash_fixture_gen(batches):
+    """The 480-PNG near-dup fixture (160 groups x 3 variants: base,
+    brightness +24 everywhere, single-pixel bump) shared by the pair
+    and rep-level phash queries."""
+    import hashlib as _hl
+
+    import pandas as _p
+
+    from gcp_etl_pipeline_spark.operators import codecs
+
+    for pdf in batches:
+        ids, blobs = [], []
+        for i in pdf["id"]:
+            i = int(i)
+            g, v = divmod(i, 3)
+            chunks = [
+                _hl.md5(f"{g}|{c}".encode()).hexdigest()
+                for c in range(18)
+            ]
+            px = bytearray(288)
+            for p in range(288):
+                hx = chunks[p // 16]
+                b = int(hx[2 * (p % 16) : 2 * (p % 16) + 2], 16)
+                px[p] = (
+                    b % 200 + 8
+                    + (24 if v == 1 else 0)
+                    + (40 if v == 2 and p % 89 == 0 else 0)
+                )
+            blobs.append(codecs.encode_png(18, 16, bytes(px)))
+            ids.append(i)
+        yield _p.DataFrame({"media_id": ids, "content": blobs})
 
 
 _PNIB1 = (
@@ -933,11 +937,10 @@ _PNIB2 = (
     "|| '|' || CAST(p // 16 AS VARCHAR)), 2 * (p % 16) + 2, 1)) - 1)"
 )
 
-register(
-    "image_phash_neardup",
-    _q_image_phash_neardup,
-    f"""
-    WITH g AS (SELECT unnest(range(480)) AS i),
+# the fixture's pixel -> bits -> 16-bit-bands replay, shared by the
+# pair-level and rep-level oracles below
+_PHASH_FIX_BANDS = f"""
+    g AS (SELECT unnest(range(480)) AS i),
     px AS (SELECT i, list_transform(range(288), p ->
              ({_PNIB1} * 16 + {_PNIB2}) % 200 + 8
              + CASE WHEN i % 3 = 1 THEN 24 ELSE 0 END
@@ -951,7 +954,14 @@ register(
       SELECT i, k AS band_id,
              CAST(list_sum(list_transform(range(16),
                     j -> bits[16 * k + j + 1] * (1 << j))) AS BIGINT) AS bv
-      FROM bits, (SELECT unnest(range(4)) AS k) ks),
+      FROM bits, (SELECT unnest(range(4)) AS k) ks)
+"""
+
+register(
+    "image_phash_neardup",
+    _q_image_phash_neardup,
+    f"""
+    WITH {_PHASH_FIX_BANDS},
     cand AS (SELECT DISTINCT l.i AS a, r.i AS b
              FROM bands l JOIN bands r
                ON l.band_id = r.band_id AND l.bv = r.bv AND l.i < r.i)
@@ -962,6 +972,59 @@ register(
     JOIN bands bb ON bb.i = c.b AND bb.band_id = ba.band_id
     GROUP BY c.a, c.b
     HAVING SUM(bit_count(xor(ba.bv, bb.bv))) <= 3
+    """,
+)
+
+
+def _q_image_phash_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REP-LEVEL near-dup form (expand=False) over the same 480-PNG
+    fixture — the corpus-scale contract: one row per exact-dup cluster
+    (rep, rep, 0, n, n) and one per verified cross-hash pair
+    (rep_a, rep_b, hamming, na, nb), never the quadratic member-pair
+    expansion. The oracle re-derives the clusters (group by the full
+    4-band hash), the distinct-hash band join, and the size columns —
+    a wrong collapse, a lost cluster member, or a pair that leaked
+    through the collapse all break the hash."""
+    from gcp_etl_pipeline_spark.operators import multimodal
+
+    media = spark.range(480).mapInPandas(
+        _phash_fixture_gen, "media_id BIGINT, content BINARY"
+    )
+    return multimodal.phash_neardup_pairs(
+        multimodal.image_dhash(media), max_hamming=3, expand=False
+    )
+
+
+register(
+    "image_phash_neardup_reps",
+    _q_image_phash_reps,
+    f"""
+    WITH {_PHASH_FIX_BANDS},
+    h4 AS (SELECT i,
+             MAX(CASE WHEN band_id = 0 THEN bv END) AS b0,
+             MAX(CASE WHEN band_id = 1 THEN bv END) AS b1,
+             MAX(CASE WHEN band_id = 2 THEN bv END) AS b2,
+             MAX(CASE WHEN band_id = 3 THEN bv END) AS b3
+           FROM bands GROUP BY i),
+    cl AS MATERIALIZED (
+      SELECT b0, b1, b2, b3, MIN(i) AS rep, COUNT(*) AS n
+      FROM h4 GROUP BY b0, b1, b2, b3),
+    clb AS (SELECT rep, n, b0, b1, b2, b3, k AS band_id,
+              CASE k WHEN 0 THEN b0 WHEN 1 THEN b1
+                     WHEN 2 THEN b2 ELSE b3 END AS bv
+            FROM cl, (SELECT unnest(range(4)) AS k) ks),
+    crossp AS (SELECT DISTINCT l.rep AS a, r.rep AS b,
+                 CAST(bit_count(xor(l.b0, r.b0)) + bit_count(xor(l.b1, r.b1))
+                    + bit_count(xor(l.b2, r.b2)) + bit_count(xor(l.b3, r.b3))
+                      AS BIGINT) AS hamming,
+                 l.n AS na, r.n AS nb
+               FROM clb l JOIN clb r
+                 ON l.band_id = r.band_id AND l.bv = r.bv AND l.rep < r.rep)
+    SELECT a, b, hamming, na, nb FROM crossp WHERE hamming <= 3
+    UNION ALL
+    SELECT rep AS a, rep AS b, CAST(0 AS BIGINT) AS hamming,
+           n AS na, n AS nb
+    FROM cl WHERE n >= 2
     """,
 )
 

@@ -139,25 +139,14 @@ def dedup_incremental(
     # caller's first action on the result. The checkpoint also means the
     # append below and the caller's consumption share one scan of the
     # increment instead of two.
-    with _ledger_guard(store_path):
-        store_files = _ledger_files(
-            store_path, spark, exclude_attempt=attempt_id
-        )
-        if store_files:
-            kept = batch.join(
-                spark.read.parquet(*store_files).select("__fp"),
-                "__fp",
-                "left_anti",
-            )
+    with ledger_increment(spark, store_path, attempt_id) as txn:
+        store = txn.read()
+        if store is not None:
+            kept = batch.join(store.select("__fp"), "__fp", "left_anti")
         else:
             kept = batch
         kept = kept.localCheckpoint(eager=True)
-        if attempt_id is None:
-            kept.select("__fp").write.mode("append").parquet(store_path)
-        else:
-            kept.select("__fp").write.mode("overwrite").parquet(
-                f"{store_path.rstrip('/')}/attempt={attempt_id}"
-            )
+        txn.write(kept.select("__fp"))
     return kept.drop("__fp")
 
 
@@ -199,6 +188,62 @@ def _ledger_files(
         return sorted(out)
     except OSError:
         return []
+
+
+class _LedgerTxn:
+    """One guarded ledger increment — the lifecycle discipline every
+    modality's ledger shares (exact-fp, near-dup-band, chunk-fp,
+    perceptual-band), factored once so the next modality doesn't copy
+    it a fifth time:
+
+      - the parquet file listing is taken ONCE inside the flock and
+        pinned, excluding the increment's own ``attempt=<id>`` partition
+        (a retried batch never anti-joins its first attempt's output);
+      - reads go through that pinned list (``read()``), so the store
+        this job is about to append to can never self-read;
+      - results must be ``localCheckpoint(eager=True)``-ed INSIDE the
+        guard before ``write()`` (callers do this — the returned frames
+        must not lazily re-read the pinned list after the guard drops:
+        a compaction in that gap deletes those exact files);
+      - ``write(df)`` appends flat files, or OVERWRITES the attempt
+        partition when ``attempt_id`` is set (replay-idempotent
+        retries).
+
+    Use via :func:`ledger_increment`; an overlapping increment or
+    compaction raises ``LedgerBusyError`` from the shared guard."""
+
+    def __init__(self, spark, store_path: str, attempt_id: str | None):
+        self._spark = spark
+        self._store = store_path
+        self._attempt = attempt_id
+        self.files = _ledger_files(
+            store_path, spark, exclude_attempt=attempt_id
+        )
+
+    def read(self) -> DataFrame | None:
+        """The ledger's pre-increment state (None when empty/new)."""
+        if not self.files:
+            return None
+        return self._spark.read.parquet(*self.files)
+
+    def write(self, df: DataFrame) -> None:
+        if self._attempt is None:
+            df.write.mode("append").parquet(self._store)
+        else:
+            df.write.mode("overwrite").parquet(
+                f"{self._store.rstrip('/')}/attempt={self._attempt}"
+            )
+
+
+import contextlib as _contextlib
+
+
+@_contextlib.contextmanager
+def ledger_increment(spark, store_path: str, attempt_id: str | None = None):
+    """Guard + pinned-listing + attempt-aware-write scope for one ledger
+    increment (see :class:`_LedgerTxn`)."""
+    with _ledger_guard(store_path):
+        yield _LedgerTxn(spark, store_path, attempt_id)
 
 
 def compact_ledger(
@@ -301,12 +346,9 @@ def neardup_incremental(
     surv = stacked.join(dropped, id_col, "left_anti")
     # the list→semi-join→append section holds the ledger guard (same
     # contract as dedup_incremental): overlap with a compaction raises
-    with _ledger_guard(store_path):
-        store_files = _ledger_files(
-            store_path, spark, exclude_attempt=attempt_id
-        )
-        if store_files:  # pinned pre-append file list (see dedup_incremental)
-            store = spark.read.parquet(*store_files)
+    with ledger_increment(spark, store_path, attempt_id) as txn:
+        store = txn.read()  # pinned pre-append file list (see _LedgerTxn)
+        if store is not None:
             led_dropped = (
                 surv.join(
                     store.select("band_id", "h"), ["band_id", "h"], "left_semi"
@@ -323,12 +365,7 @@ def neardup_incremental(
         surv = surv.localCheckpoint(eager=True)
         dropped = dropped.localCheckpoint(eager=True)
         stacked.unpersist()
-        if attempt_id is None:
-            surv.write.mode("append").parquet(store_path)
-        else:
-            surv.write.mode("overwrite").parquet(
-                f"{store_path.rstrip('/')}/attempt={attempt_id}"
-            )
+        txn.write(surv)
     # anti-join on dropped ids (not semi on survivors): short/empty docs
     # have no bands, hence no survivor rows, but they are still accepted
     return new_docs.join(
@@ -1486,25 +1523,16 @@ def substring_excise_incremental(
             .where(F.col("__df") >= min_doc_freq)
             .select("__fp")
         )
-        with _ledger_guard(store_path):
-            store_files = _ledger_files(
-                store_path, spark, exclude_attempt=attempt_id
-            )
-            if store_files:
-                ledger = spark.read.parquet(*store_files).select("__fp")
-                excise_set = hot.unionByName(ledger).distinct()
+        with ledger_increment(spark, store_path, attempt_id) as txn:
+            store = txn.read()
+            if store is not None:
+                excise_set = hot.unionByName(store.select("__fp")).distinct()
             else:
                 excise_set = hot
             out = _excise_assemble(
                 base, fps, excise_set, id_col
             ).localCheckpoint(eager=True)
-            batch_fps = fps.select("__fp").distinct()
-            if attempt_id is None:
-                batch_fps.write.mode("append").parquet(store_path)
-            else:
-                batch_fps.write.mode("overwrite").parquet(
-                    f"{store_path.rstrip('/')}/attempt={attempt_id}"
-                )
+            txn.write(fps.select("__fp").distinct())
     finally:
         base.unpersist()
     return out
@@ -1694,12 +1722,9 @@ def phash_incremental(
     # the in-guard unpersist) must not leave the band table pinned in
     # executor storage — the substring_excise_incremental discipline
     try:
-        with _ledger_guard(store_path):
-            store_files = _ledger_files(
-                store_path, spark, exclude_attempt=attempt_id
-            )
-            if store_files:
-                store = spark.read.parquet(*store_files)
+        with ledger_increment(spark, store_path, attempt_id) as txn:
+            store = txn.read()
+            if store is not None:
                 led_dropped = (
                     surv.join(
                         store.select("band_id", "h"),
@@ -1713,12 +1738,7 @@ def phash_incremental(
                 dropped = dropped.unionByName(led_dropped)
             surv = surv.localCheckpoint(eager=True)
             dropped = dropped.localCheckpoint(eager=True)
-            if attempt_id is None:
-                surv.write.mode("append").parquet(store_path)
-            else:
-                surv.write.mode("overwrite").parquet(
-                    f"{store_path.rstrip('/')}/attempt={attempt_id}"
-                )
+            txn.write(surv)
     finally:
         stacked.unpersist()
     return new_media.join(

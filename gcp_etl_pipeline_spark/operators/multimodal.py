@@ -325,6 +325,7 @@ def phash_neardup_pairs(
     max_hamming: int = 3,
     salt_factor: int | None = None,
     max_band_df: int | None = None,
+    expand: bool = True,
 ) -> DataFrame:
     """Image near-dup pairs by banded perceptual-hash matching — the
     MinHash-band discipline on 64-bit dHashes, never all-pairs: a pair
@@ -355,10 +356,16 @@ def phash_neardup_pairs(
     many distinct hashes before pairing (capped recall — a band that
     hot is a near-identical blob the cluster pass already collapses).
 
-    Note the OUTPUT itself is quadratic in exact-dup cluster size (all
-    member pairs is this operator's contract); consumers that only
-    need dedup decisions should group by dhash or use
-    ``phash_incremental`` and never materialize member pairs.
+    Note the expanded OUTPUT is quadratic in exact-dup cluster size (all
+    member pairs is the default contract). At corpus scale pass
+    ``expand=False`` to stop at the REPRESENTATIVE level: rows are
+    (a, b, hamming, na, nb) where a/b are cluster representative ids
+    and na/nb the cluster sizes — cross-cluster matches once per hash
+    pair (implying na*nb member pairs) plus one (rep, rep, 0, n, n)
+    row per exact-dup cluster of n >= 2 (implying n*(n-1)/2 member
+    pairs). A 100k-copy logo is then ONE row end to end; consumers
+    that only need dedup decisions should use this form (or
+    ``phash_incremental``) and never materialize member pairs.
 
     Scale shape: the band table is 4 small ints per DISTINCT hash; the
     self-join shuffles on (band_id, band_val) buckets; only 64-bit
@@ -375,19 +382,18 @@ def phash_neardup_pairs(
     # self-join (each unordered hash pair meets exactly once). Identical
     # dhash implies identical bands, so min() carries them through the
     # collapse without a join back.
-    stacked = (
-        hp.groupBy("dhash")
-        .agg(
-            F.min("media_id").alias("__rep"),
-            *[F.min(f"band{k}").alias(f"band{k}") for k in range(4)],
-        )
-        .select(
-            "__rep",
-            "dhash",
-            F.expr(
-                "stack(4, 0, band0, 1, band1, 2, band2, 3, band3)"
-            ).alias("band_id", "band_val"),
-        )
+    clusters = hp.groupBy("dhash").agg(
+        F.min("media_id").alias("__rep"),
+        F.count(F.lit(1)).alias("__n"),
+        *[F.min(f"band{k}").alias(f"band{k}") for k in range(4)],
+    )
+    stacked = clusters.select(
+        "__rep",
+        "dhash",
+        "__n",
+        F.expr(
+            "stack(4, 0, band0, 1, band1, 2, band2, 3, band3)"
+        ).alias("band_id", "band_val"),
     )
     if max_band_df is not None:
         hot = (
@@ -400,12 +406,14 @@ def phash_neardup_pairs(
     lft = stacked.select(
         F.col("__rep").alias("__ra"),
         F.col("dhash").alias("__ha"),
+        F.col("__n").alias("__na"),
         "band_id",
         "band_val",
     )
     rgt = stacked.select(
         F.col("__rep").alias("__rb"),
         F.col("dhash").alias("__hb"),
+        F.col("__n").alias("__nb"),
         "band_id",
         "band_val",
     )
@@ -419,7 +427,7 @@ def phash_neardup_pairs(
         joined = lft.join(rgt, ["band_id", "band_val"])
     verified = (
         joined.where(F.col("__ra") < F.col("__rb"))
-        .select("__ha", "__hb")
+        .select("__ra", "__rb", "__ha", "__hb", "__na", "__nb")
         .distinct()
         .withColumn(
             "hamming",
@@ -428,13 +436,31 @@ def phash_neardup_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+    if not expand:
+        cross_reps = verified.select(
+            F.col("__ra").alias("a"),
+            F.col("__rb").alias("b"),
+            "hamming",
+            F.col("__na").alias("na"),
+            F.col("__nb").alias("nb"),
+        )
+        self_reps = clusters.where(F.col("__n") >= 2).select(
+            F.col("__rep").alias("a"),
+            F.col("__rep").alias("b"),
+            F.lit(0).cast("bigint").alias("hamming"),
+            F.col("__n").alias("na"),
+            F.col("__n").alias("nb"),
+        )
+        return _release_on_gc(cross_reps.unionByName(self_reps), hp)
     ma = members.select(
         F.col("media_id").alias("__ma"), F.col("dhash").alias("__ha")
     )
     mb = members.select(
         F.col("media_id").alias("__mb"), F.col("dhash").alias("__hb")
     )
-    cross = verified.join(ma, "__ha").join(mb, "__hb").select(
+    cross = verified.select("__ha", "__hb", "hamming").join(ma, "__ha").join(
+        mb, "__hb"
+    ).select(
         F.least("__ma", "__mb").alias("a"),
         F.greatest("__ma", "__mb").alias("b"),
         "hamming",

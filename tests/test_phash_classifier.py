@@ -325,3 +325,31 @@ def test_video_neardup_rejects_negative_video_id(spark):
     )
     with pytest.raises(Exception, match="id outside"):
         multimodal.video_neardup_pairs(df, min_shared=1).collect()
+
+
+def test_phash_expand_false_rep_level(spark):
+    """expand=False stops at representatives: one row per exact-dup
+    cluster and per verified cross-hash pair, with sizes that imply the
+    exact member-pair counts the expanded form materializes."""
+    rows = [(i, 7, 1, 2, 3, 4) for i in range(5)]          # 5-copy cluster
+    rows += [(10, 6, 1, 2, 3, 9), (11, 6, 1, 2, 3, 9)]     # 2-copy, ham(7,6)=1
+    rows += [(20, 1 << 40, 50, 60, 70, 80)]                 # unrelated
+    hashes = spark.createDataFrame(
+        rows,
+        "media_id BIGINT, dhash BIGINT, band0 INT, band1 INT, "
+        "band2 INT, band3 INT",
+    ).persist()
+    reps = {
+        (r["a"], r["b"]): (r["hamming"], r["na"], r["nb"])
+        for r in multimodal.phash_neardup_pairs(
+            hashes, max_hamming=3, expand=False
+        ).collect()
+    }
+    assert reps == {
+        (0, 0): (0, 5, 5),       # the 5-copy cluster: implies 10 pairs
+        (10, 10): (0, 2, 2),     # the 2-copy cluster: implies 1 pair
+        (0, 10): (1, 5, 2),      # cross pair: implies 5*2 member pairs
+    }
+    # the expanded form materializes exactly the implied counts
+    expanded = multimodal.phash_neardup_pairs(hashes, max_hamming=3).collect()
+    assert len(expanded) == 10 + 1 + 10

@@ -1137,6 +1137,153 @@ def main() -> int:
     )
     stage_rows[f"intake_chain_composed_{n_ip // 1000}k"] = n_ip
 
+    # Multimodal near-dup dedup at 1M-IMAGE smoke scale (the proof the
+    # text tier has at 2M/20M docs): closed-form planted classes
+    # INCLUDING one adversarial 100k-copy exact-duplicate cluster (the
+    # logo/blank-avatar shape that used to fan the band join out
+    # quadratically) through real PNG encode -> dHash decode -> the
+    # GUARDED banded pair join (exact-dup pre-collapse, rep-level
+    # output) -> the perceptual-band ledger, two increments. Every
+    # image's dHash is CONSTRUCTED exactly (v-walk: bit (y,x) of the
+    # target hash decides whether the sampled row steps down or up), so
+    # each hash is k * 0x0001000100010001 — all four 16-bit bands equal
+    # k, distinct k never share a band, and every count below is closed
+    # form. Near-dup partners flip hash bit 40 (band2 only: 3 colliding
+    # bands, Hamming 1).
+    import tempfile as _tf
+
+    from gcp_etl_pipeline_spark.operators.dedup import phash_incremental
+    from gcp_etl_pipeline_spark.operators.multimodal import (
+        image_dhash,
+        phash_neardup_pairs,
+    )
+
+    PH_S = 1 if n >= 2_000_000 else 20  # dev scale-down below full smoke
+    PH_HOT = 100_000 // PH_S            # the adversarial exact-dup cluster
+    PH_NK = 30_000 // PH_S              # distinct k per increment (even)
+    PH_CP = 15                          # copies per k-class
+    PH_ND = 100 // PH_S                 # planted near-dup partners
+    PH_I1 = PH_HOT + PH_NK * PH_CP      # increment 1 (holds the hot cluster)
+    PH_I2 = PH_NK * PH_CP               # increment 2 (half-overlapping ks)
+    PH_ALL = PH_I1 + PH_I2 + PH_ND
+
+    def _gen_phash(batches):
+        import pandas as _p
+
+        from gcp_etl_pipeline_spark.operators import codecs as _codecs
+
+        cache: dict[int, bytes] = {}
+
+        def png_for(u: int) -> bytes:
+            blob = cache.get(u)
+            if blob is None:
+                px = bytearray(288)
+                for y in range(8):
+                    v = 128
+                    row = [v]
+                    for x in range(8):
+                        v = v - 1 if (u >> (y * 8 + x)) & 1 else v + 1
+                        row.append(v)
+                    for x in range(9):
+                        px[36 * y + 2 * x] = row[x]
+                        px[36 * y + 2 * x + 1] = row[x]
+                blob = _codecs.encode_png(18, 16, bytes(px))
+                cache[u] = blob
+            return blob
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                if i < PH_HOT:
+                    k = 0
+                elif i < PH_I1:
+                    k = 1 + (i - PH_HOT) % PH_NK
+                elif i < PH_I1 + PH_I2:
+                    k = PH_NK // 2 + 1 + (i - PH_I1) % PH_NK
+                else:
+                    k = i - (PH_I1 + PH_I2)
+                u = k * 0x0001000100010001
+                if i >= PH_I1 + PH_I2:
+                    u ^= 1 << 40
+                ids.append(i)
+                blobs.append(png_for(u))
+            yield _p.DataFrame({"media_id": ids, "content": blobs})
+
+    ph_root = _tf.mkdtemp(prefix="graft_smoke_phash_")
+    t0 = time.time()
+    spark.range(PH_ALL).mapInPandas(
+        _gen_phash, "media_id BIGINT, content BINARY"
+    ).write.mode("overwrite").parquet(f"{ph_root}/media")
+    pmedia = spark.read.parquet(f"{ph_root}/media")
+    timings["phash_smoke_generate_encode"] = round(time.time() - t0, 2)
+    stage_rows["phash_smoke_generate_encode"] = PH_ALL
+
+    # (a) decode + dHash + exact-dup collapse over the full corpus
+    t0 = time.time()
+    ph_hashes = image_dhash(pmedia).persist()
+    n_distinct = ph_hashes.select("dhash").distinct().count()
+    assert n_distinct == 1 + PH_NK + PH_NK // 2 + PH_ND, n_distinct
+    timings["phash_smoke_dhash_collapse"] = round(time.time() - t0, 2)
+    stage_rows["phash_smoke_dhash_collapse"] = PH_ALL
+
+    # (b) the guarded banded pair join WITH the hot cluster, rep-level:
+    # one row per exact-dup cluster + one per verified cross pair — the
+    # 100k-copy cluster is ONE row end to end, never a quadratic bucket
+    t0 = time.time()
+    reps = phash_neardup_pairs(ph_hashes, max_hamming=1, expand=False)
+    got = (
+        reps.groupBy(
+            (F.col("a") == F.col("b")).alias("is_self"),
+            "hamming",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("na").alias("sum_na"),
+            F.max("na").alias("max_na"),
+        )
+        .collect()
+    )
+    by = {(r["is_self"], int(r["hamming"])): r for r in got}
+    self_row = by[(True, 0)]
+    # every k-class is a cluster (n >= 2); nd partners are singletons
+    assert self_row["rows"] == 1 + PH_NK + PH_NK // 2, self_row
+    assert self_row["sum_na"] == PH_I1 + PH_I2, self_row
+    assert self_row["max_na"] == PH_HOT, self_row
+    cross_row = by[(False, 1)]
+    assert cross_row["rows"] == PH_ND, cross_row
+    assert cross_row["max_na"] == PH_HOT, cross_row  # the hot pair exists
+    assert len(by) == 2, by  # nothing else verified at max_hamming=1
+    hot_pair = reps.where(
+        (F.col("a") != F.col("b")) & (F.col("na") == PH_HOT)
+    ).collect()
+    assert len(hot_pair) == 1 and hot_pair[0]["a"] == 0, hot_pair
+    assert hot_pair[0]["b"] == PH_I1 + PH_I2 and hot_pair[0]["nb"] == 1
+    ph_hashes.unpersist()
+    timings["phash_smoke_guarded_pairs_hot100k"] = round(time.time() - t0, 2)
+    stage_rows["phash_smoke_guarded_pairs_hot100k"] = PH_ALL
+
+    # (c) the perceptual-band ledger lifecycle over two increments:
+    # accepted = one representative per k (bucket-min in-batch rule),
+    # minus the ledger-known overlap in increment 2
+    t0 = time.time()
+    ph_store = f"{ph_root}/bands"
+    acc1 = phash_incremental(
+        pmedia.where(F.col("media_id") < PH_I1), ph_store, attempt_id="s1"
+    ).count()
+    assert acc1 == 1 + PH_NK, acc1
+    acc2 = phash_incremental(
+        pmedia.where(
+            (F.col("media_id") >= PH_I1)
+            & (F.col("media_id") < PH_I1 + PH_I2)
+        ),
+        ph_store,
+        attempt_id="s2",
+    ).count()
+    assert acc2 == PH_NK // 2, acc2
+    timings["phash_smoke_ledger_2inc"] = round(time.time() - t0, 2)
+    stage_rows["phash_smoke_ledger_2inc"] = PH_I1 + PH_I2
+
     # KMV cardinality sketch at full scale, GRADED two ways: (1) the
     # estimate of a PLANTED cardinality (id % D over n rows, n > D, so
     # the true distinct count is exactly D — no 20M-row countDistinct
