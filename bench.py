@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "html_extract_text",
     "html_intake_pipeline",
     "image_phash_neardup_reps",
+    "html_link_extract",
+    "html_text_density",
     # round-5 additions
     "similarity_bucketed_recall",
     "dedup_ledger_compacted",

@@ -1676,9 +1676,15 @@ _HTML_PIECES: tuple[tuple[str, str], ...] = (
     ("col", "lang"),
     ("lit", "</li><li>src: "),
     ("col", "source"),
+    ("lit", '</li></ul><a href="https://ex.org/'),
+    ("col", "source"),
+    ("lit", "/"),
+    ("col", "doc_id"),
+    ("lit", '">more</a> <a class="x" href="https://mirror.example.com/item-'),
+    ("col", "doc_id"),
     (
         "lit",
-        "</li></ul><div>Tom &amp; Jerry &lt;3&nbsp;&quot;q&quot; "
+        '/">mirror</a><div>Tom &amp; Jerry &lt;3&nbsp;&quot;q&quot; '
         "&#39;n &apos;t &copy;stays</div></body></html>",
     ),
 )
@@ -1810,3 +1816,98 @@ def _html_intake_oracle() -> str:
 
 
 register("html_intake_pipeline", _q_html_intake, _html_intake_oracle())
+
+
+# anchor-href harvest: group 1 of every <a ... href="..."> occurrence —
+# the crawl-frontier extraction that feeds a link graph / URL dedup.
+# RE2-compatible (no backrefs/lookaround) so one pattern serves both
+# engines verbatim.
+_HREF_RE = '<a[^>]*href="([^"]*)"'
+
+
+def _q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction as one codegen'd projection + explode: every
+    href of every anchor tag, in document order (link_no), plus the
+    per-doc outdegree — the crawl-frontier feed. No Python, no shuffle;
+    the regexp_extract_all fuses into the scan and the explode is a
+    JVM generator."""
+    html = _html_wrap(_docs(spark, sf_dir))
+    arr = html.select(
+        "doc_id",
+        F.expr(f"regexp_extract_all(html, '{_HREF_RE}', 1)").alias(
+            "__hrefs"
+        ),
+    )
+    out = arr.select(
+        "doc_id",
+        F.posexplode("__hrefs").alias("__no", "href"),
+        F.size("__hrefs").cast("bigint").alias("outdegree"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("__no").cast("bigint").alias("link_no"),
+        "href",
+        "outdegree",
+    )
+
+
+register(
+    "html_link_extract",
+    _q_html_links,
+    f"""
+    WITH h AS (SELECT doc_id, {_HTML_SQL} AS html FROM documents),
+    l AS (SELECT doc_id,
+                 regexp_extract_all(html, '{_HREF_RE}', 1) AS hrefs
+          FROM h)
+    SELECT doc_id,
+           CAST(unnest(range(len(hrefs))) AS BIGINT) AS link_no,
+           unnest(hrefs) AS href,
+           CAST(len(hrefs) AS BIGINT) AS outdegree
+    FROM l
+    """,
+)
+
+
+def _q_html_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup-density quality signals per page — the cheap pre-gate a
+    crawl pipeline applies BEFORE full extraction (boilerplate-heavy and
+    script-only pages score low): extracted-text-to-markup ratio
+    (µ-unit integer division, exact on both engines), tag count, and
+    script presence. One scan, zero shuffle."""
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    html = _html_wrap(_docs(spark, sf_dir))
+    return html.select(
+        "doc_id",
+        F.length("html").cast("bigint").alias("n_chars_html"),
+        F.length(_text.html_to_text("html")).cast("bigint").alias(
+            "n_chars_text"
+        ),
+        F.size(F.expr("regexp_extract_all(html, '<[^>]+>', 0)"))
+        .cast("bigint")
+        .alias("n_tags"),
+        F.col("html").rlike("(?i)<script\\b").alias("has_script"),
+    ).withColumn(
+        "density_u",
+        F.expr("n_chars_text * 1000000 div n_chars_html").cast("bigint"),
+    )
+
+
+register(
+    "html_text_density",
+    _q_html_density,
+    f"""
+    WITH h AS (SELECT doc_id, {_HTML_SQL} AS html FROM documents),
+    m AS (SELECT doc_id,
+            CAST(length(html) AS BIGINT) AS n_chars_html,
+            CAST(length({_html_to_text_sql('html')}) AS BIGINT)
+              AS n_chars_text,
+            CAST(len(regexp_extract_all(html, '<[^>]+>')) AS BIGINT)
+              AS n_tags,
+            regexp_matches(html, '(?i)<script\\b') AS has_script
+          FROM h)
+    SELECT doc_id, n_chars_html, n_chars_text, n_tags, has_script,
+           n_chars_text * 1000000 // n_chars_html AS density_u
+    FROM m
+    """,
+)

@@ -333,12 +333,15 @@ def neardup_incremental(
     stacked = band_table(sig, id_col, num_hashes, bands).persist()
 
     # in-batch rule "dropped iff a LOWER id shares a band" == "id exceeds
-    # its bucket's min id in some bucket" — a bucket-min groupBy (map-side
-    # partial agg) plus a linear join, NOT a bucket self-join: a crawl
-    # batch with a B-doc boilerplate bucket emits B rows here, not B^2/2
-    mins = stacked.groupBy("band_id", "h").agg(F.min(id_col).alias("__mn"))
+    # its bucket's min id in some bucket" — ONE window-min shuffle (no
+    # ORDER BY, so no sort: whole-bucket min), NOT a bucket self-join: a
+    # crawl batch with a B-doc boilerplate bucket emits B rows, not B^2/2
+    from pyspark.sql import Window as _W
+
     dropped = (
-        stacked.join(mins, ["band_id", "h"])
+        stacked.withColumn(
+            "__mn", F.min(id_col).over(_W.partitionBy("band_id", "h"))
+        )
         .where(F.col(id_col) > F.col("__mn"))
         .select(id_col)
         .distinct()
@@ -1707,12 +1710,15 @@ def phash_incremental(
         .alias("band_id", "h"),
     ).persist()
 
-    # linear in-batch drop (the neardup_incremental bucket-min shape): a
-    # 100k-copy logo makes one hot (band_id, h) bucket; the min-groupBy
-    # emits one row for it and the join 100k rows — never 10^10 pairs
-    mins = stacked.groupBy("band_id", "h").agg(F.min(id_col).alias("__mn"))
+    # linear in-batch drop (the neardup_incremental window-min shape): a
+    # 100k-copy logo makes one hot (band_id, h) bucket; the window min
+    # passes its rows through once — never 10^10 pairs
+    from pyspark.sql import Window as _W
+
     dropped = (
-        stacked.join(mins, ["band_id", "h"])
+        stacked.withColumn(
+            "__mn", F.min(id_col).over(_W.partitionBy("band_id", "h"))
+        )
         .where(F.col(id_col) > F.col("__mn"))
         .select(id_col)
         .distinct()

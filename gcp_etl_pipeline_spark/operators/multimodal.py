@@ -452,35 +452,38 @@ def phash_neardup_pairs(
             F.col("__n").alias("nb"),
         )
         return _release_on_gc(cross_reps.unionByName(self_reps), hp)
+    # ONE expansion pass: verified cross-hash pairs union the exact-dup
+    # clusters' (h, h, 0) self rows, then both join members twice. A
+    # self row's join emits every ordered member combo, so the filter
+    # keeps x < y there; cross rows keep all combos (each unordered
+    # hash pair appears once).
+    pairs_rep = verified.select("__ha", "__hb", "hamming").unionByName(
+        clusters.where(F.col("__n") >= 2).select(
+            F.col("dhash").alias("__ha"),
+            F.col("dhash").alias("__hb"),
+            F.lit(0).cast("bigint").alias("hamming"),
+        )
+    )
     ma = members.select(
         F.col("media_id").alias("__ma"), F.col("dhash").alias("__ha")
     )
     mb = members.select(
         F.col("media_id").alias("__mb"), F.col("dhash").alias("__hb")
     )
-    cross = verified.select("__ha", "__hb", "hamming").join(ma, "__ha").join(
-        mb, "__hb"
-    ).select(
-        F.least("__ma", "__mb").alias("a"),
-        F.greatest("__ma", "__mb").alias("b"),
-        "hamming",
-    )
-    intra = (
-        members.alias("x")
-        .join(
-            members.alias("y"),
-            [
-                F.col("x.dhash") == F.col("y.dhash"),
-                F.col("x.media_id") < F.col("y.media_id"),
-            ],
+    out = (
+        pairs_rep.join(ma, "__ha")
+        .join(mb, "__hb")
+        .where(
+            (F.col("__ha") != F.col("__hb"))
+            | (F.col("__ma") < F.col("__mb"))
         )
         .select(
-            F.col("x.media_id").alias("a"),
-            F.col("y.media_id").alias("b"),
-            F.lit(0).cast("bigint").alias("hamming"),
+            F.least("__ma", "__mb").alias("a"),
+            F.greatest("__ma", "__mb").alias("b"),
+            "hamming",
         )
     )
-    return _release_on_gc(cross.unionByName(intra), hp)
+    return _release_on_gc(out, hp)
 
 
 def audio_fingerprint(df: DataFrame, n_windows: int = 33) -> DataFrame:

@@ -89,3 +89,22 @@ def test_html_oracle_sql_matches_spark(spark):
             "SELECT " + _html_to_text_sql(lit)
         ).fetchone()[0]
         assert got_spark[i] == got_duck, (i, got_spark[i], got_duck)
+
+
+def test_html_link_extract_order_and_no_links(spark):
+    from gcp_etl_pipeline_spark.operators.curation_queries import _HREF_RE
+
+    df = spark.createDataFrame(
+        [
+            (1, '<a href="u1">x</a><p>t</p><a class="c" href="u2">y</a>'),
+            (2, "<p>no links at all</p>"),
+        ],
+        "doc_id BIGINT, html STRING",
+    )
+    rows = df.select(
+        "doc_id",
+        F.expr(f"regexp_extract_all(html, '{_HREF_RE}', 1)").alias("h"),
+    ).collect()
+    by = {r["doc_id"]: r["h"] for r in rows}
+    assert by[1] == ["u1", "u2"]  # document order preserved
+    assert by[2] == []
