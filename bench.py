@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "image_phash_neardup_reps",
     "html_link_extract",
     "html_text_density",
+    "url_normalize_dedup",
     # round-5 additions
     "similarity_bucketed_recall",
     "dedup_ledger_compacted",

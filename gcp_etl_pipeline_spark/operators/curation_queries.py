@@ -1911,3 +1911,80 @@ register(
     FROM m
     """,
 )
+
+
+# --------------------------------------- URL canonicalization + dedup
+
+# raw-URL fixture shared verbatim by both engines (pure SQL CASE/concat
+# over o_orderkey — only the string-cast keyword differs by dialect):
+# planted variant classes per key: scheme case (%3), host case (%2),
+# explicit default port (%5), trailing slash (%7), fragment (%11)
+_RAW_URL = (
+    "CASE o_orderkey % 3 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP' "
+    "ELSE 'https' END || '://' || "
+    "CASE o_orderkey % 2 WHEN 0 THEN 'Ex.ORG' ELSE 'ex.org' END || "
+    "CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 3 <= 1 THEN ':80' "
+    "WHEN o_orderkey % 5 = 0 THEN ':443' ELSE '' END || "
+    "'/p/' || CAST(o_orderkey % 97 AS {V}) || "
+    "CASE WHEN o_orderkey % 7 = 0 THEN '/' ELSE '' END || "
+    "CASE WHEN o_orderkey % 11 = 0 THEN '#sec' ELSE '' END"
+)
+
+
+def _q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL dedup: canonicalize (scheme/host lowercase,
+    default-port strip, fragment drop, trailing-slash trim —
+    text.normalize_url) then group — the URL-level dedup that runs
+    before any content is fetched. The fixture plants five orthogonal
+    variant classes over the orders keys, so the oracle's replay breaks
+    if any normalization step drifts. One scan + one groupBy shuffle."""
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    raw = orders.select(
+        "o_orderkey",
+        F.expr(_RAW_URL.format(V="STRING")).alias("__raw"),
+    )
+    return (
+        raw.select(
+            "o_orderkey", _text.normalize_url("__raw").alias("norm_url")
+        )
+        .groupBy("norm_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+            F.min("o_orderkey").alias("first_key"),
+        )
+    )
+
+
+register(
+    "url_normalize_dedup",
+    _q_url_normalize,
+    f"""
+    WITH raw AS (SELECT o_orderkey, {_RAW_URL.format(V="VARCHAR")} AS u
+                 FROM orders),
+    p1 AS (SELECT o_orderkey,
+             lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               AS scheme,
+             regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+           FROM raw),
+    p2 AS (SELECT o_orderkey, scheme,
+             lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS auth,
+             regexp_replace(rest, '^[^/?#]*', '') AS tail
+           FROM p1),
+    p3 AS (SELECT o_orderkey, scheme,
+             CASE WHEN scheme = 'http'
+                    THEN regexp_replace(auth, ':80$', '')
+                  WHEN scheme = 'https'
+                    THEN regexp_replace(auth, ':443$', '')
+                  ELSE auth END AS auth,
+             regexp_replace(regexp_replace(tail, '#.*$', ''),
+                            '/+$', '') AS tail
+           FROM p2)
+    SELECT scheme || '://' || auth || tail AS norm_url,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           MIN(o_orderkey) AS first_key
+    FROM p3
+    GROUP BY 1
+    """,
+)

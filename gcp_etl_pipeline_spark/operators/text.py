@@ -436,3 +436,33 @@ def extract_html_text(
     """Dataframe form of ``html_to_text``: (id, text) with every other
     column dropped — the shape the gate -> dedup intake chain consumes."""
     return df.select(F.col(id_col), html_to_text(html_col).alias("text"))
+
+
+# --------------------------- URL normalization (crawl frontier dedup)
+#
+# The canonical-URL transform every crawler applies before URL-level
+# dedup: scheme and host lowercased, default ports stripped (:80 for
+# http, :443 for https), fragments dropped, trailing path slashes
+# trimmed. Pure regexp_extract/replace — the SQL twin in
+# curation_queries.py mirrors these exact patterns (RE2-compatible);
+# keep the two in lockstep.
+
+URL_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+URL_AUTH_RE = r"^([^/?#]*)"
+
+
+def normalize_url(url: Column | str) -> Column:
+    c = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(c, URL_SCHEME_RE, 1))
+    rest = F.regexp_replace(c, URL_SCHEME_RE, "")
+    auth = F.lower(F.regexp_extract(rest, URL_AUTH_RE, 1))
+    tail = F.regexp_replace(rest, URL_AUTH_RE, "")
+    auth = F.when(
+        (scheme == "http"), F.regexp_replace(auth, ":80$", "")
+    ).otherwise(
+        F.when(scheme == "https", F.regexp_replace(auth, ":443$", ""))
+        .otherwise(auth)
+    )
+    tail = F.regexp_replace(tail, "#.*$", "")   # fragment never reaches
+    tail = F.regexp_replace(tail, "/+$", "")    # the server; slashes are
+    return F.concat(scheme, F.lit("://"), auth, tail)  # path cosmetics

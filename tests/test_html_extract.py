@@ -108,3 +108,24 @@ def test_html_link_extract_order_and_no_links(spark):
     by = {r["doc_id"]: r["h"] for r in rows}
     assert by[1] == ["u1", "u2"]  # document order preserved
     assert by[2] == []
+
+
+def test_normalize_url_rules(spark):
+    cases = {
+        "HTTP://Ex.ORG:80/a/": "http://ex.org/a",
+        "https://ex.org:443/a#frag": "https://ex.org/a",
+        "https://ex.org:8443/a": "https://ex.org:8443/a",  # non-default kept
+        "http://ex.org:443/a": "http://ex.org:443/a",      # wrong-scheme port kept
+        "http://EX.org/A/B//": "http://ex.org/A/B",        # path case preserved
+        "http://ex.org": "http://ex.org",
+    }
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases.items())],
+        "i BIGINT, u STRING",
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", text.normalize_url("u").alias("n")).collect()
+    }
+    for i, (_, want) in enumerate(cases.items()):
+        assert got[i] == want, (i, got[i], want)
