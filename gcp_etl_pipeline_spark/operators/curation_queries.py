@@ -1423,11 +1423,15 @@ def phash_ledger_corpus(spark: SparkSession) -> DataFrame:
     two twins inside one sweep) measure the ENGINE lifecycles, not
     repeated in-query PNG generation (r8 judged the streaming twin's
     bench slot fixture-dominated at 13.2s)."""
+    import os
     import tempfile
 
     key = spark.sparkContext.applicationId
     path = _PHASH_CORPUS_CACHE.get(key)
-    if path is None:
+    # re-validate: a temp cleaner can remove the directory mid-session
+    # (long-lived sessions + tmpwatch); regenerate instead of returning
+    # a dangling path
+    if path is None or not os.path.isdir(path):
         path = tempfile.mkdtemp(prefix="graft_phcorpus_") + "/media"
         spark.range(300).mapInPandas(
             _phash_corpus_gen, "media_id BIGINT, content BINARY"
@@ -1691,8 +1695,6 @@ _HTML_PIECES: tuple[tuple[str, str], ...] = (
 
 
 def _html_wrap(docs: DataFrame) -> DataFrame:
-    from gcp_etl_pipeline_spark.operators import text as _text  # noqa: F401
-
     parts = [
         F.lit(v) if kind == "lit" else F.col(v).cast("string")
         for kind, v in _HTML_PIECES
@@ -1818,25 +1820,30 @@ def _html_intake_oracle() -> str:
 register("html_intake_pipeline", _q_html_intake, _html_intake_oracle())
 
 
-# anchor-href harvest: group 1 of every <a ... href="..."> occurrence —
-# the crawl-frontier extraction that feeds a link graph / URL dedup.
-# RE2-compatible (no backrefs/lookaround) so one pattern serves both
-# engines verbatim.
-_HREF_RE = '<a[^>]*href="([^"]*)"'
+# anchor-href harvest — the crawl-frontier extraction that feeds a link
+# graph / URL dedup. The tag name must be exactly 'a' (whitespace after
+# it, so <audio>/<abbr> never match) and 'href' must start an attribute
+# (preceded by whitespace — data-href never matches); case-insensitive;
+# one pattern per quote style (RE2 has no backrefs to unify them).
+# Patterns are passed as lit() columns on the Spark side — never through
+# F.expr — so backslashes survive without SQL-literal escape semantics.
+_HREF_RE_DQ = r'(?i)<a\s(?:[^>]*\s)?href\s*=\s*"([^"]*)"'
+_HREF_RE_SQ = r"(?i)<a\s(?:[^>]*\s)?href\s*=\s*'([^']*)'"
 
 
 def _q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outlink extraction as one codegen'd projection + explode: every
-    href of every anchor tag, in document order (link_no), plus the
-    per-doc outdegree — the crawl-frontier feed. No Python, no shuffle;
-    the regexp_extract_all fuses into the scan and the explode is a
-    JVM generator."""
+    href of every anchor tag (double-quoted matches in document order,
+    then single-quoted), plus the per-doc outdegree — the crawl-
+    frontier feed. No Python, no shuffle; the regexp_extract_alls fuse
+    into the scan and the explode is a JVM generator."""
     html = _html_wrap(_docs(spark, sf_dir))
     arr = html.select(
         "doc_id",
-        F.expr(f"regexp_extract_all(html, '{_HREF_RE}', 1)").alias(
-            "__hrefs"
-        ),
+        F.concat(
+            F.regexp_extract_all("html", F.lit(_HREF_RE_DQ), F.lit(1)),
+            F.regexp_extract_all("html", F.lit(_HREF_RE_SQ), F.lit(1)),
+        ).alias("__hrefs"),
     )
     out = arr.select(
         "doc_id",
@@ -1857,7 +1864,9 @@ register(
     f"""
     WITH h AS (SELECT doc_id, {_HTML_SQL} AS html FROM documents),
     l AS (SELECT doc_id,
-                 regexp_extract_all(html, '{_HREF_RE}', 1) AS hrefs
+                 regexp_extract_all(html, '{_HREF_RE_DQ}', 1)
+                 || regexp_extract_all(html,
+                      '{_HREF_RE_SQ.replace("'", "''")}', 1) AS hrefs
           FROM h)
     SELECT doc_id,
            CAST(unnest(range(len(hrefs))) AS BIGINT) AS link_no,
@@ -1978,13 +1987,17 @@ register(
                   WHEN scheme = 'https'
                     THEN regexp_replace(auth, ':443$', '')
                   ELSE auth END AS auth,
-             regexp_replace(regexp_replace(tail, '#.*$', ''),
-                            '/+$', '') AS tail
-           FROM p2)
+             regexp_replace(tail, '#.*$', '') AS tail
+           FROM p2),
+    p4 AS (SELECT o_orderkey, scheme, auth,
+             regexp_replace(regexp_extract(tail, '^([^?]*)', 1),
+                            '/+$', '')
+               || regexp_replace(tail, '^[^?]*', '') AS tail
+           FROM p3)
     SELECT scheme || '://' || auth || tail AS norm_url,
            CAST(COUNT(*) AS BIGINT) AS n_raw,
            MIN(o_orderkey) AS first_key
-    FROM p3
+    FROM p4
     GROUP BY 1
     """,
 )

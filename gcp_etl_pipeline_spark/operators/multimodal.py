@@ -633,7 +633,11 @@ def video_neardup_pairs(
     )
     # packed ids order by (video, frame), so a < b implies video_a <=
     # video_b: cross-video pairs keep the lower video on the a side,
-    # same-video frame matches drop here
+    # same-video frame matches drop here. Catalyst pushes this
+    # inequality INTO the expansion join's residual condition (verified
+    # in the optimized plan), so intra-video duplicate-frame pairs are
+    # filtered inside the join — never materialized downstream, the
+    # same work profile as a hand-written in-join predicate.
     return (
         pairs.where(F.expr("a div 1024") != F.expr("b div 1024"))
         .select(

@@ -381,6 +381,12 @@ HTML_STRIP_STEPS: tuple[tuple[str, str], ...] = (
     (r"(?is)<script\b[^>]*>.*?</script\s*>", " "),
     (r"(?is)<style\b[^>]*>.*?</style\s*>", " "),
     (r"(?s)<!--.*?-->", " "),
+    # UNTERMINATED blocks (fetch truncated mid-page — routine in crawl
+    # data): any opener still present after the paired strips has no
+    # closer, so its body runs to end-of-document and must go with it
+    (r"(?is)<script\b[^>]*>.*$", " "),
+    (r"(?is)<style\b[^>]*>.*$", " "),
+    (r"(?s)<!--.*$", " "),
     # block-level boundaries become newlines so paragraph structure
     # survives for downstream chunkers/dedup
     (
@@ -463,6 +469,10 @@ def normalize_url(url: Column | str) -> Column:
         F.when(scheme == "https", F.regexp_replace(auth, ":443$", ""))
         .otherwise(auth)
     )
-    tail = F.regexp_replace(tail, "#.*$", "")   # fragment never reaches
-    tail = F.regexp_replace(tail, "/+$", "")    # the server; slashes are
-    return F.concat(scheme, F.lit("://"), auth, tail)  # path cosmetics
+    # fragment never reaches the server; the trailing-slash trim applies
+    # to the PATH only — a query value ending in '/' is part of the
+    # resource identity ('?to=/' != '?to=') and must survive
+    tail = F.regexp_replace(tail, "#.*$", "")
+    path = F.regexp_replace(F.regexp_extract(tail, r"^([^?]*)", 1), "/+$", "")
+    query = F.regexp_replace(tail, r"^[^?]*", "")
+    return F.concat(scheme, F.lit("://"), auth, path, query)

@@ -91,23 +91,68 @@ def test_html_oracle_sql_matches_spark(spark):
         assert got_spark[i] == got_duck, (i, got_spark[i], got_duck)
 
 
-def test_html_link_extract_order_and_no_links(spark):
-    from gcp_etl_pipeline_spark.operators.curation_queries import _HREF_RE
-
-    df = spark.createDataFrame(
-        [
-            (1, '<a href="u1">x</a><p>t</p><a class="c" href="u2">y</a>'),
-            (2, "<p>no links at all</p>"),
-        ],
-        "doc_id BIGINT, html STRING",
+def _hrefs(spark, html: str) -> list:
+    from gcp_etl_pipeline_spark.operators.curation_queries import (
+        _HREF_RE_DQ,
+        _HREF_RE_SQ,
     )
-    rows = df.select(
-        "doc_id",
-        F.expr(f"regexp_extract_all(html, '{_HREF_RE}', 1)").alias("h"),
-    ).collect()
-    by = {r["doc_id"]: r["h"] for r in rows}
-    assert by[1] == ["u1", "u2"]  # document order preserved
-    assert by[2] == []
+
+    df = spark.createDataFrame([(html,)], "html STRING")
+    return df.select(
+        F.concat(
+            F.regexp_extract_all("html", F.lit(_HREF_RE_DQ), F.lit(1)),
+            F.regexp_extract_all("html", F.lit(_HREF_RE_SQ), F.lit(1)),
+        ).alias("h")
+    ).collect()[0]["h"]
+
+
+def test_html_link_extract_order_and_no_links(spark):
+    assert _hrefs(
+        spark, '<a href="u1">x</a><p>t</p><a class="c" href="u2">y</a>'
+    ) == ["u1", "u2"]
+    assert _hrefs(spark, "<p>no links at all</p>") == []
+
+
+def test_html_link_extract_tag_and_attr_discipline(spark):
+    # tag must be exactly <a>, attribute must be exactly href
+    assert _hrefs(spark, '<audio href="x.mp3">t</audio>') == []
+    assert _hrefs(spark, '<abbr href="x">t</abbr>') == []
+    assert _hrefs(spark, '<a data-href="track.js">x</a>') == []
+    # case-insensitive and single-quoted forms ARE harvested
+    assert _hrefs(spark, '<A HREF="u">x</A>') == ["u"]
+    assert _hrefs(spark, "<a href='u'>x</a>") == ["u"]
+    assert _hrefs(spark, '<a href = "u">x</a>') == ["u"]
+    # first real href wins when a decoy attribute follows
+    assert _hrefs(spark, '<a href="u1" data-href="u2">x</a>') == ["u1"]
+
+
+def test_html_unterminated_script_never_leaks(spark):
+    # a fetch truncated mid-script must not leak the body into clean text
+    out = _extract(spark, '<p>hi</p><script>var k = "SECRET";')
+    assert "SECRET" not in out
+    assert out == "hi"
+    out2 = _extract(spark, "<p>a</p><style>body { color: red }")
+    assert out2 == "a"
+    out3 = _extract(spark, "<p>a</p><!-- dangling comment")
+    assert out3 == "a"
+
+
+def test_normalize_url_preserves_query_slashes(spark):
+    cases = {
+        "https://ex.org/search?path=/docs/": "https://ex.org/search?path=/docs/",
+        "http://Ex.org/a/?q=1": "http://ex.org/a?q=1",
+        "http://ex.org/r?to=/": "http://ex.org/r?to=/",
+    }
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases.items())],
+        "i BIGINT, u STRING",
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", text.normalize_url("u").alias("n")).collect()
+    }
+    for i, (_, want) in enumerate(cases.items()):
+        assert got[i] == want, (i, got[i], want)
 
 
 def test_normalize_url_rules(spark):
