@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "html_link_extract",
     "html_text_density",
     "url_normalize_dedup",
+    "html_line_boilerplate",
     # round-5 additions
     "similarity_bucketed_recall",
     "dedup_ledger_compacted",

@@ -2001,3 +2001,49 @@ register(
     GROUP BY 1
     """,
 )
+
+
+# ------------------------------------ line-level boilerplate removal
+
+def _q_line_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction -> line-level boilerplate excision in one plan: the
+    HTML wrapper's chrome lines ('Corpus page', 'Overview', the entity
+    line, the per-lang/per-source list labels) recur across (subsets
+    of) the corpus and cross the min_df threshold; each document's own
+    text line survives. The oracle recomputes extraction, the per-line
+    distinct-doc counts, the excision, and the ordered reassembly."""
+    from gcp_etl_pipeline_spark.operators import dedup as _dedup
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    html = _html_wrap(_docs(spark, sf_dir))
+    extracted = html.select(
+        "doc_id", _text.html_to_text("html").alias("text")
+    )
+    return _dedup.line_boilerplate_removal(extracted, min_df=10)
+
+
+register(
+    "html_line_boilerplate",
+    _q_line_boilerplate,
+    f"""
+    WITH h AS (SELECT doc_id, {_HTML_SQL} AS html FROM documents),
+    x AS (SELECT doc_id, {_html_to_text_sql('html')} AS text FROM h),
+    ln AS (SELECT doc_id,
+             CAST(unnest(range(len(ls))) AS BIGINT) AS idx,
+             unnest(ls) AS line
+           FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM x)),
+    hot AS (SELECT md5(line) AS hh FROM ln
+            GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 10),
+    kept AS (SELECT doc_id, idx, line FROM ln
+             WHERE md5(line) NOT IN (SELECT hh FROM hot)),
+    agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+              string_agg(line, chr(10) ORDER BY idx) AS clean_text
+            FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM ln GROUP BY doc_id)
+    SELECT t.doc_id, t.n_lines,
+           t.n_lines - COALESCE(a.n_kept, 0) AS removed_lines,
+           COALESCE(a.clean_text, '') AS clean_text
+    FROM tot t LEFT JOIN agg a USING (doc_id)
+    """,
+)

@@ -614,6 +614,72 @@ def lsh_candidate_pairs(
     )
 
 
+def line_boilerplate_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 10,
+) -> DataFrame:
+    """LINE-level boilerplate excision — the nav/footer/cookie-banner
+    cleaner that runs right after HTML extraction (which preserves block
+    boundaries as newlines precisely so this pass has lines to work
+    with): a line is boilerplate iff it appears in >= ``min_df``
+    DISTINCT documents, and every occurrence is removed; surviving
+    lines reassemble in order. The line-granular sibling of the
+    CDC-chunk excision family (token-window chunks catch mid-paragraph
+    duplication; lines catch template chrome exactly).
+
+    Returns (id, n_lines, removed_lines, clean_text) — one row per
+    input document, including documents excised to empty.
+
+    Scale shape: lines explode JVM-side; only 32-byte line fingerprints
+    shuffle (groupBy fp -> df count, then an anti-join on fp); the
+    reassembly is one per-doc sort of kept (idx, line) pairs — text
+    never joins text, and no corpus-wide state outlives the df count."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "__idx", "__line"
+        ),
+    ).withColumn("__h", F.md5("__line"))
+    # persist: totals, the df count, and the kept reassembly all read it
+    lines = lines.persist()
+    hot = (
+        lines.groupBy("__h")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .where(F.col("__df") >= min_df)
+        .select("__h")
+    )
+    kept = lines.join(hot, "__h", "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__idx", "__line"))),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias("__clean"),
+    )
+    totals = lines.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines")
+    )
+    from gcp_etl_pipeline_spark.operators.similarity import _release_on_gc
+
+    out = (
+        totals.join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("removed_lines"),
+            F.coalesce(F.col("__clean"), F.lit("")).alias("clean_text"),
+        )
+    )
+    return _release_on_gc(out, lines)
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str = "text",

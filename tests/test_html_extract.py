@@ -174,3 +174,38 @@ def test_normalize_url_rules(spark):
     }
     for i, (_, want) in enumerate(cases.items()):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_line_boilerplate_removal(spark):
+    from gcp_etl_pipeline_spark.operators import dedup
+
+    rows = [(i, f"NAV | home\ncontent {i}\nfooter (c) corp") for i in range(12)]
+    rows.append((12, "NAV | home\nfooter (c) corp"))  # chrome-only page
+    rows.append((13, "entirely unique page"))
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.line_boilerplate_removal(docs, min_df=10).collect()
+    }
+    assert len(out) == 14  # every doc present, including the emptied one
+    for i in range(12):
+        assert out[i]["n_lines"] == 3
+        assert out[i]["removed_lines"] == 2
+        assert out[i]["clean_text"] == f"content {i}"
+    assert out[12]["removed_lines"] == 2 and out[12]["clean_text"] == ""
+    assert out[13]["removed_lines"] == 0
+    assert out[13]["clean_text"] == "entirely unique page"
+
+
+def test_line_boilerplate_keeps_order(spark):
+    from gcp_etl_pipeline_spark.operators import dedup
+
+    rows = [(i, f"BP\nz{i} last\nBP\na{i} first") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.line_boilerplate_removal(docs, min_df=10).collect()
+    }
+    # document order preserved (not lexicographic)
+    assert out[3]["clean_text"] == "z3 last\na3 first"
+    assert out[3]["removed_lines"] == 2
