@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "media_transform_roundtrip",
     "video_frame_sampling",
     "stream_phash_ledger",
+    "stream_html_intake",
 ]
 
 

@@ -761,3 +761,82 @@ register(
     _q_stream_phash_ledger,
     _stream_phash_oracle(),
 )
+
+
+def _q_stream_html_intake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the HTML intake chain: raw HTML pages arrive as
+    two id-ordered micro-batches; each foreachBatch invocation runs
+    extract -> quality gates -> language gate -> `dedup_incremental`
+    against the shared exact-fingerprint ledger with a batch-scoped
+    attempt_id. Because the batches are id-ordered and the in-batch
+    rule keeps the min id, the two-phase ledger rule converges to the
+    BATCH chain's global min-id-per-fingerprint exactly — the oracle is
+    `_html_intake_oracle()` shared verbatim."""
+    import glob as _glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gcp_etl_pipeline_spark.operators import text as _text
+    from gcp_etl_pipeline_spark.operators.curation_queries import _html_wrap
+    from gcp_etl_pipeline_spark.operators.dedup import dedup_incremental
+    from gcp_etl_pipeline_spark.sources.files import read_parquet
+
+    root = tempfile.mkdtemp(prefix="graft_shtml_")
+    src = f"{root}/in"
+    os.makedirs(src)
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    t = docs.agg(F.floor(F.max("doc_id") / 2)).collect()[0][0]
+    html = _html_wrap(docs)
+    for i, pred in enumerate((f"doc_id <= {t}", f"doc_id > {t}")):
+        tmp = f"{root}/tmp{i}"
+        html.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = sorted(_glob.glob(f"{tmp}/part-*.parquet"))[0]
+        dst = f"{src}/b{i}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+
+    store = f"{root}/fps"
+    out_dir = f"{root}/accepted"
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        extracted = batch.select(
+            "doc_id", "source", _text.html_to_text("html").alias("text")
+        ).localCheckpoint(eager=True)  # same inlining trap as the batch twin
+        q = _text.quality_features(extracted)
+        filtered = q.where(
+            (F.col("n_tokens") >= 15)
+            & (F.col("alpha_ratio") >= 0.45)
+            & (_text.lang_id("text") == "en")
+        ).select("doc_id", "source", "n_tokens", "text")
+        acc = dedup_incremental(filtered, store, attempt_id=f"b{batch_id}")
+        acc.select("doc_id", "source", "n_tokens").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/batch={batch_id}")
+
+    q = (
+        spark.readStream.schema(html.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select("doc_id", "source", "n_tokens")
+
+
+def _stream_html_intake_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators.curation_queries import (
+        _html_intake_oracle,
+    )
+
+    return _html_intake_oracle()
+
+
+register(
+    "stream_html_intake",
+    _q_stream_html_intake,
+    _stream_html_intake_oracle(),
+)
