@@ -2342,3 +2342,112 @@ register(
     FROM rk WHERE rn = 1
     """,
 )
+
+
+# ------------------- perceptual near-dup RECALL beyond the Hamming-3 bound
+
+# mask(d) flips bit 8*j for j < d: every flip lands in a DISTINCT 8-bit
+# band — the ADVERSARIAL placement for 8-band decomposition (a d-flip
+# pair touches d of the 8 bands, so it collides iff d < 8; with the
+# default four 16-bit bands the same masks touch min(d, 4) bands and
+# recall dies at d = 4). 60 groups x 10 variants (d = i % 10, d = 9
+# re-plants d = 0 -> one exact-dup cluster per group): the exact pair
+# set holds every distance 0..8 — (d1, d2) within a group sit at
+# Hamming |d2 - d1| because the masks are nested.
+_PH_RECALL_MASKS = [sum(1 << (8 * j) for j in range(d)) for d in range(9)]
+
+
+def _q_phash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the banded near-dup join at n_bands=8, graded per
+    Hamming distance against a brute-force exact join over the same
+    600 closed-form hashes (base = md5-derived 60-bit value per group,
+    variants XOR the adversarial nested masks). Expected shape: n_hit
+    = n_exact at every distance <= 7 (the pigeonhole guarantee the
+    operator documents), and n_hit = 0 at distance 8 (every band
+    touched — the sharp edge of the bound, visible, not silent). The
+    oracle replays hashes, the exact join, AND the band-collision rule
+    closed-form, so a banding slip (wrong width, signed-shift smear,
+    missed exact-dup cluster) breaks the hash."""
+    from gcp_etl_pipeline_spark.operators import multimodal
+
+    d = (
+        F.when(F.col("id") % 10 < 9, F.col("id") % 10)
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    base = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("G"), F.expr("CAST(id div 10 AS STRING)"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    mask = F.element_at(
+        F.array(*[F.lit(m) for m in _PH_RECALL_MASKS]), d + F.lit(1)
+    )
+    hashes = spark.range(600).select(
+        F.col("id").alias("media_id"),
+        base.bitwiseXOR(mask).alias("dhash"),
+    )
+    pairs = multimodal.phash_neardup_pairs(
+        hashes, max_hamming=8, n_bands=8
+    ).select("a", "b", F.lit(1).alias("__hit"))
+    ha = hashes.select(F.col("media_id").alias("a"), F.col("dhash").alias("__da"))
+    hb = hashes.select(F.col("media_id").alias("b"), F.col("dhash").alias("__db"))
+    exact = (
+        ha.join(hb, F.col("a") < F.col("b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("__da").bitwiseXOR(F.col("__db"))).cast("bigint"),
+        )
+        .where(F.col("hamming") <= 8)
+    )
+    return (
+        exact.join(pairs, ["a", "b"], "left")
+        .groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("bigint").alias("n_hit"),
+        )
+    )
+
+
+register(
+    "image_phash_recall",
+    _q_phash_recall,
+    f"""
+    WITH g AS (SELECT unnest(range(600)) AS i),
+    v AS (SELECT i,
+            CAST(CASE WHEN i % 10 < 9 THEN i % 10 ELSE 0 END AS INT) AS dc
+          FROM g),
+    b AS (SELECT i, dc,
+            CAST(list_sum(list_transform(range(15), k ->
+              CAST(strpos('0123456789abcdef',
+                     substring(md5('G' || CAST(i // 10 AS VARCHAR)),
+                               CAST(k + 1 AS INT), 1)) - 1 AS BIGINT)
+              * (CAST(1 AS BIGINT) << CAST(4 * (14 - k) AS INT))))
+            AS BIGINT) AS base
+          FROM v),
+    h AS (SELECT i AS media_id,
+                 xor(base, ({_PH_RECALL_MASKS})[dc + 1]) AS dhash
+          FROM b),
+    ex AS (SELECT a.media_id AS pa, b.media_id AS pb,
+             CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming,
+             a.dhash AS da, b.dhash AS db
+           FROM h a JOIN h b ON a.media_id < b.media_id
+           WHERE bit_count(xor(a.dhash, b.dhash)) <= 8),
+    hx AS (SELECT hamming,
+             CASE WHEN hamming = 0 THEN 1
+                  WHEN list_max(list_transform(range(8), j ->
+                    CASE WHEN (da >> CAST(8 * j AS INT)) & 255
+                              = (db >> CAST(8 * j AS INT)) & 255
+                         THEN 1 ELSE 0 END)) = 1
+                  THEN 1 ELSE 0 END AS hit
+           FROM ex)
+    SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(hit) AS BIGINT) AS n_hit
+    FROM hx GROUP BY hamming
+    """,
+)

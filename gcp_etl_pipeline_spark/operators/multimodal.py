@@ -326,6 +326,7 @@ def phash_neardup_pairs(
     salt_factor: int | None = None,
     max_band_df: int | None = None,
     expand: bool = True,
+    n_bands: int | None = None,
 ) -> DataFrame:
     """Image near-dup pairs by banded perceptual-hash matching — the
     MinHash-band discipline on 64-bit dHashes, never all-pairs: a pair
@@ -334,11 +335,25 @@ def phash_neardup_pairs(
     guarantee holds iff d < 4 — the default max_hamming=3 is the
     largest EXACT threshold), then candidates are verified with one JVM
     bit_count over the xor'd hashes. Returns (a, b, hamming) for
-    verified pairs with hamming <= max_hamming. A max_hamming >= 4 is
-    accepted but is LSH-recall-only above distance 3: a pair differing
-    by exactly one bit in every band has no colliding band and is never
-    a candidate — raise the band count, not the threshold, if exact
-    recall at larger distances is required.
+    verified pairs with hamming <= max_hamming.
+
+    Band configurability (the recall dial): by default (n_bands=None)
+    the four precomputed 16-bit band columns from ``image_dhash`` /
+    ``audio_fingerprint`` are used — exact recall to Hamming 3. Pass
+    ``n_bands`` (any divisor of 64 in [2, 32]) to DERIVE that many
+    (64/n_bands)-bit bands from the hash itself JVM-side
+    (shiftrightunsigned, so the sign bit never smears across bands):
+    the pigeonhole guarantee is then exact for max_hamming <=
+    n_bands - 1 (n_bands=8 -> exact recall to Hamming 7, the
+    re-encode/resize perturbation range; graded with planted
+    Hamming-0..8 variants against a brute-force oracle in
+    ``image_phash_recall``). A max_hamming >= n_bands is accepted but
+    LSH-recall-only above n_bands - 1: a pair differing in every band
+    has no colliding band and is never a candidate — raise the band
+    count, not the threshold, if exact recall at larger distances is
+    required. Cost: narrower bands collide more often (8-bit bands:
+    1/256 per band vs 16-bit 1/65536), so raise n_bands only as far
+    as the distance bound actually needed.
 
     Skew discipline (real image corpora are duplicate-heavy — blank
     frames, logos, default avatars — and an exact-duplicate cluster of
@@ -376,24 +391,45 @@ def phash_neardup_pairs(
 
     from gcp_etl_pipeline_spark.operators.similarity import _release_on_gc
 
+    if n_bands is not None and (
+        not 2 <= n_bands <= 32 or 64 % n_bands
+    ):
+        raise ValueError(
+            f"phash_neardup_pairs: n_bands must be a divisor of 64 in "
+            f"[2, 32], got {n_bands}"
+        )
     hp = hashes.persist()
     members = hp.select("media_id", "dhash")
     # one row per DISTINCT hash; the representative id only orders the
     # self-join (each unordered hash pair meets exactly once). Identical
     # dhash implies identical bands, so min() carries them through the
-    # collapse without a join back.
-    clusters = hp.groupBy("dhash").agg(
-        F.min("media_id").alias("__rep"),
-        F.count(F.lit(1)).alias("__n"),
-        *[F.min(f"band{k}").alias(f"band{k}") for k in range(4)],
-    )
+    # collapse without a join back (precomputed-band path), and the
+    # derived-band path computes them from the collapsed hash directly.
+    if n_bands is None:
+        clusters = hp.groupBy("dhash").agg(
+            F.min("media_id").alias("__rep"),
+            F.count(F.lit(1)).alias("__n"),
+            *[F.min(f"band{k}").alias(f"band{k}") for k in range(4)],
+        )
+        stack_sql = "stack(4, 0, band0, 1, band1, 2, band2, 3, band3)"
+    else:
+        clusters = hp.groupBy("dhash").agg(
+            F.min("media_id").alias("__rep"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        width = 64 // n_bands
+        mask = (1 << width) - 1
+        slices = ", ".join(
+            f"{k}, (shiftrightunsigned(dhash, {width * k}) & "
+            f"CAST({mask} AS BIGINT))"
+            for k in range(n_bands)
+        )
+        stack_sql = f"stack({n_bands}, {slices})"
     stacked = clusters.select(
         "__rep",
         "dhash",
         "__n",
-        F.expr(
-            "stack(4, 0, band0, 1, band1, 2, band2, 3, band3)"
-        ).alias("band_id", "band_val"),
+        F.expr(stack_sql).alias("band_id", "band_val"),
     )
     if max_band_df is not None:
         hot = (
@@ -565,6 +601,7 @@ def video_neardup_pairs(
     id_col: str = "media_id",
     salt_factor: int | None = None,
     max_band_df: int | None = None,
+    n_bands: int | None = None,
 ) -> DataFrame:
     """Video near-duplicate pairs by FRAME-level perceptual matching —
     the third modality of the near-dup tier: each video is an
@@ -630,6 +667,7 @@ def video_neardup_pairs(
         max_hamming=max_hamming,
         salt_factor=salt_factor,
         max_band_df=max_band_df,
+        n_bands=n_bands,
     )
     # packed ids order by (video, frame), so a < b implies video_a <=
     # video_b: cross-video pairs keep the lower video on the a side,

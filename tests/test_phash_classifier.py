@@ -384,3 +384,58 @@ def test_video_neardup_filter_inside_expansion_join(spark):
     got = out.collect()
     assert len(got) == 1
     assert (got[0]["a"], got[0]["b"], got[0]["shared_frames"]) == (0, 1, 2)
+
+
+def _pinned_png(flip_rows=()):
+    """9x8 PNG where EVERY pixel is a dhash sample (w=9 -> sx=x, h=8 ->
+    sy=y): rows alternate [100, 90, 100, ...] so bit (y, x) = (x even).
+    Setting px[9y] = 80 flips exactly bit (y, 0) (px[9y] participates in
+    no other comparison) — a surgical Hamming perturbation."""
+    px = bytearray(100 if x % 2 == 0 else 90 for _ in range(8) for x in range(9))
+    for y in flip_rows:
+        px[9 * y] = 80
+    return codecs.encode_png(9, 8, bytes(px))
+
+
+def test_phash_nbands_recall_planted_hamming5(spark):
+    """A planted Hamming-5 image pair with flips touching all four
+    16-bit bands: invisible to the default banding (the documented
+    LSH-recall cliff past Hamming 3), found exactly by n_bands=8
+    (flipped bits 0, 8, 16, 32, 48 -> 8-bit bands 0,1,2,4,6 touched,
+    bands 3,5,7 still collide)."""
+    rows = [
+        (1, _pinned_png()),
+        (2, _pinned_png(flip_rows=(0, 1, 2, 4, 6))),
+    ]
+    df = spark.createDataFrame(rows, "media_id BIGINT, content BINARY")
+    hashes = multimodal.image_dhash(df).localCheckpoint(eager=True)
+    got = {r["media_id"]: r["dhash"] for r in hashes.collect()}
+    assert bin((got[1] ^ got[2]) & (2**64 - 1)).count("1") == 5
+    assert multimodal.phash_neardup_pairs(hashes, max_hamming=5).count() == 0
+    found = multimodal.phash_neardup_pairs(
+        hashes, max_hamming=5, n_bands=8
+    ).collect()
+    assert [(r["a"], r["b"], r["hamming"]) for r in found] == [(1, 2, 5)]
+
+
+def test_phash_nbands_signed_hash_and_validation(spark):
+    """Derived bands use shiftrightunsigned: a hash with bit 63 set
+    slices correctly (no sign smear); invalid n_bands raises."""
+    import pytest
+
+    u = 0x9E3779B97F4A7C15  # bit 63 set
+    mask5 = (1 << 0) | (1 << 1) | (1 << 16) | (1 << 32) | (1 << 48)
+
+    def signed(x):
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    rows = [(1, signed(u)), (2, signed(u ^ mask5))]
+    df = spark.createDataFrame(rows, "media_id BIGINT, dhash BIGINT")
+    found = multimodal.phash_neardup_pairs(
+        df, max_hamming=5, n_bands=8
+    ).collect()
+    assert [(r["a"], r["b"], r["hamming"]) for r in found] == [(1, 2, 5)]
+    with pytest.raises(ValueError, match="divisor of 64"):
+        multimodal.phash_neardup_pairs(df, n_bands=5)
+    with pytest.raises(ValueError, match="divisor of 64"):
+        multimodal.phash_neardup_pairs(df, n_bands=64)
