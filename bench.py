@@ -137,6 +137,11 @@ BENCH_QUERIES = [
     "video_frame_sampling",
     "stream_phash_ledger",
     "stream_html_intake",
+    # round-10 additions
+    "charset_repair",
+    "per_host_budget_take",
+    "html_main_content",
+    "image_phash_recall",
 ]
 
 

@@ -1137,6 +1137,122 @@ def main() -> int:
     )
     stage_rows[f"intake_chain_composed_{n_ip // 1000}k"] = n_ip
 
+    # HTML intake at smoke scale: ~2M synthetic pages (closed-form
+    # planted classes keyed id % 10) through the full crawl front door —
+    # charset repair -> markup extraction -> quality gates -> language
+    # gate -> exact dedup — with every stage count asserted closed-form.
+    # Classes: 0-4 clean English page, 5 = control-char damage (repairs
+    # to the clean form), 6 = CP1252 mojibake (repairs to the clean
+    # form), 7 = Spanish (lang gate), 8 = short (token gate), 9 = fetch
+    # TRUNCATED mid-script (unterminated-block strip eats the body ->
+    # token gate). Valid copies of a decade share body key
+    # K = (id div 10) % H_UNIQ with decades = 2 * H_UNIQ, so each K has
+    # exactly 14 identical post-repair copies and dedup keeps id 10*K.
+    from gcp_etl_pipeline_spark.operators import text as _tx
+    from gcp_etl_pipeline_spark.operators.dedup import dedup_exact as _dx
+
+    H_N = max(2000, (n // 10) // 20 * 20)
+    H_DEC = H_N // 10
+    H_UNIQ = H_DEC // 2
+    _mj = _tx._cp1252_artifact
+    _clean_sfx = " don't say \"x\" end"
+    _ctrl_sfx = " don't s\x01ay \"x\" e\x9bnd"
+    _moji_sfx = (
+        f" don{_mj(chr(0x2019))}t say {_mj(chr(0x201C))}x"
+        f"{_mj(chr(0x201D))} end"
+    )
+    _c = F.col("id") % 10
+    _k = F.expr(f"(id div 10) % {H_UNIQ}")
+    _sfx = (
+        F.when(_c == 5, F.lit(_ctrl_sfx))
+        .when(_c == 6, F.lit(_moji_sfx))
+        .otherwise(F.lit(_clean_sfx))
+    )
+    _body = (
+        F.when(
+            _c == 7,
+            F.lit(
+                "el la de que los gatos el la de que los corren el la de"
+                " que los saltan muy bien aqui ahora"
+            ),
+        )
+        .when(_c == 8, F.lit("tiny page the end"))
+        .otherwise(
+            F.concat(
+                F.lit("the quick brown fox and the lazy dog of k"),
+                _k.cast("string"),
+                F.lit(
+                    " jump to the house in the morning with more words"
+                    " to pass the token gate"
+                ),
+                _sfx,
+            )
+        )
+    )
+    _head = (
+        '<html><head><title>Smoke page</title>'
+        '<style>body { color: #abc; }</style>'
+        '<script>if (1 < 2 && 3 > 0) { x = "s"; }</script>'
+        '</head><body><h1>H</h1><!-- artifact --><p>'
+    )
+    _tail = '</p><div>Tom &amp; Jerry &lt;3</div></body></html>'
+    _page = F.when(
+        _c == 9,
+        F.concat(
+            F.lit('<html><head><title>Smoke page</title></head>'
+                  '<body><script>var x = 1; '),
+            _body,
+        ),
+    ).otherwise(F.concat(F.lit(_head), _body, F.lit(_tail)))
+
+    h_root = _tf.mkdtemp(prefix="graft_smoke_html_")
+    t0 = time.time()
+    spark.range(H_N).select(
+        F.col("id").alias("doc_id"), _page.alias("html")
+    ).write.mode("overwrite").parquet(f"{h_root}/pages")
+    timings[f"html_smoke_generate_wrap_{H_N // 1000}k"] = round(
+        time.time() - t0, 2
+    )
+    stage_rows[f"html_smoke_generate_wrap_{H_N // 1000}k"] = H_N
+
+    t0 = time.time()
+    pages = spark.read.parquet(f"{h_root}/pages")
+    extracted = pages.select(
+        "doc_id",
+        _tx.html_to_text(_tx.repair_encoding("html")).alias("text"),
+    ).localCheckpoint(eager=True)  # pin: the regex chain must run ONCE
+    q = _tx.quality_features(extracted)
+    survivors = q.where(
+        (F.col("n_tokens") >= 15)
+        & (F.col("alpha_ratio") >= 0.45)
+        & (_tx.lang_id("text") == "en")
+    ).select("doc_id", "text").localCheckpoint(eager=True)
+    got = survivors.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (
+                F.col("text").contains("\ufffd")
+                | F.col("text").contains(_mj(chr(0x2019))[:2])
+                | F.col("text").contains("\x9b")
+            ).cast("int")
+        ).alias("dirty"),
+    ).collect()[0]
+    assert got["n"] == 7 * H_DEC, got  # classes 0-6 survive, 7-9 gated
+    assert got["dirty"] == 0, got      # repair left no artifacts behind
+    accepted = _dx(survivors).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.col("doc_id") % 10).alias("mx"),
+        F.sum(F.col("doc_id")).alias("idsum"),
+    ).collect()[0]
+    assert accepted["n"] == H_UNIQ, accepted
+    assert accepted["mx"] == 0, accepted  # min-id rep is the class-0 copy
+    assert accepted["idsum"] == 10 * H_UNIQ * (H_UNIQ - 1) // 2, accepted
+    timings[f"html_smoke_intake_chain_{H_N // 1000}k"] = round(
+        time.time() - t0, 2
+    )
+    stage_rows[f"html_smoke_intake_chain_{H_N // 1000}k"] = H_N
+
+
     # Multimodal near-dup dedup at 1M-IMAGE smoke scale (the proof the
     # text tier has at 2M/20M docs): closed-form planted classes
     # INCLUDING one adversarial 100k-copy exact-duplicate cluster (the
