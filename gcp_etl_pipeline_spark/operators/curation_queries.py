@@ -2451,3 +2451,183 @@ register(
     FROM hx GROUP BY hamming
     """,
 )
+
+
+# --------------------- tracking-param stripping (frontier, second stage)
+
+# planted classes keyed o_orderkey % 5: no query / all-tracking /
+# tracking mid-list / ref between kept params / tracking-prefix page
+_TRK_URL = (
+    "'https://ex.org/p/' || CAST(o_orderkey % 97 AS {V}) || "
+    "CASE o_orderkey % 5 WHEN 0 THEN '' "
+    "WHEN 1 THEN '?utm_source=news&utm_campaign=x' "
+    "WHEN 2 THEN '?id=' || CAST(o_orderkey % 11 AS {V}) || '&utm_medium=m' "
+    "WHEN 3 THEN '?a=1&ref=tw&b=2' "
+    "ELSE '?fbclid=z&gclid=1&page=' || CAST(o_orderkey % 7 AS {V}) END"
+)
+
+
+def _q_url_strip_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-tracking query params stripped (utm_*/fbclid/gclid/msclkid/
+    ref), remaining params kept in original order, bare '?' dropped when
+    nothing survives — then the frontier group-by, so the oracle breaks
+    if any class canonicalizes wrong. One scan + one shuffle."""
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    raw = orders.select(
+        "o_orderkey", F.expr(_TRK_URL.format(V="STRING")).alias("__raw")
+    )
+    return (
+        raw.select(
+            "o_orderkey",
+            _text.strip_tracking_params("__raw").alias("canon_url"),
+        )
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+            F.min("o_orderkey").alias("first_key"),
+        )
+    )
+
+
+def _url_strip_tracking_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    trk = _sql_lit(_text.TRACKING_PARAM_RE)
+    return f"""
+    WITH raw AS (SELECT o_orderkey, {_TRK_URL.format(V="VARCHAR")} AS u
+                 FROM orders),
+    p AS (SELECT o_orderkey,
+            regexp_extract(u, '^([^?]*)', 1) AS head,
+            regexp_replace(u, '^[^?]*\\??', '') AS query,
+            u
+          FROM raw),
+    k AS (SELECT o_orderkey, head, query, u,
+            list_filter(string_split(query, '&'),
+              x -> NOT regexp_matches(x, {trk}) AND x <> '') AS kept
+          FROM p),
+    c AS (SELECT o_orderkey,
+            CASE WHEN length(query) = 0 THEN u
+                 ELSE head || CASE WHEN len(kept) > 0
+                                   THEN '?' || array_to_string(kept, '&')
+                                   ELSE '' END END AS canon_url
+          FROM k)
+    SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n_raw,
+           MIN(o_orderkey) AS first_key
+    FROM c GROUP BY 1
+    """
+
+
+register(
+    "url_strip_tracking",
+    _q_url_strip_tracking,
+    _url_strip_tracking_oracle(),
+)
+
+
+# ----------------------------- anchor-text harvest (link-graph labels)
+
+# tag discipline mirrors the href patterns: 'a' exactly (optional
+# attribute block), non-greedy body, case-insensitive, dotall for
+# anchors spanning the wrapper's structure
+_ANCHOR_RE = r"(?is)<a(\s[^>]*)?>(.*?)</a\s*>"
+
+
+def _q_html_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The link-graph LABEL source: every anchor's inner text in
+    document order (inline tags stripped, trimmed), plus per-doc anchor
+    count — the companion to html_link_extract's hrefs. Zero Python,
+    zero shuffle."""
+    html = _html_wrap(_docs(spark, sf_dir))
+    arr = html.select(
+        "doc_id",
+        F.regexp_extract_all("html", F.lit(_ANCHOR_RE), F.lit(2)).alias(
+            "__a"
+        ),
+    )
+    out = arr.select(
+        "doc_id",
+        F.posexplode("__a").alias("__no", "__raw"),
+        F.size("__a").cast("bigint").alias("n_anchors"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("__no").cast("bigint").alias("anchor_no"),
+        F.trim(F.regexp_replace("__raw", "<[^>]*>", "")).alias(
+            "anchor_text"
+        ),
+        "n_anchors",
+    )
+
+
+register(
+    "html_anchor_texts",
+    _q_html_anchor_texts,
+    f"""
+    WITH h AS (SELECT doc_id, {_HTML_SQL} AS html FROM documents),
+    l AS (SELECT doc_id,
+                 regexp_extract_all(html, {_sql_lit(_ANCHOR_RE)}, 2) AS a
+          FROM h)
+    SELECT doc_id,
+           CAST(unnest(range(len(a))) AS BIGINT) AS anchor_no,
+           trim(regexp_replace(unnest(a), '<[^>]*>', '', 'g'))
+             AS anchor_text,
+           CAST(len(a) AS BIGINT) AS n_anchors
+    FROM l
+    """,
+)
+
+
+# ----------------------- unicode script profile (multilingual curation)
+
+# planted non-Latin runs (Cyrillic / Hiragana+CJK / Arabic / Greek)
+# repeated 10 + doc_id % 30 times, so the dominant script flips per
+# document depending on its Latin text length — the argmax is graded,
+# not just the counts. The snippet is dialect-identical (CASE || repeat)
+# and runs verbatim in both engines.
+_SCRIPT_TEXT_SQL = "text || CASE doc_id % 5 WHEN 1 THEN repeat(' Привет', 10 + doc_id % 30) WHEN 2 THEN repeat(' こんにちは世界', 10 + doc_id % 30) WHEN 3 THEN repeat(' مرحبا', 10 + doc_id % 30) WHEN 4 THEN repeat(' γεια', 10 + doc_id % 30) ELSE '' END"
+
+
+def _q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class census + dominant script per document — the cheap
+    script detector that sanity-checks language ID (an 'en' doc that is
+    80% CJK is mislabeled). Exact integer counts (length deltas over
+    shared \\x{..} ranges); one scan, zero shuffle, zero Python."""
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    docs = _docs(spark, sf_dir)
+    dirty = docs.select("doc_id", F.expr(_SCRIPT_TEXT_SQL).alias("t"))
+    return dirty.select(
+        "doc_id",
+        *_text.script_counts("t"),
+        _text.dominant_script("t").alias("dominant"),
+    )
+
+
+def _script_profile_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    counts = ",\n            ".join(
+        f"CAST(length(t) - length(regexp_replace(t, {_sql_lit(pat)}, '', 'g'))"
+        f" AS BIGINT) AS n_{name}"
+        for name, pat in _text.SCRIPT_RANGES
+    )
+    first_max = " ".join(
+        f"WHEN n_{name} = mx THEN '{name}'"
+        for name, _ in _text.SCRIPT_RANGES
+    )
+    greatest = ", ".join(f"n_{name}" for name, _ in _text.SCRIPT_RANGES)
+    return f"""
+    WITH d AS (SELECT doc_id, {_SCRIPT_TEXT_SQL} AS t FROM documents),
+    c AS (SELECT doc_id,
+            {counts}
+          FROM d),
+    m AS (SELECT *, GREATEST({greatest}) AS mx FROM c)
+    SELECT doc_id, {greatest},
+           CASE WHEN mx = 0 THEN 'none' {first_max} END AS dominant
+    FROM m
+    """
+
+
+register("script_profile", _q_script_profile, _script_profile_oracle())

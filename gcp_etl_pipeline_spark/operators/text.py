@@ -658,3 +658,75 @@ def main_content_block(
         picked["sc"].alias("block_score"),
         picked["line"].alias("main_text"),
     )
+
+
+# --------------- tracking-parameter stripping (frontier canonicalization)
+#
+# The second half of URL canonicalization: click-tracking query params
+# (utm_*, fbclid, gclid, msclkid, ref) make the same resource look like
+# millions of distinct URLs. Strip them, preserve every other param in
+# original order, and drop the bare '?' when nothing survives. Composes
+# AFTER normalize_url (which already dropped the fragment). One shared
+# regex drives both engines (RE2-compatible).
+
+TRACKING_PARAM_RE = "^(utm_[^=&]*|fbclid|gclid|msclkid|ref)(=|$)"
+
+
+def strip_tracking_params(url: Column | str) -> Column:
+    c = F.col(url) if isinstance(url, str) else url
+    head = F.regexp_extract(c, r"^([^?]*)", 1)
+    query = F.regexp_replace(c, r"^[^?]*\??", "")
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: ~p.rlike(TRACKING_PARAM_RE) & (p != ""),
+    )
+    return F.when(F.length(query) == 0, c).otherwise(
+        F.concat(
+            head,
+            F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&")))
+            .otherwise(F.lit("")),
+        )
+    )
+
+
+# ------------------- unicode script profile (multilingual curation gate)
+#
+# Character-class census per document: the cheap script detector a
+# multilingual pipeline runs before (or as a sanity check on) model
+# language ID — a doc claiming lang='en' that is 80% CJK is mislabeled.
+# Counts are exact integers (length deltas); the dominant script is an
+# argmax with a fixed tie order. \x{..} ranges are the Java-regex / RE2
+# common subset, so the oracle reuses the patterns verbatim.
+
+SCRIPT_RANGES: tuple[tuple[str, str], ...] = (
+    ("latin", "[A-Za-z\\x{00C0}-\\x{024F}]"),
+    ("cyrillic", "[\\x{0400}-\\x{04FF}]"),
+    ("greek", "[\\x{0370}-\\x{03FF}]"),
+    ("arabic", "[\\x{0600}-\\x{06FF}]"),
+    ("cjk", "[\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}\\x{AC00}-\\x{D7AF}]"),
+)
+
+
+def script_counts(text: Column | str) -> list[Column]:
+    c = F.col(text) if isinstance(text, str) else text
+    return [
+        (F.length(c) - F.length(F.regexp_replace(c, pat, "")))
+        .cast("bigint")
+        .alias(f"n_{name}")
+        for name, pat in SCRIPT_RANGES
+    ]
+
+
+def dominant_script(text: Column | str) -> Column:
+    """The script with the highest character count; ties break by the
+    SCRIPT_RANGES order (latin first); 'none' when no script char
+    appears. Same strictly-greater fold as lang_id."""
+    best = None
+    for name, pat in SCRIPT_RANGES:
+        c = F.col(text) if isinstance(text, str) else text
+        cnt = F.length(c) - F.length(F.regexp_replace(c, pat, ""))
+        cand = F.struct(cnt.alias("n"), F.lit(name).alias("s"))
+        best = cand if best is None else F.when(
+            cand["n"] > best["n"], cand
+        ).otherwise(best)
+    return F.when(best["n"] > 0, best["s"]).otherwise(F.lit("none"))
