@@ -1458,7 +1458,9 @@ def _session_cached_parquet(spark, tag: str, build) -> DataFrame:
 
     global _CACHE_LOCK
     if _CACHE_LOCK is None:
-        _CACHE_LOCK = threading.Lock()
+        # RLock: html_intake_stream_src nests a cached-corpus build
+        # inside its own critical section
+        _CACHE_LOCK = threading.RLock()
 
     key = (spark.sparkContext.applicationId, tag)
     for _attempt in range(2):
@@ -1810,6 +1812,50 @@ def html_intake_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _session_cached_parquet(
         spark, tag, lambda: _html_wrap_dirty(_docs(spark, sf_dir))
     )
+
+
+def html_intake_stream_src(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached SOURCE DIRECTORY for the streaming intake twin:
+    the dirty corpus split into two id-ordered, mtime-ordered parquet
+    files (batch 0 = doc_id <= median, batch 1 = rest). The split is a
+    pure function of the corpus, so the twin's repeated bench passes
+    re-run the STREAMING LIFECYCLE (readStream → foreachBatch chain →
+    ledger) against one fixed source instead of re-materializing two
+    coalesce(1) splits per pass. Same lock/atexit/revalidate discipline
+    as ``_session_cached_parquet``."""
+    import atexit
+    import glob as _glob
+    import os
+    import re as _re
+    import shutil
+    import tempfile
+    import threading
+
+    global _CACHE_LOCK
+    if _CACHE_LOCK is None:
+        _CACHE_LOCK = threading.RLock()
+
+    tag = "htmlsrc_" + _re.sub(r"\W+", "_", sf_dir).strip("_")
+    key = (spark.sparkContext.applicationId, tag)
+    with _CACHE_LOCK:
+        path = _SESSION_PARQUET_CACHE.get(key)
+        if path is not None and os.path.isdir(path):
+            return path
+        root = tempfile.mkdtemp(prefix=f"graft_{tag}_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        src = root + "/in"
+        os.makedirs(src)
+        html = html_intake_corpus(spark, sf_dir)
+        t = html.agg(F.floor(F.max("doc_id") / 2)).collect()[0][0]
+        for i, pred in enumerate((f"doc_id <= {t}", f"doc_id > {t}")):
+            tmp = f"{root}/tmp{i}"
+            html.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = sorted(_glob.glob(f"{tmp}/part-*.parquet"))[0]
+            dst = f"{src}/b{i}.parquet"
+            shutil.copy(part, dst)
+            os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+        _SESSION_PARQUET_CACHE[key] = src
+        return src
 
 
 _HTML_SQL = " || ".join(

@@ -463,8 +463,13 @@ def normalize_url(url: Column | str) -> Column:
     # scheme-less / relative input has no authority to normalize — the
     # generic path below would mint '://' + a lowercased prefix as a fake
     # authority, silently MERGING distinct malformed frontier entries.
-    # Pass such rows through untouched instead (ADVICE r9).
-    return F.when(scheme == "", c).otherwise(_normalize_url_abs(c, scheme))
+    # Pass such rows through untouched instead (ADVICE r9). The guard is
+    # a boolean rlike, NOT a scheme == '' test on the extract: the
+    # branch's condition is evaluated for every row, and the match-only
+    # rlike benched 1.19x of the unguarded form vs 1.4x for the
+    # extract-based condition (CASE branches get no common-subexpression
+    # elimination, so the condition's regex work is pure overhead).
+    return F.when(c.rlike(URL_SCHEME_RE), _normalize_url_abs(c, scheme)).otherwise(c)
 
 
 def _normalize_url_abs(c: Column, scheme: Column) -> Column:

@@ -772,31 +772,19 @@ def _q_stream_html_intake(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule keeps the min id, the two-phase ledger rule converges to the
     BATCH chain's global min-id-per-fingerprint exactly — the oracle is
     `_html_intake_oracle()` shared verbatim."""
-    import glob as _glob
-    import os
-
     from pyspark.sql import functions as F
 
     from gcp_etl_pipeline_spark.operators import text as _text
     from gcp_etl_pipeline_spark.operators.curation_queries import (
-        html_intake_corpus,
+        html_intake_stream_src,
     )
     from gcp_etl_pipeline_spark.operators.dedup import dedup_incremental
 
     root = tempfile.mkdtemp(prefix="graft_shtml_")
-    src = f"{root}/in"
-    os.makedirs(src)
-    # the SAME session-cached dirty corpus the batch twin reads — the
-    # twins share one fixture generation per (session, sf_dir)
-    html = html_intake_corpus(spark, sf_dir)
-    t = html.agg(F.floor(F.max("doc_id") / 2)).collect()[0][0]
-    for i, pred in enumerate((f"doc_id <= {t}", f"doc_id > {t}")):
-        tmp = f"{root}/tmp{i}"
-        html.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = sorted(_glob.glob(f"{tmp}/part-*.parquet"))[0]
-        dst = f"{src}/b{i}.parquet"
-        shutil.copy(part, dst)
-        os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+    # the session-cached pre-split dirty corpus shared with the batch
+    # twin — one fixture generation per (session, sf_dir); each run
+    # still gets ITS OWN checkpoint, ledger, and sink below
+    src = html_intake_stream_src(spark, sf_dir)
 
     store = f"{root}/fps"
     out_dir = f"{root}/accepted"
@@ -819,7 +807,7 @@ def _q_stream_html_intake(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).parquet(f"{out_dir}/batch={batch_id}")
 
     q = (
-        spark.readStream.schema(html.schema)
+        spark.readStream.schema("doc_id BIGINT, source STRING, html STRING")
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
         .writeStream.foreachBatch(process)
