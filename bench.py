@@ -142,6 +142,10 @@ BENCH_QUERIES = [
     "per_host_budget_take",
     "html_main_content",
     "image_phash_recall",
+    "url_strip_tracking",
+    "html_anchor_texts",
+    "script_profile",
+    "robots_filter_frontier",
 ]
 
 

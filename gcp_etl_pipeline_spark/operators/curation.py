@@ -1095,3 +1095,59 @@ def per_host_budget(
         .where(F.col("__rn") <= q)
         .drop("__lrn", "__rn")
     )
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """robots.txt directive evaluation — the fetch-permission gate that
+    runs with the per-host budget: ``rules`` is the parsed directive
+    table (host, path_prefix, allow) and every URL gets the verdict of
+    its MOST SPECIFIC matching rule (longest path_prefix; on a length
+    tie Allow wins — the Google/RFC 9309 precedence), defaulting to
+    allowed when no rule matches. Appends (allowed, matched_prefix).
+
+    Scale shape: a robots table is tiny next to a frontier (thousands
+    of hosts x a handful of directives), so the rule join BROADCASTS;
+    the prefix match is a JVM startswith inside the join condition; the
+    per-URL argmax is one window over the (already-joined) candidate
+    rows, partitioned by the URL key — no shuffle of the frontier
+    beyond that window."""
+    from pyspark.sql import Window
+
+    from gcp_etl_pipeline_spark.operators.text import (
+        URL_AUTH_RE,
+        URL_SCHEME_RE,
+        registrable_host,
+    )
+
+    u = urls.withColumn("__host", registrable_host(F.col(url_col)))
+    path = F.regexp_replace(
+        F.regexp_replace(F.col(url_col), URL_SCHEME_RE, ""),
+        URL_AUTH_RE,
+        "",
+    )
+    u = u.withColumn("__path", path)
+    r = rules.select(
+        F.col("host").alias("__rhost"),
+        F.col("path_prefix").alias("__pfx"),
+        F.col("allow").alias("__allow"),
+    )
+    cand = u.join(
+        F.broadcast(r),
+        (F.col("__host") == F.col("__rhost"))
+        & F.col("__path").startswith(F.col("__pfx")),
+        "left",
+    )
+    w = Window.partitionBy(url_col).orderBy(
+        F.length("__pfx").desc(), F.col("__allow").desc()
+    )
+    return (
+        cand.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .withColumn("allowed", F.coalesce("__allow", F.lit(True)))
+        .withColumn("matched_prefix", F.coalesce("__pfx", F.lit("")))
+        .drop("__rhost", "__pfx", "__allow", "__rk", "__host", "__path")
+    )

@@ -2677,3 +2677,81 @@ def _script_profile_oracle() -> str:
 
 
 register("script_profile", _q_script_profile, _script_profile_oracle())
+
+
+# --------------------------- robots.txt directive evaluation (politeness)
+
+# closed-form directive table over the _HOST_URL fixture's hosts: nested
+# prefixes (longest match must win), an equal-prefix allow/disallow pair
+# (Allow must win the tie), a root disallow with a deeper allow
+# override, and rule-less hosts (default allowed)
+_ROBOTS_RULES: tuple[tuple[str, str, bool], ...] = (
+    ("example.com", "/art/1", False),
+    ("example.com", "/art/12", True),
+    ("example.com", "/art/13", False),
+    ("example.com", "/art/13", True),
+    ("sample.co.uk", "/", False),
+    ("sample.co.uk", "/art/7", True),
+)
+
+
+def _q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 precedence graded end-to-end: most specific (longest)
+    matching prefix wins, Allow wins a length tie, no-match defaults to
+    allowed; hosts pool by registrable domain so News.Example.COM and
+    u@cdn.example.com:8080 obey the same example.com rules. The rule
+    join broadcasts (plan census); the frontier shuffles once for the
+    per-URL argmax window."""
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    urls = orders.select(
+        "o_orderkey", F.expr(_HOST_URL.format(V="STRING")).alias("url")
+    )
+    rules = spark.createDataFrame(
+        list(_ROBOTS_RULES), "host STRING, path_prefix STRING, allow BOOLEAN"
+    )
+    return curation.robots_filter(urls, rules).select(
+        "o_orderkey", "url", "allowed", "matched_prefix"
+    )
+
+
+def _robots_oracle() -> str:
+    vals = ", ".join(
+        f"({_sql_lit(h)}, {_sql_lit(p)}, {str(a).lower()})"
+        for h, p, a in _ROBOTS_RULES
+    )
+    return f"""
+    WITH raw AS (SELECT o_orderkey, {_HOST_URL.format(V="VARCHAR")} AS url
+                 FROM orders),
+    h AS (SELECT o_orderkey, url,
+            regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+          FROM raw),
+    p AS (SELECT o_orderkey, url,
+            lower(regexp_replace(regexp_replace(
+              regexp_extract(rest, '^([^/?#]*)', 1),
+              '^[^@]*@', ''), ':[0-9]*$', '')) AS hostname,
+            regexp_replace(rest, '^[^/?#]*', '') AS path
+          FROM h),
+    lab AS (SELECT *, string_split(hostname, '.') AS ls FROM p),
+    reg AS (SELECT o_orderkey, url, path,
+              CASE WHEN len(ls) <= 1 THEN hostname
+                   WHEN len(ls) >= 3 AND length(ls[len(ls)]) = 2
+                        AND ls[len(ls) - 1] IN {_HOST_SLDS_SQL}
+                     THEN ls[len(ls) - 2] || '.' || ls[len(ls) - 1]
+                          || '.' || ls[len(ls)]
+                   ELSE ls[len(ls) - 1] || '.' || ls[len(ls)] END AS host
+            FROM lab),
+    rules AS (SELECT * FROM (VALUES {vals}) AS t(host, pfx, allow)),
+    cand AS (SELECT g.o_orderkey, g.url, r.pfx, r.allow
+             FROM reg g LEFT JOIN rules r
+               ON g.host = r.host AND starts_with(g.path, r.pfx)),
+    rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY url
+             ORDER BY length(pfx) DESC, allow DESC) AS rn
+           FROM cand)
+    SELECT o_orderkey, url,
+           COALESCE(allow, true) AS allowed,
+           COALESCE(pfx, '') AS matched_prefix
+    FROM rk WHERE rn = 1
+    """
+
+
+register("robots_filter_frontier", _q_robots_filter, _robots_oracle())

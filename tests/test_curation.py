@@ -367,3 +367,64 @@ def test_gopher_gates_zero_token_doc_gets_explicit_reject(spark):
     for d in (2, 3):
         assert out[d].n_tokens == 0 and out[d].keep is False
         assert out[d].g_len is False
+
+
+def test_robots_filter_precedence(spark):
+    """RFC 9309: longest match wins; Allow wins an equal-length tie;
+    no-rule host defaults to allowed; subdomains obey the registrable
+    host's rules."""
+    from pyspark.sql import functions as F
+
+    from gcp_etl_pipeline_spark.operators.curation import robots_filter
+
+    rules = spark.createDataFrame(
+        [
+            ("ex.org", "/a", False),
+            ("ex.org", "/a/b", True),
+            ("ex.org", "/t", False),
+            ("ex.org", "/t", True),
+        ],
+        "host STRING, path_prefix STRING, allow BOOLEAN",
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "https://www.ex.org/a/x"),     # /a only -> disallowed
+            (2, "https://ex.org/a/b/c"),       # /a/b beats /a -> allowed
+            (3, "https://ex.org/t/page"),      # tie -> Allow wins
+            (4, "https://ex.org/free"),        # no match -> allowed
+            (5, "https://other.net/a/x"),      # rule-less host -> allowed
+        ],
+        "k BIGINT, url STRING",
+    )
+    out = {r["k"]: r for r in robots_filter(urls, rules).collect()}
+    assert not out[1]["allowed"] and out[1]["matched_prefix"] == "/a"
+    assert out[2]["allowed"] and out[2]["matched_prefix"] == "/a/b"
+    assert out[3]["allowed"] and out[3]["matched_prefix"] == "/t"
+    assert out[4]["allowed"] and out[4]["matched_prefix"] == ""
+    assert out[5]["allowed"]
+
+
+def test_strip_tracking_params(spark):
+    from pyspark.sql import functions as F
+
+    from gcp_etl_pipeline_spark.operators.text import strip_tracking_params
+
+    rows = [
+        (1, "https://e.org/p"),                          # no query
+        (2, "https://e.org/p?utm_source=a&utm_b=c"),     # all tracking
+        (3, "https://e.org/p?id=7&utm_medium=m&b=2"),    # order preserved
+        (4, "https://e.org/p?ref=tw"),                   # bare ? dropped
+        (5, "https://e.org/p?prefix=1&refx=2"),          # refx is NOT ref
+    ]
+    df = spark.createDataFrame(rows, "k BIGINT, u STRING")
+    out = {
+        r["k"]: r["c"]
+        for r in df.select(
+            "k", strip_tracking_params("u").alias("c")
+        ).collect()
+    }
+    assert out[1] == "https://e.org/p"
+    assert out[2] == "https://e.org/p"
+    assert out[3] == "https://e.org/p?id=7&b=2"
+    assert out[4] == "https://e.org/p"
+    assert out[5] == "https://e.org/p?prefix=1&refx=2"
