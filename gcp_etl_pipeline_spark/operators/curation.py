@@ -1101,53 +1101,84 @@ def robots_filter(
     urls: DataFrame,
     rules: DataFrame,
     url_col: str = "url",
+    scope: str = "hostname",
 ) -> DataFrame:
     """robots.txt directive evaluation — the fetch-permission gate that
     runs with the per-host budget: ``rules`` is the parsed directive
     table (host, path_prefix, allow) and every URL gets the verdict of
     its MOST SPECIFIC matching rule (longest path_prefix; on a length
-    tie Allow wins — the Google/RFC 9309 precedence), defaulting to
-    allowed when no rule matches. Appends (allowed, matched_prefix).
+    tie Allow wins — the RFC 9309 precedence), defaulting to allowed
+    when no rule matches. An empty path matches as '/' (the homepage
+    form 'https://h' IS the root — RFC 9309 §2.2.2). Appends
+    (allowed, matched_prefix).
+
+    Scope: robots.txt is PER ORIGIN (RFC 9309 §2.3) — cdn.example.com
+    and example.com each have their own file — so the default matches
+    rules by exact lowercased hostname. ``scope="registrable"`` pools
+    by registrable domain instead, for rule tables that are themselves
+    domain-level policy (a crawl-wide blocklist) rather than parsed
+    robots.txt files.
+
+    Duplicate URLs are safe: the verdict is computed once per DISTINCT
+    URL and joined back, so every input row keeps its own verdict row
+    (no precondition, unlike per_host_budget's unique-key contract).
 
     Scale shape: a robots table is tiny next to a frontier (thousands
-    of hosts x a handful of directives), so the rule join BROADCASTS;
-    the prefix match is a JVM startswith inside the join condition; the
-    per-URL argmax is one window over the (already-joined) candidate
-    rows, partitioned by the URL key — no shuffle of the frontier
-    beyond that window."""
-    from pyspark.sql import Window
-
+    of hosts x a handful of directives), so the rule join BROADCASTS
+    against the distinct-URL table; the prefix match is a JVM
+    startswith inside the join condition; precedence is ONE max_by
+    aggregate over the candidate rows (no window sort), and the
+    frontier itself only shuffles for the verdict join, which AQE
+    plans against the deduplicated (smaller) side."""
     from gcp_etl_pipeline_spark.operators.text import (
         URL_AUTH_RE,
         URL_SCHEME_RE,
         registrable_host,
+        url_hostname,
     )
 
-    u = urls.withColumn("__host", registrable_host(F.col(url_col)))
-    path = F.regexp_replace(
+    if scope not in ("hostname", "registrable"):
+        raise ValueError(
+            f"robots_filter: scope must be 'hostname' or 'registrable',"
+            f" got {scope!r}"
+        )
+    host_fn = url_hostname if scope == "hostname" else registrable_host
+    uu = urls.select(url_col).distinct()
+    raw_path = F.regexp_replace(
         F.regexp_replace(F.col(url_col), URL_SCHEME_RE, ""),
         URL_AUTH_RE,
         "",
     )
-    u = u.withColumn("__path", path)
+    uu = uu.withColumn("__host", host_fn(F.col(url_col))).withColumn(
+        "__path",
+        F.when(raw_path.startswith("/"), raw_path).otherwise(
+            F.concat(F.lit("/"), raw_path)
+        ),
+    )
     r = rules.select(
         F.col("host").alias("__rhost"),
         F.col("path_prefix").alias("__pfx"),
         F.col("allow").alias("__allow"),
     )
-    cand = u.join(
+    cand = uu.join(
         F.broadcast(r),
         (F.col("__host") == F.col("__rhost"))
         & F.col("__path").startswith(F.col("__pfx")),
         "left",
     )
-    w = Window.partitionBy(url_col).orderBy(
-        F.length("__pfx").desc(), F.col("__allow").desc()
+    # RFC precedence as one aggregate: max over (prefix length, allow)
+    # — longest wins, Allow wins the tie (true > false); max_by skips
+    # the null no-match row, so an unmatched URL aggregates to NULL and
+    # coalesces to the default-allow verdict. Two DISTINCT same-length
+    # prefixes can never both match one path, so the pick is total.
+    verdict = cand.groupBy(url_col).agg(
+        F.max_by(
+            F.struct(F.col("__allow").alias("a"), F.col("__pfx").alias("p")),
+            F.struct(F.length("__pfx"), F.col("__allow")),
+        ).alias("__v")
+    ).select(
+        url_col,
+        F.coalesce(F.col("__v.a"), F.lit(True)).alias("allowed"),
+        F.coalesce(F.col("__v.p"), F.lit("")).alias("matched_prefix"),
     )
-    return (
-        cand.withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") == 1)
-        .withColumn("allowed", F.coalesce("__allow", F.lit(True)))
-        .withColumn("matched_prefix", F.coalesce("__pfx", F.lit("")))
-        .drop("__rhost", "__pfx", "__allow", "__rk", "__host", "__path")
-    )
+    return urls.join(verdict, url_col)

@@ -1437,30 +1437,28 @@ def phash_ledger_corpus(spark: SparkSession) -> DataFrame:
     )
 
 
+import threading as _threading
+
 _SESSION_PARQUET_CACHE: dict[tuple[str, str], str] = {}
-_CACHE_LOCK = None  # created lazily; threading import kept off the hot path
+# created at import (a lazy check-then-act init could mint two locks on
+# a first-use race); RLock because html_intake_stream_src nests the
+# cached-corpus build inside its own critical section
+_CACHE_LOCK = _threading.RLock()
 
 
-def _session_cached_parquet(spark, tag: str, build) -> DataFrame:
-    """Generate-once-per-session parquet cache for shared bench/test
-    fixtures: ``build()`` returns the DataFrame to materialize; repeated
-    calls read the parquet back. Thread-safe (one lock around the
-    check-and-generate), cleaned up at interpreter exit, and resilient
-    to a tmp cleaner deleting the directory mid-session: the path is
-    re-validated under the lock and the read retries once through
-    regeneration if the directory vanished between validation and read
+def _session_cached_path(spark, tag: str, build, validate):
+    """THE generate-once-per-session fixture-cache discipline, shared by
+    every cached fixture: ``build(root)`` materializes into a fresh tmp
+    ``root`` and returns the data path; ``validate(path)`` returns the
+    caller's handle (a DataFrame, the path, ...) or raises to force ONE
+    regeneration. Thread-safe (module-level RLock around the
+    check-and-generate), cleaned up at interpreter exit, resilient to a
+    tmp cleaner deleting the directory between validation and read
     (ADVICE r9)."""
     import atexit
     import os
     import shutil
     import tempfile
-    import threading
-
-    global _CACHE_LOCK
-    if _CACHE_LOCK is None:
-        # RLock: html_intake_stream_src nests a cached-corpus build
-        # inside its own critical section
-        _CACHE_LOCK = threading.RLock()
 
     key = (spark.sparkContext.applicationId, tag)
     for _attempt in range(2):
@@ -1469,18 +1467,33 @@ def _session_cached_parquet(spark, tag: str, build) -> DataFrame:
             if path is None or not os.path.isdir(path):
                 root = tempfile.mkdtemp(prefix=f"graft_{tag}_")
                 atexit.register(shutil.rmtree, root, ignore_errors=True)
-                path = root + "/data"
-                build().write.mode("overwrite").parquet(path)
+                path = build(root)
                 _SESSION_PARQUET_CACHE[key] = path
         try:
-            df = read_parquet(spark, path)
-            df.schema  # force the file-listing/footer read NOW, inside
-            return df  # the retry guard, not at first downstream action
-        except Exception:  # noqa: BLE001 — dir deleted between check and read
+            return validate(path)
+        except Exception:  # noqa: BLE001 — dir vanished mid-session
             with _CACHE_LOCK:
                 if _SESSION_PARQUET_CACHE.get(key) == path:
                     del _SESSION_PARQUET_CACHE[key]
-    raise RuntimeError(f"session parquet cache for {tag!r} unreadable")
+    raise RuntimeError(f"session fixture cache for {tag!r} unreadable")
+
+
+def _session_cached_parquet(spark, tag: str, build) -> DataFrame:
+    """Parquet form of ``_session_cached_path``: ``build()`` returns the
+    DataFrame to materialize once; repeated calls read the parquet
+    back (footer read forced inside the retry guard)."""
+
+    def _build(root: str) -> str:
+        path = root + "/data"
+        build().write.mode("overwrite").parquet(path)
+        return path
+
+    def _validate(path: str) -> DataFrame:
+        df = read_parquet(spark, path)
+        df.schema  # force the file-listing/footer read NOW, inside
+        return df  # the retry guard, not at first downstream action
+
+    return _session_cached_path(spark, tag, _build, _validate)
 
 
 def _q_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1819,30 +1832,19 @@ def html_intake_stream_src(spark: SparkSession, sf_dir: str) -> str:
     the dirty corpus split into two id-ordered, mtime-ordered parquet
     files (batch 0 = doc_id <= median, batch 1 = rest). The split is a
     pure function of the corpus, so the twin's repeated bench passes
-    re-run the STREAMING LIFECYCLE (readStream → foreachBatch chain →
+    re-run the STREAMING LIFECYCLE (readStream -> foreachBatch chain ->
     ledger) against one fixed source instead of re-materializing two
-    coalesce(1) splits per pass. Same lock/atexit/revalidate discipline
-    as ``_session_cached_parquet``."""
-    import atexit
+    coalesce(1) splits per pass. Same ``_session_cached_path``
+    discipline as every cached fixture (one implementation, not a
+    copy)."""
     import glob as _glob
     import os
     import re as _re
     import shutil
-    import tempfile
-    import threading
-
-    global _CACHE_LOCK
-    if _CACHE_LOCK is None:
-        _CACHE_LOCK = threading.RLock()
 
     tag = "htmlsrc_" + _re.sub(r"\W+", "_", sf_dir).strip("_")
-    key = (spark.sparkContext.applicationId, tag)
-    with _CACHE_LOCK:
-        path = _SESSION_PARQUET_CACHE.get(key)
-        if path is not None and os.path.isdir(path):
-            return path
-        root = tempfile.mkdtemp(prefix=f"graft_{tag}_")
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
+
+    def _build(root: str) -> str:
         src = root + "/in"
         os.makedirs(src)
         html = html_intake_corpus(spark, sf_dir)
@@ -1854,8 +1856,14 @@ def html_intake_stream_src(spark: SparkSession, sf_dir: str) -> str:
             dst = f"{src}/b{i}.parquet"
             shutil.copy(part, dst)
             os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
-        _SESSION_PARQUET_CACHE[key] = src
         return src
+
+    def _validate(path: str) -> str:
+        if sorted(os.listdir(path)) != ["b0.parquet", "b1.parquet"]:
+            raise RuntimeError("stream source files missing")
+        return path
+
+    return _session_cached_path(spark, tag, _build, _validate)
 
 
 _HTML_SQL = " || ".join(
@@ -2681,27 +2689,32 @@ register("script_profile", _q_script_profile, _script_profile_oracle())
 
 # --------------------------- robots.txt directive evaluation (politeness)
 
-# closed-form directive table over the _HOST_URL fixture's hosts: nested
-# prefixes (longest match must win), an equal-prefix allow/disallow pair
-# (Allow must win the tie), a root disallow with a deeper allow
-# override, and rule-less hosts (default allowed)
+# closed-form directive table over the _HOST_URL fixture's ORIGINS
+# (robots scope is per exact hostname — RFC 9309 §2.3): nested prefixes
+# (longest match must win), an equal-prefix allow/disallow pair (Allow
+# must win the tie), a root disallow with a deeper allow override,
+# per-origin divergence within one registrable domain (news.* rules
+# differ from cdn.*), and rule-less hosts (default allowed)
 _ROBOTS_RULES: tuple[tuple[str, str, bool], ...] = (
-    ("example.com", "/art/1", False),
-    ("example.com", "/art/12", True),
-    ("example.com", "/art/13", False),
-    ("example.com", "/art/13", True),
-    ("sample.co.uk", "/", False),
-    ("sample.co.uk", "/art/7", True),
+    ("news.example.com", "/art/1", False),
+    ("news.example.com", "/art/12", True),
+    ("news.example.com", "/art/13", False),
+    ("news.example.com", "/art/13", True),
+    ("cdn.example.com", "/", False),
+    ("cdn.example.com", "/art/7", True),
+    ("blog.sample.co.uk", "/art/9", False),
 )
 
 
 def _q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 9309 precedence graded end-to-end: most specific (longest)
     matching prefix wins, Allow wins a length tie, no-match defaults to
-    allowed; hosts pool by registrable domain so News.Example.COM and
-    u@cdn.example.com:8080 obey the same example.com rules. The rule
-    join broadcasts (plan census); the frontier shuffles once for the
-    per-URL argmax window."""
+    allowed; scope is PER ORIGIN — News.Example.COM (case-folded) and
+    u@cdn.example.com:8080 (userinfo/port-stripped) resolve to
+    DIFFERENT rule sets within one registrable domain. The rule join
+    broadcasts (plan census); precedence is one max_by aggregate over
+    distinct URLs, joined back so duplicate frontier rows each keep a
+    verdict."""
     orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
     urls = orders.select(
         "o_orderkey", F.expr(_HOST_URL.format(V="STRING")).alias("url")
@@ -2729,21 +2742,16 @@ def _robots_oracle() -> str:
             lower(regexp_replace(regexp_replace(
               regexp_extract(rest, '^([^/?#]*)', 1),
               '^[^@]*@', ''), ':[0-9]*$', '')) AS hostname,
-            regexp_replace(rest, '^[^/?#]*', '') AS path
+            regexp_replace(rest, '^[^/?#]*', '') AS rawpath
           FROM h),
-    lab AS (SELECT *, string_split(hostname, '.') AS ls FROM p),
-    reg AS (SELECT o_orderkey, url, path,
-              CASE WHEN len(ls) <= 1 THEN hostname
-                   WHEN len(ls) >= 3 AND length(ls[len(ls)]) = 2
-                        AND ls[len(ls) - 1] IN {_HOST_SLDS_SQL}
-                     THEN ls[len(ls) - 2] || '.' || ls[len(ls) - 1]
-                          || '.' || ls[len(ls)]
-                   ELSE ls[len(ls) - 1] || '.' || ls[len(ls)] END AS host
-            FROM lab),
+    g AS (SELECT o_orderkey, url, hostname,
+            CASE WHEN starts_with(rawpath, '/') THEN rawpath
+                 ELSE '/' || rawpath END AS path
+          FROM p),
     rules AS (SELECT * FROM (VALUES {vals}) AS t(host, pfx, allow)),
     cand AS (SELECT g.o_orderkey, g.url, r.pfx, r.allow
-             FROM reg g LEFT JOIN rules r
-               ON g.host = r.host AND starts_with(g.path, r.pfx)),
+             FROM g LEFT JOIN rules r
+               ON g.hostname = r.host AND starts_with(g.path, r.pfx)),
     rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY url
              ORDER BY length(pfx) DESC, allow DESC) AS rn
            FROM cand)

@@ -505,17 +505,22 @@ def _normalize_url_abs(c: Column, scheme: Column) -> Column:
 MULTI_PART_SLDS = ("ac", "co", "com", "edu", "gov", "net", "org")
 
 
-def registrable_host(url: Column | str) -> Column:
+def url_hostname(url: Column | str) -> Column:
+    """Lowercased hostname: authority minus userinfo and port — the
+    per-origin key robots.txt scope uses (RFC 9309)."""
     c = F.col(url) if isinstance(url, str) else url
     rest = F.regexp_replace(c, URL_SCHEME_RE, "")
-    # authority minus userinfo and port = hostname
-    host = F.lower(
+    return F.lower(
         F.regexp_replace(
             F.regexp_replace(F.regexp_extract(rest, URL_AUTH_RE, 1),
                              "^[^@]*@", ""),
             ":[0-9]*$", "",
         )
     )
+
+
+def registrable_host(url: Column | str) -> Column:
+    host = url_hostname(url)
     labels = F.split(host, r"\.")
     n = F.size(labels)
     sld = F.element_at(labels, -2)

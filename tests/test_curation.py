@@ -371,10 +371,10 @@ def test_gopher_gates_zero_token_doc_gets_explicit_reject(spark):
 
 def test_robots_filter_precedence(spark):
     """RFC 9309: longest match wins; Allow wins an equal-length tie;
-    no-rule host defaults to allowed; subdomains obey the registrable
-    host's rules."""
-    from pyspark.sql import functions as F
-
+    no-rule origin defaults to allowed; scope is PER ORIGIN (www.ex.org
+    does NOT inherit ex.org rules) unless scope='registrable'; the
+    empty homepage path matches as '/'; duplicate frontier URLs each
+    keep a verdict row."""
     from gcp_etl_pipeline_spark.operators.curation import robots_filter
 
     rules = spark.createDataFrame(
@@ -383,25 +383,41 @@ def test_robots_filter_precedence(spark):
             ("ex.org", "/a/b", True),
             ("ex.org", "/t", False),
             ("ex.org", "/t", True),
+            ("root.net", "/", False),
         ],
         "host STRING, path_prefix STRING, allow BOOLEAN",
     )
     urls = spark.createDataFrame(
         [
-            (1, "https://www.ex.org/a/x"),     # /a only -> disallowed
-            (2, "https://ex.org/a/b/c"),       # /a/b beats /a -> allowed
-            (3, "https://ex.org/t/page"),      # tie -> Allow wins
-            (4, "https://ex.org/free"),        # no match -> allowed
-            (5, "https://other.net/a/x"),      # rule-less host -> allowed
+            (1, "https://ex.org/a/x"),        # /a only -> disallowed
+            (2, "https://ex.org/a/b/c"),      # /a/b beats /a -> allowed
+            (3, "https://ex.org/t/page"),     # tie -> Allow wins
+            (4, "https://ex.org/free"),       # no match -> allowed
+            (5, "https://www.ex.org/a/x"),    # DIFFERENT origin -> allowed
+            (6, "https://root.net"),          # empty path == '/' -> blocked
+            (7, "https://ex.org/a/x"),        # duplicate of 1
         ],
         "k BIGINT, url STRING",
     )
     out = {r["k"]: r for r in robots_filter(urls, rules).collect()}
+    assert len(out) == 7  # duplicates preserved, one verdict per row
     assert not out[1]["allowed"] and out[1]["matched_prefix"] == "/a"
     assert out[2]["allowed"] and out[2]["matched_prefix"] == "/a/b"
     assert out[3]["allowed"] and out[3]["matched_prefix"] == "/t"
     assert out[4]["allowed"] and out[4]["matched_prefix"] == ""
-    assert out[5]["allowed"]
+    assert out[5]["allowed"] and out[5]["matched_prefix"] == ""
+    assert not out[6]["allowed"] and out[6]["matched_prefix"] == "/"
+    assert not out[7]["allowed"]
+    # registrable scope pools the subdomain onto ex.org's rules
+    pooled = {
+        r["k"]: r
+        for r in robots_filter(urls, rules, scope="registrable").collect()
+    }
+    assert not pooled[5]["allowed"] and pooled[5]["matched_prefix"] == "/a"
+    import pytest
+
+    with pytest.raises(ValueError, match="scope"):
+        robots_filter(urls, rules, scope="bogus")
 
 
 def test_strip_tracking_params(spark):
