@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "html_anchor_texts",
     "script_profile",
     "robots_filter_frontier",
+    "frontier_pipeline",
 ]
 
 

@@ -2763,3 +2763,161 @@ def _robots_oracle() -> str:
 
 
 register("robots_filter_frontier", _q_robots_filter, _robots_oracle())
+
+
+# ------------------- composed crawl-frontier pipeline (the fetch list)
+
+# raw-URL fixture crossing every frontier hazard: scheme case (%3),
+# host variants incl. userinfo + non-default port (%4), a SHARED path
+# space (key % 600 -> cross-key duplicates after canonicalization),
+# tracking params (%5), trailing slash (%7), fragment (%11)
+_FRONTIER_URL = (
+    "CASE o_orderkey % 3 WHEN 0 THEN 'https' WHEN 1 THEN 'HTTPS' "
+    "ELSE 'https' END || '://' || "
+    "CASE o_orderkey % 4 WHEN 0 THEN 'News.Example.COM' "
+    "WHEN 1 THEN 'u@cdn.example.com:8080' "
+    "WHEN 2 THEN 'blog.Sample.CO.uk' "
+    "ELSE 'www.unique-' || CAST(o_orderkey % 50 AS {V}) || '.org' END "
+    "|| '/art/' || CAST(o_orderkey % 600 AS {V}) || "
+    "CASE WHEN o_orderkey % 7 = 0 THEN '/' ELSE '' END || "
+    "CASE o_orderkey % 5 WHEN 1 THEN '?utm_source=n&utm_campaign=x' "
+    "WHEN 2 THEN '?id=' || CAST(o_orderkey % 11 AS {V}) || '&utm_medium=m' "
+    "WHEN 3 THEN '?a=1&ref=tw&b=2' ELSE '' END || "
+    "CASE WHEN o_orderkey % 11 = 0 THEN '#sec' ELSE '' END"
+)
+
+
+def _q_frontier_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE frontier, one lazy plan — what actually runs between
+    'URLs discovered' and 'fetcher queue': canonicalize (normalize_url
+    -> strip_tracking_params) -> URL-level dedup (min discovering key
+    per canonical URL) -> robots gate (per-origin RFC 9309 verdicts,
+    disallowed URLs dropped) -> per-host fetch budget (deterministic
+    50-URL md5-order quota). The oracle replays every stage, so a drift
+    in ANY canonicalization rule, the dedup key, a robots verdict, or
+    the quota pick breaks the hash."""
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    raw = orders.select(
+        "o_orderkey", F.expr(_FRONTIER_URL.format(V="STRING")).alias("__raw")
+    )
+    canon = raw.select(
+        "o_orderkey",
+        _text.strip_tracking_params(
+            _text.normalize_url("__raw")
+        ).alias("url"),
+    )
+    deduped = canon.groupBy("url").agg(
+        F.min("o_orderkey").alias("first_key"),
+        F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+    )
+    rules = spark.createDataFrame(
+        list(_ROBOTS_RULES), "host STRING, path_prefix STRING, allow BOOLEAN"
+    )
+    fetchable = (
+        curation.robots_filter(deduped, rules)
+        .where(F.col("allowed"))
+        .drop("allowed", "matched_prefix")
+    )
+    return curation.per_host_budget(fetchable, "url", quota=50).select(
+        "url", "host", "first_key", "n_raw"
+    )
+
+
+def _frontier_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    vals = ", ".join(
+        f"({_sql_lit(h)}, {_sql_lit(p)}, {str(a).lower()})"
+        for h, p, a in _ROBOTS_RULES
+    )
+    trk = _sql_lit(_text.TRACKING_PARAM_RE)
+    return f"""
+    WITH raw AS (SELECT o_orderkey, {_FRONTIER_URL.format(V="VARCHAR")} AS u
+                 FROM orders),
+    n1 AS (SELECT o_orderkey,
+             lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               AS scheme,
+             regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+           FROM raw),
+    n2 AS (SELECT o_orderkey, scheme,
+             lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS auth,
+             regexp_replace(rest, '^[^/?#]*', '') AS tail
+           FROM n1),
+    n3 AS (SELECT o_orderkey, scheme,
+             CASE WHEN scheme = 'http'
+                    THEN regexp_replace(auth, ':80$', '')
+                  WHEN scheme = 'https'
+                    THEN regexp_replace(auth, ':443$', '')
+                  ELSE auth END AS auth,
+             regexp_replace(tail, '#.*$', '') AS tail
+           FROM n2),
+    n4 AS (SELECT o_orderkey,
+             scheme || '://' || auth
+               || regexp_replace(regexp_extract(tail, '^([^?]*)', 1),
+                                 '/+$', '')
+               || regexp_replace(tail, '^[^?]*', '') AS nu
+           FROM n3),
+    t1 AS (SELECT o_orderkey, nu,
+             regexp_extract(nu, '^([^?]*)', 1) AS head,
+             regexp_replace(nu, '^[^?]*\\??', '') AS query
+           FROM n4),
+    t2 AS (SELECT o_orderkey,
+             CASE WHEN length(query) = 0 THEN nu
+                  ELSE head || CASE WHEN len(kept) > 0
+                                    THEN '?' || array_to_string(kept, '&')
+                                    ELSE '' END END AS url
+           FROM (SELECT *, list_filter(string_split(query, '&'),
+                   x -> NOT regexp_matches(x, {trk}) AND x <> '') AS kept
+                 FROM t1)),
+    ded AS (SELECT url, MIN(o_orderkey) AS first_key,
+                   CAST(COUNT(*) AS BIGINT) AS n_raw
+            FROM t2 GROUP BY url),
+    pp AS (SELECT url, first_key, n_raw,
+             lower(regexp_replace(regexp_replace(
+               regexp_extract(regexp_replace(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1),
+               '^[^@]*@', ''), ':[0-9]*$', '')) AS hostname,
+             regexp_replace(regexp_replace(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^[^/?#]*', '')
+               AS rawpath
+           FROM ded),
+    pq AS (SELECT *, CASE WHEN starts_with(rawpath, '/') THEN rawpath
+                          ELSE '/' || rawpath END AS path
+           FROM pp),
+    rules AS (SELECT * FROM (VALUES {vals}) AS t(host, pfx, allow)),
+    cand AS (SELECT pq.url, pq.first_key, pq.n_raw, pq.hostname,
+                    r.pfx, r.allow
+             FROM pq LEFT JOIN rules r
+               ON pq.hostname = r.host AND starts_with(pq.path, r.pfx)),
+    vrk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY url
+              ORDER BY length(pfx) DESC, allow DESC) AS vrn
+            FROM cand),
+    verd AS (SELECT url, first_key, n_raw, hostname,
+               COALESCE(allow, true) AS allowed
+             FROM vrk WHERE vrn = 1),
+    fet AS (SELECT url, first_key, n_raw,
+              lower(regexp_replace(regexp_replace(
+                regexp_extract(regexp_replace(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1),
+                '^[^@]*@', ''), ':[0-9]*$', '')) AS hostname
+            FROM verd WHERE allowed),
+    lab AS (SELECT *, string_split(hostname, '.') AS ls FROM fet),
+    reg AS (SELECT url, first_key, n_raw,
+              CASE WHEN len(ls) <= 1 THEN hostname
+                   WHEN len(ls) >= 3 AND length(ls[len(ls)]) = 2
+                        AND ls[len(ls) - 1] IN {_HOST_SLDS_SQL}
+                     THEN ls[len(ls) - 2] || '.' || ls[len(ls) - 1]
+                          || '.' || ls[len(ls)]
+                   ELSE ls[len(ls) - 1] || '.' || ls[len(ls)] END AS host
+            FROM lab),
+    rk AS (SELECT url, host, first_key, n_raw,
+             ROW_NUMBER() OVER (PARTITION BY host
+               ORDER BY md5(url), url) AS rn
+           FROM reg)
+    SELECT url, host, first_key, n_raw FROM rk WHERE rn <= 50
+    """
+
+
+register("frontier_pipeline", _q_frontier_pipeline, _frontier_oracle())
