@@ -1102,6 +1102,7 @@ def robots_filter(
     rules: DataFrame,
     url_col: str = "url",
     scope: str = "hostname",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """robots.txt directive evaluation — the fetch-permission gate that
     runs with the per-host budget: ``rules`` is the parsed directive
@@ -1122,6 +1123,11 @@ def robots_filter(
     Duplicate URLs are safe: the verdict is computed once per DISTINCT
     URL and joined back, so every input row keeps its own verdict row
     (no precondition, unlike per_host_budget's unique-key contract).
+    When the caller has ALREADY deduplicated (e.g. the output of a
+    URL-level group-by, as in frontier_pipeline), pass
+    ``assume_distinct=True`` to skip the dedup-and-join-back: the
+    verdict aggregate then groups the input rows directly — one scan
+    of the frontier instead of two lineages of it.
 
     Scale shape: a robots table is tiny next to a frontier (thousands
     of hosts x a handful of directives), so the rule join BROADCASTS
@@ -1143,7 +1149,7 @@ def robots_filter(
             f" got {scope!r}"
         )
     host_fn = url_hostname if scope == "hostname" else registrable_host
-    uu = urls.select(url_col).distinct()
+    uu = urls if assume_distinct else urls.select(url_col).distinct()
     raw_path = F.regexp_replace(
         F.regexp_replace(F.col(url_col), URL_SCHEME_RE, ""),
         URL_AUTH_RE,
@@ -1171,14 +1177,19 @@ def robots_filter(
     # the null no-match row, so an unmatched URL aggregates to NULL and
     # coalesces to the default-allow verdict. Two DISTINCT same-length
     # prefixes can never both match one path, so the pick is total.
-    verdict = cand.groupBy(url_col).agg(
+    group_cols = list(urls.columns) if assume_distinct else [url_col]
+    verdict = cand.groupBy(*group_cols).agg(
         F.max_by(
             F.struct(F.col("__allow").alias("a"), F.col("__pfx").alias("p")),
             F.struct(F.length("__pfx"), F.col("__allow")),
         ).alias("__v")
     ).select(
-        url_col,
+        *group_cols,
         F.coalesce(F.col("__v.a"), F.lit(True)).alias("allowed"),
         F.coalesce(F.col("__v.p"), F.lit("")).alias("matched_prefix"),
     )
-    return urls.join(verdict, url_col)
+    if assume_distinct:
+        return verdict.select(*urls.columns, "allowed", "matched_prefix")
+    return urls.join(verdict, url_col).select(
+        *urls.columns, "allowed", "matched_prefix"
+    )

@@ -2816,7 +2816,7 @@ def _q_frontier_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(_ROBOTS_RULES), "host STRING, path_prefix STRING, allow BOOLEAN"
     )
     fetchable = (
-        curation.robots_filter(deduped, rules)
+        curation.robots_filter(deduped, rules, assume_distinct=True)
         .where(F.col("allowed"))
         .drop("allowed", "matched_prefix")
     )

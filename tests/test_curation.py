@@ -444,3 +444,24 @@ def test_strip_tracking_params(spark):
     assert out[3] == "https://e.org/p?id=7&b=2"
     assert out[4] == "https://e.org/p"
     assert out[5] == "https://e.org/p?prefix=1&refx=2"
+
+
+def test_robots_filter_assume_distinct_single_scan(spark):
+    from gcp_etl_pipeline_spark.operators.curation import robots_filter
+
+    rules = spark.createDataFrame(
+        [("ex.org", "/a", False)],
+        "host STRING, path_prefix STRING, allow BOOLEAN",
+    )
+    urls = spark.createDataFrame(
+        [(1, "https://ex.org/a/x"), (2, "https://ex.org/b")],
+        "k BIGINT, url STRING",
+    )
+    fast = robots_filter(urls, rules, assume_distinct=True)
+    slow = robots_filter(urls, rules)
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, slow.collect())
+    )
+    # the fast path must not materialize a second lineage of the input
+    plan = fast._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == 2  # urls + rules, each ONCE
