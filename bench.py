@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "script_profile",
     "robots_filter_frontier",
     "frontier_pipeline",
+    "url_trap_detect",
 ]
 
 

@@ -2921,3 +2921,104 @@ def _frontier_oracle() -> str:
 
 
 register("frontier_pipeline", _q_frontier_pipeline, _frontier_oracle())
+
+
+# ----------------------- crawl-trap URL detection (frontier hygiene)
+
+# planted trap classes per orders key (k % 6): 0 normal shallow page,
+# 1 depth-10 nest, 2 self-repeating segments (k%5<2: a triple
+# /cat/.../cat/.../cat nest = trap; else ONE repeat — /en/p/en —
+# which legitimate sites produce and must NOT trap), 3 deep calendar
+# walk, 4 session-token link (k%5<2 name-based, else 24-hex-value;
+# %5 is coprime with the %6 class so both branches are live),
+# 5 faceted-search param explosion — plus a SHALLOW calendar
+# archive at k % 17 = 0 on class 0 (calendar alone must NOT trap)
+_TRAP_URL = (
+    "'https://trap-' || CAST(o_orderkey % 13 AS {V}) || '.example.org' || "
+    "CASE o_orderkey % 6 "
+    "WHEN 0 THEN CASE WHEN o_orderkey % 17 = 0 "
+    "  THEN '/2024/' || CAST(1 + o_orderkey % 12 AS {V}) || '/' "
+    "       || CAST(1 + o_orderkey % 28 AS {V}) || '/' "
+    "  ELSE '/a/' || CAST(o_orderkey % 50 AS {V}) END "
+    "WHEN 1 THEN '/d1/d2/d3/d4/d5/d6/d7/d8/d9/x' || CAST(o_orderkey % 10 AS {V}) "
+    "WHEN 2 THEN CASE WHEN o_orderkey % 5 < 2 "
+    "  THEN '/cat/p' || CAST(o_orderkey % 7 AS {V}) || '/cat/p' "
+    "       || CAST(o_orderkey % 7 AS {V}) || '/cat/view' "
+    "  ELSE '/en/p' || CAST(o_orderkey % 7 AS {V}) || '/en' END "
+    "WHEN 3 THEN '/cal/2020/' || CAST(1 + o_orderkey % 12 AS {V}) || '/' "
+    "  || CAST(1 + o_orderkey % 28 AS {V}) || '/w/x/y' "
+    "WHEN 4 THEN '/p/' || CAST(o_orderkey % 50 AS {V}) || "
+    "  CASE WHEN o_orderkey % 5 < 2 THEN '?sessionid=u' || CAST(o_orderkey AS {V}) "
+    "       ELSE '?t=0123456789abcdef01234567' END "
+    "ELSE '/s?a=1&b=2&c=3&d=4&e=' || CAST(o_orderkey % 9 AS {V}) || '&f=6' END"
+)
+
+
+def _q_url_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-trap detection over a frontier: exact structural signals
+    (path depth, repeated path segments, param count, session tokens,
+    calendar paths) and the enqueue verdict — one codegen'd projection,
+    zero shuffle, zero Python; the signals fuse into the scan. The
+    fixture plants every trap class plus the shallow-calendar negative
+    (a /2024/05/17/ archive page must stay enqueueable)."""
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    urls = orders.select(
+        "o_orderkey", F.expr(_TRAP_URL.format(V="STRING")).alias("url")
+    )
+    sig = urls.select("o_orderkey", "url", *_text.url_trap_signals("url"))
+    return sig.select(
+        "*",
+        _text.is_crawl_trap(
+            F.col("path_depth"),
+            F.col("repeated_segments"),
+            F.col("param_count"),
+            F.col("has_session_param"),
+            F.col("has_calendar_path"),
+        ).alias("is_trap"),
+    )
+
+
+def _url_trap_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    return f"""
+    WITH raw AS (SELECT o_orderkey, {_TRAP_URL.format(V="VARCHAR")} AS url
+                 FROM orders),
+    t AS (SELECT o_orderkey, url,
+            regexp_replace(
+              regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+              '^[^/?#]*', '') AS tail
+          FROM raw),
+    pq AS (SELECT o_orderkey, url,
+             regexp_extract(regexp_replace(tail, '#.*$', ''),
+                            '^([^?]*)', 1) AS path,
+             regexp_replace(regexp_replace(tail, '#.*$', ''),
+                            '^[^?]*\\??', '') AS query
+           FROM t),
+    seg AS (SELECT o_orderkey, url, query,
+              list_filter(string_split(path, '/'), s -> s <> '') AS segs,
+              list_filter(string_split(query, '&'), p -> p <> '') AS params,
+              path
+            FROM pq),
+    sig AS (SELECT o_orderkey, url,
+              CAST(len(segs) AS BIGINT) AS path_depth,
+              CAST(len(segs) - len(list_distinct(segs)) AS BIGINT)
+                AS repeated_segments,
+              CAST(len(params) AS BIGINT) AS param_count,
+              (regexp_matches(query, {_sql_lit(_text.SESSION_PARAM_RE)})
+               OR regexp_matches(query, {_sql_lit(_text.HEX_TOKEN_PARAM_RE)}))
+                AS has_session_param,
+              regexp_matches(path, {_sql_lit(_text.CALENDAR_PATH_RE)})
+                AS has_calendar_path
+            FROM seg)
+    SELECT *,
+           (path_depth > 8 OR repeated_segments >= 2 OR param_count > 5
+            OR has_session_param
+            OR (has_calendar_path AND path_depth > 5)) AS is_trap
+    FROM sig
+    """
+
+
+register("url_trap_detect", _q_url_trap, _url_trap_oracle())

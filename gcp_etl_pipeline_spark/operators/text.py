@@ -740,3 +740,81 @@ def dominant_script(text: Column | str) -> Column:
             cand["n"] > best["n"], cand
         ).otherwise(best)
     return F.when(best["n"] > 0, best["s"]).otherwise(F.lit("none"))
+
+
+# ----------------------- crawl-trap URL detection (frontier hygiene)
+#
+# Infinite URL spaces (calendar pages, session-id links, self-nesting
+# path loops, faceted-search parameter explosions) are what actually
+# kills a crawl at scale: the frontier grows without bound while unique
+# content does not. These signals are the standard structural
+# heuristics a fetch scheduler applies BEFORE enqueueing — all exact
+# integer/boolean expressions over the URL string, no fetch needed.
+# Every pattern is in the Java-regex / RE2 common subset so the DuckDB
+# oracle in curation_queries.py replays them verbatim.
+
+# a query param whose name suggests a per-visitor token, or whose value
+# is a >=22-char hex blob (session ids re-mint per visit -> every link
+# containing one is a unique URL forever)
+SESSION_PARAM_RE = (
+    "(?i)(^|&)[a-z0-9_]*(session|sid|jsessionid|phpsessid)[a-z0-9_]*="
+)
+HEX_TOKEN_PARAM_RE = "(^|&)[A-Za-z0-9_]+=[0-9a-fA-F]{22,}(&|$)"
+# /YYYY/M(M)/D(D)/ anywhere in the path: a calendar widget's day pages
+CALENDAR_PATH_RE = "/(19|20)[0-9]{2}/[0-9]{1,2}/[0-9]{1,2}(/|$)"
+
+
+def url_path_query(url: Column | str) -> tuple[Column, Column]:
+    """(path, query) of a URL: path starts at the first '/' after the
+    authority (empty for authority-only URLs), query excludes '?' and
+    any fragment."""
+    c = F.col(url) if isinstance(url, str) else url
+    rest = F.regexp_replace(c, URL_SCHEME_RE, "")
+    tail = F.regexp_replace(rest, URL_AUTH_RE, "")
+    nofrag = F.regexp_replace(tail, "#.*$", "")
+    path = F.regexp_extract(nofrag, r"^([^?]*)", 1)
+    query = F.regexp_replace(nofrag, r"^[^?]*\??", "")
+    return path, query
+
+
+def url_trap_signals(url: Column | str) -> list[Column]:
+    """Structural trap signals, one projection: ``path_depth`` (count of
+    non-empty path segments), ``repeated_segments`` (segments minus
+    distinct segments — a path that revisits a name is self-nesting),
+    ``param_count``, ``has_session_param``, ``has_calendar_path``."""
+    path, query = url_path_query(url)
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    params = F.filter(F.split(query, "&"), lambda p: p != "")
+    return [
+        F.size(segs).cast("bigint").alias("path_depth"),
+        (F.size(segs) - F.size(F.array_distinct(segs)))
+        .cast("bigint")
+        .alias("repeated_segments"),
+        F.size(params).cast("bigint").alias("param_count"),
+        (query.rlike(SESSION_PARAM_RE) | query.rlike(HEX_TOKEN_PARAM_RE))
+        .alias("has_session_param"),
+        path.rlike(CALENDAR_PATH_RE).alias("has_calendar_path"),
+    ]
+
+
+def is_crawl_trap(
+    path_depth: Column,
+    repeated_segments: Column,
+    param_count: Column,
+    has_session_param: Column,
+    has_calendar_path: Column,
+    *,
+    max_depth: int = 8,
+    max_params: int = 5,
+) -> Column:
+    """The enqueue verdict: structural depth/repetition bounds, session
+    tokens always out, calendar paths only when also deep (a shallow
+    /2024/05/17/ archive page is legitimate; five levels under it is
+    the widget walking itself)."""
+    return (
+        (path_depth > max_depth)
+        | (repeated_segments >= 2)
+        | (param_count > max_params)
+        | has_session_param
+        | (has_calendar_path & (path_depth > 5))
+    )

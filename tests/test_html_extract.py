@@ -328,3 +328,50 @@ def test_per_host_budget(spark):
     assert sorted(r["url"] for r in kept.collect()) == sorted(
         r["url"] for r in kept1.collect()
     )
+
+
+def test_url_trap_signals_and_verdict(spark):
+    cases = [
+        # (url, depth, repeats, params, session, calendar, trap)
+        ("https://a.org/x/y", 2, 0, 0, False, False, False),
+        ("https://a.org/d1/d2/d3/d4/d5/d6/d7/d8/d9", 9, 0, 0, False, False, True),
+        ("https://a.org/cat/p/cat/p/cat", 5, 3, 0, False, False, True),
+        # ONE repeated segment is legitimate (locale prefixes etc.)
+        ("https://a.org/en/p/en", 3, 1, 0, False, False, False),
+        # shallow calendar archive stays enqueueable...
+        ("https://a.org/2024/5/17/", 3, 0, 0, False, True, False),
+        # ...a calendar walk nested deep does not
+        ("https://a.org/c/2020/1/2/w/x/y", 7, 0, 0, False, True, True),
+        ("https://a.org/p?sessionid=u1", 1, 0, 1, True, False, True),
+        ("https://a.org/p?t=0123456789abcdef01234567", 1, 0, 1, True, False, True),
+        # 21-char hex value is below the token threshold
+        ("https://a.org/p?t=0123456789abcdef01234", 1, 0, 1, False, False, False),
+        ("https://a.org/s?a=1&b=2&c=3&d=4&e=5&f=6", 1, 0, 6, False, False, True),
+        # fragment params never count; empty path is depth 0
+        ("https://a.org?x=1#a=2&b=3&c=4&d=5&e=6&f=7", 0, 0, 1, False, False, False),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, *_) in enumerate(cases)], "i BIGINT, url STRING"
+    )
+    sig = df.select("i", *text.url_trap_signals("url"))
+    out = sig.select(
+        "*",
+        text.is_crawl_trap(
+            F.col("path_depth"),
+            F.col("repeated_segments"),
+            F.col("param_count"),
+            F.col("has_session_param"),
+            F.col("has_calendar_path"),
+        ).alias("is_trap"),
+    )
+    got = {r["i"]: r for r in out.collect()}
+    for i, (u, d, rep, pc, sess, cal, trap) in enumerate(cases):
+        r = got[i]
+        assert (
+            r["path_depth"],
+            r["repeated_segments"],
+            r["param_count"],
+            r["has_session_param"],
+            r["has_calendar_path"],
+            r["is_trap"],
+        ) == (d, rep, pc, sess, cal, trap), (u, dict(r.asDict()))
