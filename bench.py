@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "robots_filter_frontier",
     "frontier_pipeline",
     "url_trap_detect",
+    "recrawl_schedule",
 ]
 
 

@@ -1193,3 +1193,82 @@ def robots_filter(
     return urls.join(verdict, url_col).select(
         *urls.columns, "allowed", "matched_prefix"
     )
+
+
+def recrawl_schedule(
+    fetches: DataFrame,
+    url_col: str = "url_id",
+    ts_col: str = "ts",
+    seq_col: str = "fetch_id",
+    version_col: str = "content_fp",
+) -> DataFrame:
+    """Per-URL recrawl-interval estimation from a fetch history — the
+    scheduler stage that turns "what did repeated fetches observe" into
+    "when to fetch next". For each URL, consecutive fetches (ordered by
+    timestamp, sequence id as the deterministic tiebreak) are compared
+    on their content fingerprint; the observed change ratio drives a
+    multiplier on the mean observed inter-fetch interval (the classic
+    change-frequency heuristic: pages that changed on most visits are
+    re-fetched at the observed cadence, static pages back off
+    geometrically). All exact integer arithmetic (µs epochs, µ-unit
+    ratios) so the DuckDB oracle matches bit-for-bit.
+
+    Physical shape at 100 TB of fetch logs: ONE hash exchange on
+    ``url_col`` serves both the lag window and the aggregate (the
+    groupBy reuses the window's partitioning — no second shuffle); the
+    output is |URLs| rows, a small fraction of the log."""
+    from pyspark.sql import Window
+
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(url_col).orderBy(ts_us, F.col(seq_col))
+    marked = fetches.select(
+        F.col(url_col).alias("url_id"),
+        ts_us.alias("__us"),
+        F.col(seq_col).alias("__seq"),
+        (F.col(version_col) != F.lag(version_col).over(w))
+        .cast("bigint")
+        .alias("__changed"),
+    )
+    agg = marked.groupBy("url_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fetches"),
+        F.sum(F.coalesce(F.col("__changed"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_changes"),
+        (F.max("__us") - F.min("__us")).alias("span_us"),
+    )
+    denom = F.col("n_fetches") - F.lit(1)
+    ratio = F.when(denom > 0, (F.col("n_changes") * F.lit(1000000))
+                   .cast("bigint") / denom).otherwise(F.lit(0))
+    change_ratio_u = F.floor(ratio).cast("bigint")
+    mean_interval_us = F.when(
+        denom > 0, F.floor(F.col("span_us") / denom)
+    ).otherwise(F.lit(0)).cast("bigint")
+    mult = (
+        F.when(change_ratio_u >= 500000, F.lit(1))
+        .when(change_ratio_u >= 200000, F.lit(4))
+        .when(change_ratio_u > 0, F.lit(16))
+        .otherwise(F.lit(64))
+    )
+    tier = (
+        F.when(change_ratio_u >= 500000, F.lit("live"))
+        .when(change_ratio_u >= 200000, F.lit("active"))
+        .when(change_ratio_u > 0, F.lit("slow"))
+        .otherwise(F.lit("static"))
+    )
+    return agg.select(
+        "url_id",
+        "n_fetches",
+        "n_changes",
+        "span_us",
+        change_ratio_u.alias("change_ratio_u"),
+        mean_interval_us.alias("mean_interval_us"),
+        # single-fetch URLs have no observed cadence: schedule at the
+        # tier multiplier over a 1-day base instead of 0 (a 0 interval
+        # would re-fetch in a tight loop — the exact failure this
+        # operator exists to prevent)
+        (F.when(denom > 0, mean_interval_us)
+         .otherwise(F.lit(86_400_000_000)) * mult)
+        .cast("bigint")
+        .alias("recrawl_interval_us"),
+        tier.alias("recrawl_tier"),
+    )

@@ -3022,3 +3022,94 @@ def _url_trap_oracle() -> str:
 
 
 register("url_trap_detect", _q_url_trap, _url_trap_oracle())
+
+
+# ------------------- recrawl scheduling (crawl freshness maintenance)
+
+# fetch-log fixture over events: url classes planting every schedule
+# tier — singleton URLs (event_id % 37 = 0: one fetch, no observed
+# cadence), static pages (user_id % 5 = 0: fingerprint never changes),
+# always-changing pages (user_id % 5 = 1: fingerprint = event id), and
+# organically-churning pages (fingerprint = event_type, ~4/5 of
+# consecutive fetches differ), and slow-drift pages (user_id % 5 = 2:
+# fingerprint = 14-day epoch bucket — one or two changes across the
+# fixture's 30-day span, the under-20%%-churn band). {EU} is the
+# engine's epoch-µs form, {IDIV} its integer division.
+_FETCH_URL_ID = (
+    "CASE WHEN event_id % 37 = 0 THEN 10000000 + event_id "
+    "ELSE user_id * 10 + event_id % 7 END"
+)
+_FETCH_FP = (
+    "CASE WHEN user_id % 5 = 0 THEN 'static' "
+    "WHEN user_id % 5 = 1 THEN 'v' || CAST(event_id AS {V}) "
+    "WHEN user_id % 5 = 2 THEN 'w' || CAST({EU} {IDIV} 1209600000000 AS {V}) "
+    "ELSE event_type END"
+)
+
+
+def _q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl-interval estimation over a fetch log: per-URL change
+    ratio (consecutive-fetch fingerprint comparison) drives a
+    geometric backoff multiplier on the observed mean inter-fetch
+    interval — the scheduler that keeps a 100-TB crawl fresh without
+    re-fetching the static web. One hash exchange on url_id serves
+    both the lag window and the aggregate."""
+    from gcp_etl_pipeline_spark.operators import curation as _cur
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    fetches = ev.select(
+        F.expr(_FETCH_URL_ID).alias("url_id"),
+        "ts",
+        F.col("event_id").alias("fetch_id"),
+        F.expr(
+            _FETCH_FP.format(
+                V="STRING",
+                EU="unix_micros(CAST(ts AS TIMESTAMP))",
+                IDIV="DIV",
+            )
+        ).alias("content_fp"),
+    )
+    return _cur.recrawl_schedule(fetches)
+
+
+def _recrawl_oracle() -> str:
+    return f"""
+    WITH f AS (SELECT {_FETCH_URL_ID} AS url_id, ts,
+                      event_id AS fetch_id,
+                      {_FETCH_FP.format(V="VARCHAR", EU="epoch_us(ts)",
+                                          IDIV="//")} AS content_fp
+               FROM events),
+    m AS (SELECT url_id, epoch_us(ts) AS us,
+            CAST(content_fp <> LAG(content_fp) OVER
+              (PARTITION BY url_id ORDER BY epoch_us(ts), fetch_id)
+              AS BIGINT) AS changed
+          FROM f),
+    a AS (SELECT url_id,
+            COUNT(*) AS n_fetches,
+            CAST(SUM(COALESCE(changed, 0)) AS BIGINT) AS n_changes,
+            MAX(us) - MIN(us) AS span_us
+          FROM m GROUP BY 1),
+    r AS (SELECT *,
+            CASE WHEN n_fetches > 1
+                 THEN (n_changes * 1000000) // (n_fetches - 1)
+                 ELSE 0 END AS change_ratio_u,
+            CASE WHEN n_fetches > 1 THEN span_us // (n_fetches - 1)
+                 ELSE 0 END AS mean_interval_us
+          FROM a)
+    SELECT url_id, n_fetches, n_changes, span_us, change_ratio_u,
+           mean_interval_us,
+           CAST((CASE WHEN n_fetches > 1 THEN mean_interval_us
+                      ELSE 86400000000 END)
+                * (CASE WHEN change_ratio_u >= 500000 THEN 1
+                        WHEN change_ratio_u >= 200000 THEN 4
+                        WHEN change_ratio_u > 0 THEN 16
+                        ELSE 64 END) AS BIGINT) AS recrawl_interval_us,
+           CASE WHEN change_ratio_u >= 500000 THEN 'live'
+                WHEN change_ratio_u >= 200000 THEN 'active'
+                WHEN change_ratio_u > 0 THEN 'slow'
+                ELSE 'static' END AS recrawl_tier
+    FROM r
+    """
+
+
+register("recrawl_schedule", _q_recrawl_schedule, _recrawl_oracle())

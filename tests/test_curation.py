@@ -465,3 +465,43 @@ def test_robots_filter_assume_distinct_single_scan(spark):
     # the fast path must not materialize a second lineage of the input
     plan = fast._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("LogicalRDD") == 2  # urls + rules, each ONCE
+
+
+def test_recrawl_schedule_tiers_and_singleton_base(spark):
+    from datetime import datetime
+
+    def t(day, hour=0):
+        return datetime(2024, 1, day, hour)
+
+    rows = [
+        # url 1: changes every fetch -> live, cadence = observed mean
+        (1, t(1), 10, "a"), (1, t(2), 11, "b"), (1, t(3), 12, "c"),
+        # url 2: never changes -> static, 64x backoff
+        (2, t(1), 20, "x"), (2, t(2), 21, "x"), (2, t(3), 22, "x"),
+        # url 3: 1 change / 4 intervals = 250000u -> active, 4x
+        (3, t(1), 30, "x"), (3, t(2), 31, "x"), (3, t(3), 32, "y"),
+        (3, t(4), 33, "y"), (3, t(5), 34, "y"),
+        # url 4: singleton -> static tier, 1-day base * 64
+        (4, t(9), 40, "z"),
+        # url 5: same-ts pair ordered by fetch_id (deterministic lag)
+        (5, t(1), 51, "p"), (5, t(1), 50, "q"), (5, t(2), 52, "p"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url_id BIGINT, ts TIMESTAMP, fetch_id BIGINT, content_fp STRING"
+    )
+    out = {
+        r["url_id"]: r
+        for r in curation.recrawl_schedule(df).collect()
+    }
+    day_us = 86_400_000_000
+    assert out[1]["recrawl_tier"] == "live"
+    assert out[1]["recrawl_interval_us"] == day_us  # mean interval x1
+    assert out[2]["recrawl_tier"] == "static"
+    assert out[2]["recrawl_interval_us"] == day_us * 64
+    assert out[3]["recrawl_tier"] == "active"
+    assert out[3]["change_ratio_u"] == 250000
+    assert out[3]["recrawl_interval_us"] == day_us * 4
+    assert out[4]["n_fetches"] == 1 and out[4]["span_us"] == 0
+    assert out[4]["recrawl_interval_us"] == day_us * 64
+    # fetch 50(q) precedes 51(p) at the tied ts: q->p->p = 1 change
+    assert out[5]["n_changes"] == 1
