@@ -149,6 +149,8 @@ BENCH_QUERIES = [
     "frontier_pipeline",
     "url_trap_detect",
     "recrawl_schedule",
+    "host_reputation_rollup",
+    "snapshot_latest_dedup",
 ]
 
 

@@ -1272,3 +1272,40 @@ def recrawl_schedule(
         .alias("recrawl_interval_us"),
         tier.alias("recrawl_tier"),
     )
+
+
+def host_reputation(
+    docs: DataFrame,
+    host_col: str = "host",
+    short_col: str = "is_short",
+    tokens_col: str = "n_tokens",
+    block_u: int = 500_000,
+    review_u: int = 200_000,
+) -> DataFrame:
+    """Per-host reputation rollup — the domain-level quality gate a
+    curation pipeline applies ON TOP of per-document gates (CommonCrawl
+    practice: a host whose pages are mostly junk is blocked wholesale,
+    including its few passing pages). Exact integer micro-unit
+    fractions so the verdict is engine-stable.
+
+    Scale shape at 100 TB: one partial-aggregated hash exchange on the
+    host; output is |hosts| rows — the verdict table then BROADCASTS
+    back onto the corpus (a few million hosts ≪ the document count)."""
+    frac_u = F.floor(
+        (F.sum(F.col(short_col).cast("bigint")) * F.lit(1_000_000))
+        / F.count(F.lit(1))
+    ).cast("bigint")
+    agg = docs.groupBy(host_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        frac_u.alias("short_frac_u"),
+        F.floor(
+            (F.sum(F.col(tokens_col).cast("bigint")) * F.lit(1_000_000))
+            / F.count(F.lit(1))
+        ).cast("bigint").alias("mean_tokens_u"),
+    )
+    verdict = (
+        F.when(F.col("short_frac_u") > F.lit(block_u), F.lit("block"))
+        .when(F.col("short_frac_u") > F.lit(review_u), F.lit("review"))
+        .otherwise(F.lit("allow"))
+    )
+    return agg.select("*", verdict.alias("verdict"))

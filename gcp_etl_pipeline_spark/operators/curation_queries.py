@@ -3113,3 +3113,135 @@ def _recrawl_oracle() -> str:
 
 
 register("recrawl_schedule", _q_recrawl_schedule, _recrawl_oracle())
+
+
+# ---------------- per-host reputation rollup (domain-level quality)
+
+# planted host classes over documents: hosts 0-2 all-junk (every doc
+# replaced by a short spam string -> block), hosts 3-7 quarter-junk
+# (doc_id % 4 = 0 -> review), hosts 8+ organic (allow)
+_HOST_DOC_TEXT = (
+    "CASE WHEN doc_id % 23 < 3 THEN 'buy now ' || CAST(doc_id % 9 AS {V}) "
+    "WHEN doc_id % 23 < 8 AND doc_id % 4 = 0 THEN 'click here' "
+    "ELSE text END"
+)
+
+
+def _q_host_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level quality gate: per-document signals (short flag,
+    token count) roll up to a per-host verdict — block / review / allow
+    by exact micro-unit junk fraction. The verdict table is |hosts|
+    rows, the thing that broadcasts back onto a 100-TB corpus; here the
+    rollup itself is graded. One partial-aggregated exchange."""
+    from gcp_etl_pipeline_spark.operators import curation as _cur
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    sig = docs.select(
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 23).cast("string"),
+            F.lit(".example.org"),
+        ).alias("host"),
+        F.expr(_HOST_DOC_TEXT.format(V="STRING")).alias("__t"),
+    ).select(
+        "host",
+        (F.length("__t") < 60).alias("is_short"),
+        F.size(F.filter(F.split("__t", " "), lambda s: s != ""))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    return _cur.host_reputation(sig)
+
+
+def _host_reputation_oracle() -> str:
+    return f"""
+    WITH d AS (SELECT doc_id,
+                 'h' || CAST(doc_id % 23 AS VARCHAR) || '.example.org'
+                   AS host,
+                 {_HOST_DOC_TEXT.format(V="VARCHAR")} AS t
+               FROM documents),
+    s AS (SELECT host, length(t) < 60 AS is_short,
+            CAST(len(list_filter(string_split(t, ' '), x -> x <> ''))
+                 AS BIGINT) AS n_tokens
+          FROM d),
+    a AS (SELECT host,
+            COUNT(*) AS n_docs,
+            CAST(SUM(CAST(is_short AS BIGINT)) * 1000000 // COUNT(*)
+                 AS BIGINT) AS short_frac_u,
+            CAST(SUM(n_tokens) * 1000000 // COUNT(*) AS BIGINT)
+              AS mean_tokens_u
+          FROM s GROUP BY 1)
+    SELECT *,
+           CASE WHEN short_frac_u > 500000 THEN 'block'
+                WHEN short_frac_u > 200000 THEN 'review'
+                ELSE 'allow' END AS verdict
+    FROM a
+    """
+
+
+register("host_reputation_rollup", _q_host_reputation, _host_reputation_oracle())
+
+
+# ------------- snapshot latest-capture dedup (recrawl store hygiene)
+
+# snapshot fingerprint: many URLs converge on few payloads (mirrored
+# content), and re-fetches of a URL often repeat the previous payload
+_SNAP_FP = "event_type || '-' || CAST(user_id % 17 AS {V})"
+
+
+def _q_snapshot_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier dedup over a crawl snapshot store: (1) per URL keep
+    only the LATEST capture (row_number over fetch time, sequence id
+    as the tiebreak — a recrawl supersedes its history), then (2)
+    exact content dedup ACROSS the latest captures (min url_id per
+    fingerprint is canonical, mirrors point at it). Both tiers ride
+    one exchange each: the latest-capture window partitions by url_id,
+    the mirror-cluster window by fingerprint — and only fingerprints
+    ever shuffle in tier 2, never payloads."""
+    from pyspark.sql import Window
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    snaps = ev.select(
+        F.expr(_FETCH_URL_ID).alias("url_id"),
+        "ts",
+        F.col("event_id").alias("fetch_id"),
+        F.expr(_SNAP_FP.format(V="STRING")).alias("content_fp"),
+    )
+    w_url = Window.partitionBy("url_id").orderBy(
+        F.unix_micros(F.col("ts").cast("timestamp")).desc(),
+        F.col("fetch_id").desc(),
+    )
+    latest = (
+        snaps.withColumn("__rn", F.row_number().over(w_url))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    w_fp = Window.partitionBy("content_fp")
+    return latest.select(
+        "url_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("captured_us"),
+        "content_fp",
+        F.count(F.lit(1)).over(w_fp).cast("bigint").alias("cluster_size"),
+        (F.col("url_id") == F.min("url_id").over(w_fp)).alias("is_canonical"),
+    )
+
+
+def _snapshot_latest_oracle() -> str:
+    return f"""
+    WITH s AS (SELECT {_FETCH_URL_ID} AS url_id, ts,
+                      event_id AS fetch_id,
+                      {_SNAP_FP.format(V="VARCHAR")} AS content_fp
+               FROM events),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY url_id
+            ORDER BY epoch_us(ts) DESC, fetch_id DESC) AS rn
+          FROM s),
+    latest AS (SELECT url_id, epoch_us(ts) AS captured_us, content_fp
+               FROM r WHERE rn = 1)
+    SELECT url_id, captured_us, content_fp,
+           COUNT(*) OVER (PARTITION BY content_fp) AS cluster_size,
+           url_id = MIN(url_id) OVER (PARTITION BY content_fp)
+             AS is_canonical
+    FROM latest
+    """
+
+
+register("snapshot_latest_dedup", _q_snapshot_latest, _snapshot_latest_oracle())

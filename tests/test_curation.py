@@ -505,3 +505,22 @@ def test_recrawl_schedule_tiers_and_singleton_base(spark):
     assert out[4]["recrawl_interval_us"] == day_us * 64
     # fetch 50(q) precedes 51(p) at the tied ts: q->p->p = 1 change
     assert out[5]["n_changes"] == 1
+
+
+def test_host_reputation_thresholds(spark):
+    from gcp_etl_pipeline_spark.operators.curation import host_reputation
+
+    rows = (
+        [("a", True, 2)] * 3 + [("a", False, 100)] * 1   # 75% -> block
+        + [("b", True, 2)] * 1 + [("b", False, 100)] * 3  # 25% -> review
+        + [("c", False, 100)] * 4                         # 0% -> allow
+        + [("d", True, 1)] * 2 + [("d", False, 9)] * 8    # exactly 20% -> allow
+    )
+    df = spark.createDataFrame(rows, "host STRING, is_short BOOLEAN, n_tokens BIGINT")
+    out = {r["host"]: r for r in host_reputation(df).collect()}
+    assert out["a"]["verdict"] == "block"
+    assert out["b"]["verdict"] == "review"
+    assert out["c"]["verdict"] == "allow"
+    assert out["d"]["verdict"] == "allow"  # > 200000u, not >=
+    assert out["b"]["short_frac_u"] == 250000
+    assert out["d"]["mean_tokens_u"] == int((2 * 1 + 8 * 9) / 10 * 1e6)
