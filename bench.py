@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "recrawl_schedule",
     "host_reputation_rollup",
     "snapshot_latest_dedup",
+    "sitemap_url_extract",
 ]
 
 

@@ -3245,3 +3245,115 @@ def _snapshot_latest_oracle() -> str:
 
 
 register("snapshot_latest_dedup", _q_snapshot_latest, _snapshot_latest_oracle())
+
+
+# -------------------- sitemap ingestion (crawl discovery front door)
+
+# one <url> entry per orders key; entries aggregate into one sitemap
+# document per host (o_orderkey % 8) in key order. Raw loc text plants
+# normalization hazards (uppercase scheme/host, trailing slash,
+# surrounding whitespace); every third entry omits <lastmod> — the
+# alignment hazard parse_sitemap exists to survive
+_SITEMAP_ENTRY = (
+    "'<url>  <loc> HTTPS://Host' || CAST(o_orderkey % 8 AS {V}) || "
+    "'.Example.org/p/' || CAST(o_orderkey AS {V}) || '/ </loc>' || "
+    "CASE WHEN o_orderkey % 3 = 0 THEN '' "
+    "ELSE '<lastmod>2024-' || lpad(CAST(1 + o_orderkey % 12 AS {V}), 2, '0') "
+    "|| '-' || lpad(CAST(1 + o_orderkey % 28 AS {V}), 2, '0') || '</lastmod>' "
+    "END || '<priority>0.5</priority></url>'"
+)
+
+
+def _q_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion end-to-end: per-host sitemap XML documents ->
+    parse_sitemap (structural <url>-element explode, loc/lastmod
+    sub-extracted per element so missing lastmods never misalign) ->
+    normalize_url on every discovered loc -> freshness flag from the
+    lastmod hint. One groupBy builds the fixture; the parse itself is
+    a scan-fused projection + generator, zero Python."""
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    entries = orders.select(
+        (F.col("o_orderkey") % 8).alias("host_id"),
+        F.col("o_orderkey").alias("k"),
+        F.expr(_SITEMAP_ENTRY.format(V="STRING")).alias("entry"),
+    )
+    sitemaps = entries.groupBy("host_id").agg(
+        F.concat(
+            F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("k", "entry"))),
+                    lambda s: s["entry"],
+                ),
+                "",
+            ),
+            F.lit("</urlset>"),
+        ).alias("xml")
+    )
+    parsed = _text.parse_sitemap(sitemaps, "xml")
+    return parsed.select(
+        "host_id",
+        "entry_no",
+        _text.normalize_url("loc").alias("url"),
+        F.col("lastmod"),
+        F.when(
+            F.col("lastmod") != "",
+            F.col("lastmod").cast("date") >= F.lit("2024-07-01").cast("date"),
+        ).otherwise(F.lit(False)).alias("is_fresh"),
+    )
+
+
+def _sitemap_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    return f"""
+    WITH e AS (SELECT o_orderkey % 8 AS host_id, o_orderkey AS k,
+                      {_SITEMAP_ENTRY.format(V="VARCHAR")} AS entry
+               FROM orders),
+    sm AS (SELECT host_id,
+             '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+             || string_agg(entry, '' ORDER BY k) || '</urlset>' AS xml
+           FROM e GROUP BY 1),
+    el AS (SELECT host_id,
+             regexp_extract_all(xml, {_sql_lit(_text.SITEMAP_ENTRY_RE)}, 1)
+               AS entries
+           FROM sm),
+    x AS (SELECT host_id,
+            CAST(unnest(range(len(entries))) AS BIGINT) AS entry_no,
+            unnest(entries) AS entry
+          FROM el),
+    p AS (SELECT host_id, entry_no,
+            regexp_extract(entry, {_sql_lit(_text.SITEMAP_LOC_RE)}, 1)
+              AS loc,
+            regexp_extract(entry, {_sql_lit(_text.SITEMAP_LASTMOD_RE)}, 1)
+              AS lastmod
+          FROM x),
+    n AS (SELECT host_id, entry_no, lastmod,
+            lower(regexp_extract(loc, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+              AS scheme,
+            regexp_replace(loc, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+          FROM p),
+    n2 AS (SELECT host_id, entry_no, lastmod, scheme,
+             lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS auth,
+             regexp_replace(regexp_replace(rest, '^[^/?#]*', ''),
+                            '#.*$', '') AS tail
+           FROM n),
+    n3 AS (SELECT host_id, entry_no, lastmod,
+             scheme || '://' ||
+             CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+                  WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+                  ELSE auth END ||
+             regexp_replace(regexp_extract(tail, '^([^?]*)', 1), '/+$', '')
+             || regexp_replace(tail, '^[^?]*', '') AS url
+           FROM n2)
+    SELECT host_id, entry_no, url, lastmod,
+           CASE WHEN lastmod <> ''
+                THEN CAST(lastmod AS DATE) >= DATE '2024-07-01'
+                ELSE false END AS is_fresh
+    FROM n3
+    """
+
+
+register("sitemap_url_extract", _q_sitemap_ingest, _sitemap_oracle())

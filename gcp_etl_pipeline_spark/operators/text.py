@@ -818,3 +818,47 @@ def is_crawl_trap(
         | has_session_param
         | (has_calendar_path & (path_depth > 5))
     )
+
+
+# --------------------- sitemap parsing (crawl discovery front door)
+#
+# The discovery-side twin of robots.txt: a sitemap is the site's OWN
+# list of fetchworthy URLs (+ lastmod hints the recrawl scheduler
+# seeds from). Tag-scoped regexes in the Java-regex / RE2 common
+# subset — the DuckDB oracle replays them verbatim; XML namespaces and
+# attribute noise inside <url> elements don't matter because only the
+# <loc>/<lastmod> text nodes are captured.
+
+SITEMAP_ENTRY_RE = "(?is)<url>(.*?)</url>"
+SITEMAP_LOC_RE = "(?is)<loc>\\s*([^<]*?)\\s*</loc>"
+SITEMAP_LASTMOD_RE = "(?is)<lastmod>\\s*([^<]*?)\\s*</lastmod>"
+
+
+def parse_sitemap(
+    df: DataFrame, xml_col: str = "xml", keep: list[str] | None = None
+) -> DataFrame:
+    """Explode a sitemap document into one row per <url> entry:
+    ``entry_no`` (document order), ``loc`` (the raw URL text node),
+    ``lastmod`` (raw text, '' when the entry has none). Alignment is
+    structural, not positional: whole <url> elements extract first and
+    loc/lastmod sub-extract PER ELEMENT, so a sitemap where only some
+    entries carry <lastmod> can never misattribute a date to the wrong
+    URL. Zero Python, zero shuffle: the extracts and per-element
+    transforms fuse into the scan; the explode is a JVM generator."""
+    keep = keep if keep is not None else [
+        c for c in df.columns if c != xml_col
+    ]
+    entries = F.regexp_extract_all(
+        xml_col, F.lit(SITEMAP_ENTRY_RE), F.lit(1)
+    )
+    arr = df.select(*keep, entries.alias("__entries"))
+    z = arr.select(
+        *keep,
+        F.posexplode("__entries").alias("__no", "__e"),
+    )
+    return z.select(
+        *keep,
+        F.col("__no").cast("bigint").alias("entry_no"),
+        F.regexp_extract("__e", SITEMAP_LOC_RE, 1).alias("loc"),
+        F.regexp_extract("__e", SITEMAP_LASTMOD_RE, 1).alias("lastmod"),
+    )

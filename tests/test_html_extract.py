@@ -375,3 +375,25 @@ def test_url_trap_signals_and_verdict(spark):
             r["has_calendar_path"],
             r["is_trap"],
         ) == (d, rep, pc, sess, cal, trap), (u, dict(r.asDict()))
+
+
+def test_parse_sitemap_structural_alignment(spark):
+    # entry 1 has NO lastmod; entry 2 does — the date must attach to
+    # entry 2, never slide back to entry 1 (the positional-zip bug the
+    # structural per-element extract exists to prevent)
+    xml = (
+        '<urlset><url><loc> https://a.org/1 </loc></url>'
+        "<url><lastmod>2024-08-01</lastmod><loc>https://a.org/2</loc></url>"
+        "<URL><loc>https://a.org/3</loc><lastmod>2024-09-02</lastmod></URL>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame([(7, xml)], "sid BIGINT, xml STRING")
+    rows = sorted(
+        text.parse_sitemap(df, "xml").collect(), key=lambda r: r["entry_no"]
+    )
+    assert [(r["entry_no"], r["loc"], r["lastmod"]) for r in rows] == [
+        (0, "https://a.org/1", ""),
+        (1, "https://a.org/2", "2024-08-01"),
+        (2, "https://a.org/3", "2024-09-02"),
+    ]
+    assert all(r["sid"] == 7 for r in rows)
