@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "host_reputation_rollup",
     "snapshot_latest_dedup",
     "sitemap_url_extract",
+    "anchor_text_index",
 ]
 
 

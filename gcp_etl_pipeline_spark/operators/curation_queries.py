@@ -3357,3 +3357,146 @@ def _sitemap_oracle() -> str:
 
 
 register("sitemap_url_extract", _q_sitemap_ingest, _sitemap_oracle())
+
+
+# ------------------ anchor-text target index (link-graph label signal)
+
+# link pages with SHARED targets: every doc links page-(doc_id % 37)
+# under a case-varied host (t.org vs T.org — canonicalization must
+# pool them) with one of four label forms (one wrapped in inline
+# markup), plus a 'next' link to page-(doc_id+5 % 37), plus a relative
+# href on doc_id % 6 = 0 (schemeless passthrough: its own target)
+_LINKPAGE_SQL = (
+    "'<html><body><p>intro</p><a href=\"https://T.org/page-' || "
+    "CAST(doc_id % 37 AS {V}) || '/\">' || "
+    "CASE doc_id % 4 WHEN 0 THEN 'read more' WHEN 1 THEN 'details' "
+    "WHEN 2 THEN '<b>Details</b>' "
+    "ELSE 'page ' || CAST(doc_id % 37 AS {V}) END || "
+    "'</a><a class=\"n\" href=\"https://t.org/page-' || "
+    "CAST((doc_id + 5) % 37 AS {V}) || '/\">next</a>' || "
+    "CASE WHEN doc_id % 6 = 0 THEN '<a href=\"/rel/' || "
+    "CAST(doc_id % 9 AS {V}) || '\">rel</a>' ELSE '' END || "
+    "'</body></html>'"
+)
+
+# href scoped to a single already-extracted anchor element
+_ANCHOR_HREF_RE = r'(?is)\shref\s*=\s*"([^"]*)"'
+
+
+def _q_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic indexing signal: what the WEB calls a page. Anchor
+    elements extract whole (href + inner text stay paired), targets
+    canonicalize via normalize_url (case-varied hosts pool; relative
+    hrefs pass through as their own keys), labels strip inline markup;
+    then one aggregation tree per target: indegree, distinct label
+    count, and the majority label (count desc, label asc tiebreak).
+    Only (target, label) pairs shuffle — never pages."""
+    from pyspark.sql import Window
+
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        "doc_id", F.expr(_LINKPAGE_SQL.format(V="STRING")).alias("html")
+    )
+    anchors = pages.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all("html", F.lit(_ANCHOR_RE), F.lit(0))
+        ).alias("__a"),
+    )
+    pairs = anchors.select(
+        _text.normalize_url(
+            F.regexp_extract("__a", _ANCHOR_HREF_RE, 1)
+        ).alias("target"),
+        F.trim(
+            F.regexp_replace(
+                F.regexp_extract("__a", _ANCHOR_RE, 2), "<[^>]*>", ""
+            )
+        ).alias("label"),
+    )
+    counted = pairs.groupBy("target", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("target").orderBy(
+        F.col("n").desc(), F.col("label")
+    )
+    return (
+        counted.withColumn("__rk", F.row_number().over(w))
+        .withColumn(
+            "indegree",
+            F.sum("n").over(Window.partitionBy("target")).cast("bigint"),
+        )
+        .withColumn(
+            "n_labels",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("target"))
+            .cast("bigint"),
+        )
+        .where(F.col("__rk") == 1)
+        .select(
+            "target",
+            "indegree",
+            "n_labels",
+            F.col("label").alias("top_label"),
+            F.col("n").alias("top_label_n"),
+        )
+    )
+
+
+def _anchor_index_oracle() -> str:
+    return f"""
+    WITH pg AS (SELECT doc_id, {_LINKPAGE_SQL.format(V="VARCHAR")} AS html
+                FROM documents),
+    a AS (SELECT doc_id,
+                 unnest(regexp_extract_all(html, {_sql_lit(_ANCHOR_RE)}, 0))
+                   AS el
+          FROM pg),
+    raw AS (SELECT regexp_extract(el, {_sql_lit(_ANCHOR_HREF_RE)}, 1)
+              AS href,
+            trim(regexp_replace(
+              regexp_extract(el, {_sql_lit(_ANCHOR_RE)}, 2),
+              '<[^>]*>', '', 'g')) AS label
+            FROM a),
+    n0 AS (SELECT label, href,
+             regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://')
+               AS is_abs,
+             lower(regexp_extract(href, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               AS scheme,
+             regexp_replace(href, '^[A-Za-z][A-Za-z0-9+.-]*://', '')
+               AS rest
+           FROM raw),
+    n1 AS (SELECT label, href, is_abs, scheme,
+             lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS auth,
+             regexp_replace(regexp_replace(rest, '^[^/?#]*', ''),
+                            '#.*$', '') AS tail
+           FROM n0),
+    n2 AS (SELECT label,
+             CASE WHEN NOT is_abs THEN href
+                  ELSE scheme || '://' ||
+                    CASE WHEN scheme = 'http'
+                           THEN regexp_replace(auth, ':80$', '')
+                         WHEN scheme = 'https'
+                           THEN regexp_replace(auth, ':443$', '')
+                         ELSE auth END ||
+                    regexp_replace(regexp_extract(tail, '^([^?]*)', 1),
+                                   '/+$', '')
+                    || regexp_replace(tail, '^[^?]*', '')
+             END AS target
+           FROM n1),
+    c AS (SELECT target, label, COUNT(*) AS n
+          FROM n2 GROUP BY 1, 2),
+    r AS (SELECT *,
+            ROW_NUMBER() OVER (PARTITION BY target
+                               ORDER BY n DESC, label) AS rk,
+            SUM(n) OVER (PARTITION BY target) AS indegree,
+            COUNT(*) OVER (PARTITION BY target) AS n_labels
+          FROM c)
+    SELECT target, CAST(indegree AS BIGINT) AS indegree,
+           CAST(n_labels AS BIGINT) AS n_labels,
+           label AS top_label, CAST(n AS BIGINT) AS top_label_n
+    FROM r WHERE rk = 1
+    """
+
+
+register("anchor_text_index", _q_anchor_text_index, _anchor_index_oracle())
