@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "snapshot_latest_dedup",
     "sitemap_url_extract",
     "anchor_text_index",
+    "bitext_margin_mining",
 ]
 
 

@@ -1780,3 +1780,70 @@ register(
     FROM m GROUP BY doc_id
     """,
 )
+
+
+# ------------------------------ bitext mining (ratio-margin criterion)
+
+_BTX_K = 4
+_BTX_THR_U = 1_050_000
+
+
+def _q_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel-corpus mining: the even-id half of the embedding table
+    plays the source language, the odd-id half the target; mutual
+    best-margin pairs above 1.05 are the mined bitext (ratio margin —
+    hub vectors normalize away). Everything after the two kNN arms
+    joins integer µ-cos edges only."""
+    embs = _embs(spark, sf_dir)
+    src = embs.where(F.col("vec_id") % 2 == 0)
+    tgt = embs.where(F.col("vec_id") % 2 == 1)
+    return similarity.bitext_margin_mine(
+        src, tgt, k=_BTX_K, margin_thr_u=_BTX_THR_U
+    )
+
+
+register(
+    "bitext_margin_mining",
+    _q_bitext_margin,
+    f"""
+    WITH A AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id % 2 = 0),
+    B AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+    f0 AS (SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+                  {_qcos('a.embedding', 'b.embedding')} AS cos_sim
+           FROM A a CROSS JOIN B b),
+    fr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+             ORDER BY cos_sim DESC, tgt_id) AS rn FROM f0),
+    fwd AS (SELECT src_id, tgt_id, cos_sim,
+                   CAST(FLOOR(cos_sim * 1000000) AS BIGINT) AS cos_u
+            FROM fr WHERE rn <= {_BTX_K}),
+    r0 AS (SELECT b.vec_id AS tgt_id, a.vec_id AS src_id,
+                  {_qcos('b.embedding', 'a.embedding')} AS cos_sim
+           FROM B b CROSS JOIN A a),
+    rr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY tgt_id
+             ORDER BY cos_sim DESC, src_id) AS rn FROM r0),
+    rev AS (SELECT tgt_id,
+                   CAST(FLOOR(cos_sim * 1000000) AS BIGINT) AS cos_u
+            FROM rr WHERE rn <= {_BTX_K}),
+    sf AS (SELECT src_id, CAST(SUM(cos_u) AS BIGINT) AS sum_fwd_u
+           FROM fwd GROUP BY 1),
+    sr AS (SELECT tgt_id, CAST(SUM(cos_u) AS BIGINT) AS sum_rev_u
+           FROM rev GROUP BY 1),
+    cand AS (SELECT f.src_id, f.tgt_id, f.cos_sim, f.cos_u,
+                    sf.sum_fwd_u + sr.sum_rev_u AS den
+             FROM fwd f JOIN sf USING (src_id) JOIN sr USING (tgt_id)
+             WHERE sf.sum_fwd_u + sr.sum_rev_u > 0),
+    m AS (SELECT src_id, tgt_id, cos_sim,
+                 CAST(FLOOR(CAST(cos_u * {2 * _BTX_K} * 1000000 AS DOUBLE)
+                            / den) AS BIGINT) AS margin_u
+          FROM cand),
+    rk AS (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY src_id
+               ORDER BY margin_u DESC, tgt_id) AS rs,
+             ROW_NUMBER() OVER (PARTITION BY tgt_id
+               ORDER BY margin_u DESC, src_id) AS rt
+           FROM m)
+    SELECT src_id, tgt_id, cos_sim, margin_u
+    FROM rk WHERE rs = 1 AND rt = 1 AND margin_u >= {_BTX_THR_U}
+    """,
+)

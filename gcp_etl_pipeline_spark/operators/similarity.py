@@ -940,3 +940,86 @@ def ivf_list_stats(
             .cast("bigint"),
         )
     )
+
+
+def bitext_margin_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    margin_thr_u: int = 1_050_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Parallel-corpus mining by the ratio-margin criterion (Artetxe &
+    Schwenk): a candidate pair (x, y) scores cos(x, y) against the MEAN
+    of both endpoints' top-k neighborhoods — absolute cosine thresholds
+    fail because "hubs" score high against everything; the margin
+    normalizes by how promiscuous each side is. Pairs where each side
+    is the other's best-margin candidate and the margin clears the
+    threshold are the mined bitext.
+
+    Determinism contract: per-neighbor cosines quantize to exact µ-unit
+    integers (floor(cos·1e6) of the bitwise-stable quantized cosine),
+    neighborhood sums are integer (order-free), and the margin is
+    floor(2k·cos_u·1e6 / (sum_fwd_u + sum_rev_u)) — one double
+    division whose floor is provably exact at these magnitudes. The
+    mutual-best rule is evaluated within the forward candidate set
+    (x's top-k in tgt), ties broken by id.
+
+    Scale shape: the kNN arms here are exact (knn_bruteforce — corpus
+    partitions × a collected query matrix); at billion-vector scale
+    feed knn_bucketed's directed output through the SAME margin
+    pipeline — everything after the kNN arms joins only (id, id,
+    cos_u) edges, never vectors."""
+    from pyspark.sql import Window
+
+    q_src = src.select(F.col(id_col).alias("query_id"), vec_col)
+    q_tgt = tgt.select(F.col(id_col).alias("query_id"), vec_col)
+    fwd = knn_bruteforce(tgt, q_src, k=k, id_col=id_col, vec_col=vec_col)
+    rev = knn_bruteforce(src, q_tgt, k=k, id_col=id_col, vec_col=vec_col)
+    fwd = fwd.select(
+        F.col("query_id").alias("src_id"),
+        F.col("neighbor_id").alias("tgt_id"),
+        "cos_sim",
+        F.floor(F.col("cos_sim") * 1_000_000).cast("bigint").alias("cos_u"),
+    )
+    rev_u = rev.select(
+        F.col("query_id").alias("tgt_id"),
+        F.floor(F.col("cos_sim") * 1_000_000).cast("bigint").alias("cos_u"),
+    )
+    sum_fwd = fwd.groupBy("src_id").agg(
+        F.sum("cos_u").cast("bigint").alias("sum_fwd_u")
+    )
+    sum_rev = rev_u.groupBy("tgt_id").agg(
+        F.sum("cos_u").cast("bigint").alias("sum_rev_u")
+    )
+    cand = (
+        fwd.join(sum_fwd, "src_id")
+        .join(sum_rev, "tgt_id")
+        .withColumn("__den", F.col("sum_fwd_u") + F.col("sum_rev_u"))
+        # a non-positive neighborhood sum means the pair sits in noise
+        # (margin undefined); drop deterministically
+        .where(F.col("__den") > 0)
+        .withColumn(
+            "margin_u",
+            F.floor(
+                (F.col("cos_u") * F.lit(2 * k) * F.lit(1_000_000))
+                .cast("double")
+                / F.col("__den")
+            ).cast("bigint"),
+        )
+    )
+    w_src = Window.partitionBy("src_id").orderBy(
+        F.col("margin_u").desc(), F.col("tgt_id")
+    )
+    w_tgt = Window.partitionBy("tgt_id").orderBy(
+        F.col("margin_u").desc(), F.col("src_id")
+    )
+    ranked = cand.withColumn("__rs", F.row_number().over(w_src)).withColumn(
+        "__rt", F.row_number().over(w_tgt)
+    )
+    return ranked.where(
+        (F.col("__rs") == 1)
+        & (F.col("__rt") == 1)
+        & (F.col("margin_u") >= F.lit(int(margin_thr_u)))
+    ).select("src_id", "tgt_id", "cos_sim", "margin_u")

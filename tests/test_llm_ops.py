@@ -577,3 +577,32 @@ def test_pinned_scope_keeps_cache_and_releases_at_exit(spark):
     assert acc2.value <= 2 * scans_after_first
     gc.collect()
     assert jcm.isEmpty()
+
+
+def test_bitext_margin_mine_planted_pair(spark):
+    from gcp_etl_pipeline_spark.operators.similarity import bitext_margin_mine
+
+    # src = even ids, tgt = odd ids. (0,1) is a true translation pair;
+    # 3 is a hub (moderate cosine to every src); 2/5 are unrelated.
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.5, 0.5, 0.5, 0.5]),
+        (4, [0.0, 0.0, 0.0, 1.0]),
+        (5, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    src = df.where("vec_id % 2 = 0")
+    tgt = df.where("vec_id % 2 = 1")
+    out = {
+        (r["src_id"], r["tgt_id"]): r["margin_u"]
+        for r in bitext_margin_mine(src, tgt, k=2).collect()
+    }
+    # exact-integer margins, hand-computed from the quantized cosines
+    assert set(out) == {(0, 1), (4, 3)}
+    assert out[(0, 1)] == 1593545
+    assert out[(4, 3)] == 1333333
+    # src 2's best candidate is the hub, but the hub's best src is 4 —
+    # the mutual-best rule is what keeps 2 out
+    assert all(m >= 1_050_000 for m in out.values())
