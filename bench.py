@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "sitemap_url_extract",
     "anchor_text_index",
     "bitext_margin_mining",
+    "graph_hits_scores",
 ]
 
 

@@ -99,3 +99,87 @@ def _oracle() -> str:
 
 
 register("graph_pagerank", _q_pagerank, _oracle())
+
+
+# ------------------------- HITS hubs/authorities (link-graph analysis)
+
+_HITS_ITER = 2
+
+
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS over a dense directed graph built from lineitem
+    keys (97 nodes, multi-edges deduped): per-round exact-integer
+    max-normalization, so the scores are bit-identical under any
+    partitioning — the oracle unrolls the same recurrence as CTEs."""
+    from gcp_etl_pipeline_spark.operators.pagerank import hits
+
+    lineitem = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    edges = (
+        lineitem.select(
+            F.concat(F.lit("n"), (F.col("l_orderkey") % 97).cast("string"))
+            .alias("src"),
+            F.concat(F.lit("n"), (F.col("l_partkey") % 97).cast("string"))
+            .alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return hits(edges, iterations=_HITS_ITER)
+
+
+def _hits_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators.pagerank import HITS_SCALE
+
+    rounds = []
+    prev_h = "h0"
+    prev_a = None
+    for i in range(1, _HITS_ITER + 1):
+        rounds.append(
+            f"""
+    ar{i} AS (
+      SELECT e.dst AS node, SUM(h.hub_u) AS raw
+      FROM edges e JOIN {prev_h} h ON e.src = h.node
+      GROUP BY 1
+    ),
+    a{i} AS (
+      SELECT node,
+             CAST(raw * {HITS_SCALE} // (SELECT MAX(raw) FROM ar{i})
+                  AS BIGINT) AS auth_u
+      FROM ar{i}
+    ),
+    hr{i} AS (
+      SELECT e.src AS node, SUM(a.auth_u) AS raw
+      FROM edges e JOIN a{i} a ON e.dst = a.node
+      GROUP BY 1
+    ),
+    h{i} AS (
+      SELECT node,
+             CAST(raw * {HITS_SCALE} // (SELECT MAX(raw) FROM hr{i})
+                  AS BIGINT) AS hub_u
+      FROM hr{i}
+    )"""
+        )
+        prev_h, prev_a = f"h{i}", f"a{i}"
+    return f"""
+    WITH edges AS (
+      SELECT DISTINCT 'n' || CAST(l_orderkey % 97 AS VARCHAR) AS src,
+                      'n' || CAST(l_partkey % 97 AS VARCHAR) AS dst
+      FROM lineitem
+      WHERE 'n' || CAST(l_orderkey % 97 AS VARCHAR)
+            <> 'n' || CAST(l_partkey % 97 AS VARCHAR)
+    ),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    h0 AS (SELECT node, CAST({HITS_SCALE} AS BIGINT) AS hub_u
+           FROM nodes),{",".join(rounds)}
+    SELECT n.node,
+           CAST(COALESCE(h.hub_u, 0) AS BIGINT) AS hub_u,
+           CAST(COALESCE(a.auth_u, 0) AS BIGINT) AS auth_u
+    FROM nodes n
+    LEFT JOIN {prev_h} h ON n.node = h.node
+    LEFT JOIN {prev_a} a ON n.node = a.node
+    """
+
+
+register("graph_hits_scores", _q_hits, _hits_oracle())

@@ -87,3 +87,77 @@ def pagerank(
     nodes.unpersist()
     degrees.unpersist()
     return ranks
+
+
+HITS_SCALE = 1_000_000  # score units after per-round max-normalization
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Integer-deterministic HITS (Kleinberg hubs/authorities) over a
+    directed edge list: a(v) = Σ h(u) over in-edges, h(u) = Σ a(v) over
+    out-edges, each round max-normalized to HITS_SCALE units with floor
+    division (the classic L∞ normalization — same ranking as the L2
+    form, but exact integer arithmetic, so every shuffle order yields
+    the same scores; the pagerank.py reproducibility argument).
+
+    Returns (node, hub_u, auth_u). Overflow headroom: a raw score is
+    ≤ HITS_SCALE · max_degree ≤ 1e6 · 1e12 before renormalization —
+    inside int64 for any real web graph.
+
+    Plan shape per half-round: one groupBy shuffle over edges joined
+    with node-sized scores (broadcast-able) + a 1-row max cross join —
+    the scalar_max_crossjoin pattern."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .persist()
+    )
+    hub = nodes.select("node", F.lit(HITS_SCALE).alias("hub_u")).persist()
+    auth = None
+    for _ in range(iterations):
+        a_raw = (
+            edges.join(hub, edges[src] == hub["node"])
+            .groupBy(F.col(dst).alias("node"))
+            .agg(F.sum("hub_u").alias("raw"))
+        )
+        a_max = a_raw.agg(F.max("raw").alias("mx"))
+        # integer DIV, not float division: raw*SCALE reaches 1e18,
+        # past double's 2^53 exact range — a float floor could differ
+        # from the oracle's exact // in the last unit
+        auth_new = a_raw.crossJoin(a_max).select(
+            "node",
+            F.expr(f"CAST(raw * {HITS_SCALE} DIV mx AS BIGINT)")
+            .alias("auth_u"),
+        ).persist()
+        h_raw = (
+            edges.join(auth_new, edges[dst] == auth_new["node"])
+            .groupBy(F.col(src).alias("node"))
+            .agg(F.sum("auth_u").alias("raw"))
+        )
+        h_max = h_raw.agg(F.max("raw").alias("mx"))
+        hub_new = h_raw.crossJoin(h_max).select(
+            "node",
+            F.expr(f"CAST(raw * {HITS_SCALE} DIV mx AS BIGINT)")
+            .alias("hub_u"),
+        ).persist()
+        hub.unpersist()
+        if auth is not None:
+            auth.unpersist()
+        hub, auth = hub_new, auth_new
+    out = (
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub_u", F.lit(0)).cast("bigint").alias("hub_u"),
+            F.coalesce("auth_u", F.lit(0)).cast("bigint").alias("auth_u"),
+        )
+    )
+    nodes.unpersist()
+    return out

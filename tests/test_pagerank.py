@@ -38,3 +38,23 @@ def test_mass_bounded(spark):
     got = _ranks(spark, edges, parts=2)
     assert sum(got.values()) <= SCALE
     assert sum(got.values()) > SCALE - 100 * len(got)
+
+
+def test_hits_star_graph(spark):
+    from gcp_etl_pipeline_spark.operators.pagerank import HITS_SCALE, hits
+
+    # u1, u2, u3 all point at v (pure authority); u1 also points at w.
+    edges = spark.createDataFrame(
+        [("u1", "v"), ("u2", "v"), ("u3", "v"), ("u1", "w")],
+        "src STRING, dst STRING",
+    )
+    out = {r["node"]: r for r in hits(edges, iterations=2).collect()}
+    # v collects every hub -> max authority; w collects only u1
+    assert out["v"]["auth_u"] == HITS_SCALE
+    assert 0 < out["w"]["auth_u"] < HITS_SCALE
+    # u1 links both authorities -> strictly the best hub
+    assert out["u1"]["hub_u"] == HITS_SCALE
+    assert out["u2"]["hub_u"] == out["u3"]["hub_u"]
+    assert 0 < out["u2"]["hub_u"] < HITS_SCALE
+    # pure-authority / pure-hub nodes score 0 on the other axis
+    assert out["v"]["hub_u"] == 0 and out["u1"]["auth_u"] == 0
