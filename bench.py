@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "anchor_text_index",
     "bitext_margin_mining",
     "graph_hits_scores",
+    "fetch_triage_verdicts",
 ]
 
 

@@ -3500,3 +3500,65 @@ def _anchor_index_oracle() -> str:
 
 
 register("anchor_text_index", _q_anchor_text_index, _anchor_index_oracle())
+
+
+# ------------------ fetch-response triage (post-extraction gatekeeper)
+
+# planted response classes over documents (doc_id % 7): 0 organic text,
+# 1 soft-404, 2 login wall, 3 parked domain, 4 captcha interstitial,
+# 5 near-empty page, 6 organic text that MENTIONS an error phrase in
+# benign context ("wrote about a 404 error") — precedence still
+# classifies it soft404 (marker triage is recall-biased by design;
+# that honesty is part of the graded contract)
+_TRIAGE_TEXT = (
+    "CASE doc_id % 7 "
+    "WHEN 1 THEN 'Sorry, this Page Not Found - error ' "
+    "|| CAST(doc_id % 9 AS {V}) "
+    "WHEN 2 THEN 'Please log in to continue reading item ' "
+    "|| CAST(doc_id % 9 AS {V}) "
+    "WHEN 3 THEN 'this domain was parked by registrar ' "
+    "|| CAST(doc_id % 9 AS {V}) "
+    "WHEN 4 THEN 'please verify you are human #' || CAST(doc_id % 9 AS {V}) "
+    "WHEN 5 THEN 'ok ' || CAST(doc_id % 9 AS {V}) "
+    "WHEN 6 THEN text || ' yesterday I wrote about a 404 error page' "
+    "ELSE text END"
+)
+
+
+def _q_fetch_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP-200-is-not-content triage: marker-phrase classification of
+    fetched pages into empty / soft404 / login_wall / parked / captcha
+    / ok, first match wins, empty outranks all. One codegen'd
+    projection, zero shuffle for the verdicts; one partial-aggregated
+    exchange for the per-class census the crawl dashboard reads."""
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        "doc_id", F.expr(_TRIAGE_TEXT.format(V="STRING")).alias("page")
+    )
+    return pages.select(
+        "doc_id", _text.fetch_triage("page").alias("verdict")
+    )
+
+
+def _fetch_triage_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    verdict = "'ok'"
+    for name, pat in reversed(_text.TRIAGE_CLASSES):
+        verdict = (
+            f"CASE WHEN regexp_matches(page, {_sql_lit(pat)}) "
+            f"THEN '{name}' ELSE {verdict} END"
+        )
+    return f"""
+    WITH p AS (SELECT doc_id, {_TRIAGE_TEXT.format(V="VARCHAR")} AS page
+               FROM documents)
+    SELECT doc_id,
+           CASE WHEN length(page) < {_text.TRIAGE_MIN_CHARS} THEN 'empty'
+                ELSE {verdict} END AS verdict
+    FROM p
+    """
+
+
+register("fetch_triage_verdicts", _q_fetch_triage, _fetch_triage_oracle())

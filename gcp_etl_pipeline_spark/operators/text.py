@@ -862,3 +862,51 @@ def parse_sitemap(
         F.regexp_extract("__e", SITEMAP_LOC_RE, 1).alias("loc"),
         F.regexp_extract("__e", SITEMAP_LASTMOD_RE, 1).alias("lastmod"),
     )
+
+
+# ------------- fetch-response triage (soft-404 and wall detection)
+#
+# HTTP 200 does not mean content: real crawls are full of soft-404s,
+# login walls, parked domains, and captcha interstitials served with a
+# success status. This is the standard marker-phrase triage a pipeline
+# runs right after extraction — first matching class wins, 'empty'
+# outranks everything (a 9-char page is junk whatever it says), 'ok'
+# is the fallthrough. Patterns are in the Java-regex / RE2 common
+# subset; the oracle replays them and the precedence verbatim.
+
+TRIAGE_CLASSES: tuple[tuple[str, str], ...] = (
+    (
+        "soft404",
+        "(?i)(page not found|404 error|no longer available"
+        "|does not exist|been removed)",
+    ),
+    (
+        "login_wall",
+        "(?i)(log in to continue|sign in to view|subscribe to (read|continue)"
+        "|create an account to)",
+    ),
+    (
+        "parked",
+        "(?i)(domain (is )?for sale|this domain (was|has been) "
+        "(parked|registered)|buy this domain)",
+    ),
+    (
+        "captcha",
+        "(?i)(verify (that )?you are (a )?human|unusual traffic"
+        "|complete the security check)",
+    ),
+)
+
+TRIAGE_MIN_CHARS = 10
+
+
+def fetch_triage(text: Column | str) -> Column:
+    """Page-level verdict: 'empty' | first matching TRIAGE_CLASSES
+    label | 'ok'."""
+    c = F.col(text) if isinstance(text, str) else text
+    verdict: Column = F.lit("ok")
+    for name, pat in reversed(TRIAGE_CLASSES):
+        verdict = F.when(c.rlike(pat), F.lit(name)).otherwise(verdict)
+    return F.when(F.length(c) < TRIAGE_MIN_CHARS, F.lit("empty")).otherwise(
+        verdict
+    )

@@ -397,3 +397,27 @@ def test_parse_sitemap_structural_alignment(spark):
         (2, "https://a.org/3", "2024-09-02"),
     ]
     assert all(r["sid"] == 7 for r in rows)
+
+
+def test_fetch_triage_precedence(spark):
+    cases = [
+        ("long organic article text about databases", "ok"),
+        ("Sorry — Page Not Found here", "soft404"),
+        ("please sign in to view this article", "login_wall"),
+        ("THIS DOMAIN IS FOR SALE, inquire within", "parked"),
+        ("verify you are a human before continuing", "captcha"),
+        ("hey", "empty"),
+        # empty outranks a marker match on a tiny page
+        ("404 error", "empty"),
+        # first-class-wins: soft404 marker beats later classes
+        ("page not found; log in to continue", "soft404"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], "i BIGINT, t STRING"
+    )
+    got = {
+        r["i"]: r["v"]
+        for r in df.select("i", text.fetch_triage("t").alias("v")).collect()
+    }
+    for i, (t, want) in enumerate(cases):
+        assert got[i] == want, (t, got[i])
