@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "bitext_margin_mining",
     "graph_hits_scores",
     "fetch_triage_verdicts",
+    "stream_frontier_dedup",
 ]
 
 

@@ -2825,7 +2825,12 @@ def _q_frontier_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _frontier_oracle() -> str:
+def _frontier_verdict_cte() -> str:
+    """The frontier chain's shared oracle prefix — canonicalize ->
+    min-key dedup -> per-origin robots verdict (CTE ``verd``). The
+    batch oracle appends the budget stage; the streaming twin's oracle
+    stops at the allowed set. ONE definition, so the two graded
+    surfaces can never drift."""
     from gcp_etl_pipeline_spark.operators import text as _text
 
     vals = ", ".join(
@@ -2896,7 +2901,11 @@ def _frontier_oracle() -> str:
             FROM cand),
     verd AS (SELECT url, first_key, n_raw, hostname,
                COALESCE(allow, true) AS allowed
-             FROM vrk WHERE vrn = 1),
+             FROM vrk WHERE vrn = 1)"""
+
+
+def _frontier_oracle() -> str:
+    return f"""{_frontier_verdict_cte()},
     fet AS (SELECT url, first_key, n_raw,
               lower(regexp_replace(regexp_replace(
                 regexp_extract(regexp_replace(url,
@@ -3562,3 +3571,44 @@ def _fetch_triage_oracle() -> str:
 
 
 register("fetch_triage_verdicts", _q_fetch_triage, _fetch_triage_oracle())
+
+
+def frontier_stream_src(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached source directory for the streaming frontier twin:
+    the raw discovered-URL feed split into two key-ordered,
+    mtime-ordered parquet files (the html_intake_stream_src
+    discipline — id-ordered batches are what make the min-key ledger
+    rule converge to the batch chain's global min)."""
+    import glob as _glob
+    import os
+    import re as _re
+    import shutil
+
+    tag = "frontsrc_" + _re.sub(r"\W+", "_", sf_dir).strip("_")
+
+    def _build(root: str) -> str:
+        src = root + "/in"
+        os.makedirs(src)
+        orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+        raw = orders.select(
+            "o_orderkey",
+            F.expr(_FRONTIER_URL.format(V="STRING")).alias("raw_url"),
+        )
+        t = raw.agg(F.floor(F.max("o_orderkey") / 2)).collect()[0][0]
+        for i, pred in enumerate(
+            (f"o_orderkey <= {t}", f"o_orderkey > {t}")
+        ):
+            tmp = f"{root}/tmp{i}"
+            raw.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = sorted(_glob.glob(f"{tmp}/part-*.parquet"))[0]
+            dst = f"{src}/b{i}.parquet"
+            shutil.copy(part, dst)
+            os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+        return src
+
+    def _validate(path: str) -> str:
+        if sorted(os.listdir(path)) != ["b0.parquet", "b1.parquet"]:
+            raise RuntimeError("frontier stream source files missing")
+        return path
+
+    return _session_cached_path(spark, tag, _build, _validate)

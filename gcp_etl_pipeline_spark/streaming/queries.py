@@ -832,3 +832,82 @@ register(
     _q_stream_html_intake,
     _stream_html_intake_oracle(),
 )
+
+
+def _q_stream_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the frontier's dedup+politeness core:
+    discovered URLs arrive as two key-ordered micro-batches; each
+    foreachBatch invocation canonicalizes (normalize_url ->
+    strip_tracking_params), dedups against the shared canonical-URL
+    fingerprint ledger (`dedup_incremental` on the URL string with a
+    batch-scoped attempt id — min discovering key in-batch, anti-join
+    on history), then applies the per-origin robots verdict. Key-
+    ordered batches + the min-key rule converge to the BATCH chain's
+    global min-key-per-URL, so the oracle is the frontier pipeline's
+    shared verdict CTE (no budget stage: an md5-order quota is not
+    prefix-stable across increments — the batch pipeline grades it)."""
+    from pyspark.sql import functions as F
+
+    from gcp_etl_pipeline_spark.operators import curation as _cur
+    from gcp_etl_pipeline_spark.operators import text as _text
+    from gcp_etl_pipeline_spark.operators.curation_queries import (
+        _ROBOTS_RULES,
+        frontier_stream_src,
+    )
+    from gcp_etl_pipeline_spark.operators.dedup import dedup_incremental
+
+    root = tempfile.mkdtemp(prefix="graft_sfront_")
+    src = frontier_stream_src(spark, sf_dir)
+    store = f"{root}/urlfps"
+    out_dir = f"{root}/enqueued"
+    rules = spark.createDataFrame(
+        list(_ROBOTS_RULES), "host STRING, path_prefix STRING, allow BOOLEAN"
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        canon = batch.select(
+            "o_orderkey",
+            _text.strip_tracking_params(
+                _text.normalize_url("raw_url")
+            ).alias("url"),
+        )
+        acc = dedup_incremental(
+            canon, store, text_col="url", id_col="o_orderkey",
+            attempt_id=f"b{batch_id}",
+        )
+        fetchable = (
+            _cur.robots_filter(acc, rules, assume_distinct=True)
+            .where(F.col("allowed"))
+        )
+        fetchable.select(
+            "url", F.col("o_orderkey").alias("first_key")
+        ).write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    q = (
+        spark.readStream.schema("o_orderkey BIGINT, raw_url STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select("url", "first_key")
+
+
+def _stream_frontier_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators.curation_queries import (
+        _frontier_verdict_cte,
+    )
+
+    return f"""{_frontier_verdict_cte()}
+    SELECT url, first_key FROM verd WHERE allowed
+    """
+
+
+register(
+    "stream_frontier_dedup",
+    _q_stream_frontier,
+    _stream_frontier_oracle(),
+)
