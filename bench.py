@@ -157,6 +157,8 @@ BENCH_QUERIES = [
     "graph_hits_scores",
     "fetch_triage_verdicts",
     "stream_frontier_dedup",
+    "link_reciprocity_farms",
+    "doc_bigram_surprisal",
 ]
 
 

@@ -1314,3 +1314,46 @@ def _lang_confusion_oracle() -> str:
 
 
 register("lang_id_confusion", _q_lang_confusion, _lang_confusion_oracle())
+
+
+# --------------------------------------------------- bigram surprisal
+# curation.doc_bigram_surprisal: conditional surprisal floor(log2(
+# cf_prefix/cf_ab)) per bigram occurrence via bit-length — the
+# sequence-level quality signal (templated text from common words
+# scores low on unigrams, high here). Exact integer end-to-end.
+
+def _q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.doc_bigram_surprisal(_docs(spark, sf_dir))
+
+
+register(
+    "doc_bigram_surprisal",
+    _q_bigram_surprisal,
+    f"""
+    WITH {_TOK_CTE},
+    bgl AS (SELECT doc_id,
+              CASE WHEN len(toks) >= 2
+                   THEN list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i + 1])
+                   ELSE [] END AS bgs
+            FROM tok),
+    bg AS (SELECT doc_id, unnest(bgs) AS b FROM bgl),
+    cab AS (SELECT b, COUNT(*) AS cab FROM bg GROUP BY 1),
+    ca AS (SELECT regexp_extract(b, '^([^ ]*) ', 1) AS a,
+                  SUM(cab) AS ca
+           FROM cab GROUP BY 1),
+    s AS (SELECT bg.doc_id,
+                 length(bin(CAST(ca.ca // cab.cab AS BIGINT))) - 1 AS s
+          FROM bg
+          JOIN cab USING (b)
+          JOIN ca ON ca.a = regexp_extract(bg.b, '^([^ ]*) ', 1)),
+    agg AS (SELECT doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+              CAST(SUM(s) AS BIGINT) AS surprisal_sum
+            FROM s GROUP BY 1)
+    SELECT doc_id, n_bigrams, surprisal_sum,
+           CAST(surprisal_sum * 1000000 // n_bigrams AS BIGINT)
+             AS mean_surprisal_u
+    FROM agg
+    """,
+)

@@ -1309,3 +1309,62 @@ def host_reputation(
         .otherwise(F.lit("allow"))
     )
     return agg.select("*", verdict.alias("verdict"))
+
+
+def doc_bigram_surprisal(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document CONDITIONAL (bigram) surprisal — the sequence-level
+    quality signal unigram surprisal can't see: templated/shuffled text
+    built from common words scores low on unigrams but high here,
+    because P(b|a) ≈ cf(a,b) / cf(a·) collapses only when the corpus
+    actually continues ``a`` with ``b``. Same no-float discipline as
+    ``doc_surprisal``: surprisal(a,b) = floor(log2(cf_prefix / cf_ab))
+    via bit-length arithmetic (length(bin(x)) − 1), exact integer
+    end-to-end in both engines. cf_prefix is the count of bigrams
+    STARTING with ``a`` (so Σ_b P(b|a) = 1 by construction — a true
+    conditional, not a unigram ratio). Documents under 2 tokens have no
+    bigrams and emit no row.
+
+    Scale shape: bigrams derive from the token array in-place (zero
+    joins), then one bigram-keyed count aggregate (map-side partial),
+    one prefix-keyed aggregate, a bigram-keyed join back, and a per-doc
+    aggregate. Documents never pair-compare; only bigram strings
+    shuffle."""
+    from gcp_etl_pipeline_spark.operators.text import tokens
+
+    toks = tokens(text_col)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.slice(toks, 1, F.size(toks) - 1),
+            lambda x, i: F.concat(
+                x, F.lit(" "), F.element_at(toks, i + F.lit(2))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = df.select(F.col(id_col), F.explode(bigrams).alias("bg"))
+    cf_ab = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("__cab"))
+    cf_a = cf_ab.groupBy(
+        F.regexp_extract("bg", "^([^ ]*) ", 1).alias("__a")
+    ).agg(F.sum("__cab").alias("__ca"))
+    scored = (
+        bg.join(cf_ab, "bg")
+        .withColumn("__a", F.regexp_extract("bg", "^([^ ]*) ", 1))
+        .join(cf_a, "__a")
+        .select(
+            F.col(id_col),
+            F.expr("length(bin(__ca div __cab)) - 1").alias("__s"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("__s").cast("bigint").alias("surprisal_sum"),
+        )
+        .withColumn(
+            "mean_surprisal_u",
+            F.expr("surprisal_sum * 1000000 div n_bigrams").cast("bigint"),
+        )
+    )

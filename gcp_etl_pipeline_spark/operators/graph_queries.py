@@ -183,3 +183,71 @@ def _hits_oracle() -> str:
 
 
 register("graph_hits_scores", _q_hits, _hits_oracle())
+
+
+# ----------------------- link reciprocity / link-farm detection
+
+# organic edges from lineitem keys (53 hosts, quasi-random direction —
+# moderate reciprocity) plus a PLANTED 6-host exchange ring (f0..f5,
+# every ordered pair in both directions -> ratio exactly 1e6) and one
+# low-degree mutual pair (m0<->m1: fully reciprocal but out_n = 1 —
+# the min_out guard must keep it out of the farm verdict)
+_FARM_N = 6
+
+
+def _q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gcp_etl_pipeline_spark.operators.pagerank import reciprocity
+
+    lineitem = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    organic = lineitem.select(
+        F.concat(F.lit("h"), (F.col("l_orderkey") % 53).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("h"), (F.col("l_partkey") % 53).cast("string"))
+        .alias("dst"),
+    )
+    farm = spark.range(_FARM_N * _FARM_N).select(
+        F.concat(F.lit("f"), (F.col("id") % _FARM_N).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("f"), (F.col("id") / _FARM_N).cast("long")
+                 .cast("string")).alias("dst"),
+    )
+    mutual = spark.createDataFrame(
+        [("m0", "m1"), ("m1", "m0")], "src STRING, dst STRING"
+    )
+    return reciprocity(organic.union(farm).union(mutual))
+
+
+def _reciprocity_oracle() -> str:
+    return f"""
+    WITH organic AS (
+      SELECT 'h' || CAST(l_orderkey % 53 AS VARCHAR) AS src,
+             'h' || CAST(l_partkey % 53 AS VARCHAR) AS dst
+      FROM lineitem
+    ),
+    farm AS (
+      SELECT 'f' || CAST(i % {_FARM_N} AS VARCHAR) AS src,
+             'f' || CAST(i // {_FARM_N} AS VARCHAR) AS dst
+      FROM (SELECT unnest(range({_FARM_N * _FARM_N})) AS i)
+    ),
+    mutual AS (SELECT * FROM (VALUES ('m0', 'm1'), ('m1', 'm0'))
+               AS t(src, dst)),
+    e AS (SELECT DISTINCT src, dst FROM
+            (SELECT * FROM organic UNION ALL SELECT * FROM farm
+             UNION ALL SELECT * FROM mutual)
+          WHERE src <> dst),
+    r AS (SELECT e.src, COUNT(*) AS recip_n
+          FROM e JOIN e x ON e.src = x.dst AND e.dst = x.src
+          GROUP BY 1),
+    o AS (SELECT src, COUNT(*) AS out_n FROM e GROUP BY 1)
+    SELECT o.src AS node,
+           CAST(o.out_n AS BIGINT) AS out_n,
+           CAST(COALESCE(r.recip_n, 0) AS BIGINT) AS recip_n,
+           CAST(COALESCE(r.recip_n, 0) * 1000000 // o.out_n AS BIGINT)
+             AS recip_ratio_u,
+           (COALESCE(r.recip_n, 0) * 1000000 // o.out_n >= 800000
+            AND o.out_n >= 5) AS is_farm
+    FROM o LEFT JOIN r ON o.src = r.src
+    """
+
+
+register("link_reciprocity_farms", _q_reciprocity, _reciprocity_oracle())

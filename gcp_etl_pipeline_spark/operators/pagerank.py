@@ -161,3 +161,50 @@ def hits(
     )
     nodes.unpersist()
     return out
+
+
+def reciprocity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    farm_ratio_u: int = 800_000,
+    min_out: int = 5,
+) -> DataFrame:
+    """Per-node link reciprocity — the classic link-farm signal: organic
+    linking is largely one-directional (pages cite authorities), while
+    exchange schemes produce near-total reciprocity. For each node:
+    out-degree, reciprocated out-degree (the reverse edge exists), the
+    exact µ-unit ratio, and the farm verdict (ratio above threshold AND
+    enough out-edges to mean something — a 1-for-1 mutual link between
+    two blogs is not a farm).
+
+    Plan shape: edges deduplicate once, then ONE left-semi self-join on
+    the flipped key pair marks reciprocated edges — id pairs only, one
+    shuffle each side — and a node-sized aggregate. No vectors, no
+    payloads, no iteration."""
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).where(F.col("src") != F.col("dst")).distinct()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi").groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("recip_n")
+    )
+    out = e.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("out_n")
+    )
+    j = out.join(recip, "src", "left").select(
+        F.col("src").alias("node"),
+        "out_n",
+        F.coalesce("recip_n", F.lit(0)).cast("bigint").alias("recip_n"),
+    )
+    ratio = F.expr("CAST(recip_n * 1000000 DIV out_n AS BIGINT)")
+    return j.select(
+        "node",
+        "out_n",
+        "recip_n",
+        ratio.alias("recip_ratio_u"),
+        (
+            (ratio >= F.lit(int(farm_ratio_u)))
+            & (F.col("out_n") >= F.lit(int(min_out)))
+        ).alias("is_farm"),
+    )

@@ -606,3 +606,23 @@ def test_bitext_margin_mine_planted_pair(spark):
     # src 2's best candidate is the hub, but the hub's best src is 4 —
     # the mutual-best rule is what keeps 2 out
     assert all(m >= 1_050_000 for m in out.values())
+
+
+def test_doc_bigram_surprisal_exact(spark):
+    from gcp_etl_pipeline_spark.operators.curation import doc_bigram_surprisal
+
+    # corpus bigram counts: "a b" x3, "b a" x2, "a c" x1
+    # prefix counts: a-> 4, b-> 2
+    docs = [
+        (1, "a b a b"),     # bigrams: a b, b a, a b
+        (2, "a b a c"),     # bigrams: a b, b a, a c
+        (3, "x"),           # single token: no bigrams, no row
+    ]
+    df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    out = {r["doc_id"]: r for r in doc_bigram_surprisal(df).collect()}
+    # s(a b) = floor(log2(4/3)) = 0; s(b a) = floor(log2(2/2)) = 0;
+    # s(a c) = floor(log2(4/1)) = 2
+    assert out[1]["n_bigrams"] == 3 and out[1]["surprisal_sum"] == 0
+    assert out[2]["n_bigrams"] == 3 and out[2]["surprisal_sum"] == 2
+    assert out[2]["mean_surprisal_u"] == 2 * 1_000_000 // 3
+    assert 3 not in out

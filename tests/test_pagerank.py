@@ -58,3 +58,27 @@ def test_hits_star_graph(spark):
     assert 0 < out["u2"]["hub_u"] < HITS_SCALE
     # pure-authority / pure-hub nodes score 0 on the other axis
     assert out["v"]["hub_u"] == 0 and out["u1"]["auth_u"] == 0
+
+
+def test_reciprocity_farm_and_guard(spark):
+    from gcp_etl_pipeline_spark.operators.pagerank import reciprocity
+
+    edges = spark.createDataFrame(
+        # a<->b<->c<->a ... 5-clique both directions = farm
+        [(f"f{i}", f"f{j}") for i in range(5) for j in range(5) if i != j]
+        # organic: one-directional citations into an authority
+        + [("o1", "auth"), ("o2", "auth"), ("o3", "auth")]
+        # tiny mutual pair: fully reciprocal, out_n too small to flag
+        + [("m0", "m1"), ("m1", "m0")]
+        # duplicate edge must not double-count
+        + [("o1", "auth")],
+        "src STRING, dst STRING",
+    )
+    out = {r["node"]: r for r in reciprocity(edges, min_out=4).collect()}
+    assert out["f0"]["is_farm"] and out["f0"]["recip_ratio_u"] == 1_000_000
+    assert out["f0"]["out_n"] == 4 and out["f0"]["recip_n"] == 4
+    assert out["o1"]["out_n"] == 1 and out["o1"]["recip_n"] == 0
+    assert not out["o1"]["is_farm"]
+    assert out["m0"]["recip_ratio_u"] == 1_000_000
+    assert not out["m0"]["is_farm"]  # min_out guard
+    assert "auth" not in out  # no out-edges -> no row (out-degree table)

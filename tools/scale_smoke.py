@@ -1253,6 +1253,95 @@ def main() -> int:
     stage_rows[f"html_smoke_intake_chain_{H_N // 1000}k"] = H_N
 
 
+    # Crawl-frontier chain at 2M-URL smoke scale: closed-form planted
+    # variant classes (scheme case, userinfo+port, host case, tracking
+    # params, trailing slash, fragment) constructed so every canonical
+    # URL is discovered EXACTLY 4 times, through canonicalize
+    # (normalize_url -> strip_tracking_params) -> min-key dedup ->
+    # per-origin robots gate -> per-registrable-host budget, with every
+    # stage count asserted exactly (incl. sum-of-first-keys — the
+    # closed-form proof the min-key dedup picked the true minimum for
+    # EVERY canonical URL, not just the right count).
+    import tempfile as _tf
+
+    from gcp_etl_pipeline_spark.operators import curation as _fcur
+    from gcp_etl_pipeline_spark.operators import text as _ftx
+
+    FR_U = max(2000, (n // 40) // 40 * 40)  # canonical URLs (40 | U)
+    FR_N = 4 * FR_U                          # discovered feed size
+    _fid = F.col("id")
+    _furl = F.concat(
+        F.when(_fid % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
+        F.lit("://"),
+        F.when(_fid % 4 == 0, F.lit("News.Example.COM"))
+        .when(_fid % 4 == 1, F.lit("u@cdn.example.com:8080"))
+        .when(_fid % 4 == 2, F.lit("blog.Sample.CO.uk"))
+        .otherwise(F.concat(F.lit("www.u"), (_fid % 40).cast("string"),
+                            F.lit(".org"))),
+        F.lit("/art/"),
+        (_fid % FR_U).cast("string"),
+        F.when(_fid % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(_fid % 5 == 1, F.lit("?utm_source=n")).otherwise(F.lit("")),
+        F.when(_fid % 11 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    fr_root = _tf.mkdtemp(prefix="graft_smoke_frontier_")
+    t0 = time.time()
+    spark.range(FR_N).select(
+        F.col("id").alias("k"), _furl.alias("raw_url")
+    ).write.mode("overwrite").parquet(f"{fr_root}/feed")
+    timings[f"frontier_smoke_generate_{FR_N // 1000}k"] = round(
+        time.time() - t0, 2
+    )
+    stage_rows[f"frontier_smoke_generate_{FR_N // 1000}k"] = FR_N
+
+    t0 = time.time()
+    feed = spark.read.parquet(f"{fr_root}/feed")
+    fr_canon = feed.select(
+        "k",
+        _ftx.strip_tracking_params(_ftx.normalize_url("raw_url"))
+        .alias("url"),
+    )
+    fr_ded = fr_canon.groupBy("url").agg(
+        F.min("k").alias("first_key"),
+        F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+    )
+    fr_rules = spark.createDataFrame(
+        [("cdn.example.com", "/", False)],
+        "host STRING, path_prefix STRING, allow BOOLEAN",
+    )
+    fr_fetchable = (
+        _fcur.robots_filter(fr_ded, fr_rules, assume_distinct=True)
+        .where(F.col("allowed"))
+        .drop("allowed", "matched_prefix")
+    )
+    fr_queue = _fcur.per_host_budget(fr_fetchable, "url", quota=50)
+    fr_stats = fr_ded.agg(
+        F.count(F.lit(1)).alias("n_canon"),
+        F.min("n_raw").alias("lo"),
+        F.max("n_raw").alias("hi"),
+        F.sum("first_key").alias("ksum"),
+    ).collect()[0]
+    assert fr_stats["n_canon"] == FR_U, fr_stats
+    # every canonical URL discovered exactly 4 times...
+    assert (fr_stats["lo"], fr_stats["hi"]) == (4, 4), fr_stats
+    # ...and its min discovering key is its residue: sum == U(U-1)/2
+    assert fr_stats["ksum"] == FR_U * (FR_U - 1) // 2, fr_stats
+    fr_allowed = fr_fetchable.count()
+    assert fr_allowed == 3 * FR_U // 4, fr_allowed  # cdn quarter dropped
+    fr_q = fr_queue.groupBy("host").agg(F.count(F.lit(1)).alias("nq"))
+    fr_qr = {r["host"]: r["nq"] for r in fr_q.collect()}
+    # example.com pools news.* (cdn is robots-dropped); 10 u-hosts
+    per_u = min(50, FR_U // 40)
+    assert fr_qr.pop("example.com") == min(50, FR_U // 4)
+    assert fr_qr.pop("sample.co.uk") == min(50, FR_U // 4)
+    assert sorted(fr_qr) == sorted(
+        f"u{h}.org" for h in range(3, 40, 4)
+    ) and set(fr_qr.values()) == {per_u}, fr_qr
+    timings[f"frontier_smoke_chain_{FR_N // 1000}k"] = round(
+        time.time() - t0, 2
+    )
+    stage_rows[f"frontier_smoke_chain_{FR_N // 1000}k"] = FR_N
+
     # Multimodal near-dup dedup at 1M-IMAGE smoke scale (the proof the
     # text tier has at 2M/20M docs): closed-form planted classes
     # INCLUDING one adversarial 100k-copy exact-duplicate cluster (the
