@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "stream_frontier_dedup",
     "link_reciprocity_farms",
     "doc_bigram_surprisal",
+    "http_response_parse",
 ]
 
 

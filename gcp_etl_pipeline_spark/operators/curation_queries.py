@@ -3612,3 +3612,89 @@ def frontier_stream_src(spark: SparkSession, sf_dir: str) -> str:
         return path
 
     return _session_cached_path(spark, tag, _build, _validate)
+
+
+# ----------------- HTTP response-envelope parsing (fetch-store intake)
+
+# raw fetch records over documents: status class by doc_id % 5,
+# content-type class by doc_id % 4 (charset'd html, quoted-charset
+# variant, pdf, MISSING header), CRLF vs LF line endings by doc_id % 2,
+# and every body carries an adversarial "Content-Type: evil/fake" line
+# that a head-scoped header extract must ignore
+_HTTP_RAW = (
+    "'HTTP/1.1 ' || CASE doc_id % 5 WHEN 3 THEN '404 Not Found' "
+    "WHEN 4 THEN '301 Moved' ELSE '200 OK' END || {NL} || "
+    "'Server: t' || CAST(doc_id % 7 AS {V}) || {NL} || "
+    "CASE doc_id % 4 WHEN 0 THEN 'Content-Type: text/html; charset=UTF-8' || {NL} "
+    "WHEN 1 THEN 'content-type: Text/HTML;charset=\"iso-8859-1\"' || {NL} "
+    "WHEN 2 THEN 'Content-Type: application/pdf' || {NL} "
+    "ELSE '' END || "
+    "{NL} || "
+    "'Content-Type: evil/fake' || {NL} || text"
+)
+
+
+def _q_http_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetch-store record parsing: status code, content type (params
+    stripped), charset (quoted or bare), body — header extraction
+    scoped to the pre-body prefix so header-shaped body lines can't
+    spoof fields; CRLF and LF records both planted. One codegen'd
+    projection, zero shuffle; the is_fetchable gate is what routes
+    records into the HTML intake chain."""
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    nl = "CASE WHEN doc_id % 2 = 0 THEN chr(13) || chr(10) ELSE chr(10) END"
+    raw = docs.select(
+        "doc_id",
+        F.expr(_HTTP_RAW.format(V="STRING", NL=nl)).alias("raw"),
+    )
+    parsed = raw.select("doc_id", *_text.http_response_fields("raw"))
+    return parsed.select(
+        "doc_id",
+        "status_code",
+        "content_type",
+        "charset",
+        F.length("body").cast("bigint").alias("body_len"),
+        (
+            (F.col("status_code") == 200)
+            & F.col("content_type").startswith("text/")
+        ).alias("is_fetchable"),
+    )
+
+
+def _http_parse_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    nl = "CASE WHEN doc_id % 2 = 0 THEN chr(13) || chr(10) ELSE chr(10) END"
+    hdr = _text._HTTP_HEADER_RE.format(name="Content-Type")
+    return f"""
+    WITH r AS (SELECT doc_id,
+                 {_HTTP_RAW.format(V="VARCHAR", NL=nl)} AS raw
+               FROM documents),
+    h AS (SELECT doc_id, raw,
+            regexp_extract(raw, '(?s)^(.*?)(\\r?\\n\\r?\\n|$)', 1) AS head
+          FROM r),
+    f AS (SELECT doc_id,
+            regexp_extract(raw, {_sql_lit(_text.HTTP_STATUS_RE)}, 1)
+              AS status,
+            trim(regexp_extract(head, {_sql_lit(hdr)}, 1)) AS ctype_raw,
+            regexp_extract(raw, {_sql_lit(_text.HTTP_BODY_RE)}, 1) AS body
+          FROM h)
+    SELECT doc_id,
+           CAST(CASE WHEN status = '' THEN 0 ELSE CAST(status AS BIGINT)
+                END AS BIGINT) AS status_code,
+           lower(trim(regexp_extract(ctype_raw, '^([^;]*)', 1)))
+             AS content_type,
+           lower(regexp_extract(ctype_raw,
+             '(?i)charset="?([A-Za-z0-9_-]+)', 1)) AS charset,
+           CAST(length(body) AS BIGINT) AS body_len,
+           (CASE WHEN status = '' THEN 0 ELSE CAST(status AS BIGINT) END
+              = 200
+            AND starts_with(lower(trim(regexp_extract(ctype_raw,
+                  '^([^;]*)', 1))), 'text/')) AS is_fetchable
+    FROM f
+    """
+
+
+register("http_response_parse", _q_http_parse, _http_parse_oracle())

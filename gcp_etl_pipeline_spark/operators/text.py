@@ -910,3 +910,51 @@ def fetch_triage(text: Column | str) -> Column:
     return F.when(F.length(c) < TRIAGE_MIN_CHARS, F.lit("empty")).otherwise(
         verdict
     )
+
+
+# -------------- HTTP response-envelope parsing (fetch-store front door)
+#
+# A crawl store's raw record is "status line + headers + blank line +
+# body". These are the fields every downstream stage keys on, extracted
+# with tag-disciplined regexes in the Java-regex / RE2 common subset
+# (header names case-insensitive, first occurrence wins, values
+# trimmed). No map types — plain columns, so the DuckDB oracle replays
+# field-for-field.
+
+HTTP_STATUS_RE = r"^HTTP/[0-9.]+ ([0-9]{3})"
+# a header line: capture group 1 = value; (?m) anchors ^ per line; the
+# name is interpolated per field below
+_HTTP_HEADER_RE = r"(?mi)^{name}:[ \t]*([^\r\n]*)"
+HTTP_BODY_RE = r"(?s)\r?\n\r?\n(.*)$"
+
+
+def http_header(raw: Column | str, name: str) -> Column:
+    """First value of header ``name`` in the HEADER SECTION only (the
+    pre-body prefix — a body line that looks like a header must never
+    match), '' when absent."""
+    c = F.col(raw) if isinstance(raw, str) else raw
+    head = F.regexp_extract(c, r"(?s)^(.*?)(\r?\n\r?\n|$)", 1)
+    return F.trim(
+        F.regexp_extract(head, _HTTP_HEADER_RE.format(name=name), 1)
+    )
+
+
+def http_response_fields(raw: Column | str) -> list[Column]:
+    """status_code (bigint, 0 when unparseable), content_type
+    (lowercased, parameters stripped), charset (from the content-type
+    parameter, lowercased, '' when absent), body."""
+    c = F.col(raw) if isinstance(raw, str) else raw
+    status = F.regexp_extract(c, HTTP_STATUS_RE, 1)
+    ctype_raw = http_header(c, "Content-Type")
+    return [
+        F.when(status == "", F.lit(0))
+        .otherwise(status.cast("bigint"))
+        .cast("bigint")
+        .alias("status_code"),
+        F.lower(F.trim(F.regexp_extract(ctype_raw, r"^([^;]*)", 1)))
+        .alias("content_type"),
+        F.lower(
+            F.regexp_extract(ctype_raw, r"(?i)charset=\"?([A-Za-z0-9_-]+)", 1)
+        ).alias("charset"),
+        F.regexp_extract(c, HTTP_BODY_RE, 1).alias("body"),
+    ]

@@ -421,3 +421,39 @@ def test_fetch_triage_precedence(spark):
     }
     for i, (t, want) in enumerate(cases):
         assert got[i] == want, (t, got[i])
+
+
+def test_http_response_fields(spark):
+    crlf = "\r\n"
+    cases = [
+        # (raw, status, ctype, charset, body)
+        (
+            "HTTP/1.1 200 OK" + crlf + "Content-Type: text/html; charset=UTF-8"
+            + crlf + crlf + "hello <b>world</b>",
+            200, "text/html", "utf-8", "hello <b>world</b>",
+        ),
+        (
+            'HTTP/1.0 404 Not Found\ncontent-type: Text/Plain;charset="ISO-8859-1"'
+            "\n\ngone",
+            404, "text/plain", "iso-8859-1", "gone",
+        ),
+        # header-shaped line in the BODY must not spoof the field
+        (
+            "HTTP/1.1 200 OK\nServer: x\n\nContent-Type: evil/fake\nbody",
+            200, "", "", "Content-Type: evil/fake\nbody",
+        ),
+        # unparseable record: status 0, everything empty
+        ("not http at all", 0, "", "", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, r) for i, (r, *_) in enumerate(cases)], "i BIGINT, raw STRING"
+    )
+    got = {
+        r["i"]: r
+        for r in df.select("i", *text.http_response_fields("raw")).collect()
+    }
+    for i, (_, st, ct, cs, body) in enumerate(cases):
+        r = got[i]
+        assert (
+            r["status_code"], r["content_type"], r["charset"], r["body"]
+        ) == (st, ct, cs, body), dict(r.asDict())
