@@ -871,6 +871,15 @@ def _q_stream_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _text.normalize_url("raw_url")
             ).alias("url"),
         )
+        # pre-reduce to (url, min key) with ONE map-side-combined
+        # shuffle BEFORE the ledger call: dedup_exact inside
+        # dedup_incremental retains payload columns via a join-back,
+        # which re-runs the 15-regex canonicalization on both legs —
+        # measured ~5s/batch at sf0.1 vs ~1.5s for this form (the
+        # semantics are identical: min discovering key per URL)
+        canon = canon.groupBy("url").agg(
+            F.min("o_orderkey").alias("o_orderkey")
+        )
         acc = dedup_incremental(
             canon, store, text_col="url", id_col="o_orderkey",
             attempt_id=f"b{batch_id}",
