@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "link_reciprocity_farms",
     "doc_bigram_surprisal",
     "http_response_parse",
+    "robots_txt_parse_eval",
 ]
 
 

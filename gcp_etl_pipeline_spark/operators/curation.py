@@ -1374,3 +1374,85 @@ def doc_bigram_surprisal(
             F.expr("surprisal_sum * 1000000 div n_bigrams").cast("bigint"),
         )
     )
+
+
+ROBOTS_DIRECTIVE_RE = "^\\s*([A-Za-z-]+)\\s*:"
+
+
+def parse_robots_txt(
+    docs: DataFrame,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """Parse raw robots.txt documents into the (host, path_prefix,
+    allow) rule table ``robots_filter`` evaluates — the front half of
+    the politeness gate (RFC 9309 §2.1-2.2 grouping): lines split,
+    comments stripped, directives recognized case-insensitively;
+    CONSECUTIVE User-agent lines open one group (a rule line closes
+    the run); Allow/Disallow lines attach to the current group; rules
+    before any User-agent line are invalid and drop; an empty-pattern
+    rule has no effect and drops; the emitted table is the union of
+    rules from every group containing a User-agent line matching
+    ``agent`` (exact, case-folded) or ``*``.
+
+    Plan shape: one explode over documents, one per-host window pass
+    (lag + running sum — group ids), one semi-join of rules onto
+    matching group ids. Robots documents are host-sized (KB each);
+    nothing here scales with the corpus."""
+    from pyspark.sql import Window
+
+    lines = docs.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(txt_col), "\r?\n")).alias(
+            "__no", "__line"
+        ),
+    )
+    clean = F.trim(F.regexp_replace("__line", "#.*$", ""))
+    kind = F.lower(F.regexp_extract(clean, ROBOTS_DIRECTIVE_RE, 1))
+    value = F.trim(F.regexp_replace(clean, ROBOTS_DIRECTIVE_RE, ""))
+    d = lines.select(
+        "host", "__no", kind.alias("__kind"), value.alias("__val")
+    ).where(F.col("__kind").isin("user-agent", "allow", "disallow"))
+    w = Window.partitionBy("host").orderBy("__no")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grouped = d.select(
+        "*",
+        F.sum(
+            (
+                (F.col("__kind") == "user-agent")
+                & (
+                    F.coalesce(
+                        F.lag("__kind").over(w) != "user-agent", F.lit(True)
+                    )
+                )
+            ).cast("bigint")
+        )
+        .over(wrun)
+        .alias("__gid"),
+    )
+    matching = (
+        grouped.where(
+            (F.col("__kind") == "user-agent")
+            & (
+                (F.lower("__val") == agent.lower())
+                | (F.col("__val") == "*")
+            )
+        )
+        .select("host", "__gid")
+        .distinct()
+    )
+    rules = grouped.where(
+        (F.col("__kind") != "user-agent")
+        & (F.col("__gid") >= 1)
+        & (F.col("__val") != "")
+    )
+    return (
+        rules.join(matching, ["host", "__gid"], "left_semi")
+        .select(
+            "host",
+            F.col("__val").alias("path_prefix"),
+            (F.col("__kind") == "allow").alias("allow"),
+        )
+        .distinct()
+    )

@@ -3698,3 +3698,133 @@ def _http_parse_oracle() -> str:
 
 
 register("http_response_parse", _q_http_parse, _http_parse_oracle())
+
+
+# ------------ robots.txt PARSING -> rule table -> verdicts (end to end)
+
+# raw robots documents per host class (h % 4): 0 = one '*' group with a
+# nested allow override; 1 = a specific-agent group FIRST (its rules
+# must not leak into the '*' evaluation), then the '*' group; 2 = a
+# multi-User-agent group run ('a' then '*': one group), an inline
+# comment on a rule line, a full comment line, and an empty-pattern
+# Disallow (RFC: no effect, drops); 3 = an orphan rule before any
+# group (invalid, drops) and a non-matching group only -> default
+# allow. {NL} is the engine's newline literal.
+_ROBOTS_TXT = (
+    "CASE h % 4 "
+    "WHEN 0 THEN 'User-agent: *' || {NL} || 'Disallow: /private' || {NL} "
+    "|| 'Allow: /private/pub' "
+    "WHEN 1 THEN 'User-agent: googlebot' || {NL} || 'Disallow: /' || {NL} "
+    "|| {NL} || 'User-Agent: *' || {NL} || 'Allow: /' || {NL} "
+    "|| 'Disallow: /tmp' "
+    "WHEN 2 THEN 'User-agent: a' || {NL} || 'User-agent: *' || {NL} "
+    "|| 'Disallow: /x  # inline comment' || {NL} "
+    "|| '# full comment line' || {NL} || 'Disallow:' "
+    "ELSE 'Disallow: /orphan' || {NL} || 'User-agent: other' || {NL} "
+    "|| 'Disallow: /y' END"
+)
+
+_ROBOTS_URL = (
+    "'https://r' || CAST(o_orderkey % 12 AS {V}) || '.test' || "
+    "CASE o_orderkey % 5 "
+    "WHEN 0 THEN '/private/pub/' || CAST(o_orderkey % 7 AS {V}) "
+    "WHEN 1 THEN '/private/' || CAST(o_orderkey % 7 AS {V}) "
+    "WHEN 2 THEN '/x/' || CAST(o_orderkey % 7 AS {V}) "
+    "WHEN 3 THEN '/tmp/' || CAST(o_orderkey % 7 AS {V}) "
+    "ELSE '/y' END"
+)
+
+
+def _q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt end to end from RAW TEXT: parse (line split, comment
+    strip, case-folded directives, consecutive-User-agent group runs,
+    orphan/empty-pattern rules dropped, '*'-matching groups selected)
+    -> rule table -> RFC 9309 precedence verdicts over a scaling URL
+    frontier. Documents are host-sized; only the frontier scales."""
+    from gcp_etl_pipeline_spark.operators import curation as _cur
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    hosts = orders.select(
+        (F.col("o_orderkey") % 12).alias("h")
+    ).distinct()
+    docs = hosts.select(
+        F.concat(F.lit("r"), F.col("h").cast("string"), F.lit(".test"))
+        .alias("host"),
+        F.expr(_ROBOTS_TXT.format(NL="chr(10)")).alias("robots_txt"),
+    )
+    rules = _cur.parse_robots_txt(docs)
+    urls = orders.select(
+        "o_orderkey", F.expr(_ROBOTS_URL.format(V="STRING")).alias("url")
+    )
+    return _cur.robots_filter(urls, rules).select(
+        "o_orderkey", "url", "allowed", "matched_prefix"
+    )
+
+
+def _robots_parse_oracle() -> str:
+    return f"""
+    WITH hosts AS (SELECT DISTINCT o_orderkey % 12 AS h FROM orders),
+    docs AS (SELECT 'r' || CAST(h AS VARCHAR) || '.test' AS host,
+                    {_ROBOTS_TXT.format(NL="chr(10)")} AS txt
+             FROM hosts),
+    ls AS (SELECT host, string_split_regex(txt, '\\r?\\n') AS arr
+           FROM docs),
+    l AS (SELECT host,
+            CAST(unnest(range(len(arr))) AS BIGINT) AS no,
+            trim(regexp_replace(unnest(arr), '#.*$', '')) AS clean
+          FROM ls),
+    d0 AS (SELECT host, no,
+             lower(regexp_extract(clean, '^\\s*([A-Za-z-]+)\\s*:', 1))
+               AS kind,
+             trim(regexp_replace(clean, '^\\s*[A-Za-z-]+\\s*:', ''))
+               AS val
+           FROM l),
+    d AS (SELECT * FROM d0
+          WHERE kind IN ('user-agent', 'allow', 'disallow')),
+    d1 AS (SELECT *,
+             COALESCE(LAG(kind) OVER (PARTITION BY host ORDER BY no), '')
+               AS prev_kind
+           FROM d),
+    g AS (SELECT *,
+            SUM(CASE WHEN kind = 'user-agent'
+                      AND prev_kind <> 'user-agent'
+                     THEN 1 ELSE 0 END)
+              OVER (PARTITION BY host ORDER BY no
+                    ROWS UNBOUNDED PRECEDING) AS gid
+          FROM d1),
+    m AS (SELECT DISTINCT host, gid FROM g
+          WHERE kind = 'user-agent' AND val = '*'),
+    rules AS (SELECT DISTINCT g.host, g.val AS pfx,
+                     g.kind = 'allow' AS allow
+              FROM g JOIN m ON g.host = m.host AND g.gid = m.gid
+              WHERE g.kind <> 'user-agent' AND g.gid >= 1
+                AND g.val <> ''),
+    raw AS (SELECT o_orderkey, {_ROBOTS_URL.format(V="VARCHAR")} AS url
+            FROM orders),
+    p AS (SELECT o_orderkey, url,
+            lower(regexp_replace(regexp_replace(
+              regexp_extract(regexp_replace(url,
+                '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1),
+              '^[^@]*@', ''), ':[0-9]*$', '')) AS hostname,
+            regexp_replace(regexp_replace(url,
+              '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^[^/?#]*', '')
+              AS rawpath
+          FROM raw),
+    q AS (SELECT o_orderkey, url, hostname,
+            CASE WHEN starts_with(rawpath, '/') THEN rawpath
+                 ELSE '/' || rawpath END AS path
+          FROM p),
+    cand AS (SELECT q.o_orderkey, q.url, r.pfx, r.allow
+             FROM q LEFT JOIN rules r
+               ON q.hostname = r.host AND starts_with(q.path, r.pfx)),
+    rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY url, o_orderkey
+             ORDER BY length(pfx) DESC, allow DESC) AS rn
+           FROM cand)
+    SELECT o_orderkey, url,
+           COALESCE(allow, true) AS allowed,
+           COALESCE(pfx, '') AS matched_prefix
+    FROM rk WHERE rn = 1
+    """
+
+
+register("robots_txt_parse_eval", _q_robots_parse, _robots_parse_oracle())

@@ -524,3 +524,36 @@ def test_host_reputation_thresholds(spark):
     assert out["d"]["verdict"] == "allow"  # > 200000u, not >=
     assert out["b"]["short_frac_u"] == 250000
     assert out["d"]["mean_tokens_u"] == int((2 * 1 + 8 * 9) / 10 * 1e6)
+
+
+def test_parse_robots_txt_grouping_rules(spark):
+    from gcp_etl_pipeline_spark.operators.curation import parse_robots_txt
+
+    txt = (
+        "Disallow: /orphan\n"            # before any group: invalid
+        "User-agent: googlebot\n"
+        "Disallow: /gb\n"
+        "\n"
+        "User-agent: a\n"                # consecutive UA lines =
+        "USER-AGENT: *\n"                # one group (case-folded)
+        "Allow: /pub  # inline comment\n"
+        "# full comment line\n"
+        "Disallow:\n"                    # empty pattern: no effect
+        "Disallow: /x\n"
+        "\n"
+        "User-agent: *\n"                # a second matching group
+        "Disallow: /x\n"                 # duplicate rule dedupes
+        "Disallow: /z\n"
+    )
+    df = spark.createDataFrame([("h.test", txt)], "host STRING, robots_txt STRING")
+    rules = {
+        (r["path_prefix"], r["allow"])
+        for r in parse_robots_txt(df).collect()
+    }
+    assert rules == {("/pub", True), ("/x", False), ("/z", False)}
+    # a specific agent sees ITS group plus the * groups
+    gb = {
+        (r["path_prefix"], r["allow"])
+        for r in parse_robots_txt(df, agent="GoogleBot").collect()
+    }
+    assert gb == {("/gb", False), ("/pub", True), ("/x", False), ("/z", False)}
