@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "doc_bigram_surprisal",
     "http_response_parse",
     "robots_txt_parse_eval",
+    "stream_recrawl_schedule",
 ]
 
 

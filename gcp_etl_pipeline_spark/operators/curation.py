@@ -1236,6 +1236,15 @@ def recrawl_schedule(
         .alias("n_changes"),
         (F.max("__us") - F.min("__us")).alias("span_us"),
     )
+    return schedule_from_aggregates(agg)
+
+
+def schedule_from_aggregates(agg: DataFrame) -> DataFrame:
+    """The schedule projection over per-URL fetch aggregates (url_id,
+    n_fetches, n_changes, span_us) — factored out of
+    ``recrawl_schedule`` so the streaming twin's incrementally-merged
+    state table goes through the IDENTICAL ratio/interval/tier rules
+    (one definition, one oracle)."""
     denom = F.col("n_fetches") - F.lit(1)
     ratio = F.when(denom > 0, (F.col("n_changes") * F.lit(1000000))
                    .cast("bigint") / denom).otherwise(F.lit(0))

@@ -3828,3 +3828,56 @@ def _robots_parse_oracle() -> str:
 
 
 register("robots_txt_parse_eval", _q_robots_parse, _robots_parse_oracle())
+
+
+def recrawl_stream_src(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached source directory for the streaming recrawl twin:
+    the fetch-log fixture split into two TIME-ordered, mtime-ordered
+    parquet files at the epoch midpoint (b0: us <= mid, b1: us > mid —
+    a strict time split, so the state merge's boundary comparison sees
+    true consecutive fetches and converges to the batch chain)."""
+    import glob as _glob
+    import os
+    import re as _re
+    import shutil
+
+    tag = "recrawlsrc_" + _re.sub(r"\W+", "_", sf_dir).strip("_")
+
+    def _build(root: str) -> str:
+        src = root + "/in"
+        os.makedirs(src)
+        ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+        fetches = ev.select(
+            F.expr(_FETCH_URL_ID).alias("url_id"),
+            "ts",
+            F.col("event_id").alias("fetch_id"),
+            F.expr(
+                _FETCH_FP.format(
+                    V="STRING",
+                    EU="unix_micros(CAST(ts AS TIMESTAMP))",
+                    IDIV="DIV",
+                )
+            ).alias("content_fp"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("__us"),
+        )
+        lohi = fetches.agg(
+            F.min("__us").alias("lo"), F.max("__us").alias("hi")
+        ).collect()[0]
+        mid = (lohi["lo"] + lohi["hi"]) // 2
+        for i, pred in enumerate((f"__us <= {mid}", f"__us > {mid}")):
+            tmp = f"{root}/tmp{i}"
+            fetches.where(pred).drop("__us").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = sorted(_glob.glob(f"{tmp}/part-*.parquet"))[0]
+            dst = f"{src}/b{i}.parquet"
+            shutil.copy(part, dst)
+            os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+        return src
+
+    def _validate(path: str) -> str:
+        if sorted(os.listdir(path)) != ["b0.parquet", "b1.parquet"]:
+            raise RuntimeError("recrawl stream source files missing")
+        return path
+
+    return _session_cached_path(spark, tag, _build, _validate)

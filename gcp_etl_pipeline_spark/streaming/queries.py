@@ -920,3 +920,138 @@ register(
     _q_stream_frontier,
     _stream_frontier_oracle(),
 )
+
+
+def _q_stream_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of recrawl scheduling — a CONTINUOUSLY MAINTAINED
+    per-URL state table, not a dedup ledger: each time-ordered
+    micro-batch reduces to per-URL aggregates (count, in-batch change
+    count via lag, first/last fetch as lexicographic struct min/max),
+    then a full-outer merge with the previous state snapshot adds the
+    BOUNDARY comparison (state's last fingerprint vs the batch's first
+    — the change the per-batch lag can't see) and writes snapshot
+    ``state/batch=k`` (a retried batch re-reads k-1 and overwrites k:
+    exactly-once over at-least-once). Time-ordered batches make the
+    merged state equal the batch chain's global aggregates, so the
+    final schedule projection (shared `schedule_from_aggregates`)
+    grades against the batch recrawl oracle VERBATIM.
+
+    Scale shape: state is |URLs| rows keyed by url_id; each batch costs
+    one groupBy over the increment + one url-keyed merge join — the
+    fetch log itself is never re-scanned."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gcp_etl_pipeline_spark.operators.curation import (
+        schedule_from_aggregates,
+    )
+    from gcp_etl_pipeline_spark.operators.curation_queries import (
+        recrawl_stream_src,
+    )
+
+    root = tempfile.mkdtemp(prefix="graft_srecrawl_")
+    src = recrawl_stream_src(spark, sf_dir)
+    state_dir = f"{root}/state"
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        w = Window.partitionBy("url_id").orderBy(us, F.col("fetch_id"))
+        marked = batch.select(
+            "url_id",
+            us.alias("__us"),
+            F.col("fetch_id").alias("__fid"),
+            F.col("content_fp").alias("__fp"),
+            (F.col("content_fp") != F.lag("content_fp").over(w))
+            .cast("bigint")
+            .alias("__chg"),
+        )
+        agg = marked.groupBy("url_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("b_n"),
+            F.sum(F.coalesce("__chg", F.lit(0)))
+            .cast("bigint")
+            .alias("b_changes"),
+            F.min(F.struct("__us", "__fid", "__fp")).alias("b_first"),
+            F.max(F.struct("__us", "__fid", "__fp")).alias("b_last"),
+        )
+        prev_path = f"{state_dir}/batch={batch_id - 1}"
+        if os.path.isdir(prev_path):
+            prev = spark.read.parquet(prev_path)
+        else:
+            prev = spark.createDataFrame(
+                [],
+                "url_id BIGINT, n_fetches BIGINT, n_changes BIGINT, "
+                "first_us BIGINT, last_us BIGINT, last_fp STRING",
+            )
+        merged = prev.join(agg, "url_id", "full_outer").select(
+            "url_id",
+            (F.coalesce("n_fetches", F.lit(0)) + F.coalesce("b_n", F.lit(0)))
+            .cast("bigint")
+            .alias("n_fetches"),
+            (
+                F.coalesce("n_changes", F.lit(0))
+                + F.coalesce("b_changes", F.lit(0))
+                + F.when(
+                    F.col("last_fp").isNotNull()
+                    & F.col("b_first").isNotNull()
+                    & (F.col("last_fp") != F.col("b_first.__fp")),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_changes"),
+            F.coalesce("first_us", F.col("b_first.__us"))
+            .cast("bigint")
+            .alias("first_us"),
+            F.coalesce(F.col("b_last.__us"), F.col("last_us"))
+            .cast("bigint")
+            .alias("last_us"),
+            F.coalesce(F.col("b_last.__fp"), F.col("last_fp")).alias(
+                "last_fp"
+            ),
+        )
+        merged.write.mode("overwrite").parquet(
+            f"{state_dir}/batch={batch_id}"
+        )
+
+    q = (
+        spark.readStream.schema(
+            "url_id BIGINT, ts TIMESTAMP, fetch_id BIGINT, content_fp STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    last = max(
+        int(d.split("=")[1])
+        for d in __import__("os").listdir(state_dir)
+        if d.startswith("batch=")
+    )
+    state = spark.read.parquet(f"{state_dir}/batch={last}")
+    agg = state.select(
+        "url_id",
+        "n_fetches",
+        "n_changes",
+        (F.col("last_us") - F.col("first_us")).cast("bigint").alias("span_us"),
+    )
+    return schedule_from_aggregates(agg)
+
+
+def _stream_recrawl_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators.curation_queries import (
+        _recrawl_oracle,
+    )
+
+    return _recrawl_oracle()
+
+
+register(
+    "stream_recrawl_schedule",
+    _q_stream_recrawl,
+    _stream_recrawl_oracle(),
+)
