@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "http_response_parse",
     "robots_txt_parse_eval",
     "stream_recrawl_schedule",
+    "sentence_dedup_stats",
 ]
 
 

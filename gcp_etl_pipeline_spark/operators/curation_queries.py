@@ -3881,3 +3881,99 @@ def recrawl_stream_src(spark: SparkSession, sf_dir: str) -> str:
         return path
 
     return _session_cached_path(spark, tag, _build, _validate)
+
+
+# ------------- sentence segmentation + cross-document sentence dedup
+
+# synthetic prose per document: an intro sentence built from the doc's
+# own text (unique-ish), an abbreviation trap ("Dr. Smith" must not
+# split), a SHARED slogan on doc_id % 3 = 0 (the cross-doc boilerplate
+# the dedup share exists to measure), and a unique tail question
+_SENT_TEXT = (
+    "'Intro about ' || substring(text, 1, 40) || '. ' || "
+    "'Dr. Smith said e.g. nothing of note' || "
+    "CASE doc_id % 4 WHEN 0 THEN '!' WHEN 1 THEN '?' "
+    "WHEN 2 THEN '...' ELSE '.' END || ' ' || "
+    "CASE WHEN doc_id % 3 = 0 "
+    "THEN 'Subscribe to our newsletter today! ' ELSE '' END || "
+    "'Unique tail number ' || CAST(doc_id AS {V}) || '?'"
+)
+
+
+def _q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level boilerplate measurement: segment (abbreviation-
+    protected sentinel split — RE2-compatible, no lookbehind), then
+    fingerprint each sentence and count, per document, how many of its
+    sentences appear in 2+ documents — the sub-paragraph memorization/
+    slogan signal. Only 32-byte sentence fingerprints shuffle."""
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    prose = docs.select(
+        "doc_id", F.expr(_SENT_TEXT.format(V="STRING")).alias("body")
+    )
+    sent = prose.select(
+        "doc_id",
+        F.posexplode(_text.sentences("body")).alias("sent_no", "sentence"),
+    ).select("doc_id", "sent_no", F.md5("sentence").alias("__fp"))
+    df_count = sent.groupBy("__fp").agg(
+        F.count_distinct("doc_id").alias("__df")
+    )
+    per_doc = (
+        sent.join(df_count, "__fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sentences"),
+            F.sum((F.col("__df") >= 2).cast("bigint"))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_sentences",
+        "n_shared",
+        F.expr("n_shared * 1000000 div n_sentences")
+        .cast("bigint")
+        .alias("shared_frac_u"),
+    )
+
+
+def _sentence_dedup_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    ab = _sql_lit(_text.SENT_ABBREV_RE)
+    bd = _sql_lit(_text.SENT_BOUNDARY_RE)
+    return f"""
+    WITH p AS (SELECT doc_id, {_SENT_TEXT.format(V="VARCHAR")} AS body
+               FROM documents),
+    m AS (SELECT doc_id,
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(body, {ab}, '\\1' || chr(1), 'g'),
+                {bd}, '\\1' || chr(0), 'g'),
+              chr(1), '.', 'g') AS marked
+          FROM p),
+    arr AS (SELECT doc_id,
+              list_filter(list_transform(string_split(marked, chr(0)),
+                                         s -> trim(s)),
+                          s -> s <> '') AS sents
+            FROM m),
+    s AS (SELECT doc_id,
+            CAST(unnest(range(len(sents))) AS BIGINT) AS sent_no,
+            md5(unnest(sents)) AS fp
+          FROM arr),
+    dfc AS (SELECT fp, COUNT(DISTINCT doc_id) AS df FROM s GROUP BY 1),
+    d AS (SELECT s.doc_id,
+            COUNT(*) AS n_sentences,
+            SUM(CASE WHEN dfc.df >= 2 THEN 1 ELSE 0 END) AS n_shared
+          FROM s JOIN dfc USING (fp) GROUP BY 1)
+    SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(n_shared * 1000000 // n_sentences AS BIGINT)
+             AS shared_frac_u
+    FROM d
+    """
+
+
+register("sentence_dedup_stats", _q_sentence_dedup, _sentence_dedup_oracle())

@@ -958,3 +958,30 @@ def http_response_fields(raw: Column | str) -> list[Column]:
         ).alias("charset"),
         F.regexp_extract(c, HTTP_BODY_RE, 1).alias("body"),
     ]
+
+
+# ---------------- sentence segmentation (sub-document curation unit)
+#
+# The unit between token and paragraph: sentence-level dedup is how
+# boilerplate slogans and memorized spans are measured when paragraph
+# granularity is too coarse. RE2 has no lookbehind, so the boundary
+# keeps the terminator via a sentinel rewrite: protect known
+# abbreviations, mark each [.!?]+ + whitespace boundary with \x00,
+# split on the sentinel, restore. Both engines run the same patterns;
+# only the group-reference syntax differs ($1 vs \1), which each
+# engine's compiler supplies.
+
+SENT_ABBREV_RE = "(?i)\\b(mr|mrs|ms|dr|prof|vs|etc|e\\.g|i\\.e)\\."
+SENT_BOUNDARY_RE = "([.!?]+)[ \\t\\r\\n]+"
+
+
+def sentences(text: Column | str) -> Column:
+    """Array of trimmed, non-empty sentences in document order."""
+    c = F.col(text) if isinstance(text, str) else text
+    protected = F.regexp_replace(c, SENT_ABBREV_RE, "$1\x01")
+    marked = F.regexp_replace(protected, SENT_BOUNDARY_RE, "$1\x00")
+    restored = F.regexp_replace(marked, "\x01", ".")
+    return F.filter(
+        F.transform(F.split(restored, "\x00"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )

@@ -457,3 +457,29 @@ def test_http_response_fields(spark):
         assert (
             r["status_code"], r["content_type"], r["charset"], r["body"]
         ) == (st, ct, cs, body), dict(r.asDict())
+
+
+def test_sentences_segmentation(spark):
+    cases = [
+        (
+            "First one. Second two! Third three? Fourth",
+            ["First one.", "Second two!", "Third three?", "Fourth"],
+        ),
+        # abbreviations never split; terminator runs stay attached
+        (
+            "Dr. Smith met Mr. Jones e.g. daily... Then left.",
+            ["Dr. Smith met Mr. Jones e.g. daily...", "Then left."],
+        ),
+        # a period with no following whitespace is not a boundary
+        ("Version 2.5 shipped. Done", ["Version 2.5 shipped.", "Done"]),
+        ("", []),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], "i BIGINT, t STRING"
+    )
+    got = {
+        r["i"]: list(r["s"])
+        for r in df.select("i", text.sentences("t").alias("s")).collect()
+    }
+    for i, (t, want) in enumerate(cases):
+        assert got[i] == want, (t, got[i])
