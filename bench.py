@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "robots_txt_parse_eval",
     "stream_recrawl_schedule",
     "sentence_dedup_stats",
+    "fetch_due_queue",
 ]
 
 

@@ -3977,3 +3977,135 @@ def _sentence_dedup_oracle() -> str:
 
 
 register("sentence_dedup_stats", _q_sentence_dedup, _sentence_dedup_oracle())
+
+
+# ---------------- fetch-due queue (scheduler -> budgeted fetch list)
+
+_DUE_QUOTA = 20
+
+
+def _q_fetch_due_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scheduler's OUTPUT actually consumed by a fetcher: per-URL
+    recrawl schedule (shared schedule_from_aggregates rules) joined
+    back with each URL's last fetch time, due-ness evaluated at a
+    deterministic instant (the log's max timestamp), then the due set
+    budgeted per host (md5-order quota). Composes three certified
+    operators end to end; the oracle replays every stage."""
+    from pyspark.sql import Window
+
+    from gcp_etl_pipeline_spark.operators import curation as _cur
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    fetches = ev.select(
+        F.expr(_FETCH_URL_ID).alias("url_id"),
+        us.alias("__us"),
+        F.col("event_id").alias("fetch_id"),
+        F.expr(
+            _FETCH_FP.format(
+                V="STRING",
+                EU="unix_micros(CAST(ts AS TIMESTAMP))",
+                IDIV="DIV",
+            )
+        ).alias("content_fp"),
+    )
+    w = Window.partitionBy("url_id").orderBy("__us", "fetch_id")
+    marked = fetches.select(
+        "url_id",
+        "__us",
+        (F.col("content_fp") != F.lag("content_fp").over(w))
+        .cast("bigint")
+        .alias("__chg"),
+    )
+    agg = marked.groupBy("url_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fetches"),
+        F.sum(F.coalesce("__chg", F.lit(0))).cast("bigint").alias("n_changes"),
+        (F.max("__us") - F.min("__us")).alias("span_us"),
+        F.max("__us").alias("__last_us"),
+    )
+    sched = _cur.schedule_from_aggregates(
+        agg.select("url_id", "n_fetches", "n_changes", "span_us")
+    ).join(agg.select("url_id", "__last_us"), "url_id")
+    now = fetches.agg(F.max("__us").alias("__now"))
+    due = (
+        sched.crossJoin(F.broadcast(now))
+        .withColumn(
+            "overdue_us",
+            (F.col("__now") - F.col("__last_us")
+             - F.col("recrawl_interval_us")).cast("bigint"),
+        )
+        .where(F.col("overdue_us") >= 0)
+        .select(
+            "url_id",
+            F.concat(
+                F.lit("https://h"),
+                (F.col("url_id") % 7).cast("string"),
+                F.lit(".org/u/"),
+                F.col("url_id").cast("string"),
+            ).alias("url"),
+            "recrawl_tier",
+            "overdue_us",
+        )
+    )
+    return _cur.per_host_budget(due, "url", quota=_DUE_QUOTA).select(
+        "url_id", "url", "host", "recrawl_tier", "overdue_us"
+    )
+
+
+def _fetch_due_oracle() -> str:
+    return f"""
+    WITH f AS (SELECT {_FETCH_URL_ID} AS url_id, epoch_us(ts) AS us,
+                      event_id AS fetch_id,
+                      {_FETCH_FP.format(V="VARCHAR", EU="epoch_us(ts)",
+                                        IDIV="//")} AS content_fp
+               FROM events),
+    m AS (SELECT url_id, us,
+            CAST(content_fp <> LAG(content_fp) OVER
+              (PARTITION BY url_id ORDER BY us, fetch_id)
+              AS BIGINT) AS changed
+          FROM f),
+    a AS (SELECT url_id,
+            COUNT(*) AS n_fetches,
+            CAST(SUM(COALESCE(changed, 0)) AS BIGINT) AS n_changes,
+            MAX(us) - MIN(us) AS span_us,
+            MAX(us) AS last_us
+          FROM m GROUP BY 1),
+    r AS (SELECT *,
+            CASE WHEN n_fetches > 1
+                 THEN (n_changes * 1000000) // (n_fetches - 1)
+                 ELSE 0 END AS change_ratio_u,
+            CASE WHEN n_fetches > 1 THEN span_us // (n_fetches - 1)
+                 ELSE 0 END AS mean_interval_us
+          FROM a),
+    s AS (SELECT url_id, last_us,
+            CASE WHEN change_ratio_u >= 500000 THEN 'live'
+                 WHEN change_ratio_u >= 200000 THEN 'active'
+                 WHEN change_ratio_u > 0 THEN 'slow'
+                 ELSE 'static' END AS recrawl_tier,
+            CAST((CASE WHEN n_fetches > 1 THEN mean_interval_us
+                       ELSE 86400000000 END)
+                 * (CASE WHEN change_ratio_u >= 500000 THEN 1
+                         WHEN change_ratio_u >= 200000 THEN 4
+                         WHEN change_ratio_u > 0 THEN 16
+                         ELSE 64 END) AS BIGINT) AS interval_us
+          FROM r),
+    nowt AS (SELECT MAX(us) AS now_us FROM f),
+    due AS (SELECT url_id,
+              'https://h' || CAST(url_id % 7 AS VARCHAR) || '.org/u/'
+                || CAST(url_id AS VARCHAR) AS url,
+              recrawl_tier,
+              CAST(now_us - last_us - interval_us AS BIGINT) AS overdue_us
+            FROM s CROSS JOIN nowt
+            WHERE now_us - last_us - interval_us >= 0),
+    hosted AS (SELECT *, 'h' || CAST(url_id % 7 AS VARCHAR) || '.org'
+                 AS host
+               FROM due),
+    rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY host
+             ORDER BY md5(url), url) AS rn
+           FROM hosted)
+    SELECT url_id, url, host, recrawl_tier, overdue_us
+    FROM rk WHERE rn <= {_DUE_QUOTA}
+    """
+
+
+register("fetch_due_queue", _q_fetch_due_queue, _fetch_due_oracle())
