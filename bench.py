@@ -164,6 +164,8 @@ BENCH_QUERIES = [
     "stream_recrawl_schedule",
     "sentence_dedup_stats",
     "fetch_due_queue",
+    "host_latency_delay",
+    "triplet_mining_hard_neg",
 ]
 
 

@@ -4109,3 +4109,71 @@ def _fetch_due_oracle() -> str:
 
 
 register("fetch_due_queue", _q_fetch_due_queue, _fetch_due_oracle())
+
+
+# ------------- adaptive per-host politeness delay (latency-derived)
+
+_DELAY_HOST = "'h' || CAST(user_id % 19 AS {V}) || '.net'"
+
+
+def _q_host_latency_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive politeness: a crawler sets its per-host delay from the
+    host's OBSERVED response latency (slow host -> back off), here
+    delay = clamp(2 x exact p95 latency, 1s, 60s). The p95 is the
+    exact order statistic (rank ceil(0.95 n), latency ties broken by
+    event id — deterministic under any partitioning), latencies held
+    as exact integer centiseconds. One window pass + one host-sized
+    aggregate."""
+    from pyspark.sql import Window
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    f = ev.select(
+        F.expr(_DELAY_HOST.format(V="STRING")).alias("host"),
+        F.round(F.col("value") * 100).cast("bigint").alias("lat_c"),
+        "event_id",
+    )
+    w = Window.partitionBy("host").orderBy("lat_c", "event_id")
+    ranked = f.select(
+        "host",
+        "lat_c",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("host")).alias("__n"),
+    )
+    # integer ceil(n*95/100) = (n*95 + 99) DIV 100 — integer DIV, a
+    # float division's rounding could pick the wrong order statistic
+    p95 = ranked.where(
+        F.col("__rn") == F.expr("CAST((__n * 95 + 99) DIV 100 AS BIGINT)")
+    )
+    return p95.select(
+        "host",
+        F.col("__n").cast("bigint").alias("n_fetches"),
+        F.col("lat_c").alias("p95_latency_c"),
+        F.greatest(
+            F.lit(100),
+            F.least(F.lit(6000), (F.col("lat_c") * 2).cast("bigint")),
+        )
+        .cast("bigint")
+        .alias("crawl_delay_c"),
+    )
+
+
+def _host_latency_oracle() -> str:
+    return f"""
+    WITH f AS (SELECT {_DELAY_HOST.format(V="VARCHAR")} AS host,
+                      CAST(ROUND(value * 100) AS BIGINT) AS lat_c,
+                      event_id
+               FROM events),
+    r AS (SELECT host, lat_c,
+            ROW_NUMBER() OVER (PARTITION BY host
+                               ORDER BY lat_c, event_id) AS rn,
+            COUNT(*) OVER (PARTITION BY host) AS n
+          FROM f)
+    SELECT host, CAST(n AS BIGINT) AS n_fetches,
+           lat_c AS p95_latency_c,
+           CAST(GREATEST(100, LEAST(6000, lat_c * 2)) AS BIGINT)
+             AS crawl_delay_c
+    FROM r WHERE rn = (n * 95 + 99) // 100
+    """
+
+
+register("host_latency_delay", _q_host_latency_delay, _host_latency_oracle())

@@ -1847,3 +1847,47 @@ register(
     FROM rk WHERE rs = 1 AND rt = 1 AND margin_u >= {_BTX_THR_U}
     """,
 )
+
+
+# -------------------- hard-negative triplet mining (embedding training)
+
+_TRIP_K = 10
+
+
+def _q_triplet_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pair construction for embedding models: per anchor, the
+    best same-label neighbor (positive) and best different-label
+    neighbor (hard negative) from the exact top-k, with the µ-unit
+    cosine margin — negative margins mark the anchors a contrastive
+    run learns the most from."""
+    embs = _embs(spark, sf_dir)
+    anchors = embs.where(F.col("vec_id") % 25 == 0)
+    return similarity.triplet_mine(embs, anchors, k=_TRIP_K)
+
+
+register(
+    "triplet_mining_hard_neg",
+    _q_triplet_mine,
+    f"""
+    WITH q AS (SELECT vec_id AS anchor_id, embedding AS qv, label AS al
+               FROM embeddings WHERE vec_id % 25 = 0),
+    s AS (SELECT q.anchor_id, q.al, e.vec_id AS nid, e.label AS nl,
+                 {_qcos('q.qv', 'e.embedding')} AS cos_sim
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.anchor_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+            ORDER BY cos_sim DESC, nid) AS rn FROM s),
+    topk AS (SELECT * FROM r WHERE rn <= {_TRIP_K}),
+    cls AS (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY anchor_id, nl = al
+              ORDER BY cos_sim DESC, nid) AS crk
+            FROM topk),
+    pos AS (SELECT anchor_id, nid AS positive_id, cos_sim AS cos_pos
+            FROM cls WHERE crk = 1 AND nl = al),
+    neg AS (SELECT anchor_id, nid AS negative_id, cos_sim AS cos_neg
+            FROM cls WHERE crk = 1 AND nl <> al)
+    SELECT anchor_id, positive_id, negative_id, cos_pos, cos_neg,
+           CAST(FLOOR((cos_pos - cos_neg) * 1000000) AS BIGINT)
+             AS margin_u
+    FROM pos JOIN neg USING (anchor_id)
+    """,
+)

@@ -1023,3 +1023,76 @@ def bitext_margin_mine(
         & (F.col("__rt") == 1)
         & (F.col("margin_u") >= F.lit(int(margin_thr_u)))
     ).select("src_id", "tgt_id", "cos_sim", "margin_u")
+
+
+def triplet_mine(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative triplet mining for embedding-model training: for
+    each anchor, the highest-cosine SAME-label neighbor in its top-k is
+    the positive and the highest-cosine DIFFERENT-label neighbor the
+    hard negative (the informative kind — a random negative is too easy
+    to carry gradient). Anchors whose top-k contains no positive or no
+    negative are dropped (documented: widen k rather than emit a
+    degenerate triplet). margin_u = floor((cos_pos − cos_neg)·1e6) —
+    exact from the bitwise-stable quantized cosines, negative when the
+    nearest wrong-label vector outranks every right-label one (the
+    anchors a training run learns the most from).
+
+    Scale shape: one kNN pass (exact here; knn_bucketed's directed
+    output slots in unchanged), then label joins and two per-anchor
+    top-1 windows over k·|anchors| edge rows — vectors never join."""
+    from pyspark.sql import Window
+
+    labels = corpus.select(
+        F.col(id_col).alias("__nid"), F.col(label_col).alias("__nlabel")
+    )
+    a_labels = corpus.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("__alabel"),
+    )
+    q = anchors.select(F.col(id_col).alias("query_id"), vec_col)
+    nn = knn_bruteforce(corpus, q, k=k, id_col=id_col, vec_col=vec_col)
+    edges = (
+        nn.select(
+            F.col("query_id").alias("anchor_id"),
+            F.col("neighbor_id").alias("__nid"),
+            "cos_sim",
+        )
+        .join(labels, "__nid")
+        .join(a_labels, "anchor_id")
+    )
+    w = Window.partitionBy("anchor_id", F.col("__nlabel") == F.col("__alabel")).orderBy(
+        F.col("cos_sim").desc(), F.col("__nid")
+    )
+    best = edges.withColumn("__rk", F.row_number().over(w)).where(
+        F.col("__rk") == 1
+    )
+    pos = best.where(F.col("__nlabel") == F.col("__alabel")).select(
+        "anchor_id",
+        F.col("__nid").alias("positive_id"),
+        F.col("cos_sim").alias("cos_pos"),
+    )
+    neg = best.where(F.col("__nlabel") != F.col("__alabel")).select(
+        "anchor_id",
+        F.col("__nid").alias("negative_id"),
+        F.col("cos_sim").alias("cos_neg"),
+    )
+    return (
+        pos.join(neg, "anchor_id")
+        .select(
+            "anchor_id",
+            "positive_id",
+            "negative_id",
+            "cos_pos",
+            "cos_neg",
+            F.floor((F.col("cos_pos") - F.col("cos_neg")) * 1_000_000)
+            .cast("bigint")
+            .alias("margin_u"),
+        )
+    )

@@ -626,3 +626,26 @@ def test_doc_bigram_surprisal_exact(spark):
     assert out[2]["n_bigrams"] == 3 and out[2]["surprisal_sum"] == 2
     assert out[2]["mean_surprisal_u"] == 2 * 1_000_000 // 3
     assert 3 not in out
+
+
+def test_triplet_mine_hard_negative(spark):
+    from gcp_etl_pipeline_spark.operators.similarity import triplet_mine
+
+    rows = [
+        # anchor 0 (label 1): 1 is the near positive, 2 the nearer
+        # WRONG-label vector -> hard negative with negative margin
+        (0, [1.0, 0.0, 0.0], 1),
+        (1, [0.9, 0.1, 0.0], 1),
+        (2, [0.95, 0.05, 0.0], 2),
+        (3, [0.0, 1.0, 0.0], 2),
+        # anchor 4 (label 3): no same-label vector in the corpus -> no
+        # positive in top-k -> anchor dropped
+        (4, [0.0, 0.0, 1.0], 3),
+    ]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>, label INT")
+    anchors = df.where("vec_id IN (0, 4)")
+    out = {r["anchor_id"]: r for r in triplet_mine(df, anchors, k=4).collect()}
+    assert set(out) == {0}
+    t = out[0]
+    assert t["positive_id"] == 1 and t["negative_id"] == 2
+    assert t["margin_u"] < 0  # the wrong-label vector outranks the positive
