@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "fetch_due_queue",
     "host_latency_delay",
     "triplet_mining_hard_neg",
+    "doc_lang_mixture",
 ]
 
 

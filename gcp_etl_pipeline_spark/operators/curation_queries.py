@@ -4177,3 +4177,108 @@ def _host_latency_oracle() -> str:
 
 
 register("host_latency_delay", _q_host_latency_delay, _host_latency_oracle())
+
+
+# ------------- per-paragraph language mixture (monolingual hygiene)
+
+# paragraphed fixture: the doc's own (English-marker) text, then a
+# planted second paragraph by doc_id % 4 — Spanish, German, French, or
+# none — plus a marker-free paragraph ('und') on doc_id % 5 = 0
+_MIXED_BODY = (
+    "text || CASE doc_id % 4 "
+    "WHEN 1 THEN {NL} || {NL} || 'el gato y la casa de los vecinos que ven' "
+    "WHEN 2 THEN {NL} || {NL} || 'der hund und die katze das ist gut und der tag' "
+    "WHEN 3 THEN {NL} || {NL} || 'le chat et les chiens des villes est grand' "
+    "ELSE '' END || "
+    "CASE WHEN doc_id % 5 = 0 THEN {NL} || {NL} || 'zzz qqq 123 xxyy' "
+    "ELSE '' END"
+)
+
+
+def _q_lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture detection at PARAGRAPH granularity — the
+    monolingual-corpus hygiene gate document-level language ID cannot
+    provide (a doc that is half English half Spanish IDs as one or the
+    other and poisons both corpora). Paragraph-split, per-paragraph
+    marker-fold language ID (the text.lang_id rules applied inside one
+    transform — zero shuffle), then a per-doc rollup: paragraph count,
+    distinct identified languages ('und' excluded), dominant first
+    paragraph language, mixed flag."""
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    body = docs.select(
+        "doc_id",
+        F.expr(_MIXED_BODY.format(NL="chr(10)")).alias("body"),
+    )
+    paras = F.filter(
+        F.transform(F.split("body", "\n\n"), lambda p: F.trim(p)),
+        lambda p: p != "",
+    )
+    langs = body.select(
+        "doc_id",
+        F.transform(paras, lambda p: _text.lang_id(p)).alias("__langs"),
+    )
+    ided = F.filter(F.col("__langs"), lambda c: c != "und")
+    return langs.select(
+        "doc_id",
+        F.size("__langs").cast("bigint").alias("n_paragraphs"),
+        F.size(F.array_distinct(ided)).cast("bigint").alias("n_langs"),
+        F.element_at("__langs", 1).alias("primary_lang"),
+        (F.size(F.array_distinct(ided)) >= 2).alias("is_mixed"),
+    )
+
+
+def _lang_mixture_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    codes = sorted(_text.LANG_MARKERS)
+    hit_cols = ", ".join(
+        "len(list_filter(ptoks, t -> t IN ({}))) AS h_{}".format(
+            ", ".join(f"'{w}'" for w in _text.LANG_MARKERS[c]), c
+        )
+        for c in codes
+    )
+    steps, prev_h, prev_c = [], f"h_{codes[0]}", f"'{codes[0]}'"
+    for i, c in enumerate(codes[1:], 1):
+        steps.append(
+            f"w{i} AS (SELECT *, CASE WHEN h_{c} > {prev_h} "
+            f"THEN h_{c} ELSE {prev_h} END AS bh{i}, "
+            f"CASE WHEN h_{c} > {prev_h} THEN '{c}' ELSE {prev_c} END "
+            f"AS bc{i} FROM {'phits' if i == 1 else f'w{i - 1}'})"
+        )
+        prev_h, prev_c = f"bh{i}", f"bc{i}"
+    n = len(codes) - 1
+    return f"""
+    WITH b AS (SELECT doc_id, {_MIXED_BODY.format(NL="chr(10)")} AS body
+               FROM documents),
+    pa AS (SELECT doc_id,
+             list_filter(list_transform(
+               string_split(body, chr(10) || chr(10)), p -> trim(p)),
+               p -> p <> '') AS paras
+           FROM b),
+    p AS (SELECT doc_id,
+            CAST(unnest(range(len(paras))) AS BIGINT) AS pno,
+            unnest(paras) AS para
+          FROM pa),
+    ptok AS (SELECT doc_id, pno,
+               list_filter(string_split_regex(lower(para), '[^a-z0-9]+'),
+                           t -> t <> '') AS ptoks
+             FROM p),
+    phits AS (SELECT doc_id, pno, {hit_cols} FROM ptok),
+    {",".join(steps)},
+    pl AS (SELECT doc_id, pno,
+             CASE WHEN bh{n} > 0 THEN bc{n} ELSE 'und' END AS plang
+           FROM w{n})
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+           CAST(COUNT(DISTINCT CASE WHEN plang <> 'und' THEN plang END)
+                AS BIGINT) AS n_langs,
+           MIN(CASE WHEN pno = 0 THEN plang END) AS primary_lang,
+           COUNT(DISTINCT CASE WHEN plang <> 'und' THEN plang END) >= 2
+             AS is_mixed
+    FROM pl GROUP BY doc_id
+    """
+
+
+register("doc_lang_mixture", _q_lang_mixture, _lang_mixture_oracle())
