@@ -1224,7 +1224,6 @@ def recrawl_schedule(
     marked = fetches.select(
         F.col(url_col).alias("url_id"),
         ts_us.alias("__us"),
-        F.col(seq_col).alias("__seq"),
         (F.col(version_col) != F.lag(version_col).over(w))
         .cast("bigint")
         .alias("__changed"),
@@ -1246,11 +1245,17 @@ def schedule_from_aggregates(agg: DataFrame) -> DataFrame:
     state table goes through the IDENTICAL ratio/interval/tier rules
     (one definition, one oracle)."""
     denom = F.col("n_fetches") - F.lit(1)
-    ratio = F.when(denom > 0, (F.col("n_changes") * F.lit(1000000))
-                   .cast("bigint") / denom).otherwise(F.lit(0))
-    change_ratio_u = F.floor(ratio).cast("bigint")
+    # integer DIV, not floor(float /): n_changes*1e6 and span_us can
+    # exceed double's 2^53 exact range at corpus scale, where a float
+    # floor diverges from the oracle's exact // (the pagerank.py HITS
+    # lesson, applied here after review)
+    change_ratio_u = F.when(
+        denom > 0,
+        F.expr("CAST(n_changes * 1000000 DIV (n_fetches - 1) AS BIGINT)"),
+    ).otherwise(F.lit(0)).cast("bigint")
     mean_interval_us = F.when(
-        denom > 0, F.floor(F.col("span_us") / denom)
+        denom > 0,
+        F.expr("CAST(span_us DIV (n_fetches - 1) AS BIGINT)"),
     ).otherwise(F.lit(0)).cast("bigint")
     mult = (
         F.when(change_ratio_u >= 500000, F.lit(1))
@@ -1300,17 +1305,18 @@ def host_reputation(
     Scale shape at 100 TB: one partial-aggregated hash exchange on the
     host; output is |hosts| rows — the verdict table then BROADCASTS
     back onto the corpus (a few million hosts ≪ the document count)."""
-    frac_u = F.floor(
-        (F.sum(F.col(short_col).cast("bigint")) * F.lit(1_000_000))
-        / F.count(F.lit(1))
-    ).cast("bigint")
+    # integer DIV (see schedule_from_aggregates): sum(n_tokens)*1e6
+    # passes 2^53 for any host with ~9e9 total tokens
     agg = docs.groupBy(host_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        frac_u.alias("short_frac_u"),
-        F.floor(
-            (F.sum(F.col(tokens_col).cast("bigint")) * F.lit(1_000_000))
-            / F.count(F.lit(1))
-        ).cast("bigint").alias("mean_tokens_u"),
+        F.expr(
+            f"CAST(SUM(CAST({short_col} AS BIGINT)) * 1000000"
+            " DIV COUNT(1) AS BIGINT)"
+        ).alias("short_frac_u"),
+        F.expr(
+            f"CAST(SUM(CAST({tokens_col} AS BIGINT)) * 1000000"
+            " DIV COUNT(1) AS BIGINT)"
+        ).alias("mean_tokens_u"),
     )
     verdict = (
         F.when(F.col("short_frac_u") > F.lit(block_u), F.lit("block"))
@@ -1401,9 +1407,12 @@ def parse_robots_txt(
     CONSECUTIVE User-agent lines open one group (a rule line closes
     the run); Allow/Disallow lines attach to the current group; rules
     before any User-agent line are invalid and drop; an empty-pattern
-    rule has no effect and drops; the emitted table is the union of
-    rules from every group containing a User-agent line matching
-    ``agent`` (exact, case-folded) or ``*``.
+    rule has no effect and drops. Group selection follows RFC 9309
+    §2.2.1 per host: if any group names ``agent`` exactly (case-
+    folded), ONLY those groups apply — the ``*`` groups are the
+    fallback for hosts with no exact match, never a union (a union
+    would let a host's 'User-agent: x / Disallow: /' be overridden by
+    its own 'User-agent: * / Allow: /', inverting an explicit block).
 
     Plan shape: one explode over documents, one per-host window pass
     (lag + running sum — group ids), one semi-join of rules onto
@@ -1440,17 +1449,15 @@ def parse_robots_txt(
         .over(wrun)
         .alias("__gid"),
     )
-    matching = (
-        grouped.where(
-            (F.col("__kind") == "user-agent")
-            & (
-                (F.lower("__val") == agent.lower())
-                | (F.col("__val") == "*")
-            )
-        )
-        .select("host", "__gid")
-        .distinct()
+    ua = grouped.where(F.col("__kind") == "user-agent")
+    exact = ua.where(F.lower("__val") == agent.lower()).select(
+        "host", "__gid"
     )
+    star = ua.where(F.col("__val") == "*").select("host", "__gid")
+    hosts_with_exact = exact.select("host").distinct()
+    matching = exact.unionByName(
+        star.join(hosts_with_exact, "host", "left_anti")
+    ).distinct()
     rules = grouped.where(
         (F.col("__kind") != "user-agent")
         & (F.col("__gid") >= 1)

@@ -4220,6 +4220,9 @@ def _q_lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(paras, lambda p: _text.lang_id(p)).alias("__langs"),
     )
     ided = F.filter(F.col("__langs"), lambda c: c != "und")
+    # zero-paragraph documents emit NO row (the oracle rolls up from
+    # per-paragraph rows, so an all-whitespace body is absent there)
+    langs = langs.where(F.size("__langs") > 0)
     return langs.select(
         "doc_id",
         F.size("__langs").cast("bigint").alias("n_paragraphs"),

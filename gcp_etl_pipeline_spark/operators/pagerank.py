@@ -112,6 +112,8 @@ def hits(
     Plan shape per half-round: one groupBy shuffle over edges joined
     with node-sized scores (broadcast-able) + a 1-row max cross join —
     the scalar_max_crossjoin pattern."""
+    if iterations < 1:
+        raise ValueError(f"hits: iterations must be >= 1, got {iterations}")
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
@@ -159,7 +161,12 @@ def hits(
             F.coalesce("auth_u", F.lit(0)).cast("bigint").alias("auth_u"),
         )
     )
-    nodes.unpersist()
+    # the final generation's caches (and nodes) must outlive this call —
+    # the result is lazy — but not the session: release on result GC
+    # (persist without unpersist leaks via the CacheManager forever)
+    from gcp_etl_pipeline_spark.operators.similarity import _release_on_gc
+
+    _release_on_gc(out, nodes, hub, auth)
     return out
 
 

@@ -973,6 +973,17 @@ def bitext_margin_mine(
     cos_u) edges, never vectors."""
     from pyspark.sql import Window
 
+    # src and tgt are INDEPENDENT id spaces (parallel corpora number
+    # their sides separately — equal line numbers are often the true
+    # aligned pairs), but knn_bruteforce excludes neighbors by bare id
+    # equality. Shift the tgt ids into a disjoint range internally
+    # (two bounded 1-row aggregates) and shift back on output, so a
+    # src/tgt id collision can never silently drop the true pair.
+    hi = src.agg(F.max(id_col).alias("h")).collect()[0]["h"]
+    lo = tgt.agg(F.min(id_col).alias("l")).collect()[0]["l"]
+    shift = (hi - lo + 1) if hi is not None and lo is not None else 0
+    tgt = tgt.withColumn(id_col, (F.col(id_col) + F.lit(shift)).cast("long"))
+
     q_src = src.select(F.col(id_col).alias("query_id"), vec_col)
     q_tgt = tgt.select(F.col(id_col).alias("query_id"), vec_col)
     fwd = knn_bruteforce(tgt, q_src, k=k, id_col=id_col, vec_col=vec_col)
@@ -1022,7 +1033,12 @@ def bitext_margin_mine(
         (F.col("__rs") == 1)
         & (F.col("__rt") == 1)
         & (F.col("margin_u") >= F.lit(int(margin_thr_u)))
-    ).select("src_id", "tgt_id", "cos_sim", "margin_u")
+    ).select(
+        "src_id",
+        (F.col("tgt_id") - F.lit(shift)).cast("long").alias("tgt_id"),
+        "cos_sim",
+        "margin_u",
+    )
 
 
 def triplet_mine(

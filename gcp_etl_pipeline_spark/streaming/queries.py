@@ -1029,7 +1029,7 @@ def _q_stream_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     last = max(
         int(d.split("=")[1])
-        for d in __import__("os").listdir(state_dir)
+        for d in os.listdir(state_dir)
         if d.startswith("batch=")
     )
     state = spark.read.parquet(f"{state_dir}/batch={last}")

@@ -551,9 +551,11 @@ def test_parse_robots_txt_grouping_rules(spark):
         for r in parse_robots_txt(df).collect()
     }
     assert rules == {("/pub", True), ("/x", False), ("/z", False)}
-    # a specific agent sees ITS group plus the * groups
+    # RFC 9309 group selection: an exact-agent match PREEMPTS the *
+    # groups (a union would let the host's own '*' Allow override its
+    # explicit agent block)
     gb = {
         (r["path_prefix"], r["allow"])
         for r in parse_robots_txt(df, agent="GoogleBot").collect()
     }
-    assert gb == {("/gb", False), ("/pub", True), ("/x", False), ("/z", False)}
+    assert gb == {("/gb", False)}

@@ -649,3 +649,24 @@ def test_triplet_mine_hard_negative(spark):
     t = out[0]
     assert t["positive_id"] == 1 and t["negative_id"] == 2
     assert t["margin_u"] < 0  # the wrong-label vector outranks the positive
+
+
+def test_bitext_margin_mine_overlapping_id_spaces(spark):
+    """Parallel corpora number sides independently: equal ids must not
+    trigger the kNN self-exclusion (the internal namespace shift)."""
+    from gcp_etl_pipeline_spark.operators.similarity import bitext_margin_mine
+
+    src = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    tgt = spark.createDataFrame(
+        # tgt id 0 IS src id 0's translation (near-identical vector)
+        [(0, [0.99, 0.01, 0.0]), (1, [0.0, 0.95, 0.05])],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    out = {
+        (r["src_id"], r["tgt_id"])
+        for r in bitext_margin_mine(src, tgt, k=2, margin_thr_u=1_000_000).collect()
+    }
+    assert out == {(0, 0), (1, 1)}
