@@ -114,11 +114,15 @@ def hits(
     the scalar_max_crossjoin pattern."""
     if iterations < 1:
         raise ValueError(f"hits: iterations must be >= 1, got {iterations}")
+    # nodes is deliberately NOT persisted: its references (hub0's
+    # lineage, the two final joins) compile to identical exchanges that
+    # AQE reuse runs once, and a same-session A/B measured the cached
+    # form 3x SLOWER end to end (the knn_graph_triangles lesson —
+    # an InMemoryRelation leg blocks codegen fusion and reuse)
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
-        .persist()
     )
     hub = nodes.select("node", F.lit(HITS_SCALE).alias("hub_u")).persist()
     auth = None
@@ -161,12 +165,12 @@ def hits(
             F.coalesce("auth_u", F.lit(0)).cast("bigint").alias("auth_u"),
         )
     )
-    # the final generation's caches (and nodes) must outlive this call —
-    # the result is lazy — but not the session: release on result GC
-    # (persist without unpersist leaks via the CacheManager forever)
+    # the final generation's caches must outlive this call — the result
+    # is lazy — but not the session: release on result GC (persist
+    # without unpersist leaks via the CacheManager forever)
     from gcp_etl_pipeline_spark.operators.similarity import _release_on_gc
 
-    _release_on_gc(out, nodes, hub, auth)
+    _release_on_gc(out, hub, auth)
     return out
 
 
