@@ -3667,7 +3667,7 @@ def _http_parse_oracle() -> str:
     from gcp_etl_pipeline_spark.operators import text as _text
 
     nl = "CASE WHEN doc_id % 2 = 0 THEN chr(13) || chr(10) ELSE chr(10) END"
-    hdr = _text._HTTP_HEADER_RE.format(name="Content-Type")
+    hdr = _text.http_header_pattern("Content-Type")
     return f"""
     WITH r AS (SELECT doc_id,
                  {_HTTP_RAW.format(V="VARCHAR", NL=nl)} AS raw
@@ -3950,7 +3950,10 @@ def _sentence_dedup_oracle() -> str:
     m AS (SELECT doc_id,
             regexp_replace(
               regexp_replace(
-                regexp_replace(body, {ab}, '\\1' || chr(1), 'g'),
+                regexp_replace(
+                  regexp_replace(body,
+                    '[' || chr(0) || chr(1) || ']', '', 'g'),
+                  {ab}, '\\1' || chr(1), 'g'),
                 {bd}, '\\1' || chr(0), 'g'),
               chr(1), '.', 'g') AS marked
           FROM p),

@@ -143,7 +143,8 @@ def _hits_oracle() -> str:
     ),
     a{i} AS (
       SELECT node,
-             CAST(raw * {HITS_SCALE} // (SELECT MAX(raw) FROM ar{i})
+             CAST(CAST(raw AS HUGEINT) * {HITS_SCALE}
+                  // (SELECT MAX(raw) FROM ar{i})
                   AS BIGINT) AS auth_u
       FROM ar{i}
     ),
@@ -154,7 +155,8 @@ def _hits_oracle() -> str:
     ),
     h{i} AS (
       SELECT node,
-             CAST(raw * {HITS_SCALE} // (SELECT MAX(raw) FROM hr{i})
+             CAST(CAST(raw AS HUGEINT) * {HITS_SCALE}
+                  // (SELECT MAX(raw) FROM hr{i})
                   AS BIGINT) AS hub_u
       FROM hr{i}
     )"""
@@ -208,7 +210,7 @@ def _q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     farm = spark.range(_FARM_N * _FARM_N).select(
         F.concat(F.lit("f"), (F.col("id") % _FARM_N).cast("string"))
         .alias("src"),
-        F.concat(F.lit("f"), (F.col("id") / _FARM_N).cast("long")
+        F.concat(F.lit("f"), F.expr(f"id DIV {_FARM_N}")
                  .cast("string")).alias("dst"),
     )
     mutual = spark.createDataFrame(

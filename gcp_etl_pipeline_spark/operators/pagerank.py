@@ -106,8 +106,13 @@ def hits(
     the same scores; the pagerank.py reproducibility argument).
 
     Returns (node, hub_u, auth_u). Overflow headroom: a raw score is
-    ≤ HITS_SCALE · max_degree ≤ 1e6 · 1e12 before renormalization —
-    inside int64 for any real web graph.
+    ≤ HITS_SCALE · max_degree, so int64 holds `raw` itself up to
+    degree ~9.2e12; the renormalizing multiply (raw · HITS_SCALE,
+    up to ~9.2e24 at that degree) is widened to DECIMAL(38,0) before
+    the DIV — the quotient is ≤ HITS_SCALE because raw ≤ mx, so the
+    bigint result of DIV never overflows. (The earlier int64 multiply
+    failed once weighted in-degree passed ~9.2e12/HITS_SCALE ≈ 9.2e6
+    in-links — real popular pages exceed that.)
 
     Plan shape per half-round: one groupBy shuffle over edges joined
     with node-sized scores (broadcast-able) + a 1-row max cross join —
@@ -135,11 +140,17 @@ def hits(
         a_max = a_raw.agg(F.max("raw").alias("mx"))
         # integer DIV, not float division: raw*SCALE reaches 1e18,
         # past double's 2^53 exact range — a float floor could differ
-        # from the oracle's exact // in the last unit
+        # from the oracle's exact // in the last unit. The multiply is
+        # widened to DECIMAL(38,0) (oracle twin: HUGEINT) — in int64 it
+        # overflows once a node's weighted in-degree passes ~9.2e6
+        # in-links at hub_u=HITS_SCALE; the DIV quotient itself is
+        # ≤ HITS_SCALE (raw ≤ mx), so the bigint result is safe.
         auth_new = a_raw.crossJoin(a_max).select(
             "node",
-            F.expr(f"CAST(raw * {HITS_SCALE} DIV mx AS BIGINT)")
-            .alias("auth_u"),
+            F.expr(
+                f"CAST(CAST(raw AS DECIMAL(38,0)) * {HITS_SCALE}"
+                " DIV mx AS BIGINT)"
+            ).alias("auth_u"),
         ).persist()
         h_raw = (
             edges.join(auth_new, edges[dst] == auth_new["node"])
@@ -149,8 +160,10 @@ def hits(
         h_max = h_raw.agg(F.max("raw").alias("mx"))
         hub_new = h_raw.crossJoin(h_max).select(
             "node",
-            F.expr(f"CAST(raw * {HITS_SCALE} DIV mx AS BIGINT)")
-            .alias("hub_u"),
+            F.expr(
+                f"CAST(CAST(raw AS DECIMAL(38,0)) * {HITS_SCALE}"
+                " DIV mx AS BIGINT)"
+            ).alias("hub_u"),
         ).persist()
         hub.unpersist()
         if auth is not None:

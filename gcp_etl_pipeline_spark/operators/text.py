@@ -928,6 +928,17 @@ _HTTP_HEADER_RE = r"(?mi)^{name}:[ \t]*([^\r\n]*)"
 HTTP_BODY_RE = r"(?s)\r?\n\r?\n(.*)$"
 
 
+def http_header_pattern(name: str) -> str:
+    """The header-match regex for ``name`` with regex metacharacters
+    escaped — HTTP token chars include '.', '+', '*', '^', '|' (e.g.
+    'X.Custom'), which unescaped would mis-match or fail to compile.
+    `re.escape` output (backslash-before-punctuation) is legal in Java
+    regex and RE2 alike, so both engines share this one pattern."""
+    import re as _re
+
+    return _HTTP_HEADER_RE.format(name=_re.escape(name))
+
+
 def http_header(raw: Column | str, name: str) -> Column:
     """First value of header ``name`` in the HEADER SECTION only (the
     pre-body prefix — a body line that looks like a header must never
@@ -935,7 +946,7 @@ def http_header(raw: Column | str, name: str) -> Column:
     c = F.col(raw) if isinstance(raw, str) else raw
     head = F.regexp_extract(c, r"(?s)^(.*?)(\r?\n\r?\n|$)", 1)
     return F.trim(
-        F.regexp_extract(head, _HTTP_HEADER_RE.format(name=name), 1)
+        F.regexp_extract(head, http_header_pattern(name), 1)
     )
 
 
@@ -976,8 +987,15 @@ SENT_BOUNDARY_RE = "([.!?]+)[ \\t\\r\\n]+"
 
 
 def sentences(text: Column | str) -> Column:
-    """Array of trimmed, non-empty sentences in document order."""
+    """Array of trimmed, non-empty sentences in document order.
+
+    Pre-existing NUL/SOH control bytes (common in raw crawl text before
+    charset repair) are stripped first — they are the sentinel alphabet,
+    so leaving them in would rewrite a literal \\x01 to '.' and split on
+    a literal \\x00. The upstream `repair_encoding` step removes all C0
+    controls anyway; this guard makes the operator safe standalone."""
     c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, "[\x00\x01]", "")
     protected = F.regexp_replace(c, SENT_ABBREV_RE, "$1\x01")
     marked = F.regexp_replace(protected, SENT_BOUNDARY_RE, "$1\x00")
     restored = F.regexp_replace(marked, "\x01", ".")

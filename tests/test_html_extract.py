@@ -459,6 +459,36 @@ def test_http_response_fields(spark):
         ) == (st, ct, cs, body), dict(r.asDict())
 
 
+def test_http_header_name_metachars(spark):
+    # header names may contain regex metacharacters that are legal HTTP
+    # token chars ('.', '+', '*', '^', '|'); unescaped, 'X.Custom'
+    # would also match 'XaCustom' and 'X+Y' would fail to compile
+    raw = (
+        "HTTP/1.1 200 OK\nXaCustom: wrong\nX.Custom: right\n"
+        "X+Y: plus\nX^Z: caret\n\nbody"
+    )
+    df = spark.createDataFrame([(raw,)], "raw STRING")
+    row = df.select(
+        text.http_header("raw", "X.Custom").alias("dot"),
+        text.http_header("raw", "X+Y").alias("plus"),
+        text.http_header("raw", "X^Z").alias("caret"),
+    ).collect()[0]
+    assert (row["dot"], row["plus"], row["caret"]) == (
+        "right", "plus", "caret"
+    ), dict(row.asDict())
+
+
+def test_sentences_control_char_input(spark):
+    # pre-existing NUL/SOH bytes (raw crawl text ahead of charset
+    # repair) are the sentinel alphabet — they must be stripped, not
+    # rewritten to '.' (\x01) or treated as boundaries (\x00)
+    df = spark.createDataFrame(
+        [("pre\x01mid. After\x00tail end.",)], "t STRING"
+    )
+    got = list(df.select(text.sentences("t").alias("s")).collect()[0]["s"])
+    assert got == ["premid.", "Aftertail end."], got
+
+
 def test_sentences_segmentation(spark):
     cases = [
         (
