@@ -4202,11 +4202,20 @@ def _q_lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-mixture detection at PARAGRAPH granularity — the
     monolingual-corpus hygiene gate document-level language ID cannot
     provide (a doc that is half English half Spanish IDs as one or the
-    other and poisons both corpora). Paragraph-split, per-paragraph
-    marker-fold language ID (the text.lang_id rules applied inside one
-    transform — zero shuffle), then a per-doc rollup: paragraph count,
-    distinct identified languages ('und' excluded), dominant first
-    paragraph language, mixed flag."""
+    other and poisons both corpora). Paragraph posexplode, per-row
+    language ID, then a per-doc rollup: paragraph count, distinct
+    identified languages ('und' excluded), dominant first paragraph
+    language, mixed flag.
+
+    The earlier array form (transform(paras, lang_id) materialized as
+    __langs and referenced 5x downstream) let CollapseProject re-inline
+    the per-paragraph transform into every reference — the documented
+    re-inlining trap, third instance (html extraction, bigram
+    surprisal). The Generate node from posexplode is the barrier:
+    lang_id runs once per paragraph ROW, and the rollup shuffles only
+    tiny (doc_id, pno, plang) rows — 4.3s -> 0.55s at sf0.1.
+    Zero-paragraph documents emit no row (the oracle rolls up from
+    per-paragraph rows, so an all-whitespace body is absent there)."""
     from gcp_etl_pipeline_spark.operators import text as _text
 
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
@@ -4218,20 +4227,16 @@ def _q_lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.split("body", "\n\n"), lambda p: F.trim(p)),
         lambda p: p != "",
     )
-    langs = body.select(
-        "doc_id",
-        F.transform(paras, lambda p: _text.lang_id(p)).alias("__langs"),
-    )
-    ided = F.filter(F.col("__langs"), lambda c: c != "und")
-    # zero-paragraph documents emit NO row (the oracle rolls up from
-    # per-paragraph rows, so an all-whitespace body is absent there)
-    langs = langs.where(F.size("__langs") > 0)
-    return langs.select(
-        "doc_id",
-        F.size("__langs").cast("bigint").alias("n_paragraphs"),
-        F.size(F.array_distinct(ided)).cast("bigint").alias("n_langs"),
-        F.element_at("__langs", 1).alias("primary_lang"),
-        (F.size(F.array_distinct(ided)) >= 2).alias("is_mixed"),
+    pl = body.select(
+        "doc_id", F.posexplode(paras).alias("pno", "para")
+    ).select("doc_id", "pno", _text.lang_id("para").alias("plang"))
+    ided = F.when(F.col("plang") != "und", F.col("plang"))
+    return pl.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_paragraphs"),
+        F.count_distinct(ided).cast("bigint").alias("n_langs"),
+        F.min(F.when(F.col("pno") == 0, F.col("plang")))
+        .alias("primary_lang"),
+        (F.count_distinct(ided) >= 2).alias("is_mixed"),
     )
 
 

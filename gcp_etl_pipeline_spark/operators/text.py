@@ -42,25 +42,56 @@ def char_count(text: Column | str) -> Column:
     return F.length(c)
 
 
-def _marker_hits(toks: Column, markers: list[str]) -> Column:
-    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
-
-
 def lang_id(text: Column | str) -> Column:
     """Heuristic language ID: the language whose marker-stopword hit count
     is highest (ties broken by language code order); 'und' when no marker
-    appears. One pass, no shuffle, no UDF."""
-    toks = tokens(text)
-    scored = None
-    for code in sorted(LANG_MARKERS):
-        hits = _marker_hits(toks, LANG_MARKERS[code])
-        cand = F.struct(hits.alias("hits"), F.lit(code).alias("code"))
-        if scored is None:
-            scored = cand
-        else:
-            # keep the earlier code on ties -> strictly-greater comparison
-            scored = F.when(cand["hits"] > scored["hits"], cand).otherwise(scored)
-    return F.when(scored["hits"] > 0, scored["code"]).otherwise(F.lit("und"))
+    appears. One pass, no shuffle, no UDF.
+
+    Expression shape matters here: Spark expressions are TREES, not
+    DAGs, and higher-order functions get no codegen CSE, so the earlier
+    per-language `when`-chain duplicated the tokenize chain once per
+    reference — ~2^|langs| copies per row (this operator alone was most
+    of doc_lang_mixture's 4.3s at sf0.1; this form runs it in ~0.5s).
+    Now: ONE tokenize feeding ONE `aggregate` fold that increments all
+    marker counters per token, then argmax via `array_max` over
+    (hits, rank, code) structs — rank = reverse code order so the
+    earliest code wins ties, with an 'und' sentinel ranked above all so
+    all-zero rows resolve to 'und'. The whole chain is referenced
+    exactly once."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    codes = sorted(LANG_MARKERS)
+    n = len(codes)
+    counts = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), n),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[t.isin(*LANG_MARKERS[cd]).cast("int") for cd in codes]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    meta = F.array(
+        *[
+            F.struct(F.lit(n - i).alias("rank"), F.lit(cd).alias("code"))
+            for i, cd in enumerate(codes)
+        ]
+    )
+    cands = F.zip_with(
+        counts,
+        meta,
+        lambda h, m: F.struct(
+            h.alias("hits"), m["rank"].alias("rank"), m["code"].alias("code")
+        ),
+    )
+    sentinel = F.struct(
+        F.lit(0).alias("hits"),
+        F.lit(n + 1).alias("rank"),
+        F.lit("und").alias("code"),
+    )
+    return F.array_max(F.concat(F.array(sentinel), cands))["code"]
 
 
 def _token_stats_fn(sh_series):
@@ -458,22 +489,30 @@ URL_AUTH_RE = r"^([^/?#]*)"
 
 
 def normalize_url(url: Column | str) -> Column:
-    c = F.col(url) if isinstance(url, str) else url
-    scheme = F.lower(F.regexp_extract(c, URL_SCHEME_RE, 1))
     # scheme-less / relative input has no authority to normalize — the
-    # generic path below would mint '://' + a lowercased prefix as a fake
+    # generic path would mint '://' + a lowercased prefix as a fake
     # authority, silently MERGING distinct malformed frontier entries.
-    # Pass such rows through untouched instead (ADVICE r9). The guard is
-    # a boolean rlike, NOT a scheme == '' test on the extract: the
-    # branch's condition is evaluated for every row, and the match-only
-    # rlike benched 1.19x of the unguarded form vs 1.4x for the
-    # extract-based condition (CASE branches get no common-subexpression
-    # elimination, so the condition's regex work is pure overhead).
-    return F.when(c.rlike(URL_SCHEME_RE), _normalize_url_abs(c, scheme)).otherwise(c)
+    # Pass such rows through untouched instead (ADVICE r9).
+    #
+    # The scheme leg is locate/substring, not URL_SCHEME_RE: scheme
+    # chars exclude ':' and '/', so the FIRST '://' occurrence decides
+    # the match exactly like the anchored regex, and the validity rlike
+    # then runs over the few-char prefix only. The earlier form ran the
+    # full scheme regex three times per row (rlike guard + extract +
+    # replace; CASE branches get no common-subexpression elimination)
+    # and benched 1.2x of this one (r11 5x-warm A/B; equivalence
+    # checked over proto-relative, embedded-'://', mailto and empty
+    # adversarial forms in tests).
+    c = F.col(url) if isinstance(url, str) else url
+    p = F.locate("://", c)
+    prefix = F.substring(c, F.lit(1), p - 1)
+    valid = (p > 0) & prefix.rlike("^[A-Za-z][A-Za-z0-9+.-]*$")
+    scheme = F.lower(prefix)
+    rest = F.substring(c, p + 3, F.length(c))
+    return F.when(valid, _normalize_url_abs(scheme, rest)).otherwise(c)
 
 
-def _normalize_url_abs(c: Column, scheme: Column) -> Column:
-    rest = F.regexp_replace(c, URL_SCHEME_RE, "")
+def _normalize_url_abs(scheme: Column, rest: Column) -> Column:
     auth = F.lower(F.regexp_extract(rest, URL_AUTH_RE, 1))
     tail = F.regexp_replace(rest, URL_AUTH_RE, "")
     auth = F.when(

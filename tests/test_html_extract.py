@@ -235,6 +235,38 @@ def test_normalize_url_schemeless_passthrough(spark):
     assert out[3] == "http://ex.org/a"         # absolute still normalizes
 
 
+def test_normalize_url_scheme_guard_adversarial(spark):
+    """The locate-based scheme leg must decide exactly like the anchored
+    regex: the first '://' splits, and only a valid scheme prefix
+    ([A-Za-z][A-Za-z0-9+.-]*) routes into normalization."""
+    from gcp_etl_pipeline_spark.operators import text
+
+    cases = [
+        ("//proto-relative.example/x", "//proto-relative.example/x"),
+        ("ht tp://x", "ht tp://x"),          # space: invalid scheme
+        ("a://b://c", "a://b://c"),          # first :// wins, already norm
+        ("ab:cd://e", "ab:cd://e"),          # ':' before '://': invalid
+        ("mailto:foo@bar", "mailto:foo@bar"),
+        ("1http://x/", "1http://x/"),        # scheme must start with alpha
+        ("+x://y/", "+x://y/"),
+        ("x://", "x://"),
+        ("", ""),
+        ("ftp://Host/Dir/", "ftp://host/Dir"),
+        ("http://h/?q=1#f", "http://h?q=1"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i BIGINT, u STRING"
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select(
+            "i", text.normalize_url("u").alias("n")
+        ).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+
+
 def test_repair_encoding_roundtrip(spark):
     """Spark repair matches the plain-Python application of the shared
     step tables, including C1-tail mojibake and control stripping."""
