@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "host_latency_delay",
     "triplet_mining_hard_neg",
     "doc_lang_mixture",
+    "warc_record_extract",
 ]
 
 

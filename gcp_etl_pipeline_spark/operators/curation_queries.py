@@ -3700,6 +3700,175 @@ def _http_parse_oracle() -> str:
 register("http_response_parse", _q_http_parse, _http_parse_oracle())
 
 
+# ----------- WARC multi-record fetch-store framing (record splitter)
+
+# Per-document payload: an HTTP envelope (CRLF) whose BODY carries an
+# adversarial header-shaped line AND, on doc_id % 3 = 0, a full planted
+# record frame ('WARC/1.0' magic + a 'Content-Length: 3' header + blank
+# line + bytes) — a marker-driven splitter tears exactly there, while
+# the Content-Length walk never reads the payload
+_WARC_PAYLOAD = (
+    "'HTTP/1.1 ' || CASE doc_id % 5 WHEN 3 THEN '404 Not Found' "
+    "ELSE '200 OK' END || {NL} || "
+    "CASE doc_id % 4 WHEN 2 THEN 'Content-Type: application/pdf' "
+    "ELSE 'Content-Type: text/html; charset=UTF-8' END || {NL} || "
+    "{NL} || "
+    "'Content-Type: evil/fake' || {NL} || "
+    "'doc ' || CAST(doc_id AS {V}) || ' ' || substring(text, 1, 40) || "
+    "CASE WHEN doc_id % 3 = 0 THEN {NL} || 'WARC/1.0' || {NL} || "
+    "'Content-Length: 3' || {NL} || {NL} || 'xyz' ELSE '' END"
+)
+
+# the WARC record frame around one payload column (length computed by
+# the engine, so the frame is self-consistent by construction)
+_WARC_RECORD = (
+    "'WARC/1.0' || {NL} || "
+    "'WARC-Record-ID: <r' || CAST(doc_id AS {V}) || '>' || {NL} || "
+    "'WARC-Target-URI: http://ex.org/d/' || CAST(doc_id AS {V}) || {NL} || "
+    "'Content-Length: ' || CAST(length(payload) AS {V}) || {NL} || {NL} || "
+    "payload || {NL} || {NL}"
+)
+
+_WARC_MAX_RECORDS = 8
+
+
+def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-record fetch-store intake: concatenated WARC-shaped blobs
+    (4 records each, built from documents) -> Content-Length record
+    walk (text.warc_records) -> per-record WARC header fields + the
+    existing HTTP envelope parse over each payload. The graded output
+    proves the framing: every planted in-body 'WARC/1.0' frame stays
+    INSIDE its record's body (body_has_marker), record counts and
+    byte-exact body lengths replay in the oracle's recursive-CTE walk.
+
+    Scale shape: blob build is one groupBy (fixture only — real stores
+    arrive already chunked); the walk itself is a zero-shuffle
+    projection, one blob row per task, payloads never shuffle."""
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    nl = "chr(13) || chr(10)"
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    payload = docs.select(
+        "doc_id",
+        F.expr(_WARC_PAYLOAD.format(V="STRING", NL=nl)).alias("payload"),
+    )
+    rec = payload.select(
+        F.expr("doc_id DIV 4").alias("blob_id"),
+        "doc_id",
+        F.expr(_WARC_RECORD.format(V="STRING", NL=nl)).alias("record"),
+    )
+    blobs = rec.groupBy("blob_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "record"))),
+                lambda s: s["record"],
+            ),
+            "",
+        ).alias("blob")
+    )
+    recs = blobs.select(
+        "blob_id",
+        F.posexplode(
+            _text.warc_records("blob", max_records=_WARC_MAX_RECORDS)
+        ).alias("pos", "rec"),
+    )
+    parsed = recs.select(
+        "blob_id",
+        (F.col("pos") + 1).cast("bigint").alias("recno"),
+        F.trim(
+            F.regexp_extract(
+                F.col("rec")["head"],
+                _text.http_header_pattern("WARC-Target-URI"),
+                1,
+            )
+        ).alias("target_uri"),
+        *_text.http_response_fields(F.col("rec")["payload"]),
+    )
+    return parsed.select(
+        "blob_id",
+        "recno",
+        "target_uri",
+        "status_code",
+        "content_type",
+        F.length("body").cast("bigint").alias("body_len"),
+        F.col("body").contains("WARC/1.0").alias("body_has_marker"),
+    )
+
+
+def _warc_extract_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    nl = "chr(13) || chr(10)"
+    uri_re = _sql_lit(_text.http_header_pattern("WARC-Target-URI"))
+    ct_re = _sql_lit(_text.http_header_pattern("Content-Type"))
+    clen_re = _sql_lit(_text.WARC_CONTENT_LENGTH_RE)
+    status_re = _sql_lit(_text.HTTP_STATUS_RE)
+    body_re = _sql_lit(_text.HTTP_BODY_RE)
+    return f"""
+    WITH RECURSIVE
+    p AS (SELECT doc_id,
+            {_WARC_PAYLOAD.format(V="VARCHAR", NL=nl)} AS payload
+          FROM documents),
+    r AS (SELECT doc_id, doc_id // 4 AS blob_id,
+            {_WARC_RECORD.format(V="VARCHAR", NL=nl)} AS record
+          FROM p),
+    blobs AS (SELECT blob_id, string_agg(record, '' ORDER BY doc_id)
+                AS blob
+              FROM r GROUP BY 1),
+    walk AS (
+      SELECT blob_id, blob AS rest, 0 AS recno,
+             CAST(NULL AS VARCHAR) AS head,
+             CAST(NULL AS VARCHAR) AS payload
+      FROM blobs
+      UNION ALL
+      -- nested subqueries, NOT same-level lateral aliases: inside a
+      -- recursive term DuckDB silently resolves a lateral alias chain
+      -- against the anchor's columns once the anchor comes from a
+      -- real table (constant-folded inline anchors hide the bug)
+      SELECT blob_id,
+             substr(rest, hdr_end + 8 + clen) AS rest,
+             recno + 1, head,
+             substr(rest, hdr_end + 4, clen) AS payload
+      FROM (
+        SELECT *, TRY_CAST(regexp_extract(head, {clen_re}, 1) AS INT)
+                    AS clen
+        FROM (
+          SELECT *, substr(rest, 1, hdr_end - 1) AS head
+          FROM (
+            SELECT blob_id, rest, recno,
+                   position(({nl} || {nl}) IN rest) AS hdr_end
+            FROM walk
+            WHERE recno < {_WARC_MAX_RECORDS}
+          )
+        )
+      )
+      WHERE substr(rest, 1, 10) = 'WARC/1.0' || {nl}
+        AND hdr_end > 0 AND clen IS NOT NULL
+        AND hdr_end + 3 + clen <= length(rest)
+    ),
+    f AS (SELECT blob_id, recno, head, payload,
+            regexp_extract(payload, {status_re}, 1) AS status,
+            trim(regexp_extract(
+              regexp_extract(payload, '(?s)^(.*?)(\\r?\\n\\r?\\n|$)', 1),
+              {ct_re}, 1)) AS ctype_raw,
+            regexp_extract(payload, {body_re}, 1) AS body
+          FROM walk WHERE recno >= 1)
+    SELECT blob_id,
+           CAST(recno AS BIGINT) AS recno,
+           trim(regexp_extract(head, {uri_re}, 1)) AS target_uri,
+           CAST(CASE WHEN status = '' THEN 0
+                ELSE CAST(status AS BIGINT) END AS BIGINT) AS status_code,
+           lower(trim(regexp_extract(ctype_raw, '^([^;]*)', 1)))
+             AS content_type,
+           CAST(length(body) AS BIGINT) AS body_len,
+           position('WARC/1.0' IN body) > 0 AS body_has_marker
+    FROM f
+    """
+
+
+register("warc_record_extract", _q_warc_extract, _warc_extract_oracle())
+
+
 # ------------ robots.txt PARSING -> rule table -> verdicts (end to end)
 
 # raw robots documents per host class (h % 4): 0 = one '*' group with a

@@ -1010,6 +1010,93 @@ def http_response_fields(raw: Column | str) -> list[Column]:
     ]
 
 
+# ------------- WARC-shaped multi-record fetch-store framing
+#
+# Real crawl stores (WARC/WET-shaped) are CONCATENATED multi-record
+# files: one stored object holds many fetch records, each framed as a
+# version line + header section + blank line + Content-Length bytes of
+# payload + blank-line trailer. The envelope parser above assumes one
+# row = one response, so this splitter is the stage that lets the
+# triage/intake tier consume real fetch stores. Framing is LENGTH-
+# DRIVEN, never marker-driven: a payload may legally contain
+# 'WARC/1.0' lines and 'Content-Length:' lines (an archived page ABOUT
+# warc files, or an adversarial body) — splitting on markers
+# mis-frames exactly there, while the Content-Length walk never looks
+# inside a payload at all.
+
+WARC_MAGIC = "WARC/1.0\r\n"
+WARC_CONTENT_LENGTH_RE = r"(?mi)^Content-Length:[ \t]*([0-9]+)"
+
+
+def warc_records(blob: Column | str, max_records: int = 32) -> Column:
+    """Split one concatenated WARC-shaped store blob into its records:
+    ``array<struct<head string, payload string>>`` where ``head`` is
+    the record's WARC header section (version line included) and
+    ``payload`` is exactly its Content-Length characters. Malformed
+    framing (missing magic, unparseable/absent Content-Length, payload
+    truncated past the blob end) stops the walk at the last valid
+    record — a torn final record never yields a half-payload row.
+
+    Shape: ONE ``aggregate`` fold over ``sequence(1, max_records)``
+    carrying (rest-of-blob, records) in the accumulator — pure JVM
+    expressions, no UDF, no per-record join. Each step is O(|rest|)
+    (substring + one locate + one header-section regex), so a blob
+    costs O(records x blob_len); fetch stores chunk at a bounded
+    records-per-object count, which is what ``max_records`` encodes —
+    at 100 TB the parallel unit is the blob row, and blobs never
+    pair-compare or shuffle payloads. The DuckDB twin walks the same
+    framing as a recursive CTE capped at the same depth.
+
+    Content-Length here counts CHARACTERS: the engine frames string
+    blobs (ASCII fixtures — chars == bytes); byte-exact framing of
+    binary payloads would run the same walk over a binary column with
+    substr-on-bytes."""
+    c = F.col(blob) if isinstance(blob, str) else blob
+    rec_t = "array<struct<head:string,payload:string>>"
+    init = F.struct(
+        c.alias("rest"), F.array().cast(rec_t).alias("recs")
+    )
+
+    def step(acc: Column, _i: Column) -> Column:
+        rest = acc["rest"]
+        hdr_end = F.locate("\r\n\r\n", rest)
+        head = F.substring(rest, F.lit(1), hdr_end - 1)
+        clen_s = F.regexp_extract(head, WARC_CONTENT_LENGTH_RE, 1)
+        clen = F.when(clen_s != "", clen_s.cast("int"))
+        payload = F.substring(rest, hdr_end + 4, clen)
+        ok = (
+            rest.startswith(WARC_MAGIC)
+            & (hdr_end > 0)
+            & clen.isNotNull()
+            & ((hdr_end + 3 + clen) <= F.length(rest))
+        )
+        # +8 = the header blank line (4) + the record trailer (4)
+        new_rest = F.substring(rest, hdr_end + 8 + clen, F.length(rest))
+        return F.when(
+            ok,
+            F.struct(
+                new_rest.alias("rest"),
+                F.concat(
+                    acc["recs"],
+                    F.array(
+                        F.struct(
+                            head.alias("head"), payload.alias("payload")
+                        )
+                    ),
+                ).alias("recs"),
+            ),
+        ).otherwise(
+            F.struct(F.lit("").alias("rest"), acc["recs"].alias("recs"))
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(max_records)),
+        init,
+        step,
+        lambda acc: acc["recs"],
+    )
+
+
 # ---------------- sentence segmentation (sub-document curation unit)
 #
 # The unit between token and paragraph: sentence-level dedup is how

@@ -510,6 +510,65 @@ def test_http_header_name_metachars(spark):
     ), dict(row.asDict())
 
 
+def _warc_rec(payload: str, rid: str = "r") -> str:
+    return (
+        "WARC/1.0\r\n"
+        f"WARC-Record-ID: <{rid}>\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        "\r\n" + payload + "\r\n\r\n"
+    )
+
+
+def test_warc_records_body_embedded_boundaries(spark):
+    """A payload containing a full record frame (magic + Content-Length
+    header + blank line) must stay INSIDE its record — naive
+    marker-splitting tears exactly here, the Content-Length walk must
+    not."""
+    spoofed = (
+        "HTTP/1.1 200 OK\r\n\r\nbody with a fake frame:\r\n"
+        "WARC/1.0\r\nContent-Length: 3\r\n\r\nxyz"
+    )
+    blob = _warc_rec(spoofed, "a") + _warc_rec("plain", "b")
+    # marker-count sanity: naive splitting would see 3 records
+    assert blob.count("WARC/1.0") == 3
+    df = spark.createDataFrame([(blob,)], "blob STRING")
+    rows = df.select(
+        F.posexplode(text.warc_records("blob")).alias("pos", "rec")
+    ).collect()
+    assert len(rows) == 2, rows
+    assert rows[0]["rec"]["payload"] == spoofed
+    assert "WARC/1.0" in rows[0]["rec"]["payload"]
+    assert rows[1]["rec"]["payload"] == "plain"
+    assert "<b>" in rows[1]["rec"]["head"]
+
+
+def test_warc_records_torn_and_capped(spark):
+    # torn final record (payload truncated past blob end) never yields
+    # a half-payload row; the walk stops at the last valid record
+    torn = _warc_rec("ok", "a") + (
+        "WARC/1.0\r\nContent-Length: 100\r\n\r\nshort"
+    )
+    # bad magic after a valid record stops the walk too
+    badmagic = _warc_rec("one", "a") + "GARBAGE" + _warc_rec("two", "b")
+    # max_records caps the walk
+    many = "".join(_warc_rec(f"p{i}", f"r{i}") for i in range(6))
+    df = spark.createDataFrame(
+        [(1, torn), (2, badmagic), (3, many), (4, ""), (5, None)],
+        "i BIGINT, blob STRING",
+    )
+    got = {
+        r["i"]: [x["payload"] for x in r["recs"]]
+        for r in df.select(
+            "i", text.warc_records("blob", max_records=4).alias("recs")
+        ).collect()
+    }
+    assert got[1] == ["ok"]
+    assert got[2] == ["one"]
+    assert got[3] == ["p0", "p1", "p2", "p3"]  # capped at 4
+    assert got[4] == []
+    assert got[5] == []
+
+
 def test_sentences_control_char_input(spark):
     # pre-existing NUL/SOH bytes (raw crawl text ahead of charset
     # repair) are the sentinel alphabet — they must be stripped, not
