@@ -168,6 +168,8 @@ BENCH_QUERIES = [
     "triplet_mining_hard_neg",
     "doc_lang_mixture",
     "warc_record_extract",
+    "bitext_split_leakage",
+    "bpe_train_merges_k8",
 ]
 
 

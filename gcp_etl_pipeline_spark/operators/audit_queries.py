@@ -754,35 +754,63 @@ _BPE_APPLY = """
 """
 
 
+def _bpe_train_oracle(rounds: int) -> str:
+    """The k-round trainer oracle, generated programmatically: the
+    count -> top-pair -> apply-merge loop unrolled as MATERIALIZED CTE
+    pairs (p_r, v_r) to any depth — without MATERIALIZED DuckDB
+    re-inlines each round 3^r times (the Lloyd precedent)."""
+    ctes = [
+        """v0 AS MATERIALIZED (
+      SELECT list_transform(range(1, length(t) + 1),
+                            i -> substring(t, i, 1)) AS syms,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(toks) AS t FROM tok) GROUP BY t)"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"p{r} AS MATERIALIZED ({_BPE_PAIRS.format(src=f'v{r - 1}')})"
+        )
+        if r < rounds:
+            ctes.append(
+                f"v{r} AS MATERIALIZED "
+                f"({_BPE_APPLY.format(src=f'v{r - 1}', pair=f'p{r}')})"
+            )
+    selects = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, x, y, x || y AS merged,"
+        f" pair_count FROM p{r}"
+        for r in range(1, rounds + 1)
+    )
+    return (
+        f"\n    WITH {_TOK_CTE},\n    "
+        + ",\n    ".join(ctes)
+        + "\n    "
+        + selects
+        + "\n    "
+    )
+
+
 def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gcp_etl_pipeline_spark.operators.text import bpe_train_merges
 
     return bpe_train_merges(_docs(spark, sf_dir), rounds=3)
 
 
-register(
-    "bpe_train_merges",
-    _q_bpe_train,
-    f"""
-    WITH {_TOK_CTE},
-    v0 AS MATERIALIZED (
-      SELECT list_transform(range(1, length(t) + 1),
-                            i -> substring(t, i, 1)) AS syms,
-             CAST(COUNT(*) AS BIGINT) AS cnt
-      FROM (SELECT unnest(toks) AS t FROM tok) GROUP BY t),
-    p1 AS MATERIALIZED ({_BPE_PAIRS.format(src='v0')}),
-    v1 AS MATERIALIZED ({_BPE_APPLY.format(src='v0', pair='p1')}),
-    p2 AS MATERIALIZED ({_BPE_PAIRS.format(src='v1')}),
-    v2 AS MATERIALIZED ({_BPE_APPLY.format(src='v1', pair='p2')}),
-    p3 AS MATERIALIZED ({_BPE_PAIRS.format(src='v2')})
-    SELECT CAST(1 AS BIGINT) AS round, x, y, x || y AS merged, pair_count
-    FROM p1
-    UNION ALL
-    SELECT CAST(2 AS BIGINT), x, y, x || y, pair_count FROM p2
-    UNION ALL
-    SELECT CAST(3 AS BIGINT), x, y, x || y, pair_count FROM p3
-    """,
-)
+register("bpe_train_merges", _q_bpe_train, _bpe_train_oracle(3))
+
+
+def _q_bpe_train_k8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eight trainer rounds — the depth where merge INTERACTIONS stress
+    the fold: later rounds pick pairs whose x or y is itself an earlier
+    round's merged symbol (a round-5 merge consuming a round-2 output),
+    so the greedy left-to-right replay must track the evolving symbol
+    alphabet, not just character bigrams. Shares the _bpe_* helpers and
+    the programmatic k-round oracle with the rounds=3 query."""
+    from gcp_etl_pipeline_spark.operators.text import bpe_train_merges
+
+    return bpe_train_merges(_docs(spark, sf_dir), rounds=8)
+
+
+register("bpe_train_merges_k8", _q_bpe_train_k8, _bpe_train_oracle(8))
 
 
 # --------------------------------- bucketed-ANN mutual kNN graph + triangles

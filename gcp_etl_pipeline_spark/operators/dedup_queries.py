@@ -1802,11 +1802,10 @@ def _q_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "bitext_margin_mining",
-    _q_bitext_margin,
-    f"""
-    WITH A AS (SELECT vec_id, embedding FROM embeddings
+# the shared bitext CTE chain (mined = the accepted mutual-best pairs),
+# extended by the split-leakage oracle below
+_BTX_CTES = f"""
+    A AS (SELECT vec_id, embedding FROM embeddings
                WHERE vec_id % 2 = 0),
     B AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
     f0 AS (SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
@@ -1842,10 +1841,96 @@ register(
                ORDER BY margin_u DESC, tgt_id) AS rs,
              ROW_NUMBER() OVER (PARTITION BY tgt_id
                ORDER BY margin_u DESC, src_id) AS rt
-           FROM m)
-    SELECT src_id, tgt_id, cos_sim, margin_u
-    FROM rk WHERE rs = 1 AND rt = 1 AND margin_u >= {_BTX_THR_U}
+           FROM m),
+    mined AS (SELECT src_id, tgt_id, cos_sim, margin_u
+              FROM rk WHERE rs = 1 AND rt = 1
+                AND margin_u >= {_BTX_THR_U})"""
+
+register(
+    "bitext_margin_mining",
+    _q_bitext_margin,
+    f"""
+    WITH {_BTX_CTES}
+    SELECT src_id, tgt_id, cos_sim, margin_u FROM mined
     """,
+)
+
+
+# ------------------ cross-lingual split leakage (bitext x dataset_split)
+
+def _q_bitext_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multilingual leakage a monolingual near-dup check cannot
+    see: an accepted TRANSLATION pair whose two sides land in different
+    dataset splits — the model trains on the English side and is
+    evaluated on its Spanish twin. Composes the mined bitext
+    (ratio-margin mutual best) with the deterministic split projection
+    on both endpoints; cross-split rows are the leakage report, with
+    the per-pair margin preserved so the worst offenders rank first.
+
+    Scale shape: everything after the kNN arms joins (id, id, margin)
+    edges; the split column is a pure md5 projection — no extra
+    shuffle beyond the two id-keyed joins."""
+    from gcp_etl_pipeline_spark.operators.curation import dataset_split
+
+    embs = _embs(spark, sf_dir)
+    src = embs.where(F.col("vec_id") % 2 == 0)
+    tgt = embs.where(F.col("vec_id") % 2 == 1)
+    mined = similarity.bitext_margin_mine(
+        src, tgt, k=_BTX_K, margin_thr_u=_BTX_THR_U
+    )
+    split = dataset_split(
+        embs.select("vec_id"), "vec_id", val_pct=10.0, test_pct=10.0
+    )
+    return (
+        mined.join(
+            split.select(
+                F.col("vec_id").alias("src_id"),
+                F.col("split").alias("split_src"),
+            ),
+            "src_id",
+        )
+        .join(
+            split.select(
+                F.col("vec_id").alias("tgt_id"),
+                F.col("split").alias("split_tgt"),
+            ),
+            "tgt_id",
+        )
+        .select(
+            "src_id",
+            "tgt_id",
+            "margin_u",
+            "split_src",
+            "split_tgt",
+            (F.col("split_src") != F.col("split_tgt")).alias("is_leak"),
+        )
+    )
+
+
+def _bitext_split_leakage_oracle() -> str:
+    t_test = format(int(10.0 * 65536 / 100), "04x")
+    t_val = format(int(20.0 * 65536 / 100), "04x")
+    sc = (
+        "CASE WHEN substring(md5('split|' || CAST({id} AS VARCHAR)), 1, 4)"
+        f" < '{t_test}' THEN 'test'"
+        " WHEN substring(md5('split|' || CAST({id} AS VARCHAR)), 1, 4)"
+        f" < '{t_val}' THEN 'val'"
+        " ELSE 'train' END"
+    )
+    return f"""
+    WITH {_BTX_CTES}
+    SELECT src_id, tgt_id, margin_u,
+           {sc.format(id="src_id")} AS split_src,
+           {sc.format(id="tgt_id")} AS split_tgt,
+           {sc.format(id="src_id")} <> {sc.format(id="tgt_id")} AS is_leak
+    FROM mined
+    """
+
+
+register(
+    "bitext_split_leakage",
+    _q_bitext_split_leakage,
+    _bitext_split_leakage_oracle(),
 )
 
 
