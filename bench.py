@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "warc_record_extract",
     "bitext_split_leakage",
     "bpe_train_merges_k8",
+    "warc_intake_pipeline",
 ]
 
 

@@ -3715,6 +3715,7 @@ _WARC_PAYLOAD = (
     "{NL} || "
     "'Content-Type: evil/fake' || {NL} || "
     "'doc ' || CAST(doc_id AS {V}) || ' ' || substring(text, 1, 40) || "
+    "CASE WHEN doc_id % 7 = 0 THEN ' page not found ' ELSE '' END || "
     "CASE WHEN doc_id % 3 = 0 THEN {NL} || 'WARC/1.0' || {NL} || "
     "'Content-Length: 3' || {NL} || {NL} || 'xyz' ELSE '' END"
 )
@@ -3732,20 +3733,10 @@ _WARC_RECORD = (
 _WARC_MAX_RECORDS = 8
 
 
-def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-record fetch-store intake: concatenated WARC-shaped blobs
-    (4 records each, built from documents) -> Content-Length record
-    walk (text.warc_records) -> per-record WARC header fields + the
-    existing HTTP envelope parse over each payload. The graded output
-    proves the framing: every planted in-body 'WARC/1.0' frame stays
-    INSIDE its record's body (body_has_marker), record counts and
-    byte-exact body lengths replay in the oracle's recursive-CTE walk.
-
-    Scale shape: blob build is one groupBy (fixture only — real stores
-    arrive already chunked); the walk itself is a zero-shuffle
-    projection, one blob row per task, payloads never shuffle."""
-    from gcp_etl_pipeline_spark.operators import text as _text
-
+def _warc_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared WARC fixture: 4-record concatenated blobs built from
+    documents (real stores arrive already chunked — the groupBy here is
+    fixture plumbing, not pipeline shape)."""
     nl = "chr(13) || chr(10)"
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     payload = docs.select(
@@ -3757,7 +3748,7 @@ def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr(_WARC_RECORD.format(V="STRING", NL=nl)).alias("record"),
     )
-    blobs = rec.groupBy("blob_id").agg(
+    return rec.groupBy("blob_id").agg(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("doc_id", "record"))),
@@ -3766,46 +3757,17 @@ def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "",
         ).alias("blob")
     )
-    recs = blobs.select(
-        "blob_id",
-        F.posexplode(
-            _text.warc_records("blob", max_records=_WARC_MAX_RECORDS)
-        ).alias("pos", "rec"),
-    )
-    parsed = recs.select(
-        "blob_id",
-        (F.col("pos") + 1).cast("bigint").alias("recno"),
-        F.trim(
-            F.regexp_extract(
-                F.col("rec")["head"],
-                _text.http_header_pattern("WARC-Target-URI"),
-                1,
-            )
-        ).alias("target_uri"),
-        *_text.http_response_fields(F.col("rec")["payload"]),
-    )
-    return parsed.select(
-        "blob_id",
-        "recno",
-        "target_uri",
-        "status_code",
-        "content_type",
-        F.length("body").cast("bigint").alias("body_len"),
-        F.col("body").contains("WARC/1.0").alias("body_has_marker"),
-    )
 
 
-def _warc_extract_oracle() -> str:
+def _warc_walk_ctes() -> str:
+    """Shared oracle CTE chain: fixture blobs + the depth-capped
+    recursive Content-Length walk. Yields `walk` rows (blob_id, rest,
+    recno, head, payload) with recno >= 1 being real records."""
     from gcp_etl_pipeline_spark.operators import text as _text
 
     nl = "chr(13) || chr(10)"
-    uri_re = _sql_lit(_text.http_header_pattern("WARC-Target-URI"))
-    ct_re = _sql_lit(_text.http_header_pattern("Content-Type"))
     clen_re = _sql_lit(_text.WARC_CONTENT_LENGTH_RE)
-    status_re = _sql_lit(_text.HTTP_STATUS_RE)
-    body_re = _sql_lit(_text.HTTP_BODY_RE)
     return f"""
-    WITH RECURSIVE
     p AS (SELECT doc_id,
             {_WARC_PAYLOAD.format(V="VARCHAR", NL=nl)} AS payload
           FROM documents),
@@ -3845,7 +3807,63 @@ def _warc_extract_oracle() -> str:
       WHERE substr(rest, 1, 10) = 'WARC/1.0' || {nl}
         AND hdr_end > 0 AND clen IS NOT NULL
         AND hdr_end + 3 + clen <= length(rest)
-    ),
+    )"""
+
+
+def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-record fetch-store intake: concatenated WARC-shaped blobs
+    (4 records each, built from documents) -> Content-Length record
+    walk (text.warc_records) -> per-record WARC header fields + the
+    existing HTTP envelope parse over each payload. The graded output
+    proves the framing: every planted in-body 'WARC/1.0' frame stays
+    INSIDE its record's body (body_has_marker), record counts and
+    byte-exact body lengths replay in the oracle's recursive-CTE walk.
+
+    Scale shape: blob build is one groupBy (fixture only — real stores
+    arrive already chunked); the walk itself is a zero-shuffle
+    projection, one blob row per task, payloads never shuffle."""
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    blobs = _warc_blobs(spark, sf_dir)
+    recs = blobs.select(
+        "blob_id",
+        F.posexplode(
+            _text.warc_records("blob", max_records=_WARC_MAX_RECORDS)
+        ).alias("pos", "rec"),
+    )
+    parsed = recs.select(
+        "blob_id",
+        (F.col("pos") + 1).cast("bigint").alias("recno"),
+        F.trim(
+            F.regexp_extract(
+                F.col("rec")["head"],
+                _text.http_header_pattern("WARC-Target-URI"),
+                1,
+            )
+        ).alias("target_uri"),
+        *_text.http_response_fields(F.col("rec")["payload"]),
+    )
+    return parsed.select(
+        "blob_id",
+        "recno",
+        "target_uri",
+        "status_code",
+        "content_type",
+        F.length("body").cast("bigint").alias("body_len"),
+        F.col("body").contains("WARC/1.0").alias("body_has_marker"),
+    )
+
+
+def _warc_extract_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    uri_re = _sql_lit(_text.http_header_pattern("WARC-Target-URI"))
+    ct_re = _sql_lit(_text.http_header_pattern("Content-Type"))
+    status_re = _sql_lit(_text.HTTP_STATUS_RE)
+    body_re = _sql_lit(_text.HTTP_BODY_RE)
+    return f"""
+    WITH RECURSIVE
+    {_warc_walk_ctes()},
     f AS (SELECT blob_id, recno, head, payload,
             regexp_extract(payload, {status_re}, 1) AS status,
             trim(regexp_extract(
@@ -3867,6 +3885,88 @@ def _warc_extract_oracle() -> str:
 
 
 register("warc_record_extract", _q_warc_extract, _warc_extract_oracle())
+
+
+def _q_warc_intake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fetch-store tier consuming a real multi-record crawl store
+    END TO END: concatenated blobs -> Content-Length record walk ->
+    HTTP envelope parse -> fetchability gate (200 + text/*) -> triage
+    verdict + token count per surviving record. The fixture plants the
+    full damage matrix: 404s and PDFs (gated), soft-404 marker text on
+    doc_id % 7 = 0 (triaged), and in-body record frames on % 3 = 0
+    (must stay inside their payloads — a mis-framed record would shift
+    every downstream count)."""
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    blobs = _warc_blobs(spark, sf_dir)
+    recs = blobs.select(
+        "blob_id",
+        F.posexplode(
+            _text.warc_records("blob", max_records=_WARC_MAX_RECORDS)
+        ).alias("pos", "rec"),
+    )
+    env = recs.select(
+        F.trim(
+            F.regexp_extract(
+                F.col("rec")["head"],
+                _text.http_header_pattern("WARC-Target-URI"),
+                1,
+            )
+        ).alias("url"),
+        *_text.http_response_fields(F.col("rec")["payload"]),
+    )
+    gated = env.where(
+        (F.col("status_code") == 200)
+        & F.col("content_type").startswith("text/")
+    )
+    return gated.select(
+        "url",
+        _text.fetch_triage("body").alias("verdict"),
+        _text.token_count("body").cast("bigint").alias("n_tokens"),
+    )
+
+
+def _warc_intake_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    uri_re = _sql_lit(_text.http_header_pattern("WARC-Target-URI"))
+    ct_re = _sql_lit(_text.http_header_pattern("Content-Type"))
+    status_re = _sql_lit(_text.HTTP_STATUS_RE)
+    body_re = _sql_lit(_text.HTTP_BODY_RE)
+    verdict = "'ok'"
+    for name, pat in reversed(_text.TRIAGE_CLASSES):
+        verdict = (
+            f"CASE WHEN regexp_matches(body, {_sql_lit(pat)}) "
+            f"THEN '{name}' ELSE {verdict} END"
+        )
+    return f"""
+    WITH RECURSIVE
+    {_warc_walk_ctes()},
+    f AS (SELECT head, payload,
+            regexp_extract(payload, {status_re}, 1) AS status,
+            trim(regexp_extract(
+              regexp_extract(payload, '(?s)^(.*?)(\\r?\\n\\r?\\n|$)', 1),
+              {ct_re}, 1)) AS ctype_raw,
+            regexp_extract(payload, {body_re}, 1) AS body
+          FROM walk WHERE recno >= 1),
+    g AS (SELECT trim(regexp_extract(head, {uri_re}, 1)) AS url, body
+          FROM f
+          WHERE CASE WHEN status = '' THEN 0
+                     ELSE CAST(status AS BIGINT) END = 200
+            AND starts_with(
+                  lower(trim(regexp_extract(ctype_raw, '^([^;]*)', 1))),
+                  'text/'))
+    SELECT url,
+           CASE WHEN length(body) < {_text.TRIAGE_MIN_CHARS}
+                THEN 'empty' ELSE {verdict} END AS verdict,
+           CAST(len(list_filter(
+                  string_split_regex(lower(body), '[^a-z0-9]+'),
+                  t -> t <> '')) AS BIGINT) AS n_tokens
+    FROM g
+    """
+
+
+register("warc_intake_pipeline", _q_warc_intake, _warc_intake_oracle())
 
 
 # ------------ robots.txt PARSING -> rule table -> verdicts (end to end)
