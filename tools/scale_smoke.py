@@ -1527,6 +1527,95 @@ def main() -> int:
     )
     stage_rows[f"frontier_smoke_chain_{FR_N // 1000}k"] = FR_N
 
+    # WARC fetch-store framing at smoke scale (2M records in the full
+    # run): W Content-Length-framed records in blobs of 8, every
+    # payload carrying its own id, a third of them a planted IN-BODY
+    # record frame (magic + Content-Length + blank line — the shape
+    # that tears marker-driven splitting), a fifth 404s. Closed-form
+    # asserts: record count == W exactly, parsed-id sum == W(W-1)/2
+    # (no record torn, duplicated, or misaligned), marker bodies ==
+    # W/3 (every spoof stayed INSIDE its payload), and the 200+text/*
+    # gate keeps exactly W - W/5.
+    from gcp_etl_pipeline_spark.operators import text as _wtx
+
+    W_N = max(12_000, n // 10 // 120 * 120)  # records; 120 | W exactly
+    _wcrlf = "\r\n"
+    _wid = F.col("id")
+    w_body = F.concat(
+        F.lit("HTTP/1.1 "),
+        F.when(_wid % 5 == 3, F.lit("404 Not Found"))
+        .otherwise(F.lit("200 OK")),
+        F.lit(_wcrlf + "Content-Type: text/plain" + _wcrlf + _wcrlf
+              + "body "),
+        _wid.cast("string"),
+        F.when(
+            _wid % 3 == 0,
+            F.lit(_wcrlf + "WARC/1.0" + _wcrlf + "Content-Length: 3"
+                  + _wcrlf + _wcrlf + "xyz"),
+        ).otherwise(F.lit("")),
+    )
+    w_rec = F.concat(
+        F.lit("WARC/1.0" + _wcrlf + "WARC-Target-URI: http://w.org/"),
+        _wid.cast("string"),
+        F.lit(_wcrlf + "Content-Length: "),
+        F.length(w_body).cast("string"),
+        F.lit(_wcrlf + _wcrlf),
+        w_body,
+        F.lit(_wcrlf + _wcrlf),
+    )
+    t0 = time.time()
+    w_blobs = (
+        spark.range(W_N)
+        .select(
+            F.expr("id DIV 8").alias("blob_id"),
+            _wid.alias("id"),
+            w_rec.alias("record"),
+        )
+        .groupBy("blob_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("id", "record"))),
+                    lambda s: s["record"],
+                ),
+                "",
+            ).alias("blob")
+        )
+    )
+    w_recs = w_blobs.select(
+        F.posexplode(_wtx.warc_records("blob", max_records=8))
+        .alias("pos", "rec")
+    )
+    w_env = w_recs.select(
+        *_wtx.http_response_fields(F.col("rec")["payload"])
+    )
+    w_stats = w_env.select(
+        "status_code",
+        "content_type",
+        F.regexp_extract("body", r"^body ([0-9]+)", 1)
+        .cast("long")
+        .alias("bid"),
+        F.col("body").contains("WARC/1.0").alias("has_marker"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rec"),
+        F.sum("bid").alias("idsum"),
+        F.sum(F.col("has_marker").cast("long")).alias("n_marker"),
+        F.sum(
+            (
+                (F.col("status_code") == 200)
+                & F.col("content_type").startswith("text/")
+            ).cast("long")
+        ).alias("n_gate"),
+    ).collect()[0]
+    assert w_stats["n_rec"] == W_N, w_stats
+    assert w_stats["idsum"] == W_N * (W_N - 1) // 2, w_stats
+    assert w_stats["n_marker"] == W_N // 3, w_stats
+    assert w_stats["n_gate"] == W_N - W_N // 5, w_stats
+    timings[f"warc_smoke_frame_gate_{W_N // 1000}k"] = round(
+        time.time() - t0, 2
+    )
+    stage_rows[f"warc_smoke_frame_gate_{W_N // 1000}k"] = W_N
+
     # Multimodal near-dup dedup at 1M-IMAGE smoke scale (the proof the
     # text tier has at 2M/20M docs): closed-form planted classes
     # INCLUDING one adversarial 100k-copy exact-duplicate cluster (the
