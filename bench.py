@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "bitext_split_leakage",
     "bpe_train_merges_k8",
     "warc_intake_pipeline",
+    "stream_warc_intake",
 ]
 
 

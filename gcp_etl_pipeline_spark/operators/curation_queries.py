@@ -3969,6 +3969,43 @@ def _warc_intake_oracle() -> str:
 register("warc_intake_pipeline", _q_warc_intake, _warc_intake_oracle())
 
 
+def warc_stream_src(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached SOURCE DIRECTORY for the streaming fetch-store
+    twin: the WARC blob fixture split into two blob_id-ordered,
+    mtime-ordered parquet files — the shape of a crawl store landing
+    in object storage one chunk at a time. Same ``_session_cached_path``
+    discipline as every cached fixture."""
+    import glob as _glob
+    import os
+    import re as _re
+    import shutil
+
+    tag = "warcsrc_" + _re.sub(r"\W+", "_", sf_dir).strip("_")
+
+    def _build(root: str) -> str:
+        src = root + "/in"
+        os.makedirs(src)
+        blobs = _warc_blobs(spark, sf_dir)
+        t = blobs.agg(F.floor(F.max("blob_id") / 2)).collect()[0][0]
+        for i, pred in enumerate((f"blob_id <= {t}", f"blob_id > {t}")):
+            tmp = f"{root}/tmp{i}"
+            blobs.where(pred).coalesce(1).write.mode("overwrite").parquet(
+                tmp
+            )
+            part = sorted(_glob.glob(f"{tmp}/part-*.parquet"))[0]
+            dst = f"{src}/b{i}.parquet"
+            shutil.copy(part, dst)
+            os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+        return src
+
+    def _validate(path: str) -> str:
+        if sorted(os.listdir(path)) != ["b0.parquet", "b1.parquet"]:
+            raise RuntimeError("warc stream source files missing")
+        return path
+
+    return _session_cached_path(spark, tag, _build, _validate)
+
+
 # ------------ robots.txt PARSING -> rule table -> verdicts (end to end)
 
 # raw robots documents per host class (h % 4): 0 = one '*' group with a

@@ -834,6 +834,80 @@ register(
 )
 
 
+def _q_stream_warc_intake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the fetch-store intake: WARC blob chunks land
+    one file per micro-batch (the object-storage arrival shape); each
+    foreachBatch invocation runs the Content-Length record walk -> HTTP
+    envelope parse -> fetchability gate -> triage + token count. The
+    chain is per-record stateless, so the union of micro-batch outputs
+    must equal the batch twin EXACTLY — the oracle is
+    ``_warc_intake_oracle()`` shared verbatim."""
+    from pyspark.sql import functions as F
+
+    from gcp_etl_pipeline_spark.operators import text as _text
+    from gcp_etl_pipeline_spark.operators.curation_queries import (
+        _WARC_MAX_RECORDS,
+        warc_stream_src,
+    )
+
+    root = tempfile.mkdtemp(prefix="graft_swarc_")
+    src = warc_stream_src(spark, sf_dir)
+    out_dir = f"{root}/parsed"
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        recs = batch.select(
+            F.posexplode(
+                _text.warc_records("blob", max_records=_WARC_MAX_RECORDS)
+            ).alias("pos", "rec")
+        )
+        env = recs.select(
+            F.trim(
+                F.regexp_extract(
+                    F.col("rec")["head"],
+                    _text.http_header_pattern("WARC-Target-URI"),
+                    1,
+                )
+            ).alias("url"),
+            *_text.http_response_fields(F.col("rec")["payload"]),
+        )
+        gated = env.where(
+            (F.col("status_code") == 200)
+            & F.col("content_type").startswith("text/")
+        )
+        gated.select(
+            "url",
+            _text.fetch_triage("body").alias("verdict"),
+            _text.token_count("body").cast("bigint").alias("n_tokens"),
+        ).write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    q = (
+        spark.readStream.schema("blob_id BIGINT, blob STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select("url", "verdict", "n_tokens")
+
+
+def _stream_warc_intake_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators.curation_queries import (
+        _warc_intake_oracle,
+    )
+
+    return _warc_intake_oracle()
+
+
+register(
+    "stream_warc_intake",
+    _q_stream_warc_intake,
+    _stream_warc_intake_oracle(),
+)
+
+
 def _q_stream_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of the frontier's dedup+politeness core:
     discovered URLs arrive as two key-ordered micro-batches; each
