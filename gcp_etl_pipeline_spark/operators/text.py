@@ -1047,10 +1047,13 @@ def warc_records(blob: Column | str, max_records: int = 32) -> Column:
     pair-compare or shuffle payloads. The DuckDB twin walks the same
     framing as a recursive CTE capped at the same depth.
 
-    Content-Length here counts CHARACTERS: the engine frames string
-    blobs (ASCII fixtures — chars == bytes); byte-exact framing of
-    binary payloads would run the same walk over a binary column with
-    substr-on-bytes."""
+    Content-Length here counts CHARACTERS. For BYTE-exact framing of
+    arbitrary binary stores, decode the blob as ISO-8859-1 first
+    (``F.decode(bin, 'ISO-8859-1')``): every byte maps losslessly to
+    one char U+0000..U+00FF, so the char walk IS the byte walk, and
+    ``F.encode(payload, 'ISO-8859-1')`` recovers the exact payload
+    bytes — proven round-trip on non-UTF-8 bytes in
+    tests/test_html_extract.py::test_warc_records_binary_roundtrip."""
     c = F.col(blob) if isinstance(blob, str) else blob
     rec_t = "array<struct<head:string,payload:string>>"
     init = F.struct(

@@ -569,6 +569,30 @@ def test_warc_records_torn_and_capped(spark):
     assert got[5] == []
 
 
+def test_warc_records_binary_roundtrip(spark):
+    """Byte-exact framing of a BINARY store: ISO-8859-1 decode maps
+    every byte to one char, so Content-Length-in-bytes equals the char
+    walk, and encode() recovers the exact payload bytes — including
+    bytes that are invalid UTF-8."""
+    payload = bytes([0xFF, 0x00, 0xC3, 0x28, 0x0D, 0x0A]) + b"tail"
+    blob = (
+        b"WARC/1.0\r\n"
+        + f"Content-Length: {len(payload)}\r\n".encode()
+        + b"\r\n" + payload + b"\r\n\r\n"
+    ) * 2
+    df = spark.createDataFrame([(blob,)], "blob BINARY")
+    rows = df.select(
+        F.posexplode(
+            text.warc_records(F.decode(F.col("blob"), "ISO-8859-1"))
+        ).alias("pos", "rec")
+    ).select(
+        "pos", F.encode(F.col("rec")["payload"], "ISO-8859-1").alias("p")
+    ).collect()
+    assert len(rows) == 2
+    assert bytes(rows[0]["p"]) == payload
+    assert bytes(rows[1]["p"]) == payload
+
+
 def test_sentences_control_char_input(spark):
     # pre-existing NUL/SOH bytes (raw crawl text ahead of charset
     # repair) are the sentinel alphabet — they must be stripped, not
