@@ -172,6 +172,8 @@ BENCH_QUERIES = [
     "bpe_train_merges_k8",
     "warc_intake_pipeline",
     "stream_warc_intake",
+    "revalidation_plan",
+    "sitemap_index_expand",
 ]
 
 

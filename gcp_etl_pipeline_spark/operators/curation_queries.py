@@ -3368,6 +3368,133 @@ def _sitemap_oracle() -> str:
 register("sitemap_url_extract", _q_sitemap_ingest, _sitemap_oracle())
 
 
+# --------------- sitemap INDEX expansion (two-level site discovery)
+
+def _q_sitemap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level sitemap discovery: per-host <sitemapindex> documents
+    fan out to child <urlset> sitemaps (3 per host), which expand to
+    page URLs — the index -> child -> pages walk every large site
+    requires (a crawler reading only <urlset> documents never sees
+    most of the site). The child join is by the index's <loc> string,
+    so a mis-extracted child URL breaks the whole host's expansion
+    loudly. Scale shape: sitemap documents are host-sized; one
+    broadcast-able join on child loc, explodes fused into scans."""
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    entries = orders.select(
+        (F.col("o_orderkey") % 8).alias("host_id"),
+        F.expr("(o_orderkey DIV 8) % 3").alias("child_id"),
+        F.col("o_orderkey").alias("k"),
+        F.expr(_SITEMAP_ENTRY.format(V="STRING")).alias("entry"),
+    )
+    child_loc = F.concat(
+        F.lit("https://h"), F.col("host_id").cast("string"),
+        F.lit(".example.org/sm/"), F.col("child_id").cast("string"),
+        F.lit(".xml"),
+    )
+    childs = entries.groupBy("host_id", "child_id").agg(
+        F.concat(
+            F.lit("<urlset>"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("k", "entry"))),
+                    lambda s: s["entry"],
+                ),
+                "",
+            ),
+            F.lit("</urlset>"),
+        ).alias("child_xml")
+    ).select("host_id", "child_id", child_loc.alias("loc"), "child_xml")
+    index = childs.select(
+        "host_id", "child_id",
+        F.concat(
+            F.lit("<sitemap>  <loc> "), F.col("loc"), F.lit(" </loc>"),
+            F.lit("<lastmod>2024-08-0"),
+            (F.col("child_id") + 1).cast("string"),
+            F.lit("</lastmod></sitemap>"),
+        ).alias("sm_entry"),
+    ).groupBy("host_id").agg(
+        F.concat(
+            F.lit("<sitemapindex>"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("child_id", "sm_entry"))
+                    ),
+                    lambda s: s["sm_entry"],
+                ),
+                "",
+            ),
+            F.lit("</sitemapindex>"),
+        ).alias("xml")
+    )
+    kids = _text.parse_sitemap_index(index, "xml").select(
+        "host_id", "child_no", F.col("loc").alias("child_loc")
+    )
+    joined = kids.join(
+        childs.select(F.col("loc").alias("child_loc"), "child_xml"),
+        "child_loc",
+    )
+    pages = _text.parse_sitemap(
+        joined.select("host_id", "child_no", F.col("child_xml").alias("xml")),
+        "xml",
+    )
+    return pages.select(
+        "host_id", "child_no", "entry_no",
+        F.col("loc").alias("url_raw"),
+    )
+
+
+def _sitemap_index_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    idx_re = _sql_lit(_text.SITEMAP_INDEX_ENTRY_RE)
+    ent_re = _sql_lit(_text.SITEMAP_ENTRY_RE)
+    loc_re = _sql_lit(_text.SITEMAP_LOC_RE)
+    return f"""
+    WITH e AS (SELECT o_orderkey % 8 AS host_id,
+                      (o_orderkey // 8) % 3 AS child_id,
+                      o_orderkey AS k,
+                      {_SITEMAP_ENTRY.format(V="VARCHAR")} AS entry
+               FROM orders),
+    childs AS (SELECT host_id, child_id,
+                 'https://h' || CAST(host_id AS VARCHAR)
+                 || '.example.org/sm/' || CAST(child_id AS VARCHAR)
+                 || '.xml' AS loc,
+                 '<urlset>' || string_agg(entry, '' ORDER BY k)
+                 || '</urlset>' AS child_xml
+               FROM e GROUP BY 1, 2),
+    idx AS (SELECT host_id,
+              '<sitemapindex>' || string_agg(
+                '<sitemap>  <loc> ' || loc || ' </loc>'
+                || '<lastmod>2024-08-0' || CAST(child_id + 1 AS VARCHAR)
+                || '</lastmod></sitemap>', '' ORDER BY child_id)
+              || '</sitemapindex>' AS xml
+            FROM childs GROUP BY 1),
+    ie AS (SELECT host_id,
+             regexp_extract_all(xml, {idx_re}, 1) AS ents
+           FROM idx),
+    kids AS (SELECT host_id,
+               CAST(unnest(range(len(ents))) AS BIGINT) AS child_no,
+               regexp_extract(unnest(ents), {loc_re}, 1) AS child_loc
+             FROM ie),
+    j AS (SELECT k.host_id, k.child_no, c.child_xml
+          FROM kids k JOIN childs c ON c.loc = k.child_loc),
+    pe AS (SELECT host_id, child_no,
+             regexp_extract_all(child_xml, {ent_re}, 1) AS ents
+           FROM j),
+    p AS (SELECT host_id, child_no,
+            CAST(unnest(range(len(ents))) AS BIGINT) AS entry_no,
+            regexp_extract(unnest(ents), {loc_re}, 1) AS url_raw
+          FROM pe)
+    SELECT host_id, child_no, entry_no, url_raw FROM p
+    """
+
+
+register("sitemap_index_expand", _q_sitemap_index, _sitemap_index_oracle())
+
+
 # ------------------ anchor-text target index (link-graph label signal)
 
 # link pages with SHARED targets: every doc links page-(doc_id % 37)
@@ -3698,6 +3825,88 @@ def _http_parse_oracle() -> str:
 
 
 register("http_response_parse", _q_http_parse, _http_parse_oracle())
+
+
+# ------------- conditional-refetch planning (HTTP caching validators)
+
+# planted validator classes: ETag only / Last-Modified only / both
+# (ETag must win) / neither; Cache-Control no-store (% 5) preempts a
+# max-age (% 3); every body carries spoofed header-shaped lines that a
+# head-scoped extract must ignore
+_REVAL_RAW = (
+    "'HTTP/1.1 200 OK' || {NL} || "
+    "CASE doc_id % 4 WHEN 0 THEN 'ETag: \"v' || CAST(doc_id AS {V}) "
+    "|| '\"' || {NL} "
+    "WHEN 1 THEN 'Last-Modified: Tue, 01 Aug 2026 00:00:00 GMT' || {NL} "
+    "WHEN 2 THEN 'etag: W/\"w' || CAST(doc_id AS {V}) || '\"' || {NL} || "
+    "'last-modified: Mon, 02 Mar 2026 12:00:00 GMT' || {NL} "
+    "ELSE '' END || "
+    "CASE WHEN doc_id % 5 = 0 THEN 'Cache-Control: no-store' || {NL} "
+    "WHEN doc_id % 3 = 0 THEN 'Cache-Control: max-age=' "
+    "|| CAST(600 + doc_id % 7 * 600 AS {V}) || ', public' || {NL} "
+    "ELSE '' END || "
+    "{NL} || "
+    "'ETag: \"evil\"' || {NL} || 'Cache-Control: max-age=999999' || {NL} "
+    "|| text"
+)
+
+
+def _q_revalidation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-refetch planner over a fetch store: head-scoped
+    validator extraction (in-body 'ETag:'/'Cache-Control:' spoof lines
+    planted in EVERY record), If-None-Match precedence over
+    If-Modified-Since, no-store preempting max-age. The action split
+    is what turns a recrawl due-list into cheap 304 checks vs full
+    fetches."""
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    nl = "CASE WHEN doc_id % 2 = 0 THEN chr(13) || chr(10) ELSE chr(10) END"
+    raw = docs.select(
+        "doc_id",
+        F.expr(_REVAL_RAW.format(V="STRING", NL=nl)).alias("raw"),
+    )
+    return raw.select("doc_id", *_text.revalidation_fields("raw"))
+
+
+def _revalidation_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    nl = "CASE WHEN doc_id % 2 = 0 THEN chr(13) || chr(10) ELSE chr(10) END"
+    etag_re = _sql_lit(_text.http_header_pattern("ETag"))
+    lm_re = _sql_lit(_text.http_header_pattern("Last-Modified"))
+    cc_re = _sql_lit(_text.http_header_pattern("Cache-Control"))
+    return f"""
+    WITH r AS (SELECT doc_id,
+                 {_REVAL_RAW.format(V="VARCHAR", NL=nl)} AS raw
+               FROM documents),
+    h AS (SELECT doc_id,
+            regexp_extract(raw, '(?s)^(.*?)(\\r?\\n\\r?\\n|$)', 1) AS head
+          FROM r),
+    f AS (SELECT doc_id,
+            trim(regexp_extract(head, {etag_re}, 1)) AS etag,
+            trim(regexp_extract(head, {lm_re}, 1)) AS last_modified,
+            trim(regexp_extract(head, {cc_re}, 1)) AS cache_ctl
+          FROM h),
+    g AS (SELECT *,
+            regexp_matches(cache_ctl, '(?i)no-store') AS no_store,
+            regexp_extract(cache_ctl, '(?i)max-age=([0-9]+)', 1)
+              AS max_age_s
+          FROM f)
+    SELECT doc_id, etag, last_modified,
+           CASE WHEN etag <> '' THEN 'conditional_etag'
+                WHEN last_modified <> '' THEN 'conditional_modified'
+                ELSE 'full_fetch' END AS action,
+           CASE WHEN etag <> '' THEN etag ELSE last_modified END
+             AS validator,
+           CAST(CASE WHEN no_store OR max_age_s = '' THEN 0
+                ELSE CAST(max_age_s AS BIGINT) END AS BIGINT)
+             AS fresh_for_s
+    FROM g
+    """
+
+
+register("revalidation_plan", _q_revalidation_plan, _revalidation_oracle())
 
 
 # ----------- WARC multi-record fetch-store framing (record splitter)

@@ -903,6 +903,38 @@ def parse_sitemap(
     )
 
 
+SITEMAP_INDEX_ENTRY_RE = "(?is)<sitemap>(.*?)</sitemap>"
+
+
+def parse_sitemap_index(
+    df: DataFrame, xml_col: str = "xml", keep: list[str] | None = None
+) -> DataFrame:
+    """Explode a <sitemapindex> document into one row per child
+    <sitemap> element: ``child_no`` (document order), ``loc`` (the
+    child sitemap URL), ``lastmod`` — the two-level discovery shape
+    every large site uses (an index fans out to 50k-URL child
+    sitemaps; a crawler that only reads <urlset> documents never sees
+    most of the site). Same structural-alignment discipline as
+    ``parse_sitemap``: whole elements extract first, sub-fields
+    per element."""
+    keep = keep if keep is not None else [
+        c for c in df.columns if c != xml_col
+    ]
+    entries = F.regexp_extract_all(
+        xml_col, F.lit(SITEMAP_INDEX_ENTRY_RE), F.lit(1)
+    )
+    z = df.select(*keep, entries.alias("__entries")).select(
+        *keep,
+        F.posexplode("__entries").alias("__no", "__e"),
+    )
+    return z.select(
+        *keep,
+        F.col("__no").cast("bigint").alias("child_no"),
+        F.regexp_extract("__e", SITEMAP_LOC_RE, 1).alias("loc"),
+        F.regexp_extract("__e", SITEMAP_LASTMOD_RE, 1).alias("lastmod"),
+    )
+
+
 # ------------- fetch-response triage (soft-404 and wall detection)
 #
 # HTTP 200 does not mean content: real crawls are full of soft-404s,
@@ -1007,6 +1039,41 @@ def http_response_fields(raw: Column | str) -> list[Column]:
             F.regexp_extract(ctype_raw, r"(?i)charset=\"?([A-Za-z0-9_-]+)", 1)
         ).alias("charset"),
         F.regexp_extract(c, HTTP_BODY_RE, 1).alias("body"),
+    ]
+
+
+def revalidation_fields(raw: Column | str) -> list[Column]:
+    """Conditional-refetch planning from a response envelope — the HTTP
+    caching tier a recrawler runs before spending a fetch: pages that
+    handed out validators are re-checked with a conditional request
+    (304 costs headers, 200 costs the page), everything else is a full
+    fetch. Columns: etag, last_modified (head-scoped, spoof-proof),
+    action ('conditional_etag' — If-None-Match wins when both
+    validators exist — | 'conditional_modified' | 'full_fetch'),
+    validator (the If-None-Match / If-Modified-Since value to send),
+    fresh_for_s (Cache-Control max-age seconds; 0 when absent or
+    no-store — the window needing NO request at all).
+
+    One codegen'd projection, zero shuffle; composes after
+    ``http_response_fields`` in the fetch-store chain."""
+    c = F.col(raw) if isinstance(raw, str) else raw
+    etag = http_header(c, "ETag")
+    last_mod = http_header(c, "Last-Modified")
+    cache_ctl = http_header(c, "Cache-Control")
+    no_store = cache_ctl.rlike("(?i)no-store")
+    max_age_s = F.regexp_extract(cache_ctl, r"(?i)max-age=([0-9]+)", 1)
+    return [
+        etag.alias("etag"),
+        last_mod.alias("last_modified"),
+        F.when(etag != "", F.lit("conditional_etag"))
+        .when(last_mod != "", F.lit("conditional_modified"))
+        .otherwise(F.lit("full_fetch"))
+        .alias("action"),
+        F.when(etag != "", etag).otherwise(last_mod).alias("validator"),
+        F.when(no_store | (max_age_s == ""), F.lit(0))
+        .otherwise(max_age_s.cast("bigint"))
+        .cast("bigint")
+        .alias("fresh_for_s"),
     ]
 
 
