@@ -1254,14 +1254,11 @@ def _q_leakage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _leakage_spans_oracle() -> str:
-    t_test = format(int(10.0 * 65536 / 100), "04x")
-    t_val = format(int(20.0 * 65536 / 100), "04x")
-    split_case = (
-        f"CASE WHEN substring(md5('split|' || CAST({{id}} AS VARCHAR)), 1, 4)"
-        f" < '{t_test}' THEN 'test'"
-        f" WHEN substring(md5('split|' || CAST({{id}} AS VARCHAR)), 1, 4)"
-        f" < '{t_val}' THEN 'val' ELSE 'train' END"
+    from gcp_etl_pipeline_spark.operators.curation import (
+        dataset_split_case_sql,
     )
+
+    split_case = dataset_split_case_sql("{id}", val_pct=10.0, test_pct=10.0)
     return f"""
     WITH {_WINNOW_CTES},
     spans AS (

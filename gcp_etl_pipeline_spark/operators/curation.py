@@ -516,6 +516,29 @@ def dataset_split(
     )
 
 
+def dataset_split_case_sql(
+    id_expr: str,
+    val_pct: float = 2.0,
+    test_pct: float = 2.0,
+    salt: str = "split",
+) -> str:
+    """The DuckDB CASE expression that is the bit-exact twin of
+    ``dataset_split`` — the ONE definition oracles interpolate, so a
+    change to the split convention (salt, band order, hex granularity)
+    lands in every oracle at once instead of drifting copy by copy."""
+
+    def thr(pct: float) -> str:
+        n = int(pct * 65536 / 100)
+        return "g" if n >= 65536 else format(n, "04x")
+
+    h = f"substring(md5('{salt}|' || CAST({id_expr} AS VARCHAR)), 1, 4)"
+    return (
+        f"CASE WHEN {h} < '{thr(test_pct)}' THEN 'test'"
+        f" WHEN {h} < '{thr(test_pct + val_pct)}' THEN 'val'"
+        f" ELSE 'train' END"
+    )
+
+
 def gopher_gates(
     df: DataFrame,
     text_col: str = "text",

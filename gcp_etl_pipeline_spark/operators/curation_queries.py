@@ -747,19 +747,13 @@ def _q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "split")
 
 
-_SPLIT_T_TEST = format(int(5.0 * 65536 / 100), "04x")
-_SPLIT_T_VAL = format(int(10.0 * 65536 / 100), "04x")
-
 register(
     "dataset_split_assign",
     _q_dataset_split,
     f"""
     SELECT doc_id, lang,
-           CASE WHEN substring(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4)
-                     < '{_SPLIT_T_TEST}' THEN 'test'
-                WHEN substring(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4)
-                     < '{_SPLIT_T_VAL}' THEN 'val'
-                ELSE 'train' END AS split
+           {curation.dataset_split_case_sql('doc_id', val_pct=5.0,
+                                            test_pct=5.0)} AS split
     FROM documents
     """,
 )
@@ -3866,7 +3860,16 @@ def _q_revalidation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr(_REVAL_RAW.format(V="STRING", NL=nl)).alias("raw"),
     )
-    return raw.select("doc_id", *_text.revalidation_fields("raw"))
+    # materialize the head section behind a Generate barrier: the three
+    # validator extracts would otherwise each re-run the full-document
+    # head regex (the documented re-inlining trap)
+    heads = raw.select(
+        "doc_id",
+        F.posexplode(F.array(_text.http_head("raw"))).alias("__x", "head"),
+    ).drop("__x")
+    return heads.select(
+        "doc_id", *_text.revalidation_fields("head", assume_head=True)
+    )
 
 
 def _revalidation_oracle() -> str:
@@ -4040,22 +4043,10 @@ def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             _text.warc_records("blob", max_records=_WARC_MAX_RECORDS)
         ).alias("pos", "rec"),
     )
-    parsed = recs.select(
+    return _text.warc_envelope(recs).select(
         "blob_id",
         (F.col("pos") + 1).cast("bigint").alias("recno"),
-        F.trim(
-            F.regexp_extract(
-                F.col("rec")["head"],
-                _text.http_header_pattern("WARC-Target-URI"),
-                1,
-            )
-        ).alias("target_uri"),
-        *_text.http_response_fields(F.col("rec")["payload"]),
-    )
-    return parsed.select(
-        "blob_id",
-        "recno",
-        "target_uri",
+        F.col("url").alias("target_uri"),
         "status_code",
         "content_type",
         F.length("body").cast("bigint").alias("body_len"),
@@ -4109,22 +4100,11 @@ def _q_warc_intake(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = _warc_blobs(spark, sf_dir)
     recs = blobs.select(
-        "blob_id",
         F.posexplode(
             _text.warc_records("blob", max_records=_WARC_MAX_RECORDS)
         ).alias("pos", "rec"),
     )
-    env = recs.select(
-        F.trim(
-            F.regexp_extract(
-                F.col("rec")["head"],
-                _text.http_header_pattern("WARC-Target-URI"),
-                1,
-            )
-        ).alias("url"),
-        *_text.http_response_fields(F.col("rec")["payload"]),
-    )
-    gated = env.where(
+    gated = _text.warc_envelope(recs).where(
         (F.col("status_code") == 200)
         & F.col("content_type").startswith("text/")
     )
@@ -4194,7 +4174,10 @@ def warc_stream_src(spark: SparkSession, sf_dir: str) -> str:
     def _build(root: str) -> str:
         src = root + "/in"
         os.makedirs(src)
-        blobs = _warc_blobs(spark, sf_dir)
+        # pin once: the median collect + the two filtered writes below
+        # would otherwise each recompute the full scan->concat->groupBy
+        # fixture (three Spark jobs on every cold cache)
+        blobs = _warc_blobs(spark, sf_dir).localCheckpoint(eager=True)
         t = blobs.agg(F.floor(F.max("blob_id") / 2)).collect()[0][0]
         for i, pred in enumerate((f"blob_id <= {t}", f"blob_id > {t}")):
             tmp = f"{root}/tmp{i}"

@@ -1667,13 +1667,11 @@ def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _split_leakage_oracle() -> str:
-    t_test = format(int(10.0 * 65536 / 100), "04x")
-    t_val = format(int(20.0 * 65536 / 100), "04x")
-    split_case = f"""CASE WHEN substring(md5('split|' || CAST({{id}} AS VARCHAR)), 1, 4)
-                     < '{t_test}' THEN 'test'
-                WHEN substring(md5('split|' || CAST({{id}} AS VARCHAR)), 1, 4)
-                     < '{t_val}' THEN 'val'
-                ELSE 'train' END"""
+    from gcp_etl_pipeline_spark.operators.curation import (
+        dataset_split_case_sql,
+    )
+
+    split_case = dataset_split_case_sql("{id}", val_pct=10.0, test_pct=10.0)
     mins = ", ".join(
         f"MIN(substring(md5('{k}|' || shingle), 1, 16)) AS mh{k}"
         for k in range(_NUM_HASHES)
@@ -1908,15 +1906,11 @@ def _q_bitext_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bitext_split_leakage_oracle() -> str:
-    t_test = format(int(10.0 * 65536 / 100), "04x")
-    t_val = format(int(20.0 * 65536 / 100), "04x")
-    sc = (
-        "CASE WHEN substring(md5('split|' || CAST({id} AS VARCHAR)), 1, 4)"
-        f" < '{t_test}' THEN 'test'"
-        " WHEN substring(md5('split|' || CAST({id} AS VARCHAR)), 1, 4)"
-        f" < '{t_val}' THEN 'val'"
-        " ELSE 'train' END"
+    from gcp_etl_pipeline_spark.operators.curation import (
+        dataset_split_case_sql,
     )
+
+    sc = dataset_split_case_sql("{id}", val_pct=10.0, test_pct=10.0)
     return f"""
     WITH {_BTX_CTES}
     SELECT src_id, tgt_id, margin_u,

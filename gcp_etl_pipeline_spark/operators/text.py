@@ -91,7 +91,14 @@ def lang_id(text: Column | str) -> Column:
         F.lit(n + 1).alias("rank"),
         F.lit("und").alias("code"),
     )
-    return F.array_max(F.concat(F.array(sentinel), cands))["code"]
+    # coalesce: NULL text must stay 'und' (the pre-fold form's NULL
+    # comparisons fell through to the otherwise branch; the fold
+    # propagates NULL) — a shared operator's NULL contract is part of
+    # its semantics even when current fixtures never exercise it
+    return F.coalesce(
+        F.array_max(F.concat(F.array(sentinel), cands))["code"],
+        F.lit("und"),
+    )
 
 
 def _token_stats_fn(sh_series):
@@ -506,7 +513,11 @@ def normalize_url(url: Column | str) -> Column:
     c = F.col(url) if isinstance(url, str) else url
     p = F.locate("://", c)
     prefix = F.substring(c, F.lit(1), p - 1)
-    valid = (p > 0) & prefix.rlike("^[A-Za-z][A-Za-z0-9+.-]*$")
+    # \z, not $: Java's $ matches BEFORE a trailing line terminator, so
+    # 'HTTP\n' would pass as a valid scheme prefix and diverge from the
+    # anchored-regex semantics (and from the RE2 oracle twins, where $
+    # is end-of-text)
+    valid = (p > 0) & prefix.rlike("^[A-Za-z][A-Za-z0-9+.-]*\\z")
     scheme = F.lower(prefix)
     rest = F.substring(c, p + 3, F.length(c))
     return F.when(valid, _normalize_url_abs(scheme, rest)).otherwise(c)
@@ -1042,7 +1053,21 @@ def http_response_fields(raw: Column | str) -> list[Column]:
     ]
 
 
-def revalidation_fields(raw: Column | str) -> list[Column]:
+HTTP_HEAD_RE = r"(?s)^(.*?)(\r?\n\r?\n|$)"
+
+
+def http_head(raw: Column | str) -> Column:
+    """The envelope's header section (everything before the first blank
+    line) — extract it ONCE into a column when several header fields
+    will be read: each `http_header` call re-runs this full-document
+    regex otherwise (expressions are trees; no CSE across references)."""
+    c = F.col(raw) if isinstance(raw, str) else raw
+    return F.regexp_extract(c, HTTP_HEAD_RE, 1)
+
+
+def revalidation_fields(
+    raw: Column | str, *, assume_head: bool = False
+) -> list[Column]:
     """Conditional-refetch planning from a response envelope — the HTTP
     caching tier a recrawler runs before spending a fetch: pages that
     handed out validators are re-checked with a conditional request
@@ -1055,11 +1080,22 @@ def revalidation_fields(raw: Column | str) -> list[Column]:
     no-store — the window needing NO request at all).
 
     One codegen'd projection, zero shuffle; composes after
-    ``http_response_fields`` in the fetch-store chain."""
+    ``http_response_fields`` in the fetch-store chain.
+
+    Pass ``assume_head=True`` when the input is already the header
+    section (``http_head`` materialized behind a barrier): the three
+    field extracts each embed the full-document head regex otherwise —
+    the no-CSE expression-duplication trap — so the hot path extracts
+    the head once per record, not once per field reference."""
     c = F.col(raw) if isinstance(raw, str) else raw
-    etag = http_header(c, "ETag")
-    last_mod = http_header(c, "Last-Modified")
-    cache_ctl = http_header(c, "Cache-Control")
+    head = c if assume_head else http_head(c)
+    etag = F.trim(F.regexp_extract(head, http_header_pattern("ETag"), 1))
+    last_mod = F.trim(
+        F.regexp_extract(head, http_header_pattern("Last-Modified"), 1)
+    )
+    cache_ctl = F.trim(
+        F.regexp_extract(head, http_header_pattern("Cache-Control"), 1)
+    )
     no_store = cache_ctl.rlike("(?i)no-store")
     max_age_s = F.regexp_extract(cache_ctl, r"(?i)max-age=([0-9]+)", 1)
     return [
@@ -1132,7 +1168,12 @@ def warc_records(blob: Column | str, max_records: int = 32) -> Column:
         hdr_end = F.locate("\r\n\r\n", rest)
         head = F.substring(rest, F.lit(1), hdr_end - 1)
         clen_s = F.regexp_extract(head, WARC_CONTENT_LENGTH_RE, 1)
-        clen = F.when(clen_s != "", clen_s.cast("int"))
+        # try_cast, not cast: under ANSI a Content-Length >= 2^31
+        # (legal for a >2GiB record, or adversarial) must stop the
+        # walk like every other malformed frame — the oracle twin's
+        # TRY_CAST does — not fail the job. (A JVM string can't hold
+        # a >2GiB payload anyway, so int is the honest width.)
+        clen = F.when(clen_s != "", clen_s.try_cast("int"))
         payload = F.substring(rest, hdr_end + 4, clen)
         ok = (
             rest.startswith(WARC_MAGIC)
@@ -1164,6 +1205,26 @@ def warc_records(blob: Column | str, max_records: int = 32) -> Column:
         init,
         step,
         lambda acc: acc["recs"],
+    )
+
+
+def warc_envelope(recs: DataFrame, rec_col: str = "rec") -> DataFrame:
+    """The shared record -> envelope step of the fetch-store chain:
+    for exploded WARC records (a struct<head, payload> column), emit
+    ``url`` (WARC-Target-URI, head-scoped) plus the four
+    ``http_response_fields`` columns. Batch twin, streaming twin, and
+    any future consumer share THIS definition — a gate or extraction
+    fix lands once, not per twin."""
+    keep = [c for c in recs.columns if c != rec_col]
+    r = F.col(rec_col)
+    return recs.select(
+        *keep,
+        F.trim(
+            F.regexp_extract(
+                r["head"], http_header_pattern("WARC-Target-URI"), 1
+            )
+        ).alias("url"),
+        *http_response_fields(r["payload"]),
     )
 
 

@@ -860,17 +860,7 @@ def _q_stream_warc_intake(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _text.warc_records("blob", max_records=_WARC_MAX_RECORDS)
             ).alias("pos", "rec")
         )
-        env = recs.select(
-            F.trim(
-                F.regexp_extract(
-                    F.col("rec")["head"],
-                    _text.http_header_pattern("WARC-Target-URI"),
-                    1,
-                )
-            ).alias("url"),
-            *_text.http_response_fields(F.col("rec")["payload"]),
-        )
-        gated = env.where(
+        gated = _text.warc_envelope(recs).where(
             (F.col("status_code") == 200)
             & F.col("content_type").startswith("text/")
         )

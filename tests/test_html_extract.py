@@ -253,6 +253,10 @@ def test_normalize_url_scheme_guard_adversarial(spark):
         ("", ""),
         ("ftp://Host/Dir/", "ftp://host/Dir"),
         ("http://h/?q=1#f", "http://h?q=1"),
+        # Java $ matches before a trailing line terminator; the guard
+        # must use \z or 'HTTP\n' passes as a valid scheme prefix
+        ("HTTP\n://Host/x/", "HTTP\n://Host/x/"),
+        ("HTTP\r\n://Host/x/", "HTTP\r\n://Host/x/"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, (u, _) in enumerate(cases)], "i BIGINT, u STRING"
@@ -552,8 +556,14 @@ def test_warc_records_torn_and_capped(spark):
     badmagic = _warc_rec("one", "a") + "GARBAGE" + _warc_rec("two", "b")
     # max_records caps the walk
     many = "".join(_warc_rec(f"p{i}", f"r{i}") for i in range(6))
+    # Content-Length past int32 must STOP the walk (try_cast -> NULL,
+    # like the oracle's TRY_CAST), not throw under ANSI
+    huge = _warc_rec("ok", "a") + (
+        "WARC/1.0\r\nContent-Length: 3000000000\r\n\r\nx"
+    )
     df = spark.createDataFrame(
-        [(1, torn), (2, badmagic), (3, many), (4, ""), (5, None)],
+        [(1, torn), (2, badmagic), (3, many), (4, ""), (5, None),
+         (6, huge)],
         "i BIGINT, blob STRING",
     )
     got = {
@@ -567,6 +577,7 @@ def test_warc_records_torn_and_capped(spark):
     assert got[3] == ["p0", "p1", "p2", "p3"]  # capped at 4
     assert got[4] == []
     assert got[5] == []
+    assert got[6] == ["ok"]
 
 
 def test_warc_records_binary_roundtrip(spark):
@@ -591,6 +602,17 @@ def test_warc_records_binary_roundtrip(spark):
     assert len(rows) == 2
     assert bytes(rows[0]["p"]) == payload
     assert bytes(rows[1]["p"]) == payload
+
+
+def test_lang_id_null_text_is_und(spark):
+    # NULL text must stay 'und' (the pre-fold form's NULL comparisons
+    # fell through to 'und'; the fold would propagate NULL without the
+    # coalesce) — consumers group on the result
+    df = spark.createDataFrame([(1, None), (2, "the cat and dog")],
+                               "i BIGINT, t STRING")
+    got = {r["i"]: r["l"] for r in
+           df.select("i", text.lang_id("t").alias("l")).collect()}
+    assert got == {1: "und", 2: "en"}, got
 
 
 def test_sentences_control_char_input(spark):
