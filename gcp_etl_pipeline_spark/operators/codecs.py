@@ -208,3 +208,199 @@ def wav_samples(data: bytes) -> tuple[int, bytes]:
                 f"(got {w.getnchannels()}ch x {8 * w.getsampwidth()}-bit)"
             )
         return w.getframerate(), w.readframes(w.getnframes())
+
+
+# ------------------------------------------------ PDF (scoped text codec)
+#
+# The third real stdlib codec (after PNG/zlib and WAV/wave): a SCOPED
+# PDF writer/reader for text-object documents — enough for the crawl
+# intake tier to stop dropping application/pdf outright. The writer
+# emits genuine PDF 1.4 (correct xref byte offsets, a viewer opens it);
+# the reader is Length-driven (never scans for 'endstream', which can
+# legally occur inside FlateDecode bytes), inflates /FlateDecode
+# content streams with zlib, and extracts Tj/TJ show-text operators
+# with full string-literal escape handling (\\ \( \) \n \r \t \b \f,
+# octal \ddd, line continuations, nested balanced parens). Out of
+# scope — and loudly rejected, never silently mis-read: indirect
+# /Length references, non-Flate filters, hex strings, CMap-encoded
+# fonts. A real deployment swaps in pdfminer the way PIL swaps into
+# stdlib_codec; the Spark plumbing is shared.
+
+PDF_MAGIC = b"%PDF-"
+
+
+def _pdf_escape(s: str) -> str:
+    return (
+        s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    )
+
+
+def encode_pdf(pages: list[str], compress: bool = False) -> bytes:
+    """A real single-font PDF 1.4: one page per entry, each page one
+    BT/Tj/ET text object. ``compress=True`` FlateDecode-compresses the
+    content streams (zlib — same determinism argument as gzip_member).
+    Offsets in the xref table are byte-correct."""
+    n_pages = len(pages)
+    objs: list[bytes] = []
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    font_num = 3 + 2 * n_pages
+    for i, text in enumerate(pages):
+        content = f"BT /F1 12 Tf 72 720 Td ({_pdf_escape(text)}) Tj ET".encode(
+            "latin-1"
+        )
+        filt = b""
+        if compress:
+            import zlib
+
+            content = zlib.compress(content, 6)
+            filt = b" /Filter /FlateDecode"
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {4 + 2 * i} 0 R "
+            f"/Resources << /Font << /F1 {font_num} 0 R >> >> >>".encode()
+        )
+        objs.append(
+            f"<< /Length {len(content)}".encode()
+            + filt
+            + b" >>\nstream\n"
+            + content
+            + b"\nendstream"
+        )
+    objs.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode()
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n".encode()
+    )
+    return bytes(out)
+
+
+def _pdf_string(b: bytes, i: int) -> tuple[str, int]:
+    """Parse one PDF string literal starting at ``b[i] == '('``;
+    returns (decoded text, index past the closing paren)."""
+    depth, i, out = 1, i + 1, bytearray()
+    esc = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}
+    while i < len(b) and depth:
+        c = b[i]
+        if c == 0x5C:  # backslash escape
+            i += 1
+            if i >= len(b):
+                break
+            e = b[i]
+            if e in esc:
+                out.append(esc[e])
+                i += 1
+            elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                val, k = 0, 0
+                while k < 3 and i < len(b) and 0x30 <= b[i] <= 0x37:
+                    val = val * 8 + b[i] - 0x30
+                    i += 1
+                    k += 1
+                out.append(val & 0xFF)
+            elif e == 0x0A:  # line continuation
+                i += 1
+            elif e == 0x0D:
+                i += 1
+                if i < len(b) and b[i] == 0x0A:
+                    i += 1
+            else:  # \( \) \\ and any unknown escape: literal char
+                out.append(e)
+                i += 1
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth:
+                out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return out.decode("latin-1"), i
+
+
+def _pdf_streams(data: bytes) -> list[bytes]:
+    """All decoded stream objects, Length-driven. The /Length key of
+    each stream dict says exactly how many bytes follow the
+    ``stream`` keyword's EOL — scanning for ``endstream`` instead
+    would tear inside FlateDecode bytes that contain it by chance."""
+    import re
+    import zlib
+
+    out = []
+    for m in re.finditer(rb"<<(.*?)>>\s*stream(\r\n|\n)", data, re.DOTALL):
+        d = m.group(1)
+        lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", d)
+        if not lm:
+            raise ValueError(
+                "unsupported PDF: missing or indirect /Length"
+            )
+        start = m.end()
+        n = int(lm.group(1))
+        if start + n > len(data):
+            raise ValueError("truncated PDF stream")
+        body = data[start : start + n]
+        if b"/Filter" in d:
+            if b"FlateDecode" not in d:
+                raise ValueError(
+                    f"unsupported PDF filter in {d[:80]!r}"
+                )
+            body = zlib.decompress(body)
+        out.append(body)
+    return out
+
+
+def pdf_text(data: bytes) -> str:
+    """Extract shown text from every content stream: Tj appends its
+    string, TJ appends each string element of its array (kerning
+    numbers skipped), and each BT..ET text object becomes one output
+    line. Raises on non-PDF magic or unsupported constructs — callers
+    route that into their decode_error column."""
+    if data[: len(PDF_MAGIC)] != PDF_MAGIC:
+        raise ValueError("not a PDF (bad magic)")
+    streams = _pdf_streams(data)
+    if not streams:
+        # a text-document PDF with zero content streams is a torn or
+        # out-of-scope file — surface it, don't return '' silently
+        raise ValueError("no content streams found")
+    lines: list[str] = []
+    for stream in streams:
+        i, cur, shown = 0, [], False
+        while i < len(stream):
+            c = stream[i]
+            if c == 0x28:  # string literal
+                s, i = _pdf_string(stream, i)
+                cur.append(s)
+                continue
+            if stream[i : i + 2] == b"BT":
+                cur, shown = [], False
+                i += 2
+                continue
+            if stream[i : i + 2] == b"ET":
+                if shown:
+                    lines.append("".join(cur))
+                cur, shown = [], False
+                i += 2
+                continue
+            if stream[i : i + 2] in (b"Tj", b"TJ"):
+                shown = True
+                i += 2
+                continue
+            i += 1
+    return "\n".join(lines)

@@ -3971,24 +3971,38 @@ def _warc_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _warc_walk_ctes() -> str:
+def _warc_walk_ctes(payload_expr: str | None = None, torn: bool = False) -> str:
     """Shared oracle CTE chain: fixture blobs + the depth-capped
     recursive Content-Length walk. Yields `walk` rows (blob_id, rest,
-    recno, head, payload) with recno >= 1 being real records."""
+    recno, head, payload) with recno >= 1 being real records.
+
+    ``payload_expr`` overrides the per-document payload (the warc.gz
+    twin plants literal gzip magic); ``torn`` models the compressed
+    fixture's truncated trailing member — the LAST record of every
+    blob_id % 5 = 4 blob never inflates, so it is excluded from the
+    plaintext reconstruction (gzip_members stops at a torn member)."""
     from gcp_etl_pipeline_spark.operators import text as _text
 
     nl = "chr(13) || chr(10)"
     clen_re = _sql_lit(_text.WARC_CONTENT_LENGTH_RE)
+    payload = (payload_expr or _WARC_PAYLOAD).format(V="VARCHAR", NL=nl)
+    torn_pred = (
+        "QUALIFY NOT (blob_id % 5 = 4 AND doc_id = "
+        "MAX(doc_id) OVER (PARTITION BY blob_id))"
+        if torn
+        else ""
+    )
     return f"""
     p AS (SELECT doc_id,
-            {_WARC_PAYLOAD.format(V="VARCHAR", NL=nl)} AS payload
+            {payload} AS payload
           FROM documents),
     r AS (SELECT doc_id, doc_id // 4 AS blob_id,
             {_WARC_RECORD.format(V="VARCHAR", NL=nl)} AS record
           FROM p),
+    rk AS (SELECT * FROM r {torn_pred}),
     blobs AS (SELECT blob_id, string_agg(record, '' ORDER BY doc_id)
                 AS blob
-              FROM r GROUP BY 1),
+              FROM rk GROUP BY 1),
     walk AS (
       SELECT blob_id, blob AS rest, 0 AS recno,
              CAST(NULL AS VARCHAR) AS head,
@@ -4156,6 +4170,641 @@ def _warc_intake_oracle() -> str:
 
 
 register("warc_intake_pipeline", _q_warc_intake, _warc_intake_oracle())
+
+
+# ----------- gzip-member compressed fetch stores (warc.gz framing)
+
+# the compressed twin of _WARC_PAYLOAD: records that compress as STORED
+# blocks (doc_id % 3 = 0, level 0) also carry LITERAL gzip magic bytes
+# in their body — the compressed store then contains '\x1f\x8b\x08'
+# mid-member, exactly where a magic-scanning splitter tears and the
+# zlib end-of-stream walk does not
+_WARCGZ_PAYLOAD = (
+    _WARC_PAYLOAD
+    + " || CASE WHEN doc_id % 3 = 0 THEN chr(31) || chr(139) || chr(8) "
+    "|| ' not a member' ELSE '' END"
+)
+
+
+def _warcgz_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed fetch-store fixture: one gzip member per WARC record
+    (the warc.gz layout), members concatenated per 4-record blob.
+    doc_id % 3 = 0 members are STORED (level 0) so their planted magic
+    bytes appear verbatim in the compressed stream; every
+    blob_id % 5 = 4 blob is truncated 7 bytes into its trailing
+    member's gzip trailer — a torn member the walk must drop cleanly
+    (never a partial record). applyInPandas build is fixture plumbing:
+    real stores arrive already chunked and compressed."""
+    import pandas as pd
+
+    from gcp_etl_pipeline_spark.operators.text import gzip_member
+
+    nl = "chr(13) || chr(10)"
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    payload = docs.select(
+        "doc_id",
+        F.expr(_WARCGZ_PAYLOAD.format(V="STRING", NL=nl)).alias("payload"),
+    )
+    rec = payload.select(
+        F.expr("doc_id DIV 4").alias("blob_id"),
+        "doc_id",
+        F.expr(_WARC_RECORD.format(V="STRING", NL=nl)).alias("record"),
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        gz = b"".join(
+            gzip_member(r.encode("ISO-8859-1"), 0 if int(d) % 3 == 0 else 6)
+            for d, r in zip(pdf["doc_id"], pdf["record"])
+        )
+        bid = int(pdf["blob_id"].iloc[0])
+        if bid % 5 == 4:
+            gz = gz[:-7]
+        return pd.DataFrame({"blob_id": [bid], "gz": [gz]})
+
+    return rec.groupBy("blob_id").applyInPandas(
+        build, "blob_id BIGINT, gz BINARY"
+    )
+
+
+_GZ_MAGIC_SQL = "chr(31) || chr(139) || chr(8)"
+
+
+def _q_warcgz_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """warc.gz record extraction END TO END: compressed member store
+    -> stream-driven member split + inflate (text.gunzip_store, Arrow
+    batches + stdlib zlib) -> the UNCHANGED Content-Length record walk
+    and envelope parse. Hazards proven by the graded output: literal
+    gzip magic inside STORED members stays in its body
+    (body_has_gz_magic), torn trailing members vanish without a
+    partial record (n_members drops, the oracle reconstruction drops
+    the same record), and n_members == the walk's record count — the
+    member framing and the record framing must agree blob by blob.
+
+    Scale shape: parallel unit is the store blob row; inflate is one
+    Arrow-batched pass, the walk a zero-shuffle projection — payloads
+    never shuffle."""
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    blobs = _warcgz_blobs(spark, sf_dir)
+    inflated = _text.gunzip_store(blobs, "gz", "blob")
+    recs = inflated.select(
+        "blob_id",
+        F.col("n_members").cast("bigint").alias("n_members"),
+        F.posexplode(
+            _text.warc_records("blob", max_records=_WARC_MAX_RECORDS)
+        ).alias("pos", "rec"),
+    )
+    return _text.warc_envelope(recs).select(
+        "blob_id",
+        "n_members",
+        (F.col("pos") + 1).cast("bigint").alias("recno"),
+        F.col("url").alias("target_uri"),
+        "status_code",
+        "content_type",
+        F.length("body").cast("bigint").alias("body_len"),
+        F.expr(f"locate({_GZ_MAGIC_SQL}, body) > 0").alias(
+            "body_has_gz_magic"
+        ),
+    )
+
+
+def _warcgz_extract_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    uri_re = _sql_lit(_text.http_header_pattern("WARC-Target-URI"))
+    ct_re = _sql_lit(_text.http_header_pattern("Content-Type"))
+    status_re = _sql_lit(_text.HTTP_STATUS_RE)
+    body_re = _sql_lit(_text.HTTP_BODY_RE)
+    return f"""
+    WITH RECURSIVE
+    {_warc_walk_ctes(payload_expr=_WARCGZ_PAYLOAD, torn=True)},
+    nm AS (SELECT blob_id, COUNT(*) AS n_members FROM rk GROUP BY 1),
+    f AS (SELECT blob_id, recno, head, payload,
+            regexp_extract(payload, {status_re}, 1) AS status,
+            trim(regexp_extract(
+              regexp_extract(payload, '(?s)^(.*?)(\\r?\\n\\r?\\n|$)', 1),
+              {ct_re}, 1)) AS ctype_raw,
+            regexp_extract(payload, {body_re}, 1) AS body
+          FROM walk WHERE recno >= 1)
+    SELECT f.blob_id,
+           CAST(nm.n_members AS BIGINT) AS n_members,
+           CAST(recno AS BIGINT) AS recno,
+           trim(regexp_extract(head, {uri_re}, 1)) AS target_uri,
+           CAST(CASE WHEN status = '' THEN 0
+                ELSE CAST(status AS BIGINT) END AS BIGINT) AS status_code,
+           lower(trim(regexp_extract(ctype_raw, '^([^;]*)', 1)))
+             AS content_type,
+           CAST(length(body) AS BIGINT) AS body_len,
+           position(({_GZ_MAGIC_SQL}) IN body) > 0 AS body_has_gz_magic
+    FROM f JOIN nm ON f.blob_id = nm.blob_id
+    """
+
+
+register("warcgz_record_extract", _q_warcgz_extract, _warcgz_extract_oracle())
+
+
+def _q_warcgz_intake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full intake chain over a COMPRESSED fetch store: member
+    split + inflate -> record walk -> envelope -> fetchability gate
+    (200 + text/*) -> triage verdict + token count. Identical
+    downstream semantics to warc_intake_pipeline — the compression
+    tier composes in front of the chain without touching it, which is
+    the design point: a fix to the gate or triage lands once for
+    plaintext and compressed stores alike."""
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    blobs = _warcgz_blobs(spark, sf_dir)
+    inflated = _text.gunzip_store(blobs, "gz", "blob")
+    recs = inflated.select(
+        F.posexplode(
+            _text.warc_records("blob", max_records=_WARC_MAX_RECORDS)
+        ).alias("pos", "rec"),
+    )
+    gated = _text.warc_envelope(recs).where(
+        (F.col("status_code") == 200)
+        & F.col("content_type").startswith("text/")
+    )
+    return gated.select(
+        "url",
+        _text.fetch_triage("body").alias("verdict"),
+        _text.token_count("body").cast("bigint").alias("n_tokens"),
+    )
+
+
+def _warcgz_intake_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    uri_re = _sql_lit(_text.http_header_pattern("WARC-Target-URI"))
+    ct_re = _sql_lit(_text.http_header_pattern("Content-Type"))
+    status_re = _sql_lit(_text.HTTP_STATUS_RE)
+    body_re = _sql_lit(_text.HTTP_BODY_RE)
+    verdict = "'ok'"
+    for name, pat in reversed(_text.TRIAGE_CLASSES):
+        verdict = (
+            f"CASE WHEN regexp_matches(body, {_sql_lit(pat)}) "
+            f"THEN '{name}' ELSE {verdict} END"
+        )
+    return f"""
+    WITH RECURSIVE
+    {_warc_walk_ctes(payload_expr=_WARCGZ_PAYLOAD, torn=True)},
+    f AS (SELECT head, payload,
+            regexp_extract(payload, {status_re}, 1) AS status,
+            trim(regexp_extract(
+              regexp_extract(payload, '(?s)^(.*?)(\\r?\\n\\r?\\n|$)', 1),
+              {ct_re}, 1)) AS ctype_raw,
+            regexp_extract(payload, {body_re}, 1) AS body
+          FROM walk WHERE recno >= 1),
+    g AS (SELECT trim(regexp_extract(head, {uri_re}, 1)) AS url, body
+          FROM f
+          WHERE CASE WHEN status = '' THEN 0
+                     ELSE CAST(status AS BIGINT) END = 200
+            AND starts_with(
+                  lower(trim(regexp_extract(ctype_raw, '^([^;]*)', 1))),
+                  'text/'))
+    SELECT url,
+           CASE WHEN length(body) < {_text.TRIAGE_MIN_CHARS}
+                THEN 'empty' ELSE {verdict} END AS verdict,
+           CAST(len(list_filter(
+                  string_split_regex(lower(body), '[^a-z0-9]+'),
+                  t -> t <> '')) AS BIGINT) AS n_tokens
+    FROM g
+    """
+
+
+register("warcgz_intake_pipeline", _q_warcgz_intake, _warcgz_intake_oracle())
+
+
+# ----------------- PDF text extraction (the application/pdf branch)
+
+
+def _q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scoped stdlib PDF codec end to end: real two-page PDFs built
+    per document (even doc_ids FlateDecode-compressed, odd plaintext;
+    page text plants parens AND a backslash so the string-literal
+    escape round trip is exercised, doc_id % 11 truncated to 40 bytes
+    — a torn file that must become a decode_error row, never a silent
+    empty string) -> Arrow-batched pdf_text_stage. The oracle is
+    closed-form: expected text is a pure function of (doc_id, text),
+    so any corruption in xref layout, Flate round trip, Length-driven
+    stream framing, or escape decoding breaks the hash."""
+    import pandas as pd
+
+    from gcp_etl_pipeline_spark.operators import text as _text
+    from gcp_etl_pipeline_spark.operators.codecs import encode_pdf
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                pages = [f"Doc {d} (crawl) \\ fetch", t[:60]]
+                blob = encode_pdf(pages, compress=(d % 2 == 0))
+                if d % 11 == 0:
+                    blob = blob[:40]
+                rows.append((d, blob))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    blobs = docs.mapInPandas(build, "doc_id BIGINT, content BINARY")
+    return _text.pdf_text_stage(blobs, "content", "pdf_text").select(
+        "doc_id", "pdf_text", "decode_error"
+    )
+
+
+_PDF_EXTRACT_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 11 = 0 THEN NULL
+            ELSE 'Doc ' || CAST(doc_id AS VARCHAR) || ' (crawl) '
+                 || chr(92) || ' fetch' || chr(10) || substr(text, 1, 60)
+       END AS pdf_text,
+       CASE WHEN doc_id % 11 = 0 THEN 'no content streams found'
+            ELSE NULL END AS decode_error
+FROM documents
+"""
+
+
+register("pdf_text_extract", _q_pdf_extract, _PDF_EXTRACT_ORACLE)
+
+
+# the WARC payload variant whose application/pdf records carry a REAL
+# (uncompressed, SQL-constructible) PDF body instead of opaque text —
+# page text plants parens that the PDF writer must escape and the
+# reader unescape; doc_id % 9 = 0 prepends a byte that breaks the
+# magic (a torn/garbled fetch that must become pdf_error, not a crash)
+def _pdf_body_sql() -> str:
+    page = "substring(text, 1, 40) || ' (pg ' || CAST(doc_id AS {V}) || ')'"
+    esc = (
+        f"replace(replace({page}, '(', chr(92) || '('), "
+        f"')', chr(92) || ')')"
+    )
+    ct = f"'BT /F1 12 Tf (' || {esc} || ') Tj ET'"
+    return (
+        "CASE WHEN doc_id % 9 = 0 THEN 'X' ELSE '' END || "
+        "'%PDF-1.4' || chr(10) || '1 0 obj' || chr(10) || "
+        f"'<< /Length ' || CAST(length({ct}) AS {{V}}) || ' >>' || chr(10)"
+        f" || 'stream' || chr(10) || {ct} || chr(10) || 'endstream' || "
+        "chr(10) || 'endobj'"
+    )
+
+
+_WARC_PDF_PAYLOAD = (
+    "'HTTP/1.1 ' || CASE doc_id % 5 WHEN 3 THEN '404 Not Found' "
+    "ELSE '200 OK' END || {NL} || "
+    "CASE doc_id % 4 WHEN 2 THEN 'Content-Type: application/pdf' "
+    "ELSE 'Content-Type: text/html; charset=UTF-8' END || {NL} || "
+    "{NL} || "
+    "CASE WHEN doc_id % 4 = 2 THEN " + _pdf_body_sql() + " ELSE "
+    "'Content-Type: evil/fake' || {NL} || "
+    "'doc ' || CAST(doc_id AS {V}) || ' ' || substring(text, 1, 40) || "
+    "CASE WHEN doc_id % 7 = 0 THEN ' page not found ' ELSE '' END || "
+    "CASE WHEN doc_id % 3 = 0 THEN {NL} || 'WARC/1.0' || {NL} || "
+    "'Content-Length: 3' || {NL} || {NL} || 'xyz' ELSE '' END END"
+)
+
+
+def _q_warc_intake_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The intake gate STOPS dropping application/pdf: fetch-store walk
+    -> envelope -> gate widened to (200, text/* OR application/pdf) ->
+    the pdf branch routes through pdf_text_stage (magic-broken bodies
+    become 'pdf_error', never a crash or a silent drop) and rejoins the
+    text branch for the SAME shared triage + token counting. Output is
+    (url, content_class, verdict, n_tokens) — one schema for both
+    branches, the shape a mixed crawl corpus actually lands in.
+
+    Scale: the pdf branch is the only Python stage (Arrow-batched,
+    per-record parallel unit); text rows never leave the JVM."""
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    nl = "chr(13) || chr(10)"
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    payload = docs.select(
+        "doc_id",
+        F.expr(_WARC_PDF_PAYLOAD.format(V="STRING", NL=nl)).alias(
+            "payload"
+        ),
+    )
+    rec = payload.select(
+        F.expr("doc_id DIV 4").alias("blob_id"),
+        "doc_id",
+        F.expr(_WARC_RECORD.format(V="STRING", NL=nl)).alias("record"),
+    )
+    blobs = rec.groupBy("blob_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "record"))),
+                lambda s: s["record"],
+            ),
+            "",
+        ).alias("blob")
+    )
+    recs = blobs.select(
+        F.posexplode(
+            _text.warc_records("blob", max_records=_WARC_MAX_RECORDS)
+        ).alias("pos", "rec"),
+    )
+    gated = _text.warc_envelope(recs).where(
+        (F.col("status_code") == 200)
+        & (
+            F.col("content_type").startswith("text/")
+            | (F.col("content_type") == "application/pdf")
+        )
+    )
+    text_rows = gated.where(
+        F.col("content_type").startswith("text/")
+    ).select(
+        "url",
+        F.lit("text").alias("content_class"),
+        _text.fetch_triage("body").alias("verdict"),
+        _text.token_count("body").cast("bigint").alias("n_tokens"),
+    )
+    pdf_ex = _text.pdf_text_stage(
+        gated.where(F.col("content_type") == "application/pdf").select(
+            "url", "body"
+        ),
+        "body",
+        "pdf_text",
+    )
+    pdf_rows = pdf_ex.select(
+        "url",
+        F.lit("pdf").alias("content_class"),
+        F.when(F.col("decode_error").isNotNull(), F.lit("pdf_error"))
+        .otherwise(_text.fetch_triage("pdf_text"))
+        .alias("verdict"),
+        F.when(F.col("decode_error").isNotNull(), F.lit(0))
+        .otherwise(_text.token_count("pdf_text"))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    return text_rows.unionByName(pdf_rows)
+
+
+def _warc_intake_pdf_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    uri_re = _sql_lit(_text.http_header_pattern("WARC-Target-URI"))
+    ct_re = _sql_lit(_text.http_header_pattern("Content-Type"))
+    status_re = _sql_lit(_text.HTTP_STATUS_RE)
+    body_re = _sql_lit(_text.HTTP_BODY_RE)
+
+    def verdict(col: str) -> str:
+        v = "'ok'"
+        for name, pat in reversed(_text.TRIAGE_CLASSES):
+            v = (
+                f"CASE WHEN regexp_matches({col}, {_sql_lit(pat)}) "
+                f"THEN '{name}' ELSE {v} END"
+            )
+        return (
+            f"CASE WHEN length({col}) < {_text.TRIAGE_MIN_CHARS} "
+            f"THEN 'empty' ELSE {v} END"
+        )
+
+    def tokens(col: str) -> str:
+        return (
+            f"CAST(len(list_filter(string_split_regex(lower({col}), "
+            f"'[^a-z0-9]+'), t -> t <> '')) AS BIGINT)"
+        )
+
+    return f"""
+    WITH RECURSIVE
+    {_warc_walk_ctes(payload_expr=_WARC_PDF_PAYLOAD)},
+    f AS (SELECT head, payload,
+            regexp_extract(payload, {status_re}, 1) AS status,
+            lower(trim(regexp_extract(
+              regexp_extract(
+                regexp_extract(payload, '(?s)^(.*?)(\\r?\\n\\r?\\n|$)', 1),
+                {ct_re}, 1), '^([^;]*)', 1))) AS ctype,
+            regexp_extract(payload, {body_re}, 1) AS body
+          FROM walk WHERE recno >= 1),
+    g AS (SELECT trim(regexp_extract(head, {uri_re}, 1)) AS url,
+                 ctype, body
+          FROM f
+          WHERE CASE WHEN status = '' THEN 0
+                     ELSE CAST(status AS BIGINT) END = 200
+            AND (starts_with(ctype, 'text/')
+                 OR ctype = 'application/pdf')),
+    tx AS (SELECT url, 'text' AS content_class,
+                 {verdict('body')} AS verdict,
+                 {tokens('body')} AS n_tokens
+          FROM g WHERE starts_with(ctype, 'text/')),
+    px0 AS (SELECT url,
+             starts_with(body, '%PDF-') AS ok,
+             replace(replace(
+               regexp_extract(body, '(?s)Tf \\((.*)\\) Tj ET', 1),
+               chr(92) || '(', '('), chr(92) || ')', ')') AS extracted
+           FROM g WHERE ctype = 'application/pdf'),
+    px AS (SELECT url, 'pdf' AS content_class,
+                 CASE WHEN NOT ok THEN 'pdf_error'
+                      ELSE {verdict('extracted')} END AS verdict,
+                 CASE WHEN NOT ok THEN CAST(0 AS BIGINT)
+                      ELSE {tokens('extracted')} END AS n_tokens
+          FROM px0)
+    SELECT * FROM tx UNION ALL SELECT * FROM px
+    """
+
+
+register("warc_intake_pdf", _q_warc_intake_pdf, _warc_intake_pdf_oracle())
+
+
+# ---------- conditional-fetch response merge (revalidation round trip)
+
+# simulated revalidation RESPONSES for the _REVAL_RAW stored captures:
+# 500s (doc_id % 7) keep everything untouched; 304s (doc_id % 3) reuse
+# the stored body — including the PROTOCOL-VIOLATION 304 sent to a
+# full_fetch plan (doc_id % 4 = 3 stored rows hold no validator, so a
+# 304 there is a server bug that must fall to 'kept', never reuse a
+# body the server could not have validated); 200s replace. Every
+# response carries exactly one refreshed validator (ETag on even ids,
+# Last-Modified on odd) and odd ids a Cache-Control freshness window.
+_REVAL_RESP_RAW = (
+    "'HTTP/1.1 ' || CASE WHEN doc_id % 7 = 0 "
+    "THEN '500 Internal Server Error' "
+    "WHEN doc_id % 3 = 0 THEN '304 Not Modified' ELSE '200 OK' END "
+    "|| {NL} || "
+    "CASE WHEN doc_id % 2 = 0 THEN 'ETag: \"n' || CAST(doc_id AS {V}) "
+    "|| '\"' || {NL} "
+    "ELSE 'Last-Modified: Wed, 12 Aug 2026 08:00:00 GMT' || {NL} END || "
+    "CASE WHEN doc_id % 2 = 1 THEN 'Cache-Control: max-age=' "
+    "|| CAST(300 + doc_id % 5 * 300 AS {V}) || {NL} ELSE '' END || "
+    "{NL} || "
+    "CASE WHEN doc_id % 3 = 0 OR doc_id % 7 = 0 THEN '' "
+    "ELSE 'updated ' || substring(text, 5, 30) END"
+)
+
+_STORED_US = "1000000 + doc_id"
+_RESP_US = "2000000 + doc_id"
+
+
+def _q_revalidation_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESPONSE side of conditional fetching — what
+    revalidation_plan only plans: stored captures (validators + body)
+    joined with their revalidation responses, merged per RFC-9111
+    shape. 200 -> replace body, validators, capture time; 304 on a
+    CONDITIONAL plan -> reuse the stored body, refresh the capture
+    time + freshness window, refresh each validator the 304 carries
+    (stored value kept where the 304 is silent); 5xx or an unplanned
+    304 (the stored row had no validator to send) -> keep the stored
+    capture untouched. Output is the refreshed latest-capture table:
+    (doc_id, outcome, content_fp, captured_us, etag, last_modified,
+    fresh_for_s) — content_fp over the merged body is what the
+    snapshot-dedup tier fingerprints.
+
+    Scale: both sides are head-barriered single projections; the merge
+    is one equi-join on the capture key (url/doc partition key at
+    100 TB — co-partitioned store and fetch log make it shuffle-free)."""
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    nl = "CASE WHEN doc_id % 2 = 0 THEN chr(13) || chr(10) ELSE chr(10) END"
+
+    def sided(raw_expr: str, prefix: str, with_status: bool) -> DataFrame:
+        raw = docs.select(
+            "doc_id",
+            F.expr(raw_expr.format(V="STRING", NL=nl)).alias("raw"),
+        )
+        # Generate barrier: head extracted once per record, the
+        # documented re-inlining trap (same as revalidation_plan)
+        h = raw.select(
+            "doc_id",
+            "raw",
+            F.posexplode(F.array(_text.http_head("raw"))).alias(
+                "__x", "head"
+            ),
+        ).drop("__x")
+        cols = [
+            F.col("doc_id"),
+            F.regexp_extract("raw", _text.HTTP_BODY_RE, 1).alias(
+                f"{prefix}_body"
+            ),
+        ]
+        if with_status:
+            cols.append(
+                F.regexp_extract("raw", _text.HTTP_STATUS_RE, 1)
+                .cast("int")
+                .alias(f"{prefix}_status")
+            )
+        fields = _text.revalidation_fields("head", assume_head=True)
+        names = ["etag", "last_modified", "action", "validator",
+                 "fresh_for_s"]
+        cols += [f.alias(f"{prefix}_{n}") for f, n in zip(fields, names)]
+        return h.select(*cols)
+
+    stored = sided(_REVAL_RAW, "st", with_status=False)
+    resp = sided(_REVAL_RESP_RAW, "re", with_status=True)
+    m = stored.join(resp, "doc_id")
+    reused = (F.col("re_status") == 304) & (
+        F.col("st_action") != "full_fetch"
+    )
+    replaced = F.col("re_status") == 200
+    pick = lambda a, b: F.when(F.col(a) != "", F.col(a)).otherwise(  # noqa: E731
+        F.col(b)
+    )
+    return m.select(
+        "doc_id",
+        F.when(replaced, F.lit("replaced"))
+        .when(reused, F.lit("reused"))
+        .otherwise(F.lit("kept"))
+        .alias("outcome"),
+        F.md5(
+            F.when(replaced, F.col("re_body")).otherwise(F.col("st_body"))
+        ).alias("content_fp"),
+        F.when(replaced | reused, F.expr(_RESP_US))
+        .otherwise(F.expr(_STORED_US))
+        .cast("bigint")
+        .alias("captured_us"),
+        F.when(replaced, F.col("re_etag"))
+        .when(reused, pick("re_etag", "st_etag"))
+        .otherwise(F.col("st_etag"))
+        .alias("etag"),
+        F.when(replaced, F.col("re_last_modified"))
+        .when(reused, pick("re_last_modified", "st_last_modified"))
+        .otherwise(F.col("st_last_modified"))
+        .alias("last_modified"),
+        F.when(replaced | reused, F.col("re_fresh_for_s"))
+        .otherwise(F.col("st_fresh_for_s"))
+        .cast("bigint")
+        .alias("fresh_for_s"),
+    )
+
+
+def _revalidation_merge_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    nl = "CASE WHEN doc_id % 2 = 0 THEN chr(13) || chr(10) ELSE chr(10) END"
+    etag_re = _sql_lit(_text.http_header_pattern("ETag"))
+    lm_re = _sql_lit(_text.http_header_pattern("Last-Modified"))
+    cc_re = _sql_lit(_text.http_header_pattern("Cache-Control"))
+    status_re = _sql_lit(_text.HTTP_STATUS_RE)
+    body_re = _sql_lit(_text.HTTP_BODY_RE)
+
+    def side(raw_expr: str, name: str) -> str:
+        return f"""
+    {name}0 AS (SELECT doc_id,
+                  {raw_expr.format(V="VARCHAR", NL=nl)} AS raw
+                FROM documents),
+    {name}1 AS (SELECT doc_id, raw,
+                  regexp_extract(raw, '(?s)^(.*?)(\\r?\\n\\r?\\n|$)', 1)
+                    AS head
+                FROM {name}0),
+    {name} AS (SELECT doc_id,
+                 regexp_extract(raw, {body_re}, 1) AS body,
+                 TRY_CAST(regexp_extract(raw, {status_re}, 1) AS INT)
+                   AS status,
+                 trim(regexp_extract(head, {etag_re}, 1)) AS etag,
+                 trim(regexp_extract(head, {lm_re}, 1)) AS last_modified,
+                 regexp_matches(
+                   trim(regexp_extract(head, {cc_re}, 1)),
+                   '(?i)no-store') AS no_store,
+                 regexp_extract(
+                   trim(regexp_extract(head, {cc_re}, 1)),
+                   '(?i)max-age=([0-9]+)', 1) AS max_age_s
+               FROM {name}1)"""
+
+    return f"""
+    WITH {side(_REVAL_RAW, "st")},
+    {side(_REVAL_RESP_RAW, "re")},
+    j AS (SELECT st.doc_id,
+            st.body AS st_body, st.etag AS st_etag,
+            st.last_modified AS st_lm,
+            CASE WHEN st.no_store OR st.max_age_s = '' THEN 0
+                 ELSE CAST(st.max_age_s AS BIGINT) END AS st_fresh,
+            st.etag <> '' OR st.last_modified <> '' AS conditional,
+            re.status AS re_status, re.body AS re_body,
+            re.etag AS re_etag, re.last_modified AS re_lm,
+            CASE WHEN re.no_store OR re.max_age_s = '' THEN 0
+                 ELSE CAST(re.max_age_s AS BIGINT) END AS re_fresh
+          FROM st JOIN re ON st.doc_id = re.doc_id),
+    k AS (SELECT *,
+            re_status = 200 AS replaced,
+            re_status = 304 AND conditional AS reused
+          FROM j)
+    SELECT doc_id,
+           CASE WHEN replaced THEN 'replaced'
+                WHEN reused THEN 'reused' ELSE 'kept' END AS outcome,
+           md5(CASE WHEN replaced THEN re_body ELSE st_body END)
+             AS content_fp,
+           CAST(CASE WHEN replaced OR reused THEN {_RESP_US}
+                ELSE {_STORED_US} END AS BIGINT) AS captured_us,
+           CASE WHEN replaced THEN re_etag
+                WHEN reused THEN
+                  CASE WHEN re_etag <> '' THEN re_etag ELSE st_etag END
+                ELSE st_etag END AS etag,
+           CASE WHEN replaced THEN re_lm
+                WHEN reused THEN
+                  CASE WHEN re_lm <> '' THEN re_lm ELSE st_lm END
+                ELSE st_lm END AS last_modified,
+           CAST(CASE WHEN replaced OR reused THEN re_fresh
+                ELSE st_fresh END AS BIGINT) AS fresh_for_s
+    FROM k
+    """
+
+
+register(
+    "revalidation_merge", _q_revalidation_merge, _revalidation_merge_oracle()
+)
 
 
 def warc_stream_src(spark: SparkSession, sf_dir: str) -> str:

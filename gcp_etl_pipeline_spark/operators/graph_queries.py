@@ -101,6 +101,165 @@ def _oracle() -> str:
 register("graph_pagerank", _q_pagerank, _oracle())
 
 
+# --------------- incremental PageRank (delta-edges warm start)
+
+_INC_HI = "46"  # base graph < '40'; the full graph adds the 40..45 slice
+_INC_MAX = 4
+# the tolerance is a DIAL; this fixture value deliberately lands the
+# gate differently per scale factor (measured at round-12 build): at
+# sf0.001 it never fires (all 4 rounds live), at sf0.01 it fires on
+# the final round, at sf0.1 it fires after round 1 — so the sweeps
+# exercise the no-fire, fire-at-last, and fire-early + carry-forward
+# paths of BOTH the engine's break and the oracle's done-flag unroll
+_INC_TOL = 2_000_000_000
+
+
+def _pr_edges(spark: SparkSession, sf_dir: str, hi: str) -> DataFrame:
+    """Bidirected customer-supplier edges for the md5-sampled customer
+    slice below ``hi`` — the shared fixture of the full-recompute and
+    warm-start queries."""
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    lineitem = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    orders = orders.filter(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 2) < hi
+    )
+    fwd = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    return fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def _q_pagerank_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental link-graph maintenance (the ledger twin the graph
+    tier lacked): yesterday's scores (a 3-iteration full run on the
+    base slice) warm-start the recurrence on the GROWN graph (a ~15%
+    customer-slice delta), gated at an integer tolerance instead of a
+    fixed round count. The oracle unrolls the SAME gated recurrence
+    with a converged-flag carry-forward, so a divergence in the stop
+    decision — not just in scores — breaks the hash."""
+    from gcp_etl_pipeline_spark.operators.pagerank import pagerank_warm
+
+    base = _pr_edges(spark, sf_dir, "40")
+    full = _pr_edges(spark, sf_dir, _INC_HI)
+    prev = pagerank(base, iterations=_ITER, damping_pct=_DAMP)
+    return pagerank_warm(
+        full,
+        prev,
+        max_iterations=_INC_MAX,
+        tol_u=_INC_TOL,
+        damping_pct=_DAMP,
+    )
+
+
+def _edges_ctes(tag: str, hi: str) -> str:
+    return f"""
+    e0{tag} AS MATERIALIZED (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS STRING) AS src,
+                      's' || CAST(l_suppkey AS STRING) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE substring(md5(CAST(o_custkey AS STRING)), 1, 2) < '{hi}'
+    ),
+    e{tag} AS MATERIALIZED (
+      SELECT src, dst FROM e0{tag}
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM e0{tag}
+    ),
+    n{tag} AS MATERIALIZED (
+      SELECT src AS node FROM e{tag}
+      UNION
+      SELECT dst AS node FROM e{tag}
+    ),
+    deg{tag} AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e{tag} GROUP BY 1),
+    c{tag} AS MATERIALIZED (
+      SELECT CAST({SCALE} // COUNT(*) AS BIGINT) AS pr0,
+             CAST(({SCALE} * (100 - {_DAMP})) // 100 // COUNT(*)
+               AS BIGINT) AS base
+      FROM n{tag}
+    )"""
+
+
+def _inc_oracle() -> str:
+    parts = [_edges_ctes("b", "40"), _edges_ctes("f", _INC_HI)]
+    parts.append(
+        "rb0 AS MATERIALIZED (SELECT node, (SELECT pr0 FROM cb) AS pr_u FROM nb)"
+    )
+    prev = "rb0"
+    for i in range(1, _ITER + 1):
+        parts.append(
+            f"""
+    cbi{i} AS MATERIALIZED (
+      SELECT e.dst AS node, SUM(r.pr_u // d.outdeg) AS in_u
+      FROM eb e
+      JOIN {prev} r ON e.src = r.node
+      JOIN degb d ON e.src = d.src
+      GROUP BY 1
+    ),
+    rb{i} AS MATERIALIZED (
+      SELECT nd.node,
+             CAST((SELECT base FROM cb)
+                  + (COALESCE(c.in_u, 0) * {_DAMP}) // 100 AS BIGINT)
+               AS pr_u
+      FROM nb nd LEFT JOIN cbi{i} c ON nd.node = c.node
+    )"""
+        )
+        prev = f"rb{i}"
+    # warm start over the full graph + the converged-flag gated unroll
+    parts.append(
+        f"""
+    s0 AS MATERIALIZED (
+      SELECT nd.node,
+             CAST(COALESCE(p.pr_u, (SELECT pr0 FROM cf)) AS BIGINT)
+               AS pr_u
+      FROM nf nd LEFT JOIN {prev} p ON nd.node = p.node
+    ),
+    done0 AS MATERIALIZED (SELECT FALSE AS done)"""
+    )
+    for i in range(1, _INC_MAX + 1):
+        parts.append(
+            f"""
+    cfi{i} AS MATERIALIZED (
+      SELECT e.dst AS node, SUM(r.pr_u // d.outdeg) AS in_u
+      FROM ef e
+      JOIN s{i - 1} r ON e.src = r.node
+      JOIN degf d ON e.src = d.src
+      GROUP BY 1
+    ),
+    x{i} AS MATERIALIZED (
+      SELECT nd.node,
+             CAST((SELECT base FROM cf)
+                  + (COALESCE(c.in_u, 0) * {_DAMP}) // 100 AS BIGINT)
+               AS pr_u
+      FROM nf nd LEFT JOIN cfi{i} c ON nd.node = c.node
+    ),
+    d{i} AS MATERIALIZED (SELECT MAX(ABS(x.pr_u - s.pr_u)) AS mx
+             FROM x{i} x JOIN s{i - 1} s ON x.node = s.node),
+    done{i} AS MATERIALIZED (SELECT (SELECT done FROM done{i - 1})
+                  OR (SELECT mx FROM d{i}) <= {_INC_TOL} AS done),
+    s{i} AS MATERIALIZED (
+      SELECT s.node,
+             CASE WHEN (SELECT done FROM done{i - 1}) THEN s.pr_u
+                  ELSE x.pr_u END AS pr_u
+      FROM s{i - 1} s JOIN x{i} x ON s.node = x.node
+    )"""
+        )
+    body = ",".join(parts)
+    return f"WITH {body}\n    SELECT node, pr_u FROM s{_INC_MAX}"
+
+
+register("graph_pagerank_incremental", _q_pagerank_inc, _inc_oracle())
+
+
 # ------------------------- HITS hubs/authorities (link-graph analysis)
 
 _HITS_ITER = 2

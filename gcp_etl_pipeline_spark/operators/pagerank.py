@@ -89,6 +89,107 @@ def pagerank(
     return ranks
 
 
+def pagerank_warm(
+    edges: DataFrame,
+    prev_ranks: DataFrame,
+    max_iterations: int = 4,
+    tol_u: int = 1_000_000,
+    damping_pct: int = 85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Incremental PageRank: warm-start the same integer recurrence as
+    ``pagerank()`` from a PREVIOUS score table (the last full run
+    before a small edge delta) and stop at an INTEGER convergence gate
+    — max |pr_u - prev_u| <= ``tol_u`` rank units, checked per
+    iteration via a 1-row scalar aggregate (the scalar_max_crossjoin
+    collect pattern; bounded by design).
+
+    Why warm-start works: the damped recurrence is a contraction, so
+    iteration converges to the SAME fixed point from any start — a
+    start near the old scores after a small delta needs far fewer
+    rounds than a cold SCALE/n start. New nodes (absent from
+    ``prev_ranks``) seed at SCALE/n over the NEW node count; base_u is
+    recomputed for the new n, so the fixed point is exactly
+    ``pagerank(edges_new)``'s target.
+
+    Determinism contract: every operation is the same associative
+    integer math as ``pagerank()``, and the stop rule is an integer
+    compare — so the iteration count, and therefore the result, is
+    bit-identical under any partitioning, and a SQL oracle reproduces
+    it by unrolling ``max_iterations`` rounds with a converged-flag
+    carry-forward (post-convergence rounds are explicit no-ops).
+
+    Plan shape per iteration: identical to ``pagerank()`` (one groupBy
+    shuffle + broadcast-able rank join) plus one node-sized diff join
+    for the gate. At 100 TB the gate's max-diff aggregate is node-sized
+    and map-side combined — the edges never re-shuffle for it."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    degrees = (
+        edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    )
+    base_u = (SCALE * (100 - damping_pct)) // 100 // n
+
+    ranks = (
+        nodes.join(
+            prev_ranks.select("node", F.col("pr_u").alias("__prev_u")),
+            "node",
+            "left",
+        )
+        .select(
+            "node",
+            F.coalesce("__prev_u", F.lit(SCALE // n))
+            .cast("bigint")
+            .alias("pr_u"),
+        )
+        .persist()
+    )
+
+    for _ in range(max_iterations):
+        contribs = (
+            edges.join(ranks, edges[src] == ranks["node"])
+            .join(degrees, src)
+            .select(
+                F.col(dst).alias("node"),
+                F.expr("pr_u DIV outdeg").alias("contrib_u"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib_u").alias("in_u"))
+        )
+        new_ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"{base_u} + (coalesce(in_u, 0L) * {damping_pct})"
+                    " DIV 100"
+                ).alias("pr_u"),
+            )
+            .persist()
+        )
+        # integer convergence gate: one node-sized 1-row aggregate
+        diff = (
+            new_ranks.select("node", F.col("pr_u").alias("__new_u"))
+            .join(ranks, "node")
+            .agg(F.max(F.abs(F.col("__new_u") - F.col("pr_u"))))
+            .collect()[0][0]
+        )
+        ranks.unpersist()
+        ranks = new_ranks
+        if diff is not None and diff <= tol_u:
+            break
+
+    nodes.unpersist()
+    degrees.unpersist()
+    return ranks
+
+
 HITS_SCALE = 1_000_000  # score units after per-round max-normalization
 
 

@@ -1228,6 +1228,164 @@ def warc_envelope(recs: DataFrame, rec_col: str = "rec") -> DataFrame:
     )
 
 
+# ------------- gzip-member compressed fetch stores (warc.gz framing)
+#
+# Real crawl archives are not plaintext: each record is its own gzip
+# MEMBER and members are concatenated (the warc.gz convention), so a
+# store can seek to one record without inflating the whole file. The
+# member walk below is STREAM-driven — zlib reports where each member
+# ends via ``unused_data`` after the end-of-stream marker — never
+# magic-driven: DEFLATE output can contain the ``\x1f\x8b`` magic by
+# chance, and a STORED-block member (compression level 0) whose payload
+# itself holds literal gzip magic reproduces it verbatim mid-member, so
+# scanning for magic bytes tears exactly there. A torn trailing member
+# (truncated before its end-of-stream trailer) stops the walk at the
+# last complete member — the same rule warc_records applies to a torn
+# final record.
+
+GZIP_MAGIC = b"\x1f\x8b"
+
+
+def gzip_member(data: bytes, level: int = 6) -> bytes:
+    """One deterministic gzip member. ``zlib.compressobj(wbits=31)``
+    writes a fixed mtime-0 header (unlike ``gzip.compress``, whose
+    default header embeds wall-clock time — nondeterministic fixtures).
+    ``level=0`` emits STORED blocks: the payload bytes appear verbatim
+    in the compressed stream, which the fixture uses to plant literal
+    gzip magic INSIDE a member."""
+    import zlib
+
+    co = zlib.compressobj(level, zlib.DEFLATED, 31)
+    return co.compress(data) + co.flush()
+
+
+def gzip_members(data: bytes, max_members: int = 1024) -> list[bytes]:
+    """Split a concatenated-gzip-member store and inflate each member.
+    Stops at the first torn member (``eof`` never reached: truncated
+    DEFLATE stream or trailer) or corrupt stream (bad CRC raises inside
+    zlib) — partial members never yield partial payloads."""
+    import zlib
+
+    out: list[bytes] = []
+    rest = data
+    while len(out) < max_members and rest[:2] == GZIP_MAGIC:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            chunk = d.decompress(rest)
+        except zlib.error:
+            break
+        if not d.eof:
+            break
+        out.append(chunk)
+        rest = d.unused_data
+    return out
+
+
+def gunzip_store(
+    df: DataFrame, gz_col: str = "gz", out_col: str = "blob"
+) -> DataFrame:
+    """Inflate a compressed fetch store: a binary ``gz_col`` holding
+    concatenated gzip members (one WARC record per member, the warc.gz
+    layout) becomes ``out_col`` — the plaintext store string (members
+    joined, ISO-8859-1 decoded so the char walk IS the byte walk:
+    warc_records' binary-mode contract) — plus ``n_members``. All other
+    columns pass through.
+
+    Shape: Arrow-batched ``mapInPandas`` with stdlib zlib (the
+    operators/codecs.py precedent) — the parallel unit stays the blob
+    row, payloads never shuffle, and the output feeds the existing
+    ``warc_records``/``warc_envelope`` chain unchanged. At 100 TB the
+    per-task unit of work is one store object, exactly how a cluster
+    inflates a crawl archive."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    keep = [f for f in df.schema.fields if f.name != gz_col]
+    schema = StructType(
+        [
+            *keep,
+            StructField(out_col, StringType()),
+            StructField("n_members", IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            members = [gzip_members(bytes(b)) for b in pdf[gz_col]]
+            out = pdf.drop(columns=[gz_col]).copy()
+            out[out_col] = pd.Series(
+                [b"".join(m).decode("ISO-8859-1") for m in members],
+                index=pdf.index,
+                dtype="object",
+            )
+            out["n_members"] = pd.Series(
+                [len(m) for m in members], index=pdf.index, dtype="int32"
+            )
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
+def pdf_text_stage(
+    df: DataFrame,
+    content_col: str = "content",
+    out_col: str = "pdf_text",
+    err_col: str = "decode_error",
+) -> DataFrame:
+    """Arrow-batched PDF text extraction over a content column — the
+    intake branch that stops the gate from dropping application/pdf.
+    ``content_col`` may be BINARY (raw store bytes) or STRING (the WARC
+    body world, ISO-8859-1 — every char is one byte, so encoding back
+    recovers the exact bytes). Corrupt or out-of-scope documents become
+    ``err_col`` rows instead of failing the stage (at 100 TB some PDFs
+    WILL be torn) — the decode_media error-row discipline. All other
+    columns pass through; parallel unit is the document row."""
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from gcp_etl_pipeline_spark.operators.codecs import pdf_text
+
+    is_str = {
+        f.name: f.dataType.simpleString() for f in df.schema.fields
+    }[content_col] == "string"
+    keep = [f for f in df.schema.fields if f.name != content_col]
+    schema = StructType(
+        [
+            *keep,
+            StructField(out_col, StringType()),
+            StructField(err_col, StringType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            texts: list[str | None] = []
+            errs: list[str | None] = []
+            for b in pdf[content_col]:
+                try:
+                    data = (
+                        b.encode("ISO-8859-1") if is_str else bytes(b)
+                    )
+                    texts.append(pdf_text(data))
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001
+                    texts.append(None)
+                    errs.append(str(e)[:200])
+            out = pdf.drop(columns=[content_col]).copy()
+            out[out_col] = pd.Series(
+                texts, index=pdf.index, dtype="object"
+            )
+            out[err_col] = pd.Series(errs, index=pdf.index, dtype="object")
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
 # ---------------- sentence segmentation (sub-document curation unit)
 #
 # The unit between token and paragraph: sentence-level dedup is how

@@ -109,3 +109,60 @@ def test_resize_images_spark_handles_png_and_grft(spark):
     from gcp_etl_pipeline_spark.operators.multimodal import _fake_decode
     assert _fake_decode(out[2])["width"] == 8  # header repack
     assert out[3] == rows[2][1]  # audio untouched
+
+
+def test_pdf_roundtrip_flate_and_plain():
+    from gcp_etl_pipeline_spark.operators.codecs import encode_pdf, pdf_text
+
+    pages = ["Hello (world) \\ back", "second page. q(x) = y", ""]
+    for comp in (False, True):
+        pdf = encode_pdf(pages, compress=comp)
+        assert pdf[:5] == b"%PDF-" and b"%%EOF" in pdf
+        assert pdf_text(pdf) == "\n".join(pages), comp
+    # deterministic encode (fixture reproducibility)
+    assert encode_pdf(pages, True) == encode_pdf(pages, True)
+
+
+def test_pdf_xref_offsets_are_byte_correct():
+    import re
+
+    from gcp_etl_pipeline_spark.operators.codecs import encode_pdf
+
+    pdf = encode_pdf(["one", "two"])
+    xref_at = int(re.search(rb"startxref\n(\d+)", pdf).group(1))
+    assert pdf[xref_at : xref_at + 4] == b"xref"
+    offsets = [
+        int(m.group(1))
+        for m in re.finditer(rb"^(\d{10}) 00000 n", pdf[xref_at:], re.M)
+    ]
+    for num, off in enumerate(offsets, start=1):
+        assert pdf[off:].startswith(f"{num} 0 obj".encode()), (num, off)
+
+
+def test_pdf_text_rejects_garbage_loudly():
+    import pytest
+
+    from gcp_etl_pipeline_spark.operators.codecs import encode_pdf, pdf_text
+
+    pdf = encode_pdf(["page"], compress=True)
+    with pytest.raises(ValueError, match="magic"):
+        pdf_text(b"not a pdf")
+    with pytest.raises(ValueError, match="no content streams"):
+        pdf_text(pdf[:40])  # torn before any stream
+    import re
+
+    cut = pdf[: re.search(rb"stream\r?\n", pdf).end() + 3]
+    with pytest.raises(ValueError, match="truncated"):
+        pdf_text(cut)  # torn inside a stream body
+
+
+def test_pdf_tj_arrays_octal_and_nested_parens():
+    from gcp_etl_pipeline_spark.operators.codecs import pdf_text
+
+    raw = b"BT [(ab) -120 (cd\\051e)] TJ ET BT (\\101\\102 (nested)) Tj ET"
+    body = (
+        b"<< /Length " + str(len(raw)).encode() + b" >>\nstream\n"
+        + raw + b"\nendstream"
+    )
+    doc = b"%PDF-1.4\n1 0 obj\n" + body + b"\nendobj\n%%EOF\n"
+    assert pdf_text(doc) == "abcd)e\nAB (nested)"

@@ -650,3 +650,50 @@ def test_sentences_segmentation(spark):
     }
     for i, (t, want) in enumerate(cases):
         assert got[i] == want, (t, got[i])
+
+
+def test_gzip_members_split_torn_and_literal_magic():
+    """Pure-python member walk: split + inflate concatenated members,
+    stop at a torn trailing member, and survive literal gzip magic
+    inside a STORED-block member (the hazard a magic-scanning splitter
+    cannot)."""
+    a = b"payload with magic \x1f\x8b\x08 inside + raw \xff\xfe bytes"
+    b = b"second member " * 10
+    m0 = text.gzip_member(a, 0)  # STORED: payload bytes verbatim
+    m1 = text.gzip_member(b, 6)
+    # the planted magic appears literally in the compressed stream
+    assert b"\x1f\x8b\x08" in m0[10:]
+    store = m0 + m1
+    assert text.gzip_members(store) == [a, b]
+    # torn trailing member (truncated into its trailer) drops cleanly
+    assert text.gzip_members(store[:-7]) == [a]
+    assert text.gzip_members(m0[:-7]) == []
+    assert text.gzip_members(b"") == []
+    # deterministic encode (mtime-0 header): fixture reproducibility
+    assert text.gzip_member(a, 0) == m0
+
+
+def test_gunzip_store_feeds_warc_chain_byte_exact(spark):
+    """Compressed store -> gunzip_store -> the unchanged warc_records
+    walk, byte-exact: non-UTF-8 payload bytes round-trip through the
+    ISO-8859-1 member join, and the record count equals n_members."""
+    payload = bytes([0xFF, 0x00, 0xC3, 0x28]) + b" \x1f\x8b\x08 tail"
+    rec = (
+        b"WARC/1.0\r\n"
+        + f"Content-Length: {len(payload)}\r\n".encode()
+        + b"\r\n" + payload + b"\r\n\r\n"
+    )
+    store = text.gzip_member(rec, 0) + text.gzip_member(rec, 6)
+    df = spark.createDataFrame([(1, store)], "i BIGINT, gz BINARY")
+    out = text.gunzip_store(df, "gz", "blob")
+    rows = out.select(
+        "i", "n_members",
+        F.posexplode(text.warc_records("blob")).alias("pos", "rec"),
+    ).select(
+        "n_members",
+        F.encode(F.col("rec")["payload"], "ISO-8859-1").alias("p"),
+    ).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["n_members"] == 2
+        assert bytes(r["p"]) == payload
