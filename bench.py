@@ -174,6 +174,13 @@ BENCH_QUERIES = [
     "stream_warc_intake",
     "revalidation_plan",
     "sitemap_index_expand",
+    # round-12 additions
+    "warcgz_record_extract",
+    "warcgz_intake_pipeline",
+    "pdf_text_extract",
+    "warc_intake_pdf",
+    "revalidation_merge",
+    "graph_pagerank_incremental",
 ]
 
 

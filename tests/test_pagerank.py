@@ -82,3 +82,78 @@ def test_reciprocity_farm_and_guard(spark):
     assert out["m0"]["recip_ratio_u"] == 1_000_000
     assert not out["m0"]["is_farm"]  # min_out guard
     assert "auth" not in out  # no out-edges -> no row (out-degree table)
+
+
+def test_pagerank_warm_gate_fires_at_fixed_point(spark):
+    """The a<->b cycle's exact integer fixed point is SCALE/2 per node
+    (base + 0.85*SCALE/2 == SCALE/2 with no floor loss). Warm-starting
+    FROM the fixed point, round 1 reproduces it bit-exactly, the gate
+    fires at diff=0 even with tol_u=0, and the result is unchanged —
+    the stop rule and the recurrence agree."""
+    from gcp_etl_pipeline_spark.operators.pagerank import (
+        SCALE as PR_SCALE,
+        pagerank_warm,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src STRING, dst STRING"
+    )
+    fp = PR_SCALE // 2
+    prev = spark.createDataFrame(
+        [("a", fp), ("b", fp)], "node STRING, pr_u BIGINT"
+    )
+    got = {
+        r["node"]: r["pr_u"]
+        for r in pagerank_warm(
+            edges, prev, max_iterations=10, tol_u=0
+        ).collect()
+    }
+    assert got == {"a": fp, "b": fp}, got
+
+
+def test_pagerank_warm_cold_start_equals_pagerank(spark):
+    """An EMPTY prev table seeds every node at SCALE/n — with the gate
+    disabled (tol 0 never fires inside max rounds) the warm loop IS
+    pagerank(): bit-identical scores round for round."""
+    from gcp_etl_pipeline_spark.operators.pagerank import pagerank_warm
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a")],
+        "src STRING, dst STRING",
+    )
+    empty = spark.createDataFrame([], "node STRING, pr_u BIGINT")
+    cold = pagerank_warm(edges, empty, max_iterations=3, tol_u=0)
+    full = pagerank(edges, iterations=3)
+    assert sorted(cold.collect()) == sorted(full.collect())
+
+
+def test_pagerank_warm_new_nodes_seed_uniform(spark):
+    """Nodes absent from prev_ranks seed at SCALE/n over the NEW node
+    count; present nodes keep their old score (checked via a 1-round
+    run whose input seeding is recoverable from the contributions)."""
+    from gcp_etl_pipeline_spark.operators.pagerank import (
+        SCALE as PR_SCALE,
+        pagerank_warm,
+    )
+
+    # two isolated pairs: a<->b (in prev), x<->y (new)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("x", "y"), ("y", "x")],
+        "src STRING, dst STRING",
+    )
+    prev = spark.createDataFrame(
+        [("a", 7_000_000_000_000), ("b", 3_000_000_000_000)],
+        "node STRING, pr_u BIGINT",
+    )
+    got = {
+        r["node"]: r["pr_u"]
+        for r in pagerank_warm(
+            edges, prev, max_iterations=1, tol_u=0
+        ).collect()
+    }
+    n = 4
+    base = (PR_SCALE * 15) // 100 // n
+    # one round: pr(dst) = base + 0.85 * seed(src) (out-degree 1)
+    assert got["b"] == base + 7_000_000_000_000 * 85 // 100
+    assert got["a"] == base + 3_000_000_000_000 * 85 // 100
+    assert got["x"] == got["y"] == base + (PR_SCALE // n) * 85 // 100

@@ -507,6 +507,161 @@ def main() -> int:
         lg_edges_n
     )
 
+    # Incremental PageRank: warm-start beats cold at smoke scale. The
+    # mega-hub graph above converges in <=3 rounds from ANY start
+    # (radius-2 structure), so warm-start has nothing to prove there;
+    # this graph has a SLOW mode — a depth-10 feedback ring fed by 5
+    # spokes per entry node — where the contraction is the damping
+    # factor per round. The delta adds a 6th spoke per entry node
+    # (~7% new edges). Expected scores AND the gated iteration counts
+    # replay at class level (all ~n nodes are degree-regular within
+    # their layer class), so both runs are value-exact; the measured
+    # claim is warm wall-time < cold wall-time off a 10x-closer start.
+    from gcp_etl_pipeline_spark.operators.pagerank import pagerank_warm
+
+    IC_D = 10
+    IC_SPK = 5
+    ic_wc = n // (IC_SPK + IC_D)  # ring layer width; total edges ~= n
+    ic_spokes = spark.range(IC_SPK * ic_wc).select(
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("src"),
+        F.concat(F.lit("c"), (F.col("id") % ic_wc).cast("string")).alias(
+            "dst"
+        ),
+    )
+    ic_chain = spark.range(IC_D * ic_wc).select(
+        F.concat(F.lit("c"), F.col("id").cast("string")).alias("src"),
+        F.concat(
+            F.lit("c"),
+            (
+                ((F.col("id") / ic_wc).cast("long") + 1) % IC_D * ic_wc
+                + F.col("id") % ic_wc
+            ).cast("string"),
+        ).alias("dst"),
+    )
+    ic_delta = spark.range(ic_wc).select(
+        F.concat(F.lit("t"), F.col("id").cast("string")).alias("src"),
+        F.concat(F.lit("c"), F.col("id").cast("string")).alias("dst"),
+    )
+    ic_edges2 = ic_spokes.union(ic_chain).union(ic_delta)
+
+    # class-level replays: prev fixed point (plain, 40 rounds), then
+    # the gated warm and cold recurrences — iteration counts included
+    def _ic_replay(sizes, inn, out, start, tol, max_iter):
+        n_t = sum(sizes.values())
+        base = PR_SCALE * 15 // 100 // n_t
+        outdeg = {c: sum(m for _, m in out[c]) for c in out}
+        cur = dict(start)
+        for it in range(1, max_iter + 1):
+            in_u = {
+                c: sum(m * (cur[d] // outdeg[d]) for d, m in inn.get(c, []))
+                for c in sizes
+            }
+            new = {
+                c: base + in_u.get(c, 0) * 85 // 100 for c in sizes
+            }
+            diff = max(abs(new[c] - cur[c]) for c in sizes)
+            cur = new
+            if diff <= tol:
+                return cur, it
+        return cur, max_iter
+
+    ic_sizes1 = {"S": IC_SPK * ic_wc}
+    ic_sizes1.update({f"C{k}": ic_wc for k in range(IC_D)})
+    ic_out1 = {"S": [("C0", 1)]}
+    ic_out1.update(
+        {f"C{k}": [(f"C{(k + 1) % IC_D}", 1)] for k in range(IC_D)}
+    )
+    ic_in1 = {"C0": [("S", IC_SPK), (f"C{IC_D - 1}", 1)]}
+    ic_in1.update({f"C{k}": [(f"C{k - 1}", 1)] for k in range(1, IC_D)})
+    ic_n1 = sum(ic_sizes1.values())
+    ic_prev, _ = _ic_replay(
+        ic_sizes1, ic_in1, ic_out1,
+        {c: PR_SCALE // ic_n1 for c in ic_sizes1}, 0, 40,
+    )
+    ic_sizes2 = dict(ic_sizes1, S2=ic_wc)
+    ic_in2 = dict(ic_in1)
+    ic_in2["C0"] = [("S", IC_SPK), (f"C{IC_D - 1}", 1), ("S2", 1)]
+    ic_out2 = dict(ic_out1, S2=[("C0", 1)])
+    ic_n2 = sum(ic_sizes2.values())
+    ic_warm0 = {c: ic_prev.get(c, PR_SCALE // ic_n2) for c in ic_sizes2}
+    ic_cold0 = {c: PR_SCALE // ic_n2 for c in ic_sizes2}
+    # tol = a quarter of the cold start's first-round displacement:
+    # fires cold at ~10 rounds (0.85^k decay), warm in 1-2
+    ic_probe, _ = _ic_replay(ic_sizes2, ic_in2, ic_out2, ic_cold0, -1, 1)
+    ic_d0 = max(abs(ic_probe[c] - ic_cold0[c]) for c in ic_sizes2)
+    ic_tol = ic_d0 // 4
+    exp_warm, ic_warm_iters = _ic_replay(
+        ic_sizes2, ic_in2, ic_out2, ic_warm0, ic_tol, 20
+    )
+    exp_cold, ic_cold_iters = _ic_replay(
+        ic_sizes2, ic_in2, ic_out2, ic_cold0, ic_tol, 20
+    )
+    assert ic_warm_iters < ic_cold_iters, (ic_warm_iters, ic_cold_iters)
+
+    def _ic_hist(scores):
+        h: dict[int, int] = {}
+        for c, sz in ic_sizes2.items():
+            h[scores[c]] = h.get(scores[c], 0) + sz
+        return h
+
+    ic_prev_df = spark.range(IC_SPK * ic_wc).select(
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("node"),
+        F.lit(ic_prev["S"]).alias("pr_u"),
+    )
+    for k in range(IC_D):
+        ic_prev_df = ic_prev_df.union(
+            spark.range(ic_wc).select(
+                F.concat(
+                    F.lit("c"), (F.col("id") + k * ic_wc).cast("string")
+                ).alias("node"),
+                F.lit(ic_prev[f"C{k}"]).alias("pr_u"),
+            )
+        )
+
+    t0 = time.time()
+    got_warm = {
+        r["pr_u"]: r["cnt"]
+        for r in pagerank_warm(
+            ic_edges2, ic_prev_df, max_iterations=20, tol_u=ic_tol
+        )
+        .groupBy("pr_u")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    t_warm = round(time.time() - t0, 2)
+    assert got_warm == _ic_hist(exp_warm), (got_warm, _ic_hist(exp_warm))
+
+    ic_empty_prev = spark.createDataFrame([], "node STRING, pr_u BIGINT")
+    t0 = time.time()
+    got_cold = {
+        r["pr_u"]: r["cnt"]
+        for r in pagerank_warm(
+            ic_edges2, ic_empty_prev, max_iterations=20, tol_u=ic_tol
+        )
+        .groupBy("pr_u")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    t_cold = round(time.time() - t0, 2)
+    assert got_cold == _ic_hist(exp_cold), (got_cold, _ic_hist(exp_cold))
+    assert t_warm < t_cold, (
+        f"warm {t_warm}s ({ic_warm_iters} rounds) not faster than "
+        f"cold {t_cold}s ({ic_cold_iters} rounds)"
+    )
+    ic_edges_n = (IC_SPK + IC_D + 1) * ic_wc
+    timings[
+        f"incr_pagerank_warm_{ic_edges_n // 1_000_000}m"
+    ] = t_warm
+    timings[
+        f"incr_pagerank_cold_{ic_edges_n // 1_000_000}m"
+    ] = t_cold
+    stage_rows[f"incr_pagerank_warm_{ic_edges_n // 1_000_000}m"] = (
+        ic_edges_n
+    )
+    stage_rows[f"incr_pagerank_cold_{ic_edges_n // 1_000_000}m"] = (
+        ic_edges_n
+    )
+
     # Bloom-pruned fact join: selective dim (1% of keys) should prune
     # fact rows at the scan, before the shuffle
     sel_dim = dim.where("dim_key % 100 = 0")
@@ -1615,6 +1770,96 @@ def main() -> int:
         time.time() - t0, 2
     )
     stage_rows[f"warc_smoke_frame_gate_{W_N // 1000}k"] = W_N
+
+    # COMPRESSED fetch store (warc.gz framing) at the same record
+    # count: the identical records, each its own gzip member (every
+    # third STORED — its planted in-body frame text appears verbatim
+    # in the compressed bytes), members concatenated per blob, then
+    # gunzip_store -> the UNCHANGED walk/envelope chain. Same
+    # closed-form asserts as the plaintext stage plus member-framing
+    # agreement: sum(n_members) == W (every member inflated, none torn
+    # or double-counted).
+    t0 = time.time()
+    w_gzsrc = spark.range(W_N).select(
+        F.expr("id DIV 8").alias("blob_id"),
+        _wid.alias("id"),
+        w_rec.alias("record"),
+    )
+
+    # per-RECORD compression in one Arrow pass + JVM binary concat per
+    # blob: 40x faster than applyInPandas-per-8-row-blob (SCALE.md r12)
+    def _w_gz_compress(batches):
+        for pdf in batches:
+            out = pdf[["blob_id", "id"]].copy()
+            out["m"] = [
+                _wtx.gzip_member(
+                    r.encode("ISO-8859-1"), 0 if int(i) % 3 == 0 else 6
+                )
+                for i, r in zip(pdf["id"], pdf["record"])
+            ]
+            yield out
+
+    w_gz_blobs = (
+        w_gzsrc.mapInPandas(
+            _w_gz_compress, "blob_id BIGINT, id BIGINT, m BINARY"
+        )
+        .groupBy("blob_id")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("id", "m"))),
+                    lambda s: s["m"],
+                ),
+                F.lit(b""),
+                lambda acc, x: F.concat(acc, x),
+            ).alias("gz")
+        )
+    )
+    w_gz_recs = _wtx.gunzip_store(w_gz_blobs, "gz", "blob").select(
+        "n_members",
+        F.posexplode(_wtx.warc_records("blob", max_records=8)).alias(
+            "pos", "rec"
+        ),
+    )
+    w_gz_stats = (
+        w_gz_recs.select(
+            "n_members",
+            *_wtx.http_response_fields(F.col("rec")["payload"]),
+        )
+        .select(
+            "n_members",
+            "status_code",
+            "content_type",
+            F.regexp_extract("body", r"^body ([0-9]+)", 1)
+            .cast("long")
+            .alias("bid"),
+            F.col("body").contains("WARC/1.0").alias("has_marker"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rec"),
+            F.sum("bid").alias("idsum"),
+            F.sum(F.col("has_marker").cast("long")).alias("n_marker"),
+            F.sum("n_members").alias("memsum"),
+            F.sum(
+                (
+                    (F.col("status_code") == 200)
+                    & F.col("content_type").startswith("text/")
+                ).cast("long")
+            ).alias("n_gate"),
+        )
+        .collect()[0]
+    )
+    assert w_gz_stats["n_rec"] == W_N, w_gz_stats
+    assert w_gz_stats["idsum"] == W_N * (W_N - 1) // 2, w_gz_stats
+    assert w_gz_stats["n_marker"] == W_N // 3, w_gz_stats
+    # each record contributes its blob's member count once per record:
+    # blobs of 8 -> sum over records of n_members == 8 * W
+    assert w_gz_stats["memsum"] == 8 * W_N, w_gz_stats
+    assert w_gz_stats["n_gate"] == W_N - W_N // 5, w_gz_stats
+    timings[f"warcgz_smoke_inflate_gate_{W_N // 1000}k"] = round(
+        time.time() - t0, 2
+    )
+    stage_rows[f"warcgz_smoke_inflate_gate_{W_N // 1000}k"] = W_N
 
     # Multimodal near-dup dedup at 1M-IMAGE smoke scale (the proof the
     # text tier has at 2M/20M docs): closed-form planted classes
