@@ -123,7 +123,16 @@ def pagerank_warm(
     Plan shape per iteration: identical to ``pagerank()`` (one groupBy
     shuffle + broadcast-able rank join) plus one node-sized diff join
     for the gate. At 100 TB the gate's max-diff aggregate is node-sized
-    and map-side combined — the edges never re-shuffle for it."""
+    and map-side combined — the edges never re-shuffle for it.
+
+    Each generation is ``localCheckpoint(eager=True)``-pinned rather
+    than persist+count: the gate makes high iteration counts normal
+    (the fixed-round ``pagerank()`` keeps persist — A/B'd equal at 3
+    rounds), and WITHOUT lineage truncation the logical plan doubles
+    per round — by round ~20 bare analysis of the 2^20-node tree would
+    dwarf the actual jobs (the plan-census caught the warm query at
+    17k operators in persist form). ContextCleaner frees the
+    checkpointed RDD blocks on GC."""
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
@@ -148,7 +157,7 @@ def pagerank_warm(
             .cast("bigint")
             .alias("pr_u"),
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     for _ in range(max_iterations):
@@ -171,7 +180,7 @@ def pagerank_warm(
                     " DIV 100"
                 ).alias("pr_u"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         # integer convergence gate: one node-sized 1-row aggregate
         diff = (
@@ -180,7 +189,6 @@ def pagerank_warm(
             .agg(F.max(F.abs(F.col("__new_u") - F.col("pr_u"))))
             .collect()[0][0]
         )
-        ranks.unpersist()
         ranks = new_ranks
         if diff is not None and diff <= tol_u:
             break
