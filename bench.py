@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "warc_intake_pdf",
     "revalidation_merge",
     "graph_pagerank_incremental",
+    "stream_warcgz_intake",
 ]
 
 

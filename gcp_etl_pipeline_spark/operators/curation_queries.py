@@ -4396,6 +4396,43 @@ def _warcgz_intake_oracle() -> str:
 register("warcgz_intake_pipeline", _q_warcgz_intake, _warcgz_intake_oracle())
 
 
+def warcgz_stream_src(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached SOURCE DIRECTORY for the COMPRESSED fetch-store
+    streaming twin: the warc.gz blob fixture split into two
+    blob_id-ordered, mtime-ordered parquet files — compressed crawl
+    chunks landing in object storage one at a time. Mirrors
+    ``warc_stream_src``."""
+    import glob as _glob
+    import os
+    import re as _re
+    import shutil
+
+    tag = "warcgzsrc_" + _re.sub(r"\W+", "_", sf_dir).strip("_")
+
+    def _build(root: str) -> str:
+        src = root + "/in"
+        os.makedirs(src)
+        blobs = _warcgz_blobs(spark, sf_dir).localCheckpoint(eager=True)
+        t = blobs.agg(F.floor(F.max("blob_id") / 2)).collect()[0][0]
+        for i, pred in enumerate((f"blob_id <= {t}", f"blob_id > {t}")):
+            tmp = f"{root}/tmp{i}"
+            blobs.where(pred).coalesce(1).write.mode("overwrite").parquet(
+                tmp
+            )
+            part = sorted(_glob.glob(f"{tmp}/part-*.parquet"))[0]
+            dst = f"{src}/b{i}.parquet"
+            shutil.copy(part, dst)
+            os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+        return src
+
+    def _validate(path: str) -> str:
+        if sorted(os.listdir(path)) != ["b0.parquet", "b1.parquet"]:
+            raise RuntimeError("warcgz stream source files missing")
+        return path
+
+    return _session_cached_path(spark, tag, _build, _validate)
+
+
 # ----------------- PDF text extraction (the application/pdf branch)
 
 

@@ -898,6 +898,70 @@ register(
 )
 
 
+def _q_stream_warcgz_intake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the COMPRESSED fetch-store intake: warc.gz
+    blob chunks land one file per micro-batch; each foreachBatch runs
+    member split + inflate (gunzip_store — mapInPandas composes inside
+    foreachBatch untouched) -> the shared record walk -> envelope ->
+    gate -> triage + token count. Per-record stateless, so the
+    micro-batch union equals the batch twin exactly; the oracle is
+    ``_warcgz_intake_oracle()`` shared verbatim."""
+    from pyspark.sql import functions as F
+
+    from gcp_etl_pipeline_spark.operators import text as _text
+    from gcp_etl_pipeline_spark.operators.curation_queries import (
+        _WARC_MAX_RECORDS,
+        warcgz_stream_src,
+    )
+
+    root = tempfile.mkdtemp(prefix="graft_swarcgz_")
+    src = warcgz_stream_src(spark, sf_dir)
+    out_dir = f"{root}/parsed"
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        recs = _text.gunzip_store(batch, "gz", "blob").select(
+            F.posexplode(
+                _text.warc_records("blob", max_records=_WARC_MAX_RECORDS)
+            ).alias("pos", "rec")
+        )
+        gated = _text.warc_envelope(recs).where(
+            (F.col("status_code") == 200)
+            & F.col("content_type").startswith("text/")
+        )
+        gated.select(
+            "url",
+            _text.fetch_triage("body").alias("verdict"),
+            _text.token_count("body").cast("bigint").alias("n_tokens"),
+        ).write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    q = (
+        spark.readStream.schema("blob_id BIGINT, gz BINARY")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select("url", "verdict", "n_tokens")
+
+
+def _stream_warcgz_intake_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators.curation_queries import (
+        _warcgz_intake_oracle,
+    )
+
+    return _warcgz_intake_oracle()
+
+
+register(
+    "stream_warcgz_intake",
+    _q_stream_warcgz_intake,
+    _stream_warcgz_intake_oracle(),
+)
+
+
 def _q_stream_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of the frontier's dedup+politeness core:
     discovered URLs arrive as two key-ordered micro-batches; each
