@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "revalidation_merge",
     "graph_pagerank_incremental",
     "stream_warcgz_intake",
+    "warc_record_index",
 ]
 
 

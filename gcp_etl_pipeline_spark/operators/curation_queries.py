@@ -4172,6 +4172,87 @@ def _warc_intake_oracle() -> str:
 register("warc_intake_pipeline", _q_warc_intake, _warc_intake_oracle())
 
 
+def _q_warc_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-shaped record index over the fetch store: per record, its
+    BYTE OFFSET and framed length inside the store blob — the seek
+    table real crawl archives ship so a single record can be fetched
+    without walking the store. Offsets are derived from the walk
+    output itself (record i starts at the cumulative framed length of
+    records 1..i-1: len(head) + 4-byte header blank + payload +
+    4-byte trailer), so the index is exactly as torn-tail-safe as the
+    walk. One window cumsum per blob — record rows only, payload never
+    shuffles (the index is keys + integers)."""
+    from pyspark.sql import Window
+
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    blobs = _warc_blobs(spark, sf_dir)
+    recs = blobs.select(
+        "blob_id",
+        F.posexplode(
+            _text.warc_records("blob", max_records=_WARC_MAX_RECORDS)
+        ).alias("pos", "rec"),
+    )
+    framed = recs.select(
+        "blob_id",
+        (F.col("pos") + 1).cast("bigint").alias("recno"),
+        (
+            F.length(F.col("rec")["head"])
+            + F.length(F.col("rec")["payload"])
+            + F.lit(8)
+        )
+        .cast("bigint")
+        .alias("rec_len"),
+        F.trim(
+            F.regexp_extract(
+                F.col("rec")["head"],
+                _text.http_header_pattern("WARC-Target-URI"),
+                1,
+            )
+        ).alias("target_uri"),
+    )
+    w = (
+        Window.partitionBy("blob_id")
+        .orderBy("recno")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return framed.select(
+        "blob_id",
+        "recno",
+        F.coalesce(F.sum("rec_len").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("offset"),
+        "rec_len",
+        "target_uri",
+    )
+
+
+def _warc_index_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    uri_re = _sql_lit(_text.http_header_pattern("WARC-Target-URI"))
+    return f"""
+    WITH RECURSIVE
+    {_warc_walk_ctes()},
+    f AS (SELECT blob_id, recno,
+            CAST(length(head) + length(payload) + 8 AS BIGINT)
+              AS rec_len,
+            trim(regexp_extract(head, {uri_re}, 1)) AS target_uri
+          FROM walk WHERE recno >= 1)
+    SELECT blob_id,
+           CAST(recno AS BIGINT) AS recno,
+           CAST(COALESCE(SUM(rec_len) OVER (
+             PARTITION BY blob_id ORDER BY recno
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS offset,
+           rec_len, target_uri
+    FROM f
+    """
+
+
+register("warc_record_index", _q_warc_index, _warc_index_oracle())
+
+
 # ----------- gzip-member compressed fetch stores (warc.gz framing)
 
 # the compressed twin of _WARC_PAYLOAD: records that compress as STORED
