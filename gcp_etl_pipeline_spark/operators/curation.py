@@ -1495,3 +1495,51 @@ def parse_robots_txt(
         )
         .distinct()
     )
+
+
+# absolute-URL gate for Sitemap directives: the sitemaps protocol (and
+# RFC 9309 §2.3's "other records" carve-out) requires a full URL — a
+# relative value has no defined base inside robots.txt and drops
+ROBOTS_SITEMAP_ABS_RE = "^[A-Za-z][A-Za-z0-9+.-]*://"
+
+
+def robots_sitemaps(
+    docs: DataFrame,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """Extract ``Sitemap:`` directives from raw robots.txt documents —
+    the discovery hand-off from the politeness gate to the sitemap
+    front door (``text.parse_sitemap`` / ``parse_sitemap_index``).
+
+    Per RFC 9309 §2.3 sitemap lines are *other records*: they bind to
+    the whole document, not to any User-agent group, so extraction
+    ignores grouping entirely — a ``Sitemap:`` inside a group and one
+    before the first group are equally valid. The directive name is
+    case-insensitive; inline comments strip like any robots line; the
+    value must be an absolute URL (relative values drop). Discovered
+    URLs are canonicalized with ``text.normalize_url`` and deduped per
+    host, so scheme/host case noise and trailing-slash twins collapse
+    before the fetch queue sees them.
+
+    Plan shape: one explode over host-sized documents + a distinct;
+    nothing scales with the page corpus. Reference has no crawl tier;
+    this extends jobs/raw ingestion (SURVEY §2) to crawl discovery."""
+    from gcp_etl_pipeline_spark.operators.text import normalize_url
+
+    lines = docs.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(txt_col), "\r?\n")).alias("__line"),
+    )
+    clean = F.trim(F.regexp_replace("__line", "#.*$", ""))
+    kind = F.lower(F.regexp_extract(clean, ROBOTS_DIRECTIVE_RE, 1))
+    value = F.trim(F.regexp_replace(clean, ROBOTS_DIRECTIVE_RE, ""))
+    sm = lines.select(
+        "host", kind.alias("__kind"), value.alias("__val")
+    ).where(
+        (F.col("__kind") == "sitemap")
+        & F.col("__val").rlike(ROBOTS_SITEMAP_ABS_RE)
+    )
+    return sm.select(
+        "host", normalize_url("__val").alias("sitemap_url")
+    ).distinct()

@@ -5579,3 +5579,184 @@ def _lang_mixture_oracle() -> str:
 
 
 register("doc_lang_mixture", _q_lang_mixture, _lang_mixture_oracle())
+
+
+# ---------- robots.txt Sitemap: directive discovery (RFC 9309 §2.3)
+
+# one robots document per order key (documents stay host-sized; the
+# HOST COUNT scales). Classes plant the extraction hazards: 0 = the
+# directive INSIDE a User-agent group (other records bind to the
+# document, not the group) + uppercase scheme/host needing
+# canonicalization; 1 = a directive BEFORE any group + case-variant
+# directive names + an inline comment after the URL; 2 = a relative
+# value (no defined base in robots.txt -> drops, host absent);
+# 3 = no sitemap line at all (host absent); 4 = two values that are
+# trailing-slash/scheme-case twins and must collapse to ONE row after
+# normalize_url.
+_ROBOTS_SM_TXT = (
+    "CASE o_orderkey % 5 "
+    "WHEN 0 THEN 'User-agent: *' || {NL} || 'Disallow: /x' || {NL} || "
+    "'Sitemap: HTTPS://H' || CAST(o_orderkey AS {V}) "
+    "|| '.Test/maps/sitemap.xml' "
+    "WHEN 1 THEN 'sitemap: https://h' || CAST(o_orderkey AS {V}) "
+    "|| '.test/sm1.xml' || {NL} || 'User-agent: *' || {NL} "
+    "|| 'Disallow: /' || {NL} || 'SITEMAP: https://h' "
+    "|| CAST(o_orderkey AS {V}) || '.test/sm2.xml   # weekly' "
+    "WHEN 2 THEN 'Sitemap: /sitemap.xml' || {NL} || 'User-agent: *' "
+    "|| {NL} || 'Allow: /' "
+    "WHEN 3 THEN 'User-agent: *' || {NL} || 'Disallow: /tmp' "
+    "ELSE 'Sitemap: https://h' || CAST(o_orderkey AS {V}) "
+    "|| '.test/dup.xml/' || {NL} || 'Sitemap: HTTPS://h' "
+    "|| CAST(o_orderkey AS {V}) || '.test/dup.xml' END"
+)
+
+
+def _q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from raw robots.txt: the RFC 9309 §2.3 'other
+    records' extraction — group-independent, case-insensitive directive
+    name, comment strip, absolute-URL gate — then normalize_url
+    canonicalization and per-host dedup. The hand-off that feeds
+    sitemap_url_extract / sitemap_index_expand's front door."""
+    from gcp_etl_pipeline_spark.operators import curation as _cur
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    docs = orders.select(
+        F.concat(
+            F.lit("h"), F.col("o_orderkey").cast("string"), F.lit(".test")
+        ).alias("host"),
+        F.expr(_ROBOTS_SM_TXT.format(NL="chr(10)", V="STRING")).alias(
+            "robots_txt"
+        ),
+    )
+    return _cur.robots_sitemaps(docs)
+
+
+def _robots_sitemaps_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators import curation as _cur
+
+    return f"""
+    WITH docs AS (SELECT 'h' || CAST(o_orderkey AS VARCHAR) || '.test'
+                           AS host,
+                         {_ROBOTS_SM_TXT.format(NL="chr(10)", V="VARCHAR")}
+                           AS txt
+                  FROM orders),
+    l AS (SELECT host,
+            trim(regexp_replace(
+              unnest(string_split_regex(txt, '\\r?\\n')), '#.*$', ''))
+              AS clean
+          FROM docs),
+    d AS (SELECT host,
+            lower(regexp_extract(clean,
+              {_sql_lit(_cur.ROBOTS_DIRECTIVE_RE)}, 1)) AS kind,
+            trim(regexp_replace(clean, '^\\s*[A-Za-z-]+\\s*:', '')) AS val
+          FROM l),
+    s AS (SELECT host, val FROM d
+          WHERE kind = 'sitemap'
+            AND regexp_matches(val,
+                  {_sql_lit(_cur.ROBOTS_SITEMAP_ABS_RE)})),
+    n AS (SELECT host,
+            lower(regexp_extract(val, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+              AS scheme,
+            regexp_replace(val, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+          FROM s),
+    n2 AS (SELECT host, scheme,
+             lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS auth,
+             regexp_replace(regexp_replace(rest, '^[^/?#]*', ''),
+                            '#.*$', '') AS tail
+           FROM n),
+    n3 AS (SELECT host,
+             scheme || '://' ||
+             CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+                  WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+                  ELSE auth END ||
+             regexp_replace(regexp_extract(tail, '^([^?]*)', 1), '/+$', '')
+             || regexp_replace(tail, '^[^?]*', '') AS sitemap_url
+           FROM n2)
+    SELECT DISTINCT host, sitemap_url FROM n3
+    """
+
+
+register(
+    "robots_sitemap_discover", _q_robots_sitemaps, _robots_sitemaps_oracle()
+)
+
+
+# --------------- HTML table extraction (structured-data harvest)
+
+# one document per order key, two tables each, planting the framing
+# hazards: mixed-case tags (<TABLE>/<TR>/<TH>), attribute noise, a
+# <thead>/<tbody> wrapper (must pass through — only tr/td/th frame),
+# inline markup inside a cell (stripped), an empty cell (survives as
+# ''), whitespace-padded header text (collapsed+trimmed), a second
+# table after intervening prose, and a RAGGED last row (1 cell vs 3 —
+# per-row sub-extraction must not misalign columns across rows).
+_HTML_TABLE_DOC = (
+    "'<html><body><p>pre</p>"
+    "<TABLE class=\"spec\"><thead><TR><TH>Name</TH><th> Qty </th></TR>"
+    "</thead><tbody>"
+    "<tr><td><b>widget-' || CAST(o_orderkey AS {V}) || '</b></td>"
+    "<td>' || CAST(o_orderkey % 7 AS {V}) || '</td></tr>"
+    "<tr><td></td><td align=\"r\"> ' || CAST(o_orderkey % 5 AS {V}) || "
+    "' </td></tr></tbody></TABLE>"
+    "<p>between tables</p>"
+    "<table><tr><td>a-' || CAST(o_orderkey AS {V}) || '</td>"
+    "<td>b</td><td>c</td></tr>"
+    "<tr><td>ragged only</td></tr></table></body></html>'"
+)
+
+
+def _q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-data harvest: explode HTML documents into one row per
+    table cell with (table_no, row_no, col_no, is_header, cell text) —
+    three chained generators, structural alignment per element, zero
+    Python. The tabular twin of html_extract_text's running-text path."""
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    docs = orders.select(
+        F.col("o_orderkey").alias("doc_id"),
+        F.expr(_HTML_TABLE_DOC.format(V="STRING")).alias("html"),
+    )
+    return _text.parse_html_tables(docs, "html")
+
+
+def _html_tables_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    return f"""
+    WITH docs AS (SELECT o_orderkey AS doc_id,
+                         {_HTML_TABLE_DOC.format(V="VARCHAR")} AS html
+                  FROM orders),
+    ta AS (SELECT doc_id,
+             regexp_extract_all(html, {_sql_lit(_text.HTML_TABLE_RE)}, 1)
+               AS ts
+           FROM docs),
+    t AS (SELECT doc_id,
+            CAST(unnest(range(len(ts))) AS BIGINT) AS table_no,
+            unnest(ts) AS tbl
+          FROM ta),
+    ra AS (SELECT doc_id, table_no,
+             regexp_extract_all(tbl, {_sql_lit(_text.HTML_TR_RE)}, 1) AS rs
+           FROM t),
+    r AS (SELECT doc_id, table_no,
+            CAST(unnest(range(len(rs))) AS BIGINT) AS row_no,
+            unnest(rs) AS rowtxt
+          FROM ra),
+    ca AS (SELECT doc_id, table_no, row_no,
+             regexp_extract_all(rowtxt, {_sql_lit(_text.HTML_CELL_RE)}, 0)
+               AS cs
+           FROM r),
+    c AS (SELECT doc_id, table_no, row_no,
+            CAST(unnest(range(len(cs))) AS BIGINT) AS col_no,
+            unnest(cs) AS celltxt
+          FROM ca)
+    SELECT doc_id, table_no, row_no, col_no,
+           lower(substring(celltxt, 1, 3)) = '<th' AS is_header,
+           trim(regexp_replace(regexp_replace(
+             regexp_extract(celltxt, {_sql_lit(_text.HTML_CELL_INNER_RE)}, 1),
+             '<[^>]*>', '', 'g'), '\\s+', ' ', 'g')) AS cell
+    FROM c
+    """
+
+
+register("html_table_extract", _q_html_tables, _html_tables_oracle())

@@ -1428,3 +1428,76 @@ def sentences(text: Column | str) -> Column:
         F.transform(F.split(restored, "\x00"), lambda s: F.trim(s)),
         lambda s: s != "",
     )
+
+
+# ------------------- HTML table extraction (structured-data harvest)
+#
+# Tables are the densest structured data in a crawl (specs, stats,
+# schedules) and LLM-training pipelines harvest them separately from
+# running text. Tag-scoped lazy regexes in the Java-regex / RE2 common
+# subset, same structural-alignment discipline as parse_sitemap: whole
+# <table> elements extract first, then rows PER TABLE, then cells PER
+# ROW, so ragged rows (fewer cells) and header/data mixes can never
+# misalign across elements. NESTED tables are out of scope for the
+# lazy frame walk (the inner </table> would close the outer frame) —
+# real harvesters flatten or drop them; callers get the outermost
+# frame's prefix either way, deterministically.
+
+# the opening tag is '<name>' or '<name attrs>' — NOT '<name[^>]*>',
+# which would let '<thead>' match as '<th' + 'ead' and '<track>' as
+# '<tr' + 'ack' and tear the frame; <thead>/<tbody> wrappers pass
+# through harmlessly because only <tr>/<td>/<th> elements are framed
+HTML_TABLE_RE = "(?is)<table(?:\\s[^>]*)?>(.*?)</table>"
+HTML_TR_RE = "(?is)<tr(?:\\s[^>]*)?>(.*?)</tr>"
+HTML_CELL_RE = "(?is)<t[dh](?:\\s[^>]*)?>.*?</t[dh]>"
+HTML_CELL_INNER_RE = "(?is)<t[dh](?:\\s[^>]*)?>(.*?)</t[dh]>"
+
+
+def parse_html_tables(
+    df: DataFrame, html_col: str = "html", keep: list[str] | None = None
+) -> DataFrame:
+    """Explode HTML documents into one row per table CELL:
+    ``table_no`` / ``row_no`` / ``col_no`` (document order),
+    ``is_header`` (the cell element is <th>), ``cell`` (inner text —
+    inline markup stripped, whitespace collapsed, trimmed; '' for an
+    empty cell). Three chained JVM generators, zero Python, zero
+    shuffle: each posexplode consumes the previous level's element
+    text, so the whole walk fuses into the scan projection."""
+    keep = keep if keep is not None else [
+        c for c in df.columns if c != html_col
+    ]
+    tables = df.select(
+        *keep,
+        F.posexplode(
+            F.regexp_extract_all(html_col, F.lit(HTML_TABLE_RE), F.lit(1))
+        ).alias("__tno", "__t"),
+    )
+    rows = tables.select(
+        *keep,
+        "__tno",
+        F.posexplode(
+            F.regexp_extract_all("__t", F.lit(HTML_TR_RE), F.lit(1))
+        ).alias("__rno", "__r"),
+    )
+    cells = rows.select(
+        *keep,
+        "__tno",
+        "__rno",
+        F.posexplode(
+            F.regexp_extract_all("__r", F.lit(HTML_CELL_RE), F.lit(0))
+        ).alias("__cno", "__c"),
+    )
+    inner = F.regexp_extract("__c", HTML_CELL_INNER_RE, 1)
+    text = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(inner, "<[^>]*>", ""), "\\s+", " "
+        )
+    )
+    return cells.select(
+        *keep,
+        F.col("__tno").cast("bigint").alias("table_no"),
+        F.col("__rno").cast("bigint").alias("row_no"),
+        F.col("__cno").cast("bigint").alias("col_no"),
+        (F.lower(F.substring("__c", 1, 3)) == "<th").alias("is_header"),
+        text.alias("cell"),
+    )
