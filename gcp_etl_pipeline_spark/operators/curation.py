@@ -1543,3 +1543,87 @@ def robots_sitemaps(
     return sm.select(
         "host", normalize_url("__val").alias("sitemap_url")
     ).distinct()
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "query_id",
+    qtext_col: str = "query_text",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """BM25 top-k retrieval over an inverted index: (query_id, doc_id,
+    rk, score_u, n_terms) — the ranked-lookup primitive retrieval-side
+    decontamination and targeted corpus audits need.
+
+    Determinism recipe (tfidf's, extended to a SUM): tf/df/dl/N are
+    exact integers; the ONE float product per (term, doc) — Robertson
+    idf ln((N+1)/(df+0.5)) times the k1/b-saturated tf — is µ-unit
+    quantized BEFORE the per-(query, doc) sum, so the aggregate adds
+    BIGINTs and no addition order (Spark partial aggs vs DuckDB) can
+    perturb the result. Query terms are set-deduped; ties break
+    (score_u DESC, doc_id ASC).
+
+    Plan shape: one (doc, term) count shuffle builds the posting
+    lists; the query-term table broadcasts onto them (posting-list
+    join — only rows for matched terms survive); document-frequency
+    stats are semi-joined to query terms first so the broadcast is
+    query-sized, not vocabulary-sized; corpus stats are a 1-row
+    broadcast cross join. Nothing collects."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    qterms = queries.select(
+        F.col(qid_col), F.explode(tokens(qtext_col)).alias("term")
+    ).distinct()
+    qdf = dfreq.join(
+        qterms.select("term").distinct(), "term", "left_semi"
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, id_col)
+        .join(F.broadcast(qdf), "term")
+        .crossJoin(F.broadcast(corpus))
+    )
+    idf = F.log(
+        (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(0.5))
+    )
+    tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b)
+            * F.col("dl")
+            * F.col("n_docs")
+            / F.col("total_len")
+        )
+    )
+    per = scored.select(
+        qid_col,
+        id_col,
+        F.round(idf * tfn * scale).cast("bigint").alias("c_u"),
+    )
+    agg = per.groupBy(qid_col, id_col).agg(
+        F.sum("c_u").alias("score_u"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.desc("score_u"), F.asc(id_col)
+    )
+    return agg.select(
+        "*", F.row_number().over(w).alias("rk")
+    ).where(F.col("rk") <= k)

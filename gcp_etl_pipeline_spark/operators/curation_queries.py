@@ -5760,3 +5760,79 @@ def _html_tables_oracle() -> str:
 
 
 register("html_table_extract", _q_html_tables, _html_tables_oracle())
+
+
+# ------------------------- BM25 top-k retrieval (inverted index)
+
+# fixed query workload over the fixture vocabulary: multi-term hits, a
+# partial-overlap query, and one zero-hit query (absent from output —
+# retrieval returns nothing rather than minting a zero-score row)
+_BM25_QUERIES = (
+    ("q_storage", "spark hash table"),
+    ("q_pipeline", "merge sort batch"),
+    ("q_scan", "slow window scan"),
+    ("q_nohit", "zebra quixotic"),
+)
+
+
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval end to end: posting lists from one
+    (doc, term) count shuffle, query terms broadcast onto them,
+    Robertson idf x k1/b-saturated tf µ-quantized per term BEFORE the
+    per-(query, doc) BIGINT sum, top-5 per query."""
+    from gcp_etl_pipeline_spark.operators import curation as _cur
+
+    docs = _docs(spark, sf_dir)
+    queries = spark.createDataFrame(
+        list(_BM25_QUERIES), ["query_id", "query_text"]
+    )
+    return _cur.bm25_topk(docs, queries, k=5).select(
+        "query_id", "rk", "doc_id", "score_u", "n_terms"
+    )
+
+
+def _bm25_oracle() -> str:
+    vals = ", ".join(
+        f"({_sql_lit(qid)}, {_sql_lit(qt)})" for qid, qt in _BM25_QUERIES
+    )
+    return f"""
+    WITH {_TOK_CTE},
+    tc AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tc GROUP BY 1, 2),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl),
+    q AS (SELECT * FROM (VALUES {vals}) t(query_id, qtext)),
+    qt AS (SELECT DISTINCT query_id,
+             unnest(list_filter(
+               string_split_regex(lower(qtext), '[^a-z0-9]+'),
+               t -> t <> '')) AS term
+           FROM q),
+    sc AS (SELECT qt.query_id, tf.doc_id,
+             CAST(ROUND(
+               ln((CAST(n_docs AS DOUBLE) + 1.0)
+                  / (CAST(df AS DOUBLE) + 0.5))
+               * (CAST(tf AS DOUBLE) * 2.2)
+                 / (CAST(tf AS DOUBLE)
+                    + 1.2 * (0.25
+                             + 0.75 * CAST(dl AS DOUBLE)
+                               * CAST(n_docs AS DOUBLE)
+                               / CAST(total_len AS DOUBLE)))
+               * 1000000, 0) AS BIGINT) AS c_u
+           FROM tf
+           JOIN qt USING (term)
+           JOIN dl USING (doc_id)
+           JOIN dfreq USING (term), corpus),
+    ag AS (SELECT query_id, doc_id,
+             CAST(SUM(c_u) AS BIGINT) AS score_u,
+             CAST(COUNT(*) AS BIGINT) AS n_terms
+           FROM sc GROUP BY 1, 2),
+    rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY score_u DESC, doc_id ASC) AS rk
+           FROM ag)
+    SELECT query_id, CAST(rk AS INT) AS rk, doc_id, score_u, n_terms
+    FROM rk WHERE rk <= 5
+    """
+
+
+register("bm25_topk", _q_bm25, _bm25_oracle())
