@@ -1970,3 +1970,206 @@ register(
     FROM pos JOIN neg USING (anchor_id)
     """,
 )
+
+
+# ------------------- product-quantized ANN (asymmetric distance)
+
+_PQ_M, _PQ_KSUB, _PQ_ITERS = 16, 32, 2
+_PQ_DSUB = 64 // _PQ_M
+
+
+def _pq_d2(a: str, b: str) -> str:
+    """Exact int64 squared L2 between two 8-dim quantized subvectors —
+    the SQL twin of similarity._l2q."""
+    return (
+        f"CAST(list_sum(list_transform(range(1, {_PQ_DSUB} + 1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+    )
+
+
+def _pq_lloyd_iter(i: int) -> str:
+    """One unrolled per-subspace Lloyd round: assign each subvector to
+    its nearest codeword (exact int64 L2, ties d2/code), recenter with
+    per-(sub, code, dim) integer sums and Python-floor-division means
+    (positive-mod arithmetic), keep the previous codeword for empty or
+    all-zero codes. MATERIALIZED: pcb{{i}} is referenced twice (next
+    round's assignment + its own keep-prev join)."""
+    prev = f"pcb{i - 1}"
+    return f""",
+pa{i} AS (SELECT d.vec_id AS vec_id, d.sub AS sub, d.sv AS sv,
+                 c.code AS code,
+                 ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.sub
+                   ORDER BY {_pq_d2('d.sv', 'c.cw')} ASC, c.code ASC)
+                   AS rk
+          FROM dsub d JOIN {prev} c ON d.sub = c.sub),
+pm{i} AS (SELECT sub, code, dd.d AS d,
+                 SUM(sv[dd.d + 1]) AS s, COUNT(*) AS n
+          FROM pa{i}, (SELECT unnest(range({_PQ_DSUB})) AS d) dd
+          WHERE rk = 1 GROUP BY sub, code, dd.d),
+pv{i} AS (SELECT sub, code, list(fd ORDER BY d) AS cw FROM (
+            SELECT sub, code, d,
+                   CAST((s - (((s % n) + n) % n)) / n AS BIGINT) AS fd
+            FROM pm{i}) t GROUP BY sub, code),
+pcb{i} AS MATERIALIZED (SELECT p.sub, p.code,
+            CASE WHEN v.cw IS NULL
+                      OR list_sum(list_transform(v.cw, x -> ABS(x))) = 0
+                 THEN p.cw ELSE v.cw END AS cw
+          FROM {prev} p LEFT JOIN pv{i} v
+            ON p.sub = v.sub AND p.code = v.code)"""
+
+
+# shared CTE chain: µ-quantize -> seed codebook from the 16 lowest-id
+# vectors -> per-subspace Lloyd refinement (unrolled, exact integer
+# means) -> per-subspace encode (exact int64 L2, ties d2/code) ->
+# per-query LUT -> ADC sum. All-integer math end to end.
+_PQ_CTES = f"""
+e AS (SELECT vec_id,
+        list_transform(embedding,
+          v -> CAST(ROUND(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))
+          AS qv
+      FROM embeddings),
+seeds AS (SELECT vec_id, qv FROM e ORDER BY vec_id LIMIT {_PQ_KSUB}),
+cb0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+              AS code, qv
+        FROM seeds),
+subs AS (SELECT CAST(unnest(range({_PQ_M})) AS BIGINT) AS sub),
+pcb0 AS (SELECT sub, code,
+           qv[CAST(sub * {_PQ_DSUB} + 1 AS INT):CAST(sub * {_PQ_DSUB} + {_PQ_DSUB} AS INT)] AS cw
+         FROM cb0, subs),
+dsub AS MATERIALIZED (SELECT vec_id, sub,
+           qv[CAST(sub * {_PQ_DSUB} + 1 AS INT):CAST(sub * {_PQ_DSUB} + {_PQ_DSUB} AS INT)] AS sv
+         FROM e, subs)
+{"".join(_pq_lloyd_iter(i) for i in range(1, _PQ_ITERS + 1))},
+cb AS (SELECT sub, code, cw FROM pcb{_PQ_ITERS}),
+cdist AS (SELECT vec_id, sub, code,
+            {_pq_d2('sv', 'cw')} AS d2
+          FROM dsub JOIN cb USING (sub)),
+enc AS (SELECT vec_id, sub, code FROM
+          (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                       ORDER BY d2 ASC, code ASC) AS rn
+           FROM cdist)
+        WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, sub, sv FROM dsub
+      WHERE vec_id % 50 = 0),
+lut AS (SELECT query_id, sub, code,
+          {_pq_d2('sv', 'cw')} AS qd2
+        FROM q JOIN cb USING (sub)),
+adc AS (SELECT query_id, vec_id AS neighbor_id,
+          CAST(SUM(qd2) AS BIGINT) AS adc
+        FROM enc JOIN lut USING (sub, code)
+        WHERE vec_id <> query_id
+        GROUP BY 1, 2)
+"""
+
+
+def _q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN end to end: codebook from the 16 lowest-id vectors,
+    per-subspace exact-int64 encode, per-query ADC lookup table
+    broadcast onto the 32x-compressed code table, top-5. The
+    memory-scale path: the scan side never touches vectors."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.knn_pq(
+        embs, queries, k=5, m=_PQ_M, ksub=_PQ_KSUB
+    )
+
+
+register(
+    "similarity_knn_pq",
+    _q_knn_pq,
+    f"""
+    WITH {_PQ_CTES}
+    SELECT query_id, neighbor_id, adc, rn FROM
+      (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY adc ASC, neighbor_id ASC) AS BIGINT) AS rn
+       FROM adc)
+    WHERE rn <= 5
+    """,
+)
+
+
+def _q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the PQ/ADC index against the exact answer under the
+    SAME metric it approximates (integer squared L2 over quantized
+    vectors): per query, how many of the true top-5 the compressed
+    index returns. The brute side is the O(nq) correctness baseline
+    (test-SF only); the PQ side is the at-scale path being graded."""
+    from pyspark.sql import Window
+
+    embs = _embs(spark, sf_dir)
+    qv = embs.select("vec_id", similarity.quantized("embedding").alias("__qv"))
+    queries = qv.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("__qv").alias("__quv")
+    )
+    d2 = similarity._l2q(F.col("__qv"), F.col("__quv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("d2"), F.asc("neighbor_id")
+    )
+    exact = (
+        qv.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), d2.alias("d2")
+        )
+        .select("*", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    pq_queries = embs.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = similarity.knn_pq(
+        embs, pq_queries, k=5, m=_PQ_M, ksub=_PQ_KSUB
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"])
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+        )
+    )
+
+
+register(
+    "similarity_pq_recall",
+    _q_pq_recall,
+    f"""
+    WITH {_PQ_CTES},
+    pq AS (SELECT query_id, neighbor_id FROM
+             (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY adc ASC, neighbor_id ASC) AS rn
+              FROM adc)
+           WHERE rn <= 5),
+    qx AS (SELECT vec_id AS query_id, qv AS quv FROM e
+           WHERE vec_id % 50 = 0),
+    bd AS (SELECT qx.query_id, e.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, len(e.qv) + 1),
+               i -> (e.qv[i] - qx.quv[i]) * (e.qv[i] - qx.quv[i])))
+               AS BIGINT) AS d2
+           FROM e CROSS JOIN qx
+           WHERE e.vec_id <> qx.query_id),
+    ex AS (SELECT query_id, neighbor_id FROM
+             (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY d2 ASC, neighbor_id ASC) AS rn
+              FROM bd)
+           WHERE rn <= 5),
+    hits AS (SELECT ex.query_id, COUNT(*) AS n_hit
+             FROM ex JOIN pq USING (query_id, neighbor_id)
+             GROUP BY 1)
+    SELECT ex.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COALESCE(MIN(hits.n_hit), 0) AS BIGINT) AS n_hit
+    FROM ex LEFT JOIN hits ON ex.query_id = hits.query_id
+    GROUP BY ex.query_id
+    """,
+)

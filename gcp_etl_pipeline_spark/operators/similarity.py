@@ -1112,3 +1112,211 @@ def triplet_mine(
             .alias("margin_u"),
         )
     )
+
+
+# ---------------- product quantization (PQ) — memory-scale ANN path
+#
+# IVF shrinks the SEARCH (fewer candidates per probe); PQ shrinks the
+# VECTORS (m one-byte codes replace dim floats — 64-dim float32 -> 8
+# bytes, 32x), which is what lets a billion-vector index live in
+# executor memory at 100 TB corpus scale. Asymmetric distance (ADC):
+# queries stay exact, documents are approximated by their per-subspace
+# codewords, so distance is a sum of m precomputed lookup-table hits.
+# All distances here are EXACT int64 squared-L2 over µ-unit quantized
+# components — zero float ops anywhere, so Spark and the SQL oracle
+# agree bit-for-bit and ties break (d2 asc, code asc) identically.
+
+
+def _l2q(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 between two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_subvectors(
+    df: DataFrame, keep: list[str], qv_col: str, m: int, dsub: int
+) -> DataFrame:
+    """Explode a quantized vector into (sub, sv) subvector rows."""
+    slices = F.array(
+        *[F.slice(F.col(qv_col), s * dsub + 1, dsub) for s in range(m)]
+    )
+    return df.select(
+        *keep, F.posexplode(slices).alias("sub", "sv")
+    ).withColumn("sub", F.col("sub").cast("bigint"))
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(sub, code, cw) PQ codebook: seeds are the ``ksub`` lowest-id
+    corpus vectors' subvectors (the ``_centroids`` deterministic
+    seeding contract), refined by ``iters`` per-subspace Lloyd rounds
+    with the ``kmeans_centroids`` exactness discipline — assignment by
+    exact int64 squared L2 with (d2 asc, code asc) tie-break, recenter
+    by per-(sub, code, dim) EXACT integer sums and Python floor-
+    division means, empty or all-zero codes keep the previous
+    codeword. Determinism is partitioning-independent end to end.
+
+    Physical shape per round: one broadcast assignment join over the
+    (vec_id, sub, sv) subvector rows + one m*ksub*dsub integer-sum
+    aggregate that collects to the driver (1k rows at the defaults) —
+    the same distributed-Lloyd step kmeans_centroids runs. The
+    returned codebook is m*ksub literal rows — broadcast scale at any
+    corpus size."""
+    spark = corpus.sparkSession
+    seed_rows = (
+        corpus.select(F.col(id_col), quantized(vec_col).alias("__qv"))
+        .orderBy(id_col)
+        .limit(ksub)
+        .collect()
+    )
+    dim = len(seed_rows[0]["__qv"])
+    dsub = dim // m
+    C = {
+        (s, c): np.array(
+            list(r["__qv"][s * dsub : (s + 1) * dsub]), dtype=np.int64
+        )
+        for c, r in enumerate(seed_rows)
+        for s in range(m)
+    }
+
+    def _cb_df():
+        return spark.createDataFrame(
+            [
+                (int(s), int(c), [int(x) for x in cw])
+                for (s, c), cw in sorted(C.items())
+            ],
+            "sub bigint, code bigint, cw array<bigint>",
+        )
+
+    dsubv = _pq_subvectors(
+        corpus.select(F.col(id_col), quantized(vec_col).alias("__qv")),
+        [id_col],
+        "__qv",
+        m,
+        dsub,
+    )
+    for _ in range(iters):
+        cand = dsubv.join(F.broadcast(_cb_df()), "sub").select(
+            id_col,
+            "sub",
+            "sv",
+            "code",
+            _l2q(F.col("sv"), F.col("cw")).alias("d2"),
+        )
+        assigned = (
+            cand.groupBy(id_col, "sub")
+            .agg(F.min(F.struct("d2", "code", "sv")).alias("__m"))
+            .select(
+                "sub", F.col("__m.code").alias("code"),
+                F.col("__m.sv").alias("sv"),
+            )
+        )
+        stats = (
+            assigned.select(
+                "sub", "code", F.posexplode("sv").alias("d", "x")
+            )
+            .groupBy("sub", "code", "d")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        per_code: dict[tuple, list] = {}
+        for r in stats:
+            per_code.setdefault((int(r["sub"]), int(r["code"])), []).append(r)
+        for key, rows in per_code.items():
+            rows.sort(key=lambda r: r["d"])
+            n = int(rows[0]["n"])
+            vec = np.array(
+                [int(r["s"]) // n for r in rows], dtype=np.int64
+            )
+            if np.any(vec):  # all-zero mean would collapse the codeword
+                C[key] = vec
+    return _cb_df()
+
+
+def pq_codes(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    dsub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode the corpus: (vec_id, sub, code) — each subvector maps to
+    its nearest codeword by exact integer L2, ties (d2 asc, code asc).
+    One broadcast join (n*m x ksub candidate rows, JVM fold distance)
+    + one (vec_id, sub) min-struct aggregate; text/vectors never
+    shuffle, only codes do."""
+    dsubv = _pq_subvectors(
+        corpus.select(F.col(id_col), quantized(vec_col).alias("__qv")),
+        [id_col],
+        "__qv",
+        m,
+        dsub,
+    )
+    cand = dsubv.join(F.broadcast(codebook), "sub").select(
+        id_col,
+        "sub",
+        "code",
+        _l2q(F.col("sv"), F.col("cw")).alias("d2"),
+    )
+    return (
+        cand.groupBy(id_col, "sub")
+        .agg(F.min(F.struct("d2", "code")).alias("__m"))
+        .select(id_col, "sub", F.col("__m.code").alias("code"))
+    )
+
+
+def knn_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+) -> DataFrame:
+    """PQ top-k ANN via asymmetric distance: (query_id, neighbor_id,
+    adc, rn). The per-query LUT (m x ksub exact integer d2 entries
+    per query) broadcasts onto the corpus codes, so the scan side
+    touches only (vec_id, sub, code) rows — the 32x-compressed index,
+    never the vectors. Ties (adc asc, neighbor asc)."""
+    from pyspark.sql import Window
+
+    dim = len(corpus.select(vec_col).first()[0])
+    dsub = dim // m
+    cb = pq_codebook(corpus, m, ksub, iters, id_col, vec_col)
+    codes = pq_codes(corpus, cb, m, dsub, id_col, vec_col)
+    qsub = _pq_subvectors(
+        queries.select(F.col(qid_col), quantized(vec_col).alias("__qv")),
+        [qid_col],
+        "__qv",
+        m,
+        dsub,
+    )
+    lut = qsub.join(F.broadcast(cb), "sub").select(
+        qid_col, "sub", "code", _l2q(F.col("sv"), F.col("cw")).alias("qd2")
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy(qid_col, id_col)
+        .agg(F.sum("qd2").alias("adc"))
+        .where(F.col(id_col) != F.col(qid_col))
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.asc("adc"), F.asc(id_col))
+    return adc.select(
+        qid_col,
+        F.col(id_col).alias("neighbor_id"),
+        "adc",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+    ).where(F.col("rn") <= k)
