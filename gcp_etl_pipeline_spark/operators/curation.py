@@ -1441,6 +1441,38 @@ def parse_robots_txt(
     (lag + running sum — group ids), one semi-join of rules onto
     matching group ids. Robots documents are host-sized (KB each);
     nothing here scales with the corpus."""
+    grouped = _robots_grouped(
+        docs, host_col, txt_col, ("user-agent", "allow", "disallow")
+    )
+    matching = _robots_matching(grouped, agent)
+    rules = grouped.where(
+        (F.col("__kind") != "user-agent")
+        & (F.col("__gid") >= 1)
+        & (F.col("__val") != "")
+    )
+    return (
+        rules.join(matching, ["host", "__gid"], "left_semi")
+        .select(
+            "host",
+            F.col("__val").alias("path_prefix"),
+            (F.col("__kind") == "allow").alias("allow"),
+        )
+        .distinct()
+    )
+
+
+def _robots_grouped(
+    docs: DataFrame, host_col: str, txt_col: str, kinds: tuple
+) -> DataFrame:
+    """Shared robots.txt line parse + RFC 9309 §2.1 group-run ids:
+    (host, __no, __kind, __val, __gid). Only the directive kinds in
+    ``kinds`` participate — an unrecognized line is ignored entirely
+    (it neither attaches to nor CLOSES a User-agent run, the
+    Google-parser convention parse_robots_txt has always used), while
+    any recognized group-member record closes the run. Callers that
+    recognize extra member kinds (crawl-delay) therefore see runs
+    split where those records intervene between User-agent lines —
+    which is exactly the attribution question they exist to answer."""
     from pyspark.sql import Window
 
     lines = docs.select(
@@ -1454,10 +1486,10 @@ def parse_robots_txt(
     value = F.trim(F.regexp_replace(clean, ROBOTS_DIRECTIVE_RE, ""))
     d = lines.select(
         "host", "__no", kind.alias("__kind"), value.alias("__val")
-    ).where(F.col("__kind").isin("user-agent", "allow", "disallow"))
+    ).where(F.col("__kind").isin(*kinds))
     w = Window.partitionBy("host").orderBy("__no")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grouped = d.select(
+    return d.select(
         "*",
         F.sum(
             (
@@ -1472,28 +1504,54 @@ def parse_robots_txt(
         .over(wrun)
         .alias("__gid"),
     )
+
+
+def _robots_matching(grouped: DataFrame, agent: str) -> DataFrame:
+    """RFC 9309 §2.2.1 group selection per host: exact-agent groups
+    PREEMPT the '*' fallback, never union with it."""
     ua = grouped.where(F.col("__kind") == "user-agent")
     exact = ua.where(F.lower("__val") == agent.lower()).select(
         "host", "__gid"
     )
     star = ua.where(F.col("__val") == "*").select("host", "__gid")
     hosts_with_exact = exact.select("host").distinct()
-    matching = exact.unionByName(
+    return exact.unionByName(
         star.join(hosts_with_exact, "host", "left_anti")
     ).distinct()
-    rules = grouped.where(
-        (F.col("__kind") != "user-agent")
-        & (F.col("__gid") >= 1)
-        & (F.col("__val") != "")
+
+
+def robots_crawl_delays(
+    docs: DataFrame,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """Per-host ``Crawl-delay`` extraction: (host, crawl_delay_s) from
+    the groups that apply to ``agent`` (exact match preempts '*', the
+    parse_robots_txt selection). Crawl-delay is a de-facto group-member
+    record (the Bing/Yandex convention — RFC 9309 leaves it out), so it
+    participates in group-run detection here: a Crawl-delay between two
+    User-agent lines closes the first run, and its value binds to THAT
+    group's agents only. Non-integer or negative values drop; a host
+    whose matching groups carry several delays keeps the MAX (the
+    conservative politeness bound). Hosts with no applicable delay are
+    absent — the politeness layer's per-host default applies."""
+    grouped = _robots_grouped(
+        docs,
+        host_col,
+        txt_col,
+        ("user-agent", "allow", "disallow", "crawl-delay"),
     )
+    matching = _robots_matching(grouped, agent)
+    delays = grouped.where(F.col("__kind") == "crawl-delay").select(
+        "host",
+        "__gid",
+        F.col("__val").try_cast("bigint").alias("delay"),
+    ).where(F.col("delay").isNotNull() & (F.col("delay") >= 0))
     return (
-        rules.join(matching, ["host", "__gid"], "left_semi")
-        .select(
-            "host",
-            F.col("__val").alias("path_prefix"),
-            (F.col("__kind") == "allow").alias("allow"),
-        )
-        .distinct()
+        delays.join(matching, ["host", "__gid"], "left_semi")
+        .groupBy("host")
+        .agg(F.max("delay").alias("crawl_delay_s"))
     )
 
 

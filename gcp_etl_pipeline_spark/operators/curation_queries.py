@@ -5836,3 +5836,187 @@ def _bm25_oracle() -> str:
 
 
 register("bm25_topk", _q_bm25, _bm25_oracle())
+
+
+# ----------- WARC payload-digest dedup (cross-URL content identity)
+
+# the Common-Crawl-style store dedup: the same body fetched from
+# different URLs collapses by content digest, not by URL. Every 3-doc
+# class shares one body (served at 3 distinct target URIs); the keeper
+# is the first occurrence in (blob_id, recno) store order. A planted
+# trailing-space twin (doc_id % 3 = 2 appends one space) must NOT
+# collapse — digests are byte-exact, not whitespace-normalized.
+_WARC_DUP_PAYLOAD = (
+    "'HTTP/1.1 200 OK' || {NL} || "
+    "'Content-Type: text/html; charset=UTF-8' || {NL} || {NL} || "
+    "'shared body ' || CAST(doc_id - (doc_id % 3) AS {V}) || "
+    "CASE WHEN doc_id % 3 = 2 THEN ' ' ELSE '' END"
+)
+
+
+def _q_warc_digest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-digest dedup over the fetch store: record walk ->
+    envelope -> md5 over the exact body bytes -> first-occurrence-wins
+    canonical verdict per digest group. Only 32-char digests shuffle;
+    bodies stay in their scan partition — the same discipline as the
+    exact-dedup ledger tier."""
+    from pyspark.sql import Window
+
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    nl = "chr(13) || chr(10)"
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    payload = docs.select(
+        "doc_id",
+        F.expr(_WARC_DUP_PAYLOAD.format(V="STRING", NL=nl)).alias(
+            "payload"
+        ),
+    )
+    rec = payload.select(
+        F.expr("doc_id DIV 4").alias("blob_id"),
+        "doc_id",
+        F.expr(_WARC_RECORD.format(V="STRING", NL=nl)).alias("record"),
+    )
+    blobs = rec.groupBy("blob_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "record"))),
+                lambda s: s["record"],
+            ),
+            "",
+        ).alias("blob")
+    )
+    recs = blobs.select(
+        "blob_id",
+        F.posexplode(
+            _text.warc_records("blob", max_records=_WARC_MAX_RECORDS)
+        ).alias("pos", "rec"),
+    )
+    env = _text.warc_envelope(recs).select(
+        "blob_id",
+        (F.col("pos") + 1).cast("bigint").alias("recno"),
+        F.col("url").alias("target_uri"),
+        F.md5(F.encode("body", "UTF-8")).alias("digest"),
+    )
+    wd = Window.partitionBy("digest")
+    wo = wd.orderBy("blob_id", "recno")
+    return env.select(
+        "blob_id",
+        "recno",
+        "target_uri",
+        "digest",
+        F.count(F.lit(1)).over(wd).alias("n_copies"),
+        (F.row_number().over(wo) == 1).alias("is_canonical"),
+    )
+
+
+def _warc_digest_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    uri_re = _sql_lit(_text.http_header_pattern("WARC-Target-URI"))
+    body_re = _sql_lit(_text.HTTP_BODY_RE)
+    return f"""
+    WITH RECURSIVE
+    {_warc_walk_ctes(payload_expr=_WARC_DUP_PAYLOAD)},
+    env AS (SELECT blob_id, CAST(recno AS BIGINT) AS recno,
+              trim(regexp_extract(head, {uri_re}, 1)) AS target_uri,
+              md5(regexp_extract(payload, {body_re}, 1)) AS digest
+            FROM walk WHERE recno >= 1)
+    SELECT blob_id, recno, target_uri, digest,
+           COUNT(*) OVER (PARTITION BY digest) AS n_copies,
+           ROW_NUMBER() OVER (PARTITION BY digest
+                              ORDER BY blob_id, recno) = 1 AS is_canonical
+    FROM env
+    """
+
+
+register("warc_digest_dedup", _q_warc_digest_dedup, _warc_digest_oracle())
+
+
+# ------------------ robots.txt Crawl-delay extraction (politeness)
+
+# one robots document per order key; classes plant the attribution
+# hazards: 0 = delay among a '*' group's rules; 1 = a bot-specific
+# group's delay must NOT leak into the '*' evaluation (star fallback
+# keeps its own 3); 2 = non-numeric value drops -> host absent; 3 =
+# TWO matching '*' groups with different delays -> MAX wins; 4 = a
+# Crawl-delay BETWEEN two User-agent lines closes the first run, so
+# the delay binds to agent 'a' only -> host absent under '*'.
+_ROBOTS_CD_TXT = (
+    "CASE o_orderkey % 5 "
+    "WHEN 0 THEN 'User-agent: *' || {NL} || 'Disallow: /x' || {NL} "
+    "|| 'Crawl-delay: 2' "
+    "WHEN 1 THEN 'User-agent: bot' || {NL} || 'Crawl-delay: 9' || {NL} "
+    "|| {NL} || 'User-agent: *' || {NL} || 'crawl-delay: 3  # polite' "
+    "WHEN 2 THEN 'User-agent: *' || {NL} || 'Crawl-delay: fast' "
+    "WHEN 3 THEN 'User-agent: *' || {NL} || 'Crawl-delay: 1' || {NL} "
+    "|| {NL} || 'User-agent: *' || {NL} || 'Crawl-delay: 5' "
+    "ELSE 'User-agent: a' || {NL} || 'Crawl-delay: 7' || {NL} "
+    "|| 'User-agent: *' || {NL} || 'Disallow: /y' END"
+)
+
+
+def _q_robots_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay end to end from raw robots.txt: group-run detection
+    with crawl-delay as a group-member record, exact-preempts-star
+    selection, integer-validated values, MAX per host."""
+    from gcp_etl_pipeline_spark.operators import curation as _cur
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    docs = orders.select(
+        F.concat(
+            F.lit("h"), F.col("o_orderkey").cast("string"), F.lit(".test")
+        ).alias("host"),
+        F.expr(_ROBOTS_CD_TXT.format(NL="chr(10)")).alias("robots_txt"),
+    )
+    return _cur.robots_crawl_delays(docs)
+
+
+def _robots_cd_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators import curation as _cur
+
+    return f"""
+    WITH docs AS (SELECT 'h' || CAST(o_orderkey AS VARCHAR) || '.test'
+                           AS host,
+                         {_ROBOTS_CD_TXT.format(NL="chr(10)")} AS txt
+                  FROM orders),
+    ls AS (SELECT host, string_split_regex(txt, '\\r?\\n') AS arr
+           FROM docs),
+    l AS (SELECT host,
+            CAST(unnest(range(len(arr))) AS BIGINT) AS no,
+            trim(regexp_replace(unnest(arr), '#.*$', '')) AS clean
+          FROM ls),
+    d0 AS (SELECT host, no,
+             lower(regexp_extract(clean,
+               {_sql_lit(_cur.ROBOTS_DIRECTIVE_RE)}, 1)) AS kind,
+             trim(regexp_replace(clean, '^\\s*[A-Za-z-]+\\s*:', ''))
+               AS val
+           FROM l),
+    d AS (SELECT * FROM d0
+          WHERE kind IN ('user-agent', 'allow', 'disallow',
+                         'crawl-delay')),
+    d1 AS (SELECT *,
+             COALESCE(LAG(kind) OVER (PARTITION BY host ORDER BY no), '')
+               AS prev_kind
+           FROM d),
+    g AS (SELECT *,
+            SUM(CASE WHEN kind = 'user-agent'
+                      AND prev_kind <> 'user-agent'
+                     THEN 1 ELSE 0 END)
+              OVER (PARTITION BY host ORDER BY no
+                    ROWS UNBOUNDED PRECEDING) AS gid
+          FROM d1),
+    m AS (SELECT DISTINCT host, gid FROM g
+          WHERE kind = 'user-agent' AND val = '*'),
+    cd AS (SELECT g.host, TRY_CAST(g.val AS BIGINT) AS delay
+           FROM g JOIN m ON g.host = m.host AND g.gid = m.gid
+           WHERE g.kind = 'crawl-delay' AND g.gid >= 1)
+    SELECT host, MAX(delay) AS crawl_delay_s
+    FROM cd WHERE delay IS NOT NULL AND delay >= 0
+    GROUP BY host
+    """
+
+
+register(
+    "robots_crawl_delay", _q_robots_crawl_delay, _robots_cd_oracle()
+)

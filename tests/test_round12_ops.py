@@ -164,3 +164,28 @@ def test_pq_knn_separated_clusters(spark):
         assert r.neighbor_id % 2 == r.query_id % 2
         assert r.neighbor_id != r.query_id
         assert r.adc >= 0
+
+
+# -------------------------------------------- robots_crawl_delays
+
+def test_crawl_delay_binds_to_its_group(spark):
+    txt = (
+        "User-agent: a\nCrawl-delay: 7\n"
+        "User-agent: *\nDisallow: /y\n"
+    )
+    docs = spark.createDataFrame([("h", txt)], ["host", "robots_txt"])
+    # the delay closed agent a's run; the '*' group carries none
+    assert curation.robots_crawl_delays(docs).count() == 0
+    got = curation.robots_crawl_delays(docs, agent="a").collect()
+    assert [(r.host, r.crawl_delay_s) for r in got] == [("h", 7)]
+
+
+def test_crawl_delay_max_and_validation(spark):
+    txt = (
+        "User-agent: *\nCrawl-delay: 1\n\n"
+        "User-agent: *\nCrawl-delay: 5\nCrawl-delay: nope\n"
+        "Crawl-delay: -3\n"
+    )
+    docs = spark.createDataFrame([("h", txt)], ["host", "robots_txt"])
+    got = curation.robots_crawl_delays(docs).collect()
+    assert [(r.host, r.crawl_delay_s) for r in got] == [("h", 5)]
