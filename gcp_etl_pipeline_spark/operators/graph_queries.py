@@ -412,3 +412,170 @@ def _reciprocity_oracle() -> str:
 
 
 register("link_reciprocity_farms", _q_reciprocity, _reciprocity_oracle())
+
+
+# ------------- incremental HITS (warm-start link-graph maintenance)
+
+_HITS_INC_MAX = 4
+_HITS_INC_TOL = 100
+
+
+def _hits_edges_sql(tag: str, where: str) -> str:
+    return f"""
+    e{tag} AS MATERIALIZED (
+      SELECT DISTINCT 'n' || CAST(l_orderkey % 97 AS VARCHAR) AS src,
+                      'n' || CAST(l_partkey % 97 AS VARCHAR) AS dst
+      FROM lineitem
+      WHERE 'n' || CAST(l_orderkey % 97 AS VARCHAR)
+            <> 'n' || CAST(l_partkey % 97 AS VARCHAR) {where}
+    ),
+    n{tag} AS MATERIALIZED (
+      SELECT src AS node FROM e{tag} UNION SELECT dst FROM e{tag}
+    )"""
+
+
+def _q_hits_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental HITS — the warm-start twin pagerank_warm gave the
+    PageRank half of the graph tier: yesterday's hub scores (a full
+    2-round run on the base edge slice) warm-start the renormalized
+    power iteration on the GROWN graph, gated at an integer tolerance.
+    The oracle unrolls the same gated recurrence with converged-flag
+    carry-forward for BOTH hub and auth, so a divergence in the stop
+    decision breaks the hash."""
+    from gcp_etl_pipeline_spark.operators.pagerank import hits, hits_warm
+
+    lineitem = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+
+    def _edges(df):
+        return (
+            df.select(
+                F.concat(
+                    F.lit("n"), (F.col("l_orderkey") % 97).cast("string")
+                ).alias("src"),
+                F.concat(
+                    F.lit("n"), (F.col("l_partkey") % 97).cast("string")
+                ).alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    base = _edges(
+        lineitem.filter(
+            F.substring(
+                F.md5(F.col("l_orderkey").cast("string")), 1, 2
+            ) < "40"
+        )
+    )
+    full = _edges(lineitem)
+    prev = hits(base, iterations=_HITS_ITER).select("node", "hub_u")
+    return hits_warm(
+        full, prev, max_iterations=_HITS_INC_MAX, tol_u=_HITS_INC_TOL
+    )
+
+
+def _hits_inc_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators.pagerank import HITS_SCALE
+
+    parts = [
+        _hits_edges_sql(
+            "b",
+            "AND substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 2) < '40'",
+        ),
+        _hits_edges_sql("f", ""),
+    ]
+    # base full run: hits()'s sparse per-round frames, _HITS_ITER rounds
+    parts.append(
+        f"bh0 AS MATERIALIZED (SELECT node, CAST({HITS_SCALE} AS BIGINT)"
+        " AS hub_u FROM nb)"
+    )
+    prev_h = "bh0"
+    for i in range(1, _HITS_ITER + 1):
+        parts.append(
+            f"""
+    bar{i} AS MATERIALIZED (
+      SELECT e.dst AS node, SUM(h.hub_u) AS raw
+      FROM eb e JOIN {prev_h} h ON e.src = h.node GROUP BY 1
+    ),
+    ba{i} AS MATERIALIZED (
+      SELECT node, CAST(CAST(raw AS HUGEINT) * {HITS_SCALE}
+                        // (SELECT MAX(raw) FROM bar{i}) AS BIGINT)
+               AS auth_u
+      FROM bar{i}
+    ),
+    bhr{i} AS MATERIALIZED (
+      SELECT e.src AS node, SUM(a.auth_u) AS raw
+      FROM eb e JOIN ba{i} a ON e.dst = a.node GROUP BY 1
+    ),
+    bh{i} AS MATERIALIZED (
+      SELECT node, CAST(CAST(raw AS HUGEINT) * {HITS_SCALE}
+                        // (SELECT MAX(raw) FROM bhr{i}) AS BIGINT)
+               AS hub_u
+      FROM bhr{i}
+    )"""
+        )
+        prev_h = f"bh{i}"
+    # warm start on the full node set + converged-flag gated unroll;
+    # score frames are FULL node tables (missing -> 0 / seed), the
+    # hits_warm value contract
+    parts.append(
+        f"""
+    s0 AS MATERIALIZED (
+      SELECT nd.node,
+             CAST(COALESCE(p.hub_u, {HITS_SCALE}) AS BIGINT) AS hub_u
+      FROM nf nd LEFT JOIN {prev_h} p ON nd.node = p.node
+    ),
+    au0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS auth_u FROM nf),
+    done0 AS MATERIALIZED (SELECT FALSE AS done)"""
+    )
+    for i in range(1, _HITS_INC_MAX + 1):
+        parts.append(
+            f"""
+    war{i} AS MATERIALIZED (
+      SELECT e.dst AS node, SUM(h.hub_u) AS raw
+      FROM ef e JOIN s{i - 1} h ON e.src = h.node GROUP BY 1
+    ),
+    wa{i} AS MATERIALIZED (
+      SELECT nd.node,
+             CAST(COALESCE(CAST(r.raw AS HUGEINT) * {HITS_SCALE}
+                           // (SELECT MAX(raw) FROM war{i}), 0) AS BIGINT)
+               AS auth_u
+      FROM nf nd LEFT JOIN war{i} r ON nd.node = r.node
+    ),
+    whr{i} AS MATERIALIZED (
+      SELECT e.src AS node, SUM(a.auth_u) AS raw
+      FROM ef e JOIN wa{i} a ON e.dst = a.node GROUP BY 1
+    ),
+    wx{i} AS MATERIALIZED (
+      SELECT nd.node,
+             CAST(COALESCE(CAST(r.raw AS HUGEINT) * {HITS_SCALE}
+                           // (SELECT MAX(raw) FROM whr{i}), 0) AS BIGINT)
+               AS hub_u
+      FROM nf nd LEFT JOIN whr{i} r ON nd.node = r.node
+    ),
+    wd{i} AS MATERIALIZED (SELECT MAX(ABS(x.hub_u - s.hub_u)) AS mx
+             FROM wx{i} x JOIN s{i - 1} s ON x.node = s.node),
+    done{i} AS MATERIALIZED (SELECT (SELECT done FROM done{i - 1})
+                  OR (SELECT mx FROM wd{i}) <= {_HITS_INC_TOL} AS done),
+    s{i} AS MATERIALIZED (
+      SELECT s.node,
+             CASE WHEN (SELECT done FROM done{i - 1}) THEN s.hub_u
+                  ELSE x.hub_u END AS hub_u
+      FROM s{i - 1} s JOIN wx{i} x ON s.node = x.node
+    ),
+    au{i} AS MATERIALIZED (
+      SELECT a.node,
+             CASE WHEN (SELECT done FROM done{i - 1}) THEN a.auth_u
+                  ELSE w.auth_u END AS auth_u
+      FROM au{i - 1} a JOIN wa{i} w ON a.node = w.node
+    )"""
+        )
+    body = ",".join(parts)
+    return (
+        f"WITH {body}\n    SELECT s.node, s.hub_u, a.auth_u"
+        f" FROM s{_HITS_INC_MAX} s JOIN au{_HITS_INC_MAX} a"
+        " ON s.node = a.node"
+    )
+
+
+register("graph_hits_incremental", _q_hits_inc, _hits_inc_oracle())

@@ -341,3 +341,112 @@ def reciprocity(
             & (F.col("out_n") >= F.lit(int(min_out)))
         ).alias("is_farm"),
     )
+
+
+def hits_warm(
+    edges: DataFrame,
+    prev_hub: DataFrame,
+    max_iterations: int = 4,
+    tol_u: int = 1_000,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Incremental HITS: warm-start the ``hits()`` recurrence from a
+    PREVIOUS hub-score table (the last full run before a small edge
+    delta) and stop at an INTEGER convergence gate — max
+    |hub_u - prev_hub_u| <= ``tol_u`` score units after each full
+    round, checked via a 1-row scalar aggregate (bounded by design).
+
+    Why warm-start works: L∞-renormalized power iteration converges to
+    the principal hub/authority eigenvectors from any positive start,
+    so a start near the old scores after a small delta needs fewer
+    rounds than the cold all-HITS_SCALE start. New nodes (absent from
+    ``prev_hub``) seed at HITS_SCALE like a cold start.
+
+    Value contract: score tables here are FULL node tables (missing
+    scores coalesce to 0) rather than ``hits()``'s sparse per-round
+    frames — a zero hub contributes exactly nothing to every sum, so
+    round-for-round the scores are identical to ``hits()`` (asserted
+    in tests/test_round12_ops.py by running the gate disabled), while
+    the full frames make the convergence diff and the SQL oracle's
+    carry-forward well-defined on one node set.
+
+    Plan shape per half-round: identical to ``hits()`` (one groupBy
+    shuffle + 1-row max cross join) plus one node-sized renorm join;
+    the gate adds one node-sized diff aggregate, map-side combined —
+    edges never re-shuffle for it. Generations are
+    localCheckpoint-pinned for the same lineage-doubling reason as
+    ``pagerank_warm``."""
+    if max_iterations < 1:
+        raise ValueError(
+            f"hits_warm: max_iterations must be >= 1, got {max_iterations}"
+        )
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .persist()
+    )
+    hub = (
+        nodes.join(
+            prev_hub.select("node", F.col("hub_u").alias("__prev_u")),
+            "node",
+            "left",
+        )
+        .select(
+            "node",
+            F.coalesce("__prev_u", F.lit(HITS_SCALE))
+            .cast("bigint")
+            .alias("hub_u"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    renorm = (
+        f"CAST(CAST(raw AS DECIMAL(38,0)) * {HITS_SCALE} DIV mx AS BIGINT)"
+    )
+    auth = None
+    for _ in range(max_iterations):
+        a_raw = (
+            edges.join(hub, edges[src] == hub["node"])
+            .groupBy(F.col(dst).alias("node"))
+            .agg(F.sum("hub_u").alias("raw"))
+        )
+        a_sparse = a_raw.crossJoin(a_raw.agg(F.max("raw").alias("mx"))).select(
+            "node", F.expr(renorm).alias("auth_u")
+        )
+        auth_new = (
+            nodes.join(a_sparse, "node", "left")
+            .select(
+                "node",
+                F.coalesce("auth_u", F.lit(0)).cast("bigint").alias("auth_u"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        h_raw = (
+            edges.join(auth_new, edges[dst] == auth_new["node"])
+            .groupBy(F.col(src).alias("node"))
+            .agg(F.sum("auth_u").alias("raw"))
+        )
+        h_sparse = h_raw.crossJoin(h_raw.agg(F.max("raw").alias("mx"))).select(
+            "node", F.expr(renorm).alias("hub_u")
+        )
+        hub_new = (
+            nodes.join(h_sparse, "node", "left")
+            .select(
+                "node",
+                F.coalesce("hub_u", F.lit(0)).cast("bigint").alias("hub_u"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        diff = (
+            hub_new.select("node", F.col("hub_u").alias("__new_u"))
+            .join(hub, "node")
+            .agg(F.max(F.abs(F.col("__new_u") - F.col("hub_u"))))
+            .collect()[0][0]
+        )
+        hub, auth = hub_new, auth_new
+        if diff is not None and diff <= tol_u:
+            break
+
+    nodes.unpersist()
+    return hub.join(auth, "node").select("node", "hub_u", "auth_u")

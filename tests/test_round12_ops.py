@@ -189,3 +189,59 @@ def test_crawl_delay_max_and_validation(spark):
     docs = spark.createDataFrame([("h", txt)], ["host", "robots_txt"])
     got = curation.robots_crawl_delays(docs).collect()
     assert [(r.host, r.crawl_delay_s) for r in got] == [("h", 5)]
+
+
+# ------------------------------------------------------ hits_warm
+
+def test_hits_warm_matches_full_hits_when_gate_disabled(spark):
+    from gcp_etl_pipeline_spark.operators.pagerank import hits, hits_warm
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")],
+        ["src", "dst"],
+    )
+    # empty prev -> every node seeds at HITS_SCALE = the cold start;
+    # tol -1 never fires -> round-for-round identical to hits()
+    prev = spark.createDataFrame([], "node string, hub_u bigint")
+    warm = {
+        (r.node): (r.hub_u, r.auth_u)
+        for r in hits_warm(
+            edges, prev, max_iterations=2, tol_u=-1
+        ).collect()
+    }
+    full = {
+        (r.node): (r.hub_u, r.auth_u)
+        for r in hits(edges, iterations=2).collect()
+    }
+    assert warm == full
+
+
+def test_hits_warm_gate_stops_iteration(spark):
+    # NOTE: hits() re-expands its a_raw subtree twice per half-round
+    # (crossJoin with its own agg), so its ANALYZED plan is exponential
+    # in the round count — fine at its designed iterations=2, never
+    # call it with large counts in tests. hits_warm localCheckpoints
+    # every generation, so its plan is bounded at any round count.
+    from gcp_etl_pipeline_spark.operators.pagerank import hits, hits_warm
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")],
+        ["src", "dst"],
+    )
+    prev = hits(edges, iterations=2).select("node", "hub_u")
+    # scores live in [0, HITS_SCALE], so tol_u = HITS_SCALE makes the
+    # gate fire after round 1 unconditionally: a 4-round budget must
+    # return exactly the 1-round result (the break is real)
+    gated = {
+        (r.node): (r.hub_u, r.auth_u)
+        for r in hits_warm(
+            edges, prev, max_iterations=4, tol_u=1_000_000
+        ).collect()
+    }
+    one = {
+        (r.node): (r.hub_u, r.auth_u)
+        for r in hits_warm(
+            edges, prev, max_iterations=1, tol_u=-1
+        ).collect()
+    }
+    assert gated == one
