@@ -6020,3 +6020,113 @@ def _robots_cd_oracle() -> str:
 register(
     "robots_crawl_delay", _q_robots_crawl_delay, _robots_cd_oracle()
 )
+
+
+# ------------ table harvest COMPOSED behind charset repair (intake)
+
+# the table fixture with crawl dirt planted INSIDE cells: class 1 docs
+# carry a CP1252 mojibake quote in the widget cell (must repair to
+# "'"), class 3 docs a control byte in a header cell (must strip) —
+# charset repair runs on the RAW markup ahead of the frame walk, the
+# order every real intake needs (a control byte inside a tag name
+# would otherwise break framing).
+_HTML_TABLE_DIRTY = (
+    "'<html><body>"
+    "<TABLE class=\"spec\"><thead><TR><TH>Na' || "
+    "CASE WHEN o_orderkey % 4 = 3 THEN chr(1) ELSE '' END || "
+    "'me</TH><th> Qty </th></TR></thead><tbody>"
+    "<tr><td><b>widget' || "
+    "CASE WHEN o_orderkey % 4 = 1 THEN 'â€™' ELSE '-' END || "
+    "CAST(o_orderkey AS {V}) || '</b></td>"
+    "<td>' || CAST(o_orderkey % 7 AS {V}) || '</td></tr></tbody></TABLE>"
+    "<table><tr><td>a-' || CAST(o_orderkey AS {V}) || '</td>"
+    "<td>b</td></tr></table></body></html>'"
+)
+
+
+def _q_table_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-data harvest COMPOSED behind the charset front door:
+    repair_encoding over the raw markup, then the three-generator
+    table walk, then a per-(doc, table) rollup — n_rows, n_cells,
+    n_header_cells, and an md5 over the ordered cell texts so any
+    repaired byte that lands in the wrong cell breaks the hash."""
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    docs = orders.select(
+        F.col("o_orderkey").alias("doc_id"),
+        _text.repair_encoding(
+            F.expr(_HTML_TABLE_DIRTY.format(V="STRING"))
+        ).alias("html"),
+    )
+    cells = _text.parse_html_tables(docs, "html")
+    return cells.groupBy("doc_id", "table_no").agg(
+        (F.max("row_no") + 1).alias("n_rows"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.col("is_header").cast("bigint")).alias("n_header_cells"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("row_no", "col_no", "cell")
+                        )
+                    ),
+                    lambda s: s["cell"],
+                ),
+                "\x1f",
+            )
+        ).alias("cells_md5"),
+    )
+
+
+def _table_harvest_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    return f"""
+    WITH docs AS (SELECT o_orderkey AS doc_id,
+                    {_repair_encoding_sql(
+                        _HTML_TABLE_DIRTY.format(V="VARCHAR"))} AS html
+                  FROM orders),
+    ta AS (SELECT doc_id,
+             regexp_extract_all(html, {_sql_lit(_text.HTML_TABLE_RE)}, 1)
+               AS ts
+           FROM docs),
+    t AS (SELECT doc_id,
+            CAST(unnest(range(len(ts))) AS BIGINT) AS table_no,
+            unnest(ts) AS tbl
+          FROM ta),
+    ra AS (SELECT doc_id, table_no,
+             regexp_extract_all(tbl, {_sql_lit(_text.HTML_TR_RE)}, 1) AS rs
+           FROM t),
+    r AS (SELECT doc_id, table_no,
+            CAST(unnest(range(len(rs))) AS BIGINT) AS row_no,
+            unnest(rs) AS rowtxt
+          FROM ra),
+    ca AS (SELECT doc_id, table_no, row_no,
+             regexp_extract_all(rowtxt, {_sql_lit(_text.HTML_CELL_RE)}, 0)
+               AS cs
+           FROM r),
+    c AS (SELECT doc_id, table_no, row_no,
+            CAST(unnest(range(len(cs))) AS BIGINT) AS col_no,
+            unnest(cs) AS celltxt
+          FROM ca),
+    cell AS (SELECT doc_id, table_no, row_no, col_no,
+               lower(substring(celltxt, 1, 3)) = '<th' AS is_header,
+               trim(regexp_replace(regexp_replace(
+                 regexp_extract(celltxt,
+                   {_sql_lit(_text.HTML_CELL_INNER_RE)}, 1),
+                 '<[^>]*>', '', 'g'), '\\s+', ' ', 'g')) AS cell
+             FROM c)
+    SELECT doc_id, table_no,
+           MAX(row_no) + 1 AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(CASE WHEN is_header THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_header_cells,
+           md5(string_agg(cell, chr(31) ORDER BY row_no, col_no))
+             AS cells_md5
+    FROM cell GROUP BY 1, 2
+    """
+
+
+register("html_table_harvest", _q_table_harvest, _table_harvest_oracle())
