@@ -662,6 +662,142 @@ def main() -> int:
         ic_edges_n
     )
 
+    # Incremental HITS: warm-start beats cold at smoke scale — the
+    # hits_warm twin of the incremental-PageRank proof above. The slow
+    # mode here is RENORMALIZATION mixing, not damping: two clique
+    # classes of widths 24 and 22 give a per-round contraction of
+    # (21/23)^2 ~ 0.83 on the B/A score ratio, so the cold start needs
+    # ~9 gated rounds to settle while the warm start (yesterday's gated
+    # scores; the delta is NEW disjoint width-10 cliques, which leave
+    # old scores untouched) re-converges in ~3. Each run is value-exact
+    # against its own class-level integer replay of the full-table
+    # gated recurrence, iteration counts included.
+    from gcp_etl_pipeline_spark.operators.pagerank import hits_warm
+
+    IH_WA, IH_WB, IH_WC = 24, 22, 10
+    ih_scale = max(1, n // (IH_WA * (IH_WA - 1) + IH_WB * (IH_WB - 1)))
+    ih_nA = ih_nB = ih_scale
+    ih_nC = max(1, ih_scale // 10)
+
+    def _ih_cliques(prefix: str, n_cliques: int, width: int):
+        return spark.range(n_cliques * width).select(
+            F.concat(F.lit(prefix), F.col("id").cast("string")).alias(
+                "src"
+            ),
+            F.explode(
+                F.expr(
+                    f"transform(filter(sequence(0, {width - 1}),"
+                    f" k -> k != id % {width}),"
+                    f" k -> concat('{prefix}',"
+                    f" CAST((id DIV {width}) * {width} + k AS STRING)))"
+                )
+            ).alias("dst"),
+        )
+
+    ih_base = _ih_cliques("ha", ih_nA, IH_WA).union(
+        _ih_cliques("hb", ih_nB, IH_WB)
+    )
+    ih_full = ih_base.union(_ih_cliques("hc", ih_nC, IH_WC))
+    ih_edges_n = (
+        ih_nA * IH_WA * (IH_WA - 1)
+        + ih_nB * IH_WB * (IH_WB - 1)
+        + ih_nC * IH_WC * (IH_WC - 1)
+    )
+
+    def _ih_replay(widths, start_hub, tol, max_iter):
+        """Class-level integer replay of hits_warm's full-table gated
+        recurrence: in a width-w clique every node has (w-1) in- and
+        out-edges from/to its own class, so per-class scores ARE the
+        per-node scores."""
+        hub = dict(start_hub)
+        auth = {c: 0 for c in widths}
+        for it in range(1, max_iter + 1):
+            a_raw = {c: (widths[c] - 1) * hub[c] for c in widths}
+            mx = max(a_raw.values())
+            auth_new = {c: v * HITS_SCALE // mx for c, v in a_raw.items()}
+            h_raw = {c: (widths[c] - 1) * auth_new[c] for c in widths}
+            mx2 = max(h_raw.values())
+            hub_new = {c: v * HITS_SCALE // mx2 for c, v in h_raw.items()}
+            d = max(abs(hub_new[c] - hub[c]) for c in widths)
+            hub, auth = hub_new, auth_new
+            if d <= tol:
+                return hub, auth, it
+        return hub, auth, max_iter
+
+    ih_basew = {"ha": IH_WA, "hb": IH_WB}
+    ih_fullw = {"ha": IH_WA, "hb": IH_WB, "hc": IH_WC}
+    ih_sizes = {
+        "ha": ih_nA * IH_WA, "hb": ih_nB * IH_WB, "hc": ih_nC * IH_WC
+    }
+    ih_cold0 = {c: HITS_SCALE for c in ih_fullw}
+    ih_h1, _, _ = _ih_replay(ih_fullw, ih_cold0, -1, 1)
+    ih_tol = max(abs(ih_h1[c] - ih_cold0[c]) for c in ih_fullw) // 20
+    ih_prev, _, _ = _ih_replay(
+        ih_basew, {c: HITS_SCALE for c in ih_basew}, ih_tol, 30
+    )
+    ih_warm0 = {c: ih_prev.get(c, HITS_SCALE) for c in ih_fullw}
+    ih_wh, ih_wa, ih_wit = _ih_replay(ih_fullw, ih_warm0, ih_tol, 30)
+    ih_ch, ih_ca, ih_cit = _ih_replay(ih_fullw, ih_cold0, ih_tol, 30)
+    assert ih_wit < ih_cit, (ih_wit, ih_cit)
+
+    def _ih_hist(hub_s, auth_s):
+        h: dict[tuple[int, int], int] = {}
+        for c, sz in ih_sizes.items():
+            key = (hub_s[c], auth_s[c])
+            h[key] = h.get(key, 0) + sz
+        return h
+
+    ih_prev_df = spark.range(ih_nA * IH_WA).select(
+        F.concat(F.lit("ha"), F.col("id").cast("string")).alias("node"),
+        F.lit(ih_prev["ha"]).alias("hub_u"),
+    ).union(
+        spark.range(ih_nB * IH_WB).select(
+            F.concat(F.lit("hb"), F.col("id").cast("string")).alias(
+                "node"
+            ),
+            F.lit(ih_prev["hb"]).alias("hub_u"),
+        )
+    )
+
+    t0 = time.time()
+    got_ih_warm = {
+        (r["hub_u"], r["auth_u"]): r["cnt"]
+        for r in hits_warm(
+            ih_full, ih_prev_df, max_iterations=30, tol_u=ih_tol
+        )
+        .groupBy("hub_u", "auth_u")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    t_ih_warm = round(time.time() - t0, 2)
+    assert got_ih_warm == _ih_hist(ih_wh, ih_wa), (
+        got_ih_warm, _ih_hist(ih_wh, ih_wa)
+    )
+
+    ih_empty = spark.createDataFrame([], "node STRING, hub_u BIGINT")
+    t0 = time.time()
+    got_ih_cold = {
+        (r["hub_u"], r["auth_u"]): r["cnt"]
+        for r in hits_warm(
+            ih_full, ih_empty, max_iterations=30, tol_u=ih_tol
+        )
+        .groupBy("hub_u", "auth_u")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    t_ih_cold = round(time.time() - t0, 2)
+    assert got_ih_cold == _ih_hist(ih_ch, ih_ca), (
+        got_ih_cold, _ih_hist(ih_ch, ih_ca)
+    )
+    assert t_ih_warm < t_ih_cold, (
+        f"warm {t_ih_warm}s ({ih_wit} rounds) not faster than "
+        f"cold {t_ih_cold}s ({ih_cit} rounds)"
+    )
+    timings[f"incr_hits_warm_{ih_edges_n // 1_000_000}m"] = t_ih_warm
+    timings[f"incr_hits_cold_{ih_edges_n // 1_000_000}m"] = t_ih_cold
+    stage_rows[f"incr_hits_warm_{ih_edges_n // 1_000_000}m"] = ih_edges_n
+    stage_rows[f"incr_hits_cold_{ih_edges_n // 1_000_000}m"] = ih_edges_n
+
     # Bloom-pruned fact join: selective dim (1% of keys) should prune
     # fact rows at the scan, before the shuffle
     sel_dim = dim.where("dim_key % 100 = 0")
