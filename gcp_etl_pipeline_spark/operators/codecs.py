@@ -344,13 +344,30 @@ def _pdf_streams(data: bytes) -> list[bytes]:
     import zlib
 
     out = []
-    for m in re.finditer(rb"<<(.*?)>>\s*stream(\r\n|\n)", data, re.DOTALL):
+    # FLAT dicts only ([^<>]*): a lazy .*? could start at an earlier
+    # non-stream dict and span across it to the next 'stream' keyword.
+    # The scan resumes PAST each Length-driven payload (pos), never
+    # inside it — stream bytes that happen to contain '<< /Length n >>
+    # stream' must not hijack framing (found by round-12 code review:
+    # the finditer form failed on the writer's own output when a page's
+    # text mentioned PDF dict syntax).
+    pat = re.compile(rb"<<([^<>]*)>>\s*stream(\r\n|\n)")
+    pos = 0
+    while True:
+        m = pat.search(data, pos)
+        if m is None:
+            break
         d = m.group(1)
-        lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", d)
+        lm = re.search(rb"/Length\s+(\d+)", d)
         if not lm:
-            raise ValueError(
-                "unsupported PDF: missing or indirect /Length"
-            )
+            raise ValueError("unsupported PDF: missing /Length")
+        # indirect-reference detection by direct inspection of what
+        # follows the digits — the earlier (?!\s+\d+\s+R) lookahead
+        # BACKTRACKED ('/Length 45 0 R' matched with Length=4, then
+        # read 4 garbage bytes), so multi-digit object numbers were
+        # silently mis-framed instead of loudly rejected
+        if re.match(rb"\s+\d+\s+R(?![0-9A-Za-z])", d[lm.end():]):
+            raise ValueError("unsupported PDF: indirect /Length")
         start = m.end()
         n = int(lm.group(1))
         if start + n > len(data):
@@ -363,6 +380,7 @@ def _pdf_streams(data: bytes) -> list[bytes]:
                 )
             body = zlib.decompress(body)
         out.append(body)
+        pos = start + n
     return out
 
 
@@ -388,6 +406,12 @@ def pdf_text(data: bytes) -> str:
                 s, i = _pdf_string(stream, i)
                 cur.append(s)
                 continue
+            if c == 0x3C:  # '<': hex string or inline dict operand —
+                # out of scope; reject loudly per the module contract
+                # rather than silently showing '' for <48656c6c6f> Tj
+                raise ValueError(
+                    "unsupported PDF content: hex string or dict operand"
+                )
             if stream[i : i + 2] == b"BT":
                 cur, shown = [], False
                 i += 2

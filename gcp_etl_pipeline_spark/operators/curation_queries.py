@@ -3945,21 +3945,36 @@ _WARC_RECORD = (
 _WARC_MAX_RECORDS = 8
 
 
-def _warc_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The shared WARC fixture: 4-record concatenated blobs built from
-    documents (real stores arrive already chunked — the groupBy here is
-    fixture plumbing, not pipeline shape)."""
+def _warc_record_rows(
+    spark: SparkSession, sf_dir: str, payload_expr: str | None = None
+) -> DataFrame:
+    """(blob_id, doc_id, record) rows for the WARC fixtures — the one
+    payload->framed-record builder every store fixture (plaintext,
+    pdf-branch, digest-dedup, compressed) derives from, mirroring the
+    oracle side's payload_expr parameter on _warc_walk_ctes (round-12
+    review: three hand-copied twins of this block could drift)."""
     nl = "chr(13) || chr(10)"
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     payload = docs.select(
         "doc_id",
-        F.expr(_WARC_PAYLOAD.format(V="STRING", NL=nl)).alias("payload"),
+        F.expr(
+            (payload_expr or _WARC_PAYLOAD).format(V="STRING", NL=nl)
+        ).alias("payload"),
     )
-    rec = payload.select(
+    return payload.select(
         F.expr("doc_id DIV 4").alias("blob_id"),
         "doc_id",
         F.expr(_WARC_RECORD.format(V="STRING", NL=nl)).alias("record"),
     )
+
+
+def _warc_blobs(
+    spark: SparkSession, sf_dir: str, payload_expr: str | None = None
+) -> DataFrame:
+    """The shared WARC fixture: 4-record concatenated blobs built from
+    documents (real stores arrive already chunked — the groupBy here is
+    fixture plumbing, not pipeline shape)."""
+    rec = _warc_record_rows(spark, sf_dir, payload_expr)
     return rec.groupBy("blob_id").agg(
         F.array_join(
             F.transform(
@@ -4282,17 +4297,7 @@ def _warcgz_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups drown in per-group overhead; SCALE.md round 12)."""
     from gcp_etl_pipeline_spark.operators.text import gzip_member
 
-    nl = "chr(13) || chr(10)"
-    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
-    payload = docs.select(
-        "doc_id",
-        F.expr(_WARCGZ_PAYLOAD.format(V="STRING", NL=nl)).alias("payload"),
-    )
-    rec = payload.select(
-        F.expr("doc_id DIV 4").alias("blob_id"),
-        "doc_id",
-        F.expr(_WARC_RECORD.format(V="STRING", NL=nl)).alias("record"),
-    )
+    rec = _warc_record_rows(spark, sf_dir, _WARCGZ_PAYLOAD)
 
     def compress(batches):
         for pdf in batches:
@@ -4618,28 +4623,7 @@ def _q_warc_intake_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-record parallel unit); text rows never leave the JVM."""
     from gcp_etl_pipeline_spark.operators import text as _text
 
-    nl = "chr(13) || chr(10)"
-    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
-    payload = docs.select(
-        "doc_id",
-        F.expr(_WARC_PDF_PAYLOAD.format(V="STRING", NL=nl)).alias(
-            "payload"
-        ),
-    )
-    rec = payload.select(
-        F.expr("doc_id DIV 4").alias("blob_id"),
-        "doc_id",
-        F.expr(_WARC_RECORD.format(V="STRING", NL=nl)).alias("record"),
-    )
-    blobs = rec.groupBy("blob_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("doc_id", "record"))),
-                lambda s: s["record"],
-            ),
-            "",
-        ).alias("blob")
-    )
+    blobs = _warc_blobs(spark, sf_dir, _WARC_PDF_PAYLOAD)
     recs = blobs.select(
         F.posexplode(
             _text.warc_records("blob", max_records=_WARC_MAX_RECORDS)
@@ -5864,28 +5848,7 @@ def _q_warc_digest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from gcp_etl_pipeline_spark.operators import text as _text
 
-    nl = "chr(13) || chr(10)"
-    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
-    payload = docs.select(
-        "doc_id",
-        F.expr(_WARC_DUP_PAYLOAD.format(V="STRING", NL=nl)).alias(
-            "payload"
-        ),
-    )
-    rec = payload.select(
-        F.expr("doc_id DIV 4").alias("blob_id"),
-        "doc_id",
-        F.expr(_WARC_RECORD.format(V="STRING", NL=nl)).alias("record"),
-    )
-    blobs = rec.groupBy("blob_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("doc_id", "record"))),
-                lambda s: s["record"],
-            ),
-            "",
-        ).alias("blob")
-    )
+    blobs = _warc_blobs(spark, sf_dir, _WARC_DUP_PAYLOAD)
     recs = blobs.select(
         "blob_id",
         F.posexplode(

@@ -1292,7 +1292,10 @@ def gzip_members(data: bytes, max_members: int = 1024) -> list[bytes]:
 
 
 def gunzip_store(
-    df: DataFrame, gz_col: str = "gz", out_col: str = "blob"
+    df: DataFrame,
+    gz_col: str = "gz",
+    out_col: str = "blob",
+    max_members: int = 1024,
 ) -> DataFrame:
     """Inflate a compressed fetch store: a binary ``gz_col`` holding
     concatenated gzip members (one WARC record per member, the warc.gz
@@ -1326,7 +1329,9 @@ def gunzip_store(
 
     def run(batches):
         for pdf in batches:
-            members = [gzip_members(bytes(b)) for b in pdf[gz_col]]
+            members = [
+                gzip_members(bytes(b), max_members) for b in pdf[gz_col]
+            ]
             out = pdf.drop(columns=[gz_col]).copy()
             out[out_col] = pd.Series(
                 [b"".join(m).decode("ISO-8859-1") for m in members],

@@ -166,3 +166,68 @@ def test_pdf_tj_arrays_octal_and_nested_parens():
     )
     doc = b"%PDF-1.4\n1 0 obj\n" + body + b"\nendobj\n%%EOF\n"
     assert pdf_text(doc) == "abcd)e\nAB (nested)"
+
+
+def test_pdf_indirect_length_rejected_multidigit():
+    # round-12 review: the old (?!\s+\d+\s+R) lookahead BACKTRACKED on
+    # '/Length 45 0 R' (matched Length=4) — indirect refs with
+    # multi-digit object numbers must reject loudly, not mis-frame
+    import pytest
+
+    from gcp_etl_pipeline_spark.operators.codecs import (
+        PDF_MAGIC,
+        pdf_text,
+    )
+
+    doc = (
+        PDF_MAGIC + b"\n1 0 obj << /Length 45 0 R >> stream\n"
+        + b"x" * 60 + b"\nendstream endobj\n%%EOF"
+    )
+    with pytest.raises(ValueError, match="indirect /Length"):
+        pdf_text(doc)
+
+
+def test_pdf_body_mentioning_dict_syntax_roundtrips():
+    # round-12 review: the finditer scan used to resume INSIDE stream
+    # bodies, so a page whose text mentions PDF dict syntax hijacked
+    # the next frame ('truncated PDF stream' on the writer's own output)
+    from gcp_etl_pipeline_spark.operators.codecs import (
+        encode_pdf,
+        pdf_text,
+    )
+
+    pages = ["page about pdfs: << /Length 999 >> stream trick", "normal"]
+    assert pdf_text(encode_pdf(pages)).split("\n") == pages
+    assert pdf_text(encode_pdf(pages, compress=True)).split("\n") == pages
+
+
+def test_pdf_hex_string_rejected_loudly():
+    # hex show-text operands are out of scope and must raise, never
+    # silently extract '' (the intake would record a clean empty doc)
+    import pytest
+
+    from gcp_etl_pipeline_spark.operators.codecs import (
+        PDF_MAGIC,
+        pdf_text,
+    )
+
+    body = b"BT <48656c6c6f> Tj ET"
+    doc = (
+        PDF_MAGIC
+        + b"\n1 0 obj << /Length %d >> stream\n" % len(body)
+        + body
+        + b"\nendstream endobj\n%%EOF"
+    )
+    with pytest.raises(ValueError, match="hex string"):
+        pdf_text(doc)
+
+
+def test_gzip_members_cap_is_callers_choice():
+    from gcp_etl_pipeline_spark.operators.text import (
+        gzip_member,
+        gzip_members,
+    )
+
+    blob = b"".join(gzip_member(b"r%d" % i) for i in range(5))
+    assert len(gzip_members(blob)) == 5
+    assert len(gzip_members(blob, max_members=3)) == 3  # visible cap
