@@ -6093,3 +6093,182 @@ def _table_harvest_oracle() -> str:
 
 
 register("html_table_harvest", _q_table_harvest, _table_harvest_oracle())
+
+
+# ---------- discovery pipeline: robots.txt -> sitemaps -> page URLs
+
+# per-host robots documents (hosts o_orderkey % 8): classes 0-2 carry
+# a Sitemap: directive whose raw value has CASE NOISE and a trailing
+# slash — normalize_url must canonicalize it to exactly the sitemap
+# table's key or the join silently drops the host; class 3 has no
+# sitemap directive, so its pages are never discovered (the pipeline's
+# negative space). The sitemap documents themselves reuse the
+# sitemap_url_extract fixture entries (per-order <url> elements with
+# the lastmod-omission misalignment hazard).
+_ROBOTS_DISC_TXT = (
+    "CASE WHEN host_id % 4 = 3 THEN "
+    "'User-agent: *' || {NL} || 'Disallow: /tmp' "
+    "ELSE 'User-agent: *' || {NL} || 'Disallow: /x' || {NL} || "
+    "'Sitemap: HTTPS://Host' || CAST(host_id AS {V}) || "
+    "'.Example.org/sitemap.xml/' END"
+)
+
+
+def _q_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-discovery front door END TO END: robots.txt ->
+    Sitemap: directive extraction (robots_sitemaps: group-independent,
+    comment strip, absolute gate, normalize_url) -> join onto the
+    per-host sitemap documents BY CANONICAL URL -> structural <url>
+    parse -> normalized page URLs + freshness. A host without a
+    sitemap directive contributes nothing; a case-noised directive
+    must still find its document."""
+    from gcp_etl_pipeline_spark.operators import curation as _cur
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    hosts = orders.select(
+        (F.col("o_orderkey") % 8).alias("host_id")
+    ).distinct()
+    robots = hosts.select(
+        F.col("host_id").alias("h"),
+        F.expr(
+            _ROBOTS_DISC_TXT.replace("host_id", "host_id")
+            .format(NL="chr(10)", V="STRING")
+        ).alias("robots_txt"),
+    ).select(
+        F.concat(F.lit("host"), F.col("h").cast("string"),
+                 F.lit(".example.org")).alias("host"),
+        "robots_txt",
+    )
+    discovered = _cur.robots_sitemaps(robots)
+    entries = orders.select(
+        (F.col("o_orderkey") % 8).alias("host_id"),
+        F.col("o_orderkey").alias("k"),
+        F.expr(_SITEMAP_ENTRY.format(V="STRING")).alias("entry"),
+    )
+    sitemaps = entries.groupBy("host_id").agg(
+        F.concat(
+            F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "entry"))),
+                    lambda s: s["entry"],
+                ),
+                "",
+            ),
+            F.lit("</urlset>"),
+        ).alias("xml")
+    ).select(
+        "host_id",
+        F.concat(
+            F.lit("https://host"), F.col("host_id").cast("string"),
+            F.lit(".example.org/sitemap.xml"),
+        ).alias("sitemap_url"),
+        "xml",
+    )
+    fetched = sitemaps.join(
+        F.broadcast(discovered.select("sitemap_url")), "sitemap_url"
+    )
+    parsed = _text.parse_sitemap(fetched, "xml")
+    return parsed.select(
+        "host_id",
+        "entry_no",
+        _text.normalize_url("loc").alias("url"),
+        F.when(
+            F.col("lastmod") != "",
+            F.col("lastmod").cast("date") >= F.lit("2024-07-01").cast("date"),
+        ).otherwise(F.lit(False)).alias("is_fresh"),
+    )
+
+
+def _sitemap_discovery_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators import curation as _cur
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    return f"""
+    WITH hosts AS (SELECT DISTINCT o_orderkey % 8 AS host_id FROM orders),
+    robots AS (SELECT 'host' || CAST(host_id AS VARCHAR) || '.example.org'
+                        AS host,
+                      {_ROBOTS_DISC_TXT.format(NL="chr(10)", V="VARCHAR")}
+                        AS txt
+               FROM hosts),
+    l AS (SELECT host,
+            trim(regexp_replace(
+              unnest(string_split_regex(txt, '\\r?\\n')), '#.*$', ''))
+              AS clean
+          FROM robots),
+    d AS (SELECT host,
+            lower(regexp_extract(clean,
+              {_sql_lit(_cur.ROBOTS_DIRECTIVE_RE)}, 1)) AS kind,
+            trim(regexp_replace(clean, '^\\s*[A-Za-z-]+\\s*:', '')) AS val
+          FROM l),
+    s AS (SELECT host, val FROM d
+          WHERE kind = 'sitemap'
+            AND regexp_matches(val,
+                  {_sql_lit(_cur.ROBOTS_SITEMAP_ABS_RE)})),
+    sn AS (SELECT DISTINCT
+             lower(regexp_extract(val, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+             || '://' ||
+             lower(regexp_extract(regexp_replace(val,
+               '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1)) ||
+             regexp_replace(regexp_extract(regexp_replace(
+               regexp_replace(val, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+               '^[^/?#]*', ''), '^([^?#]*)', 1), '/+$', '')
+               AS sitemap_url
+           FROM s),
+    e AS (SELECT o_orderkey % 8 AS host_id, o_orderkey AS k,
+                 {_SITEMAP_ENTRY.format(V="VARCHAR")} AS entry
+          FROM orders),
+    sm AS (SELECT host_id,
+             'https://host' || CAST(host_id AS VARCHAR)
+             || '.example.org/sitemap.xml' AS sitemap_url,
+             '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+             || string_agg(entry, '' ORDER BY k) || '</urlset>' AS xml
+           FROM e GROUP BY 1),
+    fetched AS (SELECT sm.host_id, sm.xml
+                FROM sm JOIN sn ON sm.sitemap_url = sn.sitemap_url),
+    el AS (SELECT host_id,
+             regexp_extract_all(xml, {_sql_lit(_text.SITEMAP_ENTRY_RE)}, 1)
+               AS entries
+           FROM fetched),
+    x AS (SELECT host_id,
+            CAST(unnest(range(len(entries))) AS BIGINT) AS entry_no,
+            unnest(entries) AS entry
+          FROM el),
+    p AS (SELECT host_id, entry_no,
+            regexp_extract(entry, {_sql_lit(_text.SITEMAP_LOC_RE)}, 1)
+              AS loc,
+            regexp_extract(entry, {_sql_lit(_text.SITEMAP_LASTMOD_RE)}, 1)
+              AS lastmod
+          FROM x),
+    n AS (SELECT host_id, entry_no, lastmod,
+            lower(regexp_extract(loc, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+              AS scheme,
+            regexp_replace(loc, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+          FROM p),
+    n2 AS (SELECT host_id, entry_no, lastmod, scheme,
+             lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS auth,
+             regexp_replace(regexp_replace(rest, '^[^/?#]*', ''),
+                            '#.*$', '') AS tail
+           FROM n),
+    n3 AS (SELECT host_id, entry_no, lastmod,
+             scheme || '://' ||
+             CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+                  WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+                  ELSE auth END ||
+             regexp_replace(regexp_extract(tail, '^([^?]*)', 1), '/+$', '')
+             || regexp_replace(tail, '^[^?]*', '') AS url
+           FROM n2)
+    SELECT host_id, entry_no, url,
+           CASE WHEN lastmod <> ''
+                THEN CAST(lastmod AS DATE) >= DATE '2024-07-01'
+                ELSE false END AS is_fresh
+    FROM n3
+    """
+
+
+register(
+    "sitemap_discovery_pipeline",
+    _q_sitemap_discovery,
+    _sitemap_discovery_oracle(),
+)
