@@ -328,6 +328,14 @@ def _bpe_apply_top(vocab: DataFrame, top: DataFrame) -> DataFrame:
     )
 
 
+# lineage truncation pays only once the O(rounds^2) re-unroll tax
+# exceeds the per-generation block-manager round trip: at k<=3 the lazy
+# unroll benched 1.31s vs 1.9s checkpointed (round-12 close), at k=8
+# the checkpointed form is 4.8x FASTER (10.8s -> 2.3s, SCALE.md) — so
+# generations are pinned only above this round count
+_BPE_CHECKPOINT_MIN_ROUNDS = 3
+
+
 def bpe_train_merges(
     df: DataFrame,
     rounds: int = 3,
@@ -373,7 +381,9 @@ def bpe_train_merges(
         )
         out = row if out is None else out.unionByName(row)
         if r < rounds:
-            vocab = _bpe_apply_top(vocab, top).localCheckpoint(eager=True)
+            vocab = _bpe_apply_top(vocab, top)
+            if rounds > _BPE_CHECKPOINT_MIN_ROUNDS:
+                vocab = vocab.localCheckpoint(eager=True)
     return out
 
 
@@ -396,9 +406,9 @@ def bpe_apply_merges_stats(
     vocab = _bpe_vocab(df, text_col)
     before = vocab.select("syms", "cnt")
     for _r in range(1, rounds + 1):
-        vocab = _bpe_apply_top(vocab, _bpe_top_pair(vocab)).localCheckpoint(
-            eager=True
-        )
+        vocab = _bpe_apply_top(vocab, _bpe_top_pair(vocab))
+        if rounds > _BPE_CHECKPOINT_MIN_ROUNDS:
+            vocab = vocab.localCheckpoint(eager=True)
     agg_before = before.agg(
         F.sum(F.size("syms") * F.col("cnt")).cast("bigint").alias("chars_total")
     )
