@@ -183,6 +183,18 @@ BENCH_QUERIES = [
     "graph_pagerank_incremental",
     "stream_warcgz_intake",
     "warc_record_index",
+    # round-13 additions: the r12 batch-2 rows that shipped outside the
+    # regression gate (r12 judge item #2)
+    "graph_hits_incremental",
+    "similarity_knn_pq",
+    "similarity_pq_recall",
+    "bm25_topk",
+    "html_table_extract",
+    "html_table_harvest",
+    "robots_sitemap_discover",
+    "warc_digest_dedup",
+    "robots_crawl_delay",
+    "sitemap_discovery_pipeline",
 ]
 
 

@@ -353,6 +353,7 @@ def _pdf_streams(data: bytes) -> list[bytes]:
     # text mentioned PDF dict syntax).
     pat = re.compile(rb"<<([^<>]*)>>\s*stream(\r\n|\n)")
     pos = 0
+    spans: list[tuple[int, int]] = []  # matched frames + payloads
     while True:
         m = pat.search(data, pos)
         if m is None:
@@ -380,7 +381,20 @@ def _pdf_streams(data: bytes) -> list[bytes]:
                 )
             body = zlib.decompress(body)
         out.append(body)
+        spans.append((m.start(), start + n))
         pos = start + n
+    # the FLAT-dict pattern cannot match a stream whose dictionary
+    # nests another dict (/DecodeParms << ... >>); without this check
+    # such a stream would be SILENTLY skipped, against the module's
+    # loud-rejection contract (ADVICE r12). Any standalone 'stream'
+    # keyword outside the matched frames and their payloads marks an
+    # unframed stream.
+    for t in re.finditer(rb"(?<![0-9A-Za-z])stream(?![0-9A-Za-z])", data):
+        o = t.start()
+        if not any(s <= o < e for s, e in spans):
+            raise ValueError(
+                "unsupported PDF: non-flat stream dictionary"
+            )
     return out
 
 

@@ -1311,6 +1311,42 @@ def schedule_from_aggregates(agg: DataFrame) -> DataFrame:
     )
 
 
+def sitemap_boost(
+    sched: DataFrame,
+    hints: DataFrame,
+    url_col: str = "url",
+    last_col: str = "last_fetch_us",
+    lastmod_col: str = "lastmod_us",
+) -> DataFrame:
+    """Sitemap-freshness boost over a recrawl schedule: LEFT-join the
+    per-URL <lastmod> hints (µs epochs) onto the schedule (must carry
+    ``url_col`` and ``last_col`` alongside ``recrawl_interval_us``) and
+    let any URL whose sitemap declares a modification AFTER the last
+    observed fetch jump the due queue — next_due = last fetch (due
+    now) instead of last fetch + backoff interval. No hint, or a hint
+    at/before the last fetch, keeps the observed-cadence schedule.
+
+    Scale shape: one hash join on the url string (the hint table is
+    page-sized — not broadcastable); everything else is per-row
+    expressions. Output keeps the schedule's row count (hints are
+    unique per URL by the sitemap contract)."""
+    j = sched.join(
+        hints.select(url_col, lastmod_col), url_col, "left"
+    )
+    jumped = F.col(lastmod_col).isNotNull() & (
+        F.col(lastmod_col) > F.col(last_col)
+    )
+    return j.withColumn(
+        "sitemap_lastmod_us",
+        F.coalesce(lastmod_col, F.lit(-1)).cast("bigint"),
+    ).withColumn("sitemap_jump", jumped).withColumn(
+        "next_due_us",
+        F.when(jumped, F.col(last_col))
+        .otherwise(F.col(last_col) + F.col("recrawl_interval_us"))
+        .cast("bigint"),
+    ).drop(lastmod_col)
+
+
 def host_reputation(
     docs: DataFrame,
     host_col: str = "host",

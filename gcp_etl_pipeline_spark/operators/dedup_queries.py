@@ -1978,43 +1978,48 @@ _PQ_M, _PQ_KSUB, _PQ_ITERS = 16, 32, 2
 _PQ_DSUB = 64 // _PQ_M
 
 
-def _pq_d2(a: str, b: str) -> str:
-    """Exact int64 squared L2 between two 8-dim quantized subvectors —
+def _pq_d2(a: str, b: str, w: int = _PQ_DSUB) -> str:
+    """Exact int64 squared L2 between two w-dim quantized subvectors —
     the SQL twin of similarity._l2q."""
     return (
-        f"CAST(list_sum(list_transform(range(1, {_PQ_DSUB} + 1), "
+        f"CAST(list_sum(list_transform(range(1, {w} + 1), "
         f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
     )
 
 
-def _pq_lloyd_iter(i: int) -> str:
+def _pq_lloyd_iter(
+    i: int, src: str = "dsub", p: str = "p", w: int = _PQ_DSUB
+) -> str:
     """One unrolled per-subspace Lloyd round: assign each subvector to
     its nearest codeword (exact int64 L2, ties d2/code), recenter with
     per-(sub, code, dim) integer sums and Python-floor-division means
     (positive-mod arithmetic), keep the previous codeword for empty or
-    all-zero codes. MATERIALIZED: pcb{{i}} is referenced twice (next
-    round's assignment + its own keep-prev join)."""
-    prev = f"pcb{i - 1}"
+    all-zero codes. MATERIALIZED: {p}cb{{i}} is referenced twice (next
+    round's assignment + its own keep-prev join). ``src`` names the
+    (vec_id, sub, sv) subvector CTE, ``p`` prefixes the round CTEs
+    (so two Lloyd chains — e.g. IVFADC's coarse and fine quantizers —
+    coexist in one query), ``w`` is the subvector width."""
+    prev = f"{p}cb{i - 1}"
     return f""",
-pa{i} AS (SELECT d.vec_id AS vec_id, d.sub AS sub, d.sv AS sv,
+{p}a{i} AS (SELECT d.vec_id AS vec_id, d.sub AS sub, d.sv AS sv,
                  c.code AS code,
                  ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.sub
-                   ORDER BY {_pq_d2('d.sv', 'c.cw')} ASC, c.code ASC)
+                   ORDER BY {_pq_d2('d.sv', 'c.cw', w)} ASC, c.code ASC)
                    AS rk
-          FROM dsub d JOIN {prev} c ON d.sub = c.sub),
-pm{i} AS (SELECT sub, code, dd.d AS d,
+          FROM {src} d JOIN {prev} c ON d.sub = c.sub),
+{p}m{i} AS (SELECT sub, code, dd.d AS d,
                  SUM(sv[dd.d + 1]) AS s, COUNT(*) AS n
-          FROM pa{i}, (SELECT unnest(range({_PQ_DSUB})) AS d) dd
+          FROM {p}a{i}, (SELECT unnest(range({w})) AS d) dd
           WHERE rk = 1 GROUP BY sub, code, dd.d),
-pv{i} AS (SELECT sub, code, list(fd ORDER BY d) AS cw FROM (
+{p}v{i} AS (SELECT sub, code, list(fd ORDER BY d) AS cw FROM (
             SELECT sub, code, d,
                    CAST((s - (((s % n) + n) % n)) / n AS BIGINT) AS fd
-            FROM pm{i}) t GROUP BY sub, code),
-pcb{i} AS MATERIALIZED (SELECT p.sub, p.code,
+            FROM {p}m{i}) t GROUP BY sub, code),
+{p}cb{i} AS MATERIALIZED (SELECT p.sub, p.code,
             CASE WHEN v.cw IS NULL
                       OR list_sum(list_transform(v.cw, x -> ABS(x))) = 0
                  THEN p.cw ELSE v.cw END AS cw
-          FROM {prev} p LEFT JOIN pv{i} v
+          FROM {prev} p LEFT JOIN {p}v{i} v
             ON p.sub = v.sub AND p.code = v.code)"""
 
 
@@ -2170,6 +2175,274 @@ register(
            CAST(COUNT(*) AS BIGINT) AS n_exact,
            CAST(COALESCE(MIN(hits.n_hit), 0) AS BIGINT) AS n_hit
     FROM ex LEFT JOIN hits ON ex.query_id = hits.query_id
+    GROUP BY ex.query_id
+    """,
+)
+
+
+# ---------------- IVF+PQ composition (IVFADC — coarse lists + residual PQ)
+
+# Geometry from the r13 sweep (numpy simulation cross-checked against
+# the DuckDB oracle at sf0.01): kmeans coarse, 16 lists / 6 probes,
+# m=32 x ksub=64 residual PQ -> recall 32/50 at 39% of codes scanned,
+# vs the flat knn_pq scan's 26/50 at 100% (same k). Lowest-id coarse
+# seeding at the same scan fraction managed only ~15/50 — the coarse
+# quantizer's placement is the recall lever, exactly knn_ivf's
+# centroids="kmeans" lesson.
+_IVFPQ_NLISTS, _IVFPQ_NPROBE = 16, 6
+_IVFPQ_M, _IVFPQ_KSUB = 32, 64
+_IVFPQ_CITERS, _IVFPQ_PITERS = 2, 2
+_IVFPQ_DIM = 64
+_IVFPQ_DSUB = _IVFPQ_DIM // _IVFPQ_M
+
+
+def _ivfpq_slice(col: str) -> str:
+    return (
+        f"{col}[CAST(sub * {_IVFPQ_DSUB} + 1 AS INT):"
+        f"CAST(sub * {_IVFPQ_DSUB} + {_IVFPQ_DSUB} AS INT)]"
+    )
+
+
+def _ivfpq_ctes(n_lists: int, n_probe: int) -> str:
+    """Shared CTE chain for the IVFADC oracles: quantize -> coarse
+    integer-Lloyd centroids (the engine's pq_codebook with m=1 — one
+    full-width Lloyd chain, prefix 'c') -> exact-int64 nearest-list
+    assignment (ties d2/list) -> per-vector residual -> the flat-PQ
+    Lloyd/encode chain RUN ON RESIDUALS (prefix 'p'; the `dsub` CTE
+    holds residual subvectors here) -> probe the n_probe nearest lists
+    per query -> per-(query, list) LUT in that list's residual frame
+    -> ADC sum over member codes only. Parameterized so the geometry
+    A/B sweep reuses the exact graded chain."""
+    d2f = lambda a, b: _pq_d2(a, b, _IVFPQ_DIM)  # noqa: E731
+    d2s = lambda a, b: _pq_d2(a, b, _IVFPQ_DSUB)  # noqa: E731
+    coarse_lloyd = "".join(
+        _pq_lloyd_iter(i, src="cg", p="c", w=_IVFPQ_DIM)
+        for i in range(1, _IVFPQ_CITERS + 1)
+    )
+    fine_lloyd = "".join(
+        _pq_lloyd_iter(i, src="dsub", p="p", w=_IVFPQ_DSUB)
+        for i in range(1, _IVFPQ_PITERS + 1)
+    )
+    return f"""
+e AS (SELECT vec_id,
+        list_transform(embedding,
+          v -> CAST(ROUND(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))
+          AS qv
+      FROM embeddings),
+cseed AS (SELECT vec_id, qv FROM e ORDER BY vec_id LIMIT {n_lists}),
+ccb0 AS (SELECT CAST(0 AS BIGINT) AS sub,
+                CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                  AS code,
+                qv AS cw
+         FROM cseed),
+cg AS MATERIALIZED (SELECT vec_id, CAST(0 AS BIGINT) AS sub, qv AS sv
+                    FROM e)
+{coarse_lloyd},
+cent AS MATERIALIZED (SELECT code AS list_id, cw AS cvec
+                      FROM ccb{_IVFPQ_CITERS}),
+casg AS MATERIALIZED (
+  SELECT vec_id, list_id, qv FROM (
+    SELECT e.vec_id, e.qv, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {d2f('e.qv', 'c.cvec')} ASC, c.list_id ASC)
+             AS rk
+    FROM e CROSS JOIN cent c) t
+  WHERE rk = 1),
+res AS MATERIALIZED (
+  SELECT a.vec_id, a.list_id,
+         list_transform(range(1, {_IVFPQ_DIM} + 1),
+                        i -> a.qv[i] - c.cvec[i]) AS rv
+  FROM casg a JOIN cent c USING (list_id)),
+seeds AS (SELECT vec_id, rv AS qv FROM res ORDER BY vec_id
+          LIMIT {_IVFPQ_KSUB}),
+cb0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+              AS code, qv
+        FROM seeds),
+subs AS (SELECT CAST(unnest(range({_IVFPQ_M})) AS BIGINT) AS sub),
+pcb0 AS (SELECT sub, code, {_ivfpq_slice('qv')} AS cw FROM cb0, subs),
+dsub AS MATERIALIZED (SELECT vec_id, sub, {_ivfpq_slice('rv')} AS sv
+                      FROM res, subs)
+{fine_lloyd},
+cb AS (SELECT sub, code, cw FROM pcb{_IVFPQ_PITERS}),
+cdist AS (SELECT vec_id, sub, code, {d2s('sv', 'cw')} AS d2
+          FROM dsub JOIN cb USING (sub)),
+enc AS (SELECT vec_id, sub, code FROM
+          (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                       ORDER BY d2 ASC, code ASC) AS rn
+           FROM cdist)
+        WHERE rn = 1),
+encl AS MATERIALIZED (
+  SELECT n.vec_id, a.list_id, n.sub, n.code
+  FROM enc n JOIN casg a USING (vec_id)),
+qx AS (SELECT vec_id AS query_id, qv FROM e WHERE vec_id % 50 = 0),
+qprob AS MATERIALIZED (
+  SELECT query_id, list_id, qres FROM (
+    SELECT q.query_id, c.list_id,
+           list_transform(range(1, {_IVFPQ_DIM} + 1),
+                          i -> q.qv[i] - c.cvec[i]) AS qres,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY {d2f('q.qv', 'c.cvec')} ASC, c.list_id ASC)
+             AS rk
+    FROM qx q CROSS JOIN cent c) t
+  WHERE rk <= {n_probe}),
+qsub AS (SELECT query_id, list_id, sub, {_ivfpq_slice('qres')} AS sv
+         FROM qprob, subs),
+lut AS (SELECT query_id, list_id, sub, code,
+          {d2s('sv', 'cw')} AS qd2
+        FROM qsub JOIN cb USING (sub)),
+adc AS (SELECT query_id, vec_id AS neighbor_id,
+          CAST(SUM(qd2) AS BIGINT) AS adc
+        FROM encl JOIN lut USING (list_id, sub, code)
+        WHERE vec_id <> query_id
+        GROUP BY 1, 2)
+"""
+
+
+_IVFPQ_CTES = _ivfpq_ctes(_IVFPQ_NLISTS, _IVFPQ_NPROBE)
+
+
+def _ivfpq_parts(spark: SparkSession, sf_dir: str):
+    from gcp_etl_pipeline_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_probes,
+    )
+
+    embs = _embs(spark, sf_dir)
+    index = ivfpq_index(
+        embs, n_lists=_IVFPQ_NLISTS, m=_IVFPQ_M, ksub=_IVFPQ_KSUB,
+        iters=_IVFPQ_PITERS, coarse="kmeans",
+        coarse_iters=_IVFPQ_CITERS,
+    )
+    queries = embs.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    probes = ivfpq_probes(queries, index.cent, n_probe=_IVFPQ_NPROBE)
+    return index, probes
+
+
+def _q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC ANN end to end: coarse lists prune the scan (n_probe/
+    n_lists of the code table), residual PQ sharpens the quantization
+    at the same m x ksub budget — the billion-vector shape the flat
+    knn_pq scan is missing."""
+    from gcp_etl_pipeline_spark.operators.similarity import ivfpq_adc_topk
+
+    index, probes = _ivfpq_parts(spark, sf_dir)
+    return ivfpq_adc_topk(index, probes, k=5, m=_IVFPQ_M)
+
+
+register(
+    "similarity_knn_ivfpq",
+    _q_knn_ivfpq,
+    f"""
+    WITH {_IVFPQ_CTES}
+    SELECT query_id, neighbor_id, adc, rn FROM
+      (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY adc ASC, neighbor_id ASC) AS BIGINT) AS rn
+       FROM adc)
+    WHERE rn <= 5
+    """,
+)
+
+
+def _q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVFADC index against the exact answer under the
+    metric it approximates, PLUS the per-query scanned-candidate count
+    (probed-list members) — the graded evidence that list pruning cut
+    the scan while holding recall. The brute side is the O(nq)
+    correctness baseline (test-SF only)."""
+    from pyspark.sql import Window
+
+    from gcp_etl_pipeline_spark.operators.similarity import (
+        _l2q,
+        ivfpq_adc_topk,
+        quantized,
+    )
+
+    embs = _embs(spark, sf_dir)
+    qv = embs.select("vec_id", quantized("embedding").alias("__qv"))
+    queries = qv.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("__qv").alias("__quv")
+    )
+    d2 = _l2q(F.col("__qv"), F.col("__quv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("d2"), F.asc("neighbor_id")
+    )
+    exact = (
+        qv.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), d2.alias("d2")
+        )
+        .select("*", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    index, probes = _ivfpq_parts(spark, sf_dir)
+    approx = ivfpq_adc_topk(index, probes, k=5, m=_IVFPQ_M).select(
+        "query_id", "neighbor_id"
+    )
+    scanned = (
+        probes.join(index.assigned, "list_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_scanned"))
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"])
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .join(scanned, "query_id")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            "n_scanned",
+        )
+    )
+
+
+register(
+    "similarity_ivfpq_recall",
+    _q_ivfpq_recall,
+    f"""
+    WITH {_IVFPQ_CTES},
+    pq AS (SELECT query_id, neighbor_id FROM
+             (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY adc ASC, neighbor_id ASC) AS rn
+              FROM adc)
+           WHERE rn <= 5),
+    qxv AS (SELECT vec_id AS query_id, qv AS quv FROM e
+            WHERE vec_id % 50 = 0),
+    bd AS (SELECT qxv.query_id, e.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, len(e.qv) + 1),
+               i -> (e.qv[i] - qxv.quv[i]) * (e.qv[i] - qxv.quv[i])))
+               AS BIGINT) AS d2
+           FROM e CROSS JOIN qxv
+           WHERE e.vec_id <> qxv.query_id),
+    ex AS (SELECT query_id, neighbor_id FROM
+             (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY d2 ASC, neighbor_id ASC) AS rn
+              FROM bd)
+           WHERE rn <= 5),
+    hits AS (SELECT ex.query_id, COUNT(*) AS n_hit
+             FROM ex JOIN pq USING (query_id, neighbor_id)
+             GROUP BY 1),
+    scan AS (SELECT p.query_id, CAST(COUNT(*) AS BIGINT) AS n_scanned
+             FROM qprob p JOIN casg a USING (list_id)
+             WHERE a.vec_id <> p.query_id
+             GROUP BY 1)
+    SELECT ex.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COALESCE(MIN(hits.n_hit), 0) AS BIGINT) AS n_hit,
+           CAST(MIN(scan.n_scanned) AS BIGINT) AS n_scanned
+    FROM ex LEFT JOIN hits ON ex.query_id = hits.query_id
+         JOIN scan ON ex.query_id = scan.query_id
     GROUP BY ex.query_id
     """,
 )

@@ -517,13 +517,23 @@ def _hits_inc_oracle() -> str:
         prev_h = f"bh{i}"
     # warm start on the full node set + converged-flag gated unroll;
     # score frames are FULL node tables (missing -> 0 / seed), the
-    # hits_warm value contract
+    # hits_warm value contract. The engine's prev is hits(base)'s FULL
+    # output, where a base pure-sink node carries hub_u=0 — so the
+    # seed must coalesce over the full BASE node table first (0 for
+    # base nodes missing from the sparse bh{{N}} frame), and only
+    # nodes absent from the base graph entirely seed at HITS_SCALE
+    # (ADVICE r12: seeding straight off sparse bh{{N}} silently gave
+    # base sinks 1,000,000 instead of the engine's 0).
     parts.append(
         f"""
+    bprev AS MATERIALIZED (
+      SELECT nd.node, CAST(COALESCE(p.hub_u, 0) AS BIGINT) AS hub_u
+      FROM nb nd LEFT JOIN {prev_h} p ON nd.node = p.node
+    ),
     s0 AS MATERIALIZED (
       SELECT nd.node,
              CAST(COALESCE(p.hub_u, {HITS_SCALE}) AS BIGINT) AS hub_u
-      FROM nf nd LEFT JOIN {prev_h} p ON nd.node = p.node
+      FROM nf nd LEFT JOIN bprev p ON nd.node = p.node
     ),
     au0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS auth_u FROM nf),
     done0 AS MATERIALIZED (SELECT FALSE AS done)"""

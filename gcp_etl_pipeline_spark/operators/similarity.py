@@ -1148,6 +1148,14 @@ def _pq_subvectors(
     ).withColumn("sub", F.col("sub").cast("bigint"))
 
 
+def _vec_quantized(vec_col: str, pre_quantized: bool) -> Column:
+    """The µ-unit view of a vector column: quantize floats, or pass an
+    already-quantized array<bigint> through (residual vectors from the
+    IVFADC composition are integer differences of quantized vectors —
+    re-quantizing would scale them by another 1e6)."""
+    return F.col(vec_col) if pre_quantized else quantized(vec_col)
+
+
 def pq_codebook(
     corpus: DataFrame,
     m: int = 8,
@@ -1155,6 +1163,7 @@ def pq_codebook(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pre_quantized: bool = False,
 ) -> DataFrame:
     """(sub, code, cw) PQ codebook: seeds are the ``ksub`` lowest-id
     corpus vectors' subvectors (the ``_centroids`` deterministic
@@ -1173,12 +1182,30 @@ def pq_codebook(
     corpus size."""
     spark = corpus.sparkSession
     seed_rows = (
-        corpus.select(F.col(id_col), quantized(vec_col).alias("__qv"))
+        corpus.select(
+            F.col(id_col),
+            _vec_quantized(vec_col, pre_quantized).alias("__qv"),
+        )
         .orderBy(id_col)
         .limit(ksub)
         .collect()
     )
+    # misconfiguration fails loudly (ADVICE r12): a non-divisible dim
+    # would silently exclude the trailing dim - m*dsub components from
+    # every code and every distance; an undersized corpus would seed a
+    # degenerate codebook (or IndexError on empty).
+    if len(seed_rows) < ksub:
+        raise ValueError(
+            f"pq_codebook: corpus has {len(seed_rows)} vectors, "
+            f"need >= ksub={ksub} for codebook seeding"
+        )
     dim = len(seed_rows[0]["__qv"])
+    if dim % m != 0:
+        raise ValueError(
+            f"pq_codebook: dim={dim} is not divisible by m={m} — the "
+            f"trailing {dim % m} components would be silently dropped "
+            "from codes and distances"
+        )
     dsub = dim // m
     C = {
         (s, c): np.array(
@@ -1198,7 +1225,10 @@ def pq_codebook(
         )
 
     dsubv = _pq_subvectors(
-        corpus.select(F.col(id_col), quantized(vec_col).alias("__qv")),
+        corpus.select(
+            F.col(id_col),
+            _vec_quantized(vec_col, pre_quantized).alias("__qv"),
+        ),
         [id_col],
         "__qv",
         m,
@@ -1249,6 +1279,7 @@ def pq_codes(
     dsub: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pre_quantized: bool = False,
 ) -> DataFrame:
     """Encode the corpus: (vec_id, sub, code) — each subvector maps to
     its nearest codeword by exact integer L2, ties (d2 asc, code asc).
@@ -1256,7 +1287,10 @@ def pq_codes(
     + one (vec_id, sub) min-struct aggregate; text/vectors never
     shuffle, only codes do."""
     dsubv = _pq_subvectors(
-        corpus.select(F.col(id_col), quantized(vec_col).alias("__qv")),
+        corpus.select(
+            F.col(id_col),
+            _vec_quantized(vec_col, pre_quantized).alias("__qv"),
+        ),
         [id_col],
         "__qv",
         m,
@@ -1290,10 +1324,21 @@ def knn_pq(
     adc, rn). The per-query LUT (m x ksub exact integer d2 entries
     per query) broadcasts onto the corpus codes, so the scan side
     touches only (vec_id, sub, code) rows — the 32x-compressed index,
-    never the vectors. Ties (adc asc, neighbor asc)."""
+    never the vectors. Ties (adc asc, neighbor asc).
+
+    Query-id contract: ``qid_col`` values must be the CORPUS vec_id of
+    each query vector (queries drawn from the corpus, the fixture
+    shape) — self-matches are excluded by comparing neighbor ids
+    against query ids, so a disjoint query-id space that happens to
+    collide with corpus ids would silently drop an unrelated neighbor
+    (ADVICE r12)."""
     from pyspark.sql import Window
 
     dim = len(corpus.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(
+            f"knn_pq: dim={dim} is not divisible by m={m}"
+        )
     dsub = dim // m
     cb = pq_codebook(corpus, m, ksub, iters, id_col, vec_col)
     codes = pq_codes(corpus, cb, m, dsub, id_col, vec_col)
@@ -1320,3 +1365,245 @@ def knn_pq(
         "adc",
         F.row_number().over(w).cast("bigint").alias("rn"),
     ).where(F.col("rn") <= k)
+
+
+# -------------------- IVF+PQ composition (IVFADC — Jégou et al. 2011)
+#
+# The billion-vector ANN shape the flat knn_pq scan is missing: a
+# COARSE quantizer (IVF lists) prunes which codes each query even
+# looks at, and PQ encodes each vector's RESIDUAL (vector minus its
+# list centroid) — residuals are smaller in magnitude than raw
+# vectors, so the same m×ksub code budget quantizes them more finely.
+# Search probes the n_probe nearest lists and ADC-scans only member
+# codes: at n_lists=1024/n_probe=8 that is <1% of the index, and the
+# index itself is the 32x-compressed code table. Everything is exact
+# int64 arithmetic over µ-unit quantized components (the knn_pq
+# discipline), so SQL oracles reproduce results bit-for-bit.
+
+
+class IvfPqIndex:
+    """The three frames an IVFADC search needs. ``cent`` (list_id,
+    cvec) and ``codebook`` (sub, code, cw) are literal-row broadcast
+    frames at any corpus size; ``codes`` (vec_id, list_id, sub, code)
+    is the compressed index — the only corpus-sized thing, m bytes of
+    code identity per vector; ``assigned`` (vec_id, list_id) is the
+    membership map (kept for scanned-candidate accounting)."""
+
+    def __init__(self, cent, codebook, assigned, codes):
+        self.cent = cent
+        self.codebook = codebook
+        self.assigned = assigned
+        self.codes = codes
+
+
+def _coarse_centroids(
+    corpus: DataFrame, n_lists: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Deterministic coarse quantizer: the ``n_lists`` lowest-id corpus
+    vectors, quantized, labeled list_id 0.. in id order (the
+    ``_centroids`` seeding contract — swapping in ``kmeans_centroids``
+    changes only this function). n_lists literal rows — broadcast
+    scale."""
+    rows = (
+        corpus.select(F.col(id_col), quantized(vec_col).alias("__qv"))
+        .orderBy(id_col)
+        .limit(n_lists)
+        .collect()
+    )
+    if len(rows) < n_lists:
+        raise ValueError(
+            f"ivfpq_index: corpus has {len(rows)} vectors, need >= "
+            f"n_lists={n_lists} for coarse seeding"
+        )
+    return corpus.sparkSession.createDataFrame(
+        [(i, [int(x) for x in r["__qv"]]) for i, r in enumerate(rows)],
+        "list_id bigint, cvec array<bigint>",
+    )
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    n_lists: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse: str = "kmeans",
+    coarse_iters: int = 2,
+) -> IvfPqIndex:
+    """Build the IVFADC index: coarse-assign every vector to its
+    nearest list by EXACT int64 squared L2 (ties d2 asc, list_id asc —
+    integer throughout, unlike knn_ivf's float-cosine assignment, so
+    the oracle needs no float reasoning), subtract the list centroid,
+    and PQ-train/encode the RESIDUALS with the existing
+    ``pq_codebook``/``pq_codes`` machinery (one shared codebook across
+    lists, the classic IVFADC layout).
+
+    ``coarse="kmeans"`` (default) trains the coarse quantizer as a
+    full-width integer Lloyd run — literally ``pq_codebook`` with
+    m=1 subspace and ksub=n_lists codes, so the coarse and fine
+    quantizers share one exactness discipline and one oracle unroll.
+    Density-following lists more than double pruned-recall over
+    lowest-id seeding (geometry sweep, SCALE.md r13);
+    ``coarse="lowest_id"`` keeps the seeded placement for A/B.
+
+    Plan shape: assignment is one broadcast join (n × n_lists
+    candidate rows, JVM fold distance) + a min-struct aggregate —
+    at very large n_lists swap in the ``_ivf_assign`` matmul pass;
+    residuals are a zip_with against the broadcast centroid row;
+    training/encoding is pq_codebook's bounded-collect Lloyd loop.
+    The ``assigned`` leg is persisted for the duration of codebook
+    training (it feeds every Lloyd round) and released when the codes
+    frame is GC'd."""
+    qcorp = corpus.select(
+        F.col(id_col), quantized(vec_col).alias("__qv")
+    )
+    if coarse == "kmeans":
+        ccb = pq_codebook(
+            qcorp, m=1, ksub=n_lists, iters=coarse_iters,
+            id_col=id_col, vec_col="__qv", pre_quantized=True,
+        )
+        cent = ccb.select(
+            F.col("code").alias("list_id"), F.col("cw").alias("cvec")
+        )
+    else:
+        cent = _coarse_centroids(corpus, n_lists, id_col, vec_col)
+    cand = qcorp.join(F.broadcast(cent), how="cross").select(
+        id_col,
+        "__qv",
+        "list_id",
+        _l2q(F.col("__qv"), F.col("cvec")).alias("d2"),
+    )
+    assigned = (
+        cand.groupBy(id_col)
+        .agg(F.min(F.struct("d2", "list_id", "__qv")).alias("__m"))
+        .select(
+            id_col,
+            F.col("__m.list_id").alias("list_id"),
+            F.col("__m.__qv").alias("__qv"),
+        )
+        .persist()
+    )
+    res = assigned.join(F.broadcast(cent), "list_id").select(
+        id_col,
+        "list_id",
+        F.zip_with("__qv", "cvec", lambda x, c: x - c).alias("__rv"),
+    )
+    cb = pq_codebook(
+        res, m, ksub, iters, id_col=id_col, vec_col="__rv",
+        pre_quantized=True,
+    )
+    dim = len(cent.first()["cvec"])
+    codes = (
+        pq_codes(
+            res, cb, m, dim // m, id_col=id_col, vec_col="__rv",
+            pre_quantized=True,
+        )
+        .join(assigned.select(id_col, "list_id"), id_col)
+        .select(id_col, "list_id", "sub", "code")
+    )
+    membership = assigned.select(id_col, "list_id")
+    return IvfPqIndex(
+        cent,
+        cb,
+        _release_on_gc(membership, assigned),
+        _release_on_gc(codes, assigned),
+    )
+
+
+def ivfpq_probes(
+    queries: DataFrame,
+    cent: DataFrame,
+    n_probe: int = 2,
+    qid_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, list_id, __qres): each query's ``n_probe`` nearest
+    lists by exact int64 d2 (ties d2 asc, list_id asc) with the
+    query's residual AGAINST THAT LIST's centroid — ADC distances in a
+    probed list must be taken in that list's residual frame."""
+    qq = queries.select(F.col(qid_col), quantized(vec_col).alias("__qv"))
+    cand = qq.join(F.broadcast(cent), how="cross").select(
+        qid_col,
+        "__qv",
+        "list_id",
+        "cvec",
+        _l2q(F.col("__qv"), F.col("cvec")).alias("d2"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.asc("d2"), F.asc("list_id")
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= n_probe)
+        .select(
+            qid_col,
+            "list_id",
+            F.zip_with("__qv", "cvec", lambda x, c: x - c).alias("__qres"),
+        )
+    )
+
+
+def ivfpq_adc_topk(
+    index: IvfPqIndex,
+    probes: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    qid_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over the probed lists only: the per-(query, list) LUT
+    (m × ksub exact integer d2 entries) broadcasts onto the code
+    table; the (list_id, sub, code) join key means codes in unprobed
+    lists never leave the scan — list pruning happens in the join, and
+    with the code table PARTITIONED BY list_id on disk it becomes
+    partition pruning. Ties (adc asc, neighbor asc).
+
+    Query-id contract: as ``knn_pq`` — query ids must be corpus
+    vec_ids (self-matches excluded by id equality)."""
+    dim_sub = len(index.codebook.first()["cw"])
+    lut = _pq_subvectors(
+        probes, [qid_col, "list_id"], "__qres", m, dim_sub
+    ).join(F.broadcast(index.codebook), "sub").select(
+        qid_col,
+        "list_id",
+        "sub",
+        "code",
+        _l2q(F.col("sv"), F.col("cw")).alias("qd2"),
+    )
+    adc = (
+        index.codes.join(F.broadcast(lut), ["list_id", "sub", "code"])
+        .groupBy(qid_col, id_col)
+        .agg(F.sum("qd2").alias("adc"))
+        .where(F.col(id_col) != F.col(qid_col))
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.asc("adc"), F.asc(id_col))
+    return adc.select(
+        qid_col,
+        F.col(id_col).alias("neighbor_id"),
+        "adc",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+    ).where(F.col("rn") <= k)
+
+
+def knn_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+) -> DataFrame:
+    """IVFADC end to end: build the residual-PQ index, probe, ADC-scan
+    member codes. Returns (query_id, neighbor_id, adc, rn)."""
+    index = ivfpq_index(
+        corpus, n_lists, m, ksub, iters, id_col, vec_col
+    )
+    probes = ivfpq_probes(queries, index.cent, n_probe, qid_col, vec_col)
+    return ivfpq_adc_topk(index, probes, k, m, qid_col, id_col)

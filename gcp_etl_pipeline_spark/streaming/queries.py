@@ -1183,3 +1183,75 @@ register(
     _q_stream_recrawl,
     _stream_recrawl_oracle(),
 )
+
+
+def _q_stream_sitemap_discovery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of the robots->sitemap->page-URL discovery
+    pipeline (the one intake chain without one until r13): per-host
+    discovery bundles (robots.txt + the host's sitemap document) land
+    one file per micro-batch; each foreachBatch invocation runs the
+    SHARED ``sitemap_discovery_stage`` (directive extraction ->
+    canonical-URL join -> structural parse -> normalized URLs). The
+    chain is per-host stateless, so the union of micro-batch outputs
+    must equal the batch twin EXACTLY — the oracle is
+    ``_sitemap_discovery_oracle()`` shared verbatim."""
+    from pyspark.sql import functions as F
+
+    from gcp_etl_pipeline_spark.operators.curation_queries import (
+        sitemap_disc_stream_src,
+        sitemap_discovery_stage,
+    )
+
+    root = tempfile.mkdtemp(prefix="graft_ssitemap_")
+    src = sitemap_disc_stream_src(spark, sf_dir)
+    out_dir = f"{root}/parsed"
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        parsed = sitemap_discovery_stage(
+            batch.select("host", "robots_txt"),
+            batch.select("host_id", "sitemap_url", "xml"),
+        )
+        parsed.select(
+            "host_id",
+            "entry_no",
+            "url",
+            F.when(
+                F.col("lastmod") != "",
+                F.col("lastmod").cast("date")
+                >= F.lit("2024-07-01").cast("date"),
+            ).otherwise(F.lit(False)).alias("is_fresh"),
+        ).write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    q = (
+        spark.readStream.schema(
+            "host_id BIGINT, host STRING, robots_txt STRING,"
+            " sitemap_url STRING, xml STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "host_id", "entry_no", "url", "is_fresh"
+    )
+
+
+def _stream_sitemap_discovery_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators.curation_queries import (
+        _sitemap_discovery_oracle,
+    )
+
+    return _sitemap_discovery_oracle()
+
+
+register(
+    "stream_sitemap_discovery",
+    _q_stream_sitemap_discovery,
+    _stream_sitemap_discovery_oracle(),
+)

@@ -73,3 +73,108 @@ def test_hits_pinned_matches_persist_form(spark, monkeypatch):
         for r in pagerank.hits(edges, iterations=2).collect()
     }
     assert stock == pinned
+
+
+# --------------------------------------------- PDF non-flat stream dict
+
+def test_pdf_nested_stream_dict_rejected_loudly():
+    # ADVICE r12: the flat-dict frame regex cannot match a stream whose
+    # dictionary nests another dict (/DecodeParms << ... >>) — that
+    # stream used to be SILENTLY skipped; the module contract is loud
+    # rejection of out-of-scope constructs.
+    from gcp_etl_pipeline_spark.operators.codecs import PDF_MAGIC, pdf_text
+
+    raw = b"BT (x) Tj ET"
+    body = (
+        b"<< /Length " + str(len(raw)).encode()
+        + b" /DecodeParms << /Foo 1 >> >>\nstream\n"
+        + raw + b"\nendstream"
+    )
+    doc = PDF_MAGIC + b"\n1 0 obj\n" + body + b"\nendobj\n%%EOF\n"
+    with pytest.raises(ValueError, match="non-flat stream dictionary"):
+        pdf_text(doc)
+
+
+def test_pdf_nested_dict_alongside_valid_stream_still_rejected():
+    # the hazard case: one well-framed stream plus one nested-dict
+    # stream — pre-fix the latter vanished and the doc extracted "half
+    # clean"; now the whole doc rejects
+    from gcp_etl_pipeline_spark.operators.codecs import PDF_MAGIC, pdf_text
+
+    ok_raw = b"BT (ok) Tj ET"
+    bad_raw = b"BT (lost) Tj ET"
+    ok = (
+        b"<< /Length " + str(len(ok_raw)).encode() + b" >>\nstream\n"
+        + ok_raw + b"\nendstream"
+    )
+    bad = (
+        b"<< /Length " + str(len(bad_raw)).encode()
+        + b" /DecodeParms << /K -1 >> >>\nstream\n"
+        + bad_raw + b"\nendstream"
+    )
+    doc = (
+        PDF_MAGIC + b"\n1 0 obj\n" + ok + b"\nendobj\n2 0 obj\n" + bad
+        + b"\nendobj\n%%EOF\n"
+    )
+    with pytest.raises(ValueError, match="non-flat stream dictionary"):
+        pdf_text(doc)
+
+
+# ------------------------------------------------- PQ misconfig guards
+
+def test_pq_codebook_rejects_bad_geometry(spark):
+    from gcp_etl_pipeline_spark.operators.similarity import (
+        knn_pq,
+        pq_codebook,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), float(i + 1), float(i + 2)]) for i in range(20)],
+        "vec_id bigint, embedding array<float>",
+    )
+    # dim=3 not divisible by m=2: trailing components would silently
+    # vanish from codes and distances (ADVICE r12)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codebook(vecs, m=2, ksub=4)
+    with pytest.raises(ValueError, match="not divisible"):
+        knn_pq(vecs, vecs.selectExpr("vec_id AS query_id", "embedding"),
+               m=2, ksub=4)
+    # corpus smaller than ksub: degenerate seeding (IndexError on
+    # empty pre-fix)
+    with pytest.raises(ValueError, match="need >= ksub"):
+        pq_codebook(vecs.limit(3), m=3, ksub=4)
+    with pytest.raises(ValueError, match="need >= ksub"):
+        pq_codebook(vecs.limit(0), m=3, ksub=4)
+
+
+# ---------------------------------------------- sitemap recrawl boost
+
+def test_sitemap_boost_both_branches(spark):
+    # the graded fixture's fetch log spans Jan 2024 while most sitemap
+    # lastmods land later, so the differential gate mostly sees the
+    # jump branch — this pins all three cases: hint after last fetch
+    # (jump: due now), hint at/before last fetch (keep schedule), no
+    # hint (keep schedule, lastmod -1)
+    from gcp_etl_pipeline_spark.operators.curation import sitemap_boost
+
+    sched = spark.createDataFrame(
+        [
+            ("u1", 1_000, 50),
+            ("u2", 2_000, 50),
+            ("u3", 3_000, 50),
+        ],
+        "url string, last_fetch_us bigint, recrawl_interval_us bigint",
+    )
+    hints = spark.createDataFrame(
+        [("u1", 5_000), ("u2", 2_000)],
+        "url string, lastmod_us bigint",
+    )
+    got = {
+        r.url: (r.sitemap_lastmod_us, r.sitemap_jump, r.next_due_us)
+        for r in sitemap_boost(sched, hints).collect()
+    }
+    assert got == {
+        "u1": (5_000, True, 1_000),   # declared fresh -> due now
+        "u2": (2_000, False, 2_050),  # hint not newer -> keep cadence
+        "u3": (-1, False, 3_050),     # no hint -> keep cadence
+    }
