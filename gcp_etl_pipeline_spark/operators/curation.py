@@ -1120,12 +1120,33 @@ def per_host_budget(
     )
 
 
+def robots_pattern_regex(pattern: Column) -> Column:
+    """RFC 9309 §2.2.3 path pattern -> anchored regex (JVM-side, one
+    expression per rule row): ``*`` matches any octet sequence; ``$``
+    anchors the END only when it is the pattern's last octet (a ``$``
+    anywhere else is a literal); every other regex metacharacter is
+    escaped. Both Spark (Java regex) and the DuckDB oracle (RE2) read
+    the produced pattern identically — it contains only literals,
+    backslash escapes, ``.*``, ``^`` and a final optional ``$``."""
+    ends_anchor = pattern.endswith("$")
+    core = F.when(
+        ends_anchor, F.substring(pattern, F.lit(1), F.length(pattern) - 1)
+    ).otherwise(pattern)
+    esc = F.regexp_replace(core, r"([.^$+?(){}\[\]\\|])", r"\\$1")
+    return F.concat(
+        F.lit("^"),
+        F.regexp_replace(esc, r"\*", ".*"),
+        F.when(ends_anchor, F.lit("$")).otherwise(F.lit("")),
+    )
+
+
 def robots_filter(
     urls: DataFrame,
     rules: DataFrame,
     url_col: str = "url",
     scope: str = "hostname",
     assume_distinct: bool = False,
+    wildcards: bool = False,
 ) -> DataFrame:
     """robots.txt directive evaluation — the fetch-permission gate that
     runs with the per-host budget: ``rules`` is the parsed directive
@@ -1152,13 +1173,23 @@ def robots_filter(
     verdict aggregate then groups the input rows directly — one scan
     of the frontier instead of two lineages of it.
 
+    ``wildcards=True`` evaluates RFC 9309 §2.2.3 path PATTERNS instead
+    of plain prefixes: ``*`` spans any octet sequence and a trailing
+    ``$`` anchors the end (literal anywhere else) — each rule compiles
+    once to an anchored regex (``robots_pattern_regex``) inside the
+    broadcast side, and specificity stays pattern-octet length with
+    Allow winning ties (the common implementation of the RFC's
+    most-octets rule; a plain prefix is the degenerate pattern, so
+    prefix rule tables evaluate identically under either mode).
+
     Scale shape: a robots table is tiny next to a frontier (thousands
     of hosts x a handful of directives), so the rule join BROADCASTS
     against the distinct-URL table; the prefix match is a JVM
-    startswith inside the join condition; precedence is ONE max_by
-    aggregate over the candidate rows (no window sort), and the
-    frontier itself only shuffles for the verdict join, which AQE
-    plans against the deduplicated (smaller) side."""
+    startswith (or compiled-regex RLIKE) inside the join condition;
+    precedence is ONE max_by aggregate over the candidate rows (no
+    window sort), and the frontier itself only shuffles for the
+    verdict join, which AQE plans against the deduplicated (smaller)
+    side."""
     from gcp_etl_pipeline_spark.operators.text import (
         URL_AUTH_RE,
         URL_SCHEME_RE,
@@ -1189,10 +1220,14 @@ def robots_filter(
         F.col("path_prefix").alias("__pfx"),
         F.col("allow").alias("__allow"),
     )
+    if wildcards:
+        r = r.withColumn("__rx", robots_pattern_regex(F.col("__pfx")))
+        match = F.expr("rlike(__path, __rx)")
+    else:
+        match = F.col("__path").startswith(F.col("__pfx"))
     cand = uu.join(
         F.broadcast(r),
-        (F.col("__host") == F.col("__rhost"))
-        & F.col("__path").startswith(F.col("__pfx")),
+        (F.col("__host") == F.col("__rhost")) & match,
         "left",
     )
     # RFC precedence as one aggregate: max over (prefix length, allow)

@@ -5221,6 +5221,164 @@ def _robots_parse_oracle() -> str:
 register("robots_txt_parse_eval", _q_robots_parse, _robots_parse_oracle())
 
 
+# --------- RFC 9309 §2.2.3 wildcard patterns (robots * and $ matching)
+
+# per-host-class robots docs: trailing-$ anchors, mid-pattern literal
+# '$', multi-segment '*', a query-string pattern ('?' must escape), a
+# plain prefix as the degenerate pattern, and a host whose only group
+# names ANOTHER agent (rules exist, none apply -> default allow)
+_ROBOTS_WC_TXT = (
+    "CASE h % 6 "
+    "WHEN 0 THEN 'User-agent: *' || {NL} || 'Disallow: /*.gif$' || {NL} "
+    "|| 'Allow: /img/*.gif$' "
+    "WHEN 1 THEN 'User-agent: *' || {NL} || 'Disallow: /p/*/edit' || {NL} "
+    "|| 'Allow: /p/' "
+    "WHEN 2 THEN 'User-agent: *' || {NL} || 'Disallow: /search$' "
+    "WHEN 3 THEN 'User-agent: *' || {NL} || 'Disallow: /a$b' || {NL} "
+    "|| 'Disallow: /*sort=' "
+    "WHEN 4 THEN 'User-agent: *' || {NL} || 'Disallow: /img/' "
+    "ELSE 'User-agent: other' || {NL} || 'Disallow: /' END"
+)
+
+# URL paths cycling through the hazard set (k = o_orderkey): an
+# allow-overridden .gif vs a blocked one, a literal-$ path, a
+# mid-pattern-wildcard edit path, anchored /search vs /search/sub, and
+# a query-string page
+# NB: the inner alternation keys on (k // 6) % 2, NOT k % 2 — the
+# host class is k % 6, so k's parity is CONSTANT per even/odd host
+# class and a k%2 branch would never exercise both arms on one host
+_ROBOTS_WC_PATH = (
+    "CASE (o_orderkey // 6) % 5 "
+    "WHEN 0 THEN CASE WHEN (o_orderkey // 6) % 2 = 0 "
+    "  THEN '/img/p' || CAST(o_orderkey AS {V}) || '.gif' "
+    "  ELSE '/pics/p' || CAST(o_orderkey AS {V}) || '.gif' END "
+    "WHEN 1 THEN '/a$b/' || CAST(o_orderkey AS {V}) "
+    "WHEN 2 THEN '/p/' || CAST(o_orderkey AS {V}) || '/edit' "
+    "WHEN 3 THEN CASE WHEN (o_orderkey // 6) % 2 = 0 THEN '/search' "
+    "  ELSE '/search/sub' || CAST(o_orderkey AS {V}) END "
+    "ELSE '/items?sort=asc&id=' || CAST(o_orderkey AS {V}) END"
+)
+
+
+def _q_robots_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 §2.2.3 wildcard evaluation end to end: raw robots.txt
+    with '*'/'$' path patterns -> parse_robots_txt (pattern-agnostic)
+    -> robots_filter(wildcards=True): each rule compiles once to an
+    anchored regex on the broadcast side, specificity = pattern-octet
+    length with Allow winning ties. The fixture plants every pattern
+    hazard: trailing-$ anchor (hit and near-miss), '$' as a literal
+    mid-pattern, '*' spanning path segments, a regex-metachar-bearing
+    query pattern, the degenerate plain prefix, and a host whose only
+    group names another agent (default allow despite rules)."""
+    from gcp_etl_pipeline_spark.operators import curation as _cur
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    hosts = orders.select(
+        (F.col("o_orderkey") % 6).alias("h")
+    ).distinct()
+    docs = hosts.select(
+        F.concat(F.lit("w"), F.col("h").cast("string"), F.lit(".test"))
+        .alias("host"),
+        F.expr(_ROBOTS_WC_TXT.replace("{NL}", "chr(10)")).alias(
+            "robots_txt"
+        ),
+    )
+    rules = _cur.parse_robots_txt(docs)
+    urls = orders.select(
+        "o_orderkey",
+        F.concat(
+            F.lit("https://w"),
+            (F.col("o_orderkey") % 6).cast("string"),
+            F.lit(".test"),
+            F.expr(
+                _ROBOTS_WC_PATH.replace("//", "DIV").format(V="STRING")
+            ),
+        ).alias("url"),
+    )
+    return _cur.robots_filter(urls, rules, wildcards=True).select(
+        "o_orderkey", "url", "allowed", "matched_prefix"
+    )
+
+
+def _robots_wildcard_oracle() -> str:
+    txt = _ROBOTS_WC_TXT.replace("{NL}", "chr(10)")
+    path = _ROBOTS_WC_PATH.format(V="VARCHAR")
+    # RE2 twin of robots_pattern_regex: strip a trailing '$' (it
+    # becomes the end anchor), escape every regex metachar EXCEPT '*',
+    # then widen '*' to '.*' and re-anchor. Metachar class + backslash
+    # replacement kept out of the f-string so no brace/backslash
+    # doubling obscures them.
+    esc_cls = r"([.^$+?(){}\[\]\\|])"
+    esc_rep = r"\\\1"
+    return f"""
+    WITH hosts AS (SELECT DISTINCT o_orderkey % 6 AS h FROM orders),
+    docs AS (SELECT 'w' || CAST(h AS VARCHAR) || '.test' AS host,
+                    {txt} AS txt
+             FROM hosts),
+    ls AS (SELECT host, string_split_regex(txt, '\\r?\\n') AS arr
+           FROM docs),
+    l AS (SELECT host,
+            CAST(unnest(range(len(arr))) AS BIGINT) AS no,
+            trim(regexp_replace(unnest(arr), '#.*$', '')) AS clean
+          FROM ls),
+    d0 AS (SELECT host, no,
+             lower(regexp_extract(clean, '^\\s*([A-Za-z-]+)\\s*:', 1))
+               AS kind,
+             trim(regexp_replace(clean, '^\\s*[A-Za-z-]+\\s*:', ''))
+               AS val
+           FROM l),
+    d AS (SELECT * FROM d0
+          WHERE kind IN ('user-agent', 'allow', 'disallow')),
+    d1 AS (SELECT *,
+             COALESCE(LAG(kind) OVER (PARTITION BY host ORDER BY no), '')
+               AS prev_kind
+           FROM d),
+    g AS (SELECT *,
+            SUM(CASE WHEN kind = 'user-agent'
+                      AND prev_kind <> 'user-agent'
+                     THEN 1 ELSE 0 END)
+              OVER (PARTITION BY host ORDER BY no
+                    ROWS UNBOUNDED PRECEDING) AS gid
+          FROM d1),
+    m AS (SELECT DISTINCT host, gid FROM g
+          WHERE kind = 'user-agent' AND val = '*'),
+    rules AS (SELECT DISTINCT g.host, g.val AS pfx,
+                     g.kind = 'allow' AS allow
+              FROM g JOIN m ON g.host = m.host AND g.gid = m.gid
+              WHERE g.kind <> 'user-agent' AND g.gid >= 1
+                AND g.val <> ''),
+    rx AS (SELECT host, pfx, allow,
+             '^' || replace(regexp_replace(
+               CASE WHEN pfx LIKE '%$'
+                    THEN substr(pfx, 1, length(pfx) - 1) ELSE pfx END,
+               '{esc_cls}', '{esc_rep}', 'g'), '*', '.*')
+             || CASE WHEN pfx LIKE '%$' THEN '$' ELSE '' END AS rex
+           FROM rules),
+    u AS (SELECT o_orderkey,
+            'w' || CAST(o_orderkey % 6 AS VARCHAR) || '.test'
+              AS hostname,
+            {path} AS pth
+          FROM orders),
+    cand AS (SELECT u.o_orderkey,
+               'https://' || u.hostname || u.pth AS url,
+               r.pfx, r.allow
+             FROM u LEFT JOIN rx r
+               ON u.hostname = r.host AND regexp_matches(u.pth, r.rex)),
+    rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+             ORDER BY length(pfx) DESC, allow DESC) AS rn
+           FROM cand)
+    SELECT o_orderkey, url,
+           COALESCE(allow, true) AS allowed,
+           COALESCE(pfx, '') AS matched_prefix
+    FROM rk WHERE rn = 1
+    """
+
+
+register(
+    "robots_wildcard_eval", _q_robots_wildcard, _robots_wildcard_oracle()
+)
+
+
 def recrawl_stream_src(spark: SparkSession, sf_dir: str) -> str:
     """Session-cached source directory for the streaming recrawl twin:
     the fetch-log fixture split into two TIME-ordered, mtime-ordered

@@ -2407,6 +2407,52 @@ def _q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVFPQ_RERANK = 32
+
+
+def _q_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC + exact rerank: the ADC shortlist (top-32 per query)
+    re-ranked by exact int64 L2 over the fetched candidate vectors —
+    quantization error picks the shortlist, never the final order.
+    Recall recovers to the list-pruning ceiling at the same scan
+    fraction."""
+    from gcp_etl_pipeline_spark.operators.similarity import ivfpq_rerank
+
+    embs = _embs(spark, sf_dir)
+    index, probes = _ivfpq_parts(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_rerank(
+        index, probes, embs, queries, k=5, rerank=_IVFPQ_RERANK,
+        m=_IVFPQ_M,
+    )
+
+
+register(
+    "similarity_ivfpq_rerank",
+    _q_ivfpq_rerank,
+    f"""
+    WITH {_IVFPQ_CTES},
+    cand AS (SELECT query_id, neighbor_id FROM
+               (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY adc ASC, neighbor_id ASC) AS rn
+                FROM adc)
+             WHERE rn <= {_IVFPQ_RERANK}),
+    rr AS (SELECT c.query_id, c.neighbor_id,
+             {_pq_d2('e.qv', 'q.qv', _IVFPQ_DIM)} AS d2
+           FROM cand c
+           JOIN e ON e.vec_id = c.neighbor_id
+           JOIN qx q ON q.query_id = c.query_id)
+    SELECT query_id, neighbor_id, d2, rn FROM
+      (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY d2 ASC, neighbor_id ASC) AS BIGINT) AS rn
+       FROM rr)
+    WHERE rn <= 5
+    """,
+)
+
+
 register(
     "similarity_ivfpq_recall",
     _q_ivfpq_recall,

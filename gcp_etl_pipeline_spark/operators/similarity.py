@@ -1607,3 +1607,55 @@ def knn_ivfpq(
     )
     probes = ivfpq_probes(queries, index.cent, n_probe, qid_col, vec_col)
     return ivfpq_adc_topk(index, probes, k, m, qid_col, id_col)
+
+
+def ivfpq_rerank(
+    index: IvfPqIndex,
+    probes: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank: int = 32,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+) -> DataFrame:
+    """IVFADC + exact rerank (the standard recall recovery): take the
+    ADC top-``rerank`` candidates per query, fetch THOSE vectors'
+    exact quantized form, and re-rank by exact int64 squared L2 —
+    PQ's quantization error decides only which candidates make the
+    shortlist, never their final order. Returns (query_id,
+    neighbor_id, d2, rn), ties (d2 asc, neighbor asc).
+
+    Scale shape: the shortlist is nq x rerank ids — it BROADCASTS
+    onto the corpus scan (the 'fetch R vectors by id' step; on a
+    row-group-indexed store this is a point-lookup read, the same
+    pattern as warc_record_fetch), so the only corpus-sized work is
+    one semi-join-shaped scan. Raw vectors never shuffle."""
+    cand = ivfpq_adc_topk(
+        index, probes, k=rerank, m=m, qid_col=qid_col, id_col=id_col
+    ).select(qid_col, "neighbor_id")
+    qv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        quantized(vec_col).alias("__cv"),
+    )
+    qq = queries.select(F.col(qid_col), quantized(vec_col).alias("__qv"))
+    scored = (
+        qv.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qq), qid_col)
+        .select(
+            qid_col,
+            "neighbor_id",
+            _l2q(F.col("__cv"), F.col("__qv")).alias("d2"),
+        )
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.asc("d2"), F.asc("neighbor_id")
+    )
+    return scored.select(
+        qid_col,
+        "neighbor_id",
+        "d2",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+    ).where(F.col("rn") <= k)

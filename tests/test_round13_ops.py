@@ -178,3 +178,63 @@ def test_sitemap_boost_both_branches(spark):
         "u2": (2_000, False, 2_050),  # hint not newer -> keep cadence
         "u3": (-1, False, 3_050),     # no hint -> keep cadence
     }
+
+
+# ------------------------------------------- RFC 9309 wildcard matching
+
+def test_robots_pattern_regex_hazards(spark):
+    from gcp_etl_pipeline_spark.operators.curation import (
+        robots_pattern_regex,
+    )
+
+    rows = spark.createDataFrame(
+        [
+            ("/*.gif$",), ("/p/*/edit",), ("/search$",), ("/a$b",),
+            ("/*sort=",), ("/img/",), ("/a.b+c(d)",),
+        ],
+        ["pfx"],
+    ).select("pfx", robots_pattern_regex(F.col("pfx")).alias("rx"))
+    got = {r.pfx: r.rx for r in rows.collect()}
+    assert got == {
+        "/*.gif$": r"^/.*\.gif$",
+        "/p/*/edit": "^/p/.*/edit",
+        "/search$": "^/search$",
+        "/a$b": r"^/a\$b",          # '$' mid-pattern is a literal
+        "/*sort=": "^/.*sort=",
+        "/img/": "^/img/",          # plain prefix = degenerate pattern
+        "/a.b+c(d)": r"^/a\.b\+c\(d\)",
+    }
+
+
+def test_robots_filter_wildcards_verdicts(spark):
+    from gcp_etl_pipeline_spark.operators.curation import robots_filter
+
+    rules = spark.createDataFrame(
+        [
+            ("h.test", "/*.gif$", False),
+            ("h.test", "/img/*.gif$", True),
+            ("h.test", "/search$", False),
+        ],
+        "host string, path_prefix string, allow boolean",
+    )
+    urls = spark.createDataFrame(
+        [
+            ("https://h.test/img/a.gif",),   # allow override (longer)
+            ("https://h.test/x/a.gif",),     # blocked by /*.gif$
+            ("https://h.test/x/a.gifs",),    # $ anchor: no match
+            ("https://h.test/search",),      # anchored block
+            ("https://h.test/search/x",),    # anchored: allowed
+        ],
+        ["url"],
+    )
+    got = {
+        r.url: r.allowed
+        for r in robots_filter(urls, rules, wildcards=True).collect()
+    }
+    assert got == {
+        "https://h.test/img/a.gif": True,
+        "https://h.test/x/a.gif": False,
+        "https://h.test/x/a.gifs": True,
+        "https://h.test/search": False,
+        "https://h.test/search/x": True,
+    }

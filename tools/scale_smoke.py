@@ -1151,7 +1151,6 @@ def main() -> int:
         k=5, n_lists=64, n_probe=16,
     ).select("query_id", "neighbor_id")
     hits = exact_nn.join(approx_16, ["query_id", "neighbor_id"]).count()
-    exact_nn.unpersist()
     timings["knn_bucketed_exhaustive_eq_brute_500k"] = round(
         time.time() - t0, 2
     )
@@ -1159,6 +1158,52 @@ def main() -> int:
         hits / (5 * n_q), 3
     )
     stage_rows["knn_bucketed_exhaustive_eq_brute_500k"] = n_vec
+
+    # (2b) IVFADC at 500k vectors (r13): coarse kmeans lists + residual
+    # PQ. Closed-form accounting gate: probing EVERY list must scan
+    # exactly N-1 candidates per query (the membership map is a
+    # partition of the corpus — a lost or double-assigned vector breaks
+    # the equality); the production-probe config's recall AND measured
+    # scan fraction are recorded (uniform synthetic vectors cluster
+    # weakly — the sf0.01/sf0.1 graded recall owns the quality gate).
+    from gcp_etl_pipeline_spark.operators.similarity import (
+        ivfpq_adc_topk,
+        ivfpq_index,
+        ivfpq_probes,
+    )
+
+    t0 = time.time()
+    ivf_index = ivfpq_index(
+        vecs, n_lists=64, m=8, ksub=32, iters=1, coarse_iters=1
+    )
+    qdf = q_vecs.selectExpr("vec_id AS query_id", "embedding")
+    full_probe = ivfpq_probes(qdf, ivf_index.cent, n_probe=64)
+    full_counts = (
+        full_probe.join(ivf_index.assigned, "list_id")
+        .where("vec_id <> query_id")
+        .groupBy("query_id")
+        .count()
+        .where(f"count <> {n_vec - 1}")
+        .count()
+    )
+    assert full_counts == 0, full_counts  # full probe scans all-but-self
+    probes8 = ivfpq_probes(qdf, ivf_index.cent, n_probe=8)
+    scanned8 = (
+        probes8.join(ivf_index.assigned, "list_id")
+        .where("vec_id <> query_id")
+        .count()
+    )
+    ivf_top = ivfpq_adc_topk(ivf_index, probes8, k=5, m=8).select(
+        "query_id", "neighbor_id"
+    )
+    ivf_hits = exact_nn.join(ivf_top, ["query_id", "neighbor_id"]).count()
+    timings["ivfpq_500k_accounting_and_probe8"] = round(time.time() - t0, 2)
+    timings["ivfpq_recall_at_8_of_64_lists"] = round(ivf_hits / (5 * n_q), 3)
+    timings["ivfpq_scan_fraction_at_8_of_64"] = round(
+        scanned8 / (n_q * (n_vec - 1)), 3
+    )
+    stage_rows["ivfpq_500k_accounting_and_probe8"] = n_vec
+    exact_nn.unpersist()
 
     # (3) dataset_split at full 20M: band proportions within ±0.1% of
     # the 1/65536-granular targets, and LAYOUT INVARIANCE — the
