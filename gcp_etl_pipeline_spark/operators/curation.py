@@ -1346,6 +1346,113 @@ def schedule_from_aggregates(agg: DataFrame) -> DataFrame:
     )
 
 
+def cache_freshness(
+    responses: DataFrame,
+    headers_col: str = "headers",
+    keep: tuple = ("url_id",),
+) -> DataFrame:
+    """RFC 9111 shared-cache freshness from raw response headers — the
+    HTTP-caching half the revalidation tier was missing: when may a
+    crawl cache SERVE a stored response without refetching, and when
+    is it merely allowed to store-but-revalidate?
+
+    Parsed per response (header-section regexes shared with
+    ``text.http_header``): Cache-Control directives (max-age /
+    s-maxage with digit values — an unparseable value is treated as
+    an absent directive, falling through the lifetime chain, the
+    conservative reading of §4.2.1; bare no-store / no-cache /
+    private tokens at list boundaries — the qualified
+    ``no-cache="set-cookie"`` form is out of scope), Age (invalid ->
+    0, clamped non-negative), and HTTP-dates in Date / Expires /
+    Last-Modified (fixed-format IMF-fixdate; the weekday prefix is
+    stripped, not validated — a wrong weekday is a sender bug a cache
+    tolerates).
+
+    Freshness lifetime (shared cache, §4.2.1-§4.2.2 order): s-maxage,
+    else max-age, else Expires - Date (clamped >= 0), else the 10%
+    Last-Modified heuristic (Date - Last-Modified) DIV 10, else 0.
+    Verdict precedence: no_store > private (a shared cache MUST NOT
+    store) > revalidate (no-cache) > fresh (lifetime > age) > stale.
+    ``stale_at_s`` = Date + lifetime (-1 without a Date).
+
+    All integer arithmetic after parsing; one row per response, pure
+    per-row expressions — embarrassingly parallel at any scale."""
+    from gcp_etl_pipeline_spark.operators.text import http_header
+
+    c = F.col(headers_col)
+    num = r'(?i)(?:^|[,\s])%s\s*=\s*"?(\d+)'
+    tok = r"(?i)(?:^|[,\s])%s(?:$|[,\s])"
+    max_age = F.regexp_extract(cc_ := http_header(c, "Cache-Control"),
+                               num % "max-age", 1).try_cast("bigint")
+    s_maxage = F.regexp_extract(cc_, num % "s-maxage", 1).try_cast(
+        "bigint"
+    )
+    no_store = cc_.rlike(tok % "no-store")
+    no_cache = cc_.rlike(tok % "no-cache")
+    private = cc_.rlike(tok % "private")
+
+    def _http_date_s(name: str) -> Column:
+        v = F.regexp_replace(
+            http_header(c, name), r"^[A-Za-z]{3},[ ]", ""
+        )
+        return F.unix_timestamp(
+            F.when(v != "", v), "dd MMM yyyy HH:mm:ss 'GMT'"
+        ).cast("bigint")
+
+    date_s = _http_date_s("Date")
+    expires_s = _http_date_s("Expires")
+    lastmod_s = _http_date_s("Last-Modified")
+    age_s = F.greatest(
+        F.coalesce(http_header(c, "Age").try_cast("bigint"), F.lit(0)),
+        F.lit(0),
+    )
+    lifetime = (
+        F.when(s_maxage.isNotNull(), s_maxage)
+        .when(max_age.isNotNull(), max_age)
+        .when(
+            expires_s.isNotNull() & date_s.isNotNull(),
+            F.greatest(expires_s - date_s, F.lit(0)),
+        )
+        .when(
+            lastmod_s.isNotNull() & date_s.isNotNull(),
+            # DIV on a clamped non-negative difference: floor == trunc,
+            # so Spark DIV and the oracle's // agree
+            F.expr(
+                "GREATEST(CAST(0 AS BIGINT), "
+                "__date_s - __lastmod_s) DIV 10"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
+    verdict = (
+        F.when(no_store, F.lit("no_store"))
+        .when(private, F.lit("private"))
+        .when(no_cache, F.lit("revalidate"))
+        .when(lifetime > age_s, F.lit("fresh"))
+        .otherwise(F.lit("stale"))
+    )
+    base = responses.withColumn("__date_s", date_s).withColumn(
+        "__lastmod_s", lastmod_s
+    )
+    return base.select(
+        *keep,
+        F.coalesce(max_age, F.lit(-1)).cast("bigint").alias("max_age_s"),
+        F.coalesce(s_maxage, F.lit(-1)).cast("bigint").alias(
+            "s_maxage_s"
+        ),
+        no_store.alias("no_store"),
+        no_cache.alias("no_cache"),
+        private.alias("private"),
+        age_s.cast("bigint").alias("age_s"),
+        lifetime.alias("lifetime_s"),
+        verdict.alias("verdict"),
+        F.coalesce(F.col("__date_s") + lifetime, F.lit(-1))
+        .cast("bigint")
+        .alias("stale_at_s"),
+    )
+
+
 def sitemap_boost(
     sched: DataFrame,
     hints: DataFrame,

@@ -3923,6 +3923,155 @@ def _revalidation_oracle() -> str:
 register("revalidation_plan", _q_revalidation_plan, _revalidation_oracle())
 
 
+# ------------- RFC 9111 cache freshness (Cache-Control / Expires / Age)
+
+# per-response header fixture over events: Date always present, Age
+# always present (sometimes invalid via user_id), and a 7-class
+# Cache-Control/Expires/Last-Modified rotation incl. a malformed
+# max-age, a case-noised no-cache, s-maxage overriding max-age, a
+# sometimes-before-Date Expires (clamps to 0), and the heuristic-only
+# Last-Modified class
+_CACHE_HDR = (
+    "'Date: ' || {FMT_D} || {CRLF} || "
+    "'Age: ' || CASE WHEN event_id % 11 = 0 THEN 'xx' "
+    "ELSE CAST(event_id % 900 AS {V}) END || {CRLF} || "
+    "CASE event_id % 7 "
+    "WHEN 0 THEN CASE WHEN user_id % 5 = 0 "
+    "  THEN 'Cache-Control: max-age=abc' "
+    "  ELSE 'Cache-Control: max-age=' || CAST(user_id % 7200 AS {V}) END "
+    "WHEN 1 THEN 'Cache-Control: public, max-age=' "
+    "  || CAST(user_id % 600 AS {V}) "
+    "  || ', s-maxage=' || CAST(user_id % 1200 AS {V}) "
+    "WHEN 2 THEN 'cache-control: No-Cache, max-age=600' "
+    "WHEN 3 THEN 'Cache-Control: no-store, max-age=100' "
+    "WHEN 4 THEN 'Cache-Control: private, max-age=300' "
+    "WHEN 5 THEN 'Expires: ' || {FMT_EXP} "
+    "ELSE 'Last-Modified: ' || {FMT_LM} END"
+)
+
+
+def _q_cache_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9111 shared-cache freshness end to end: raw header blocks
+    (IMF-fixdate Date/Expires/Last-Modified GENERATED engine-side from
+    epoch seconds, so the differential gate covers the format
+    round-trip) -> cache_freshness -> per-response lifetime, verdict
+    and stale-at. The fixture rotates every §4.2 branch including the
+    conservative malformed-max-age fall-through and an invalid Age."""
+    from gcp_etl_pipeline_spark.operators import curation as _cur
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    es = "(unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000)"
+    fmt = (
+        "date_format(timestamp_seconds({e}),"
+        " 'EEE, dd MMM yyyy HH:mm:ss') || ' GMT'"
+    )
+    hdr = _CACHE_HDR.format(
+        V="STRING",
+        CRLF="(chr(13) || chr(10))",
+        FMT_D=fmt.format(e=es),
+        FMT_EXP=fmt.format(e=f"({es} + user_id % 2000 - 500)"),
+        FMT_LM=fmt.format(e=f"({es} - user_id % 90000)"),
+    )
+    responses = ev.select(
+        F.col("event_id").alias("url_id"), F.expr(hdr).alias("headers")
+    )
+    return _cur.cache_freshness(responses)
+
+
+def _cache_control_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    cc_re = _sql_lit(_text.http_header_pattern("Cache-Control"))
+    age_re = _sql_lit(_text.http_header_pattern("Age"))
+    date_re = _sql_lit(_text.http_header_pattern("Date"))
+    exp_re = _sql_lit(_text.http_header_pattern("Expires"))
+    lm_re = _sql_lit(_text.http_header_pattern("Last-Modified"))
+    num = r"(?i)(?:^|[,\s])%s\s*=\s*\x22?(\d+)"
+    tok = r"(?i)(?:^|[,\s])%s($|[,\s])"
+    maxage_re = _sql_lit(num % "max-age")
+    smax_re = _sql_lit(num % "s-maxage")
+    nostore_re = _sql_lit(tok % "no-store")
+    nocache_re = _sql_lit(tok % "no-cache")
+    private_re = _sql_lit(tok % "private")
+    wd = "'^[A-Za-z]{3}, '"
+    es = "(epoch_us(ts) // 1000000)"
+    fmt = (
+        "strftime(make_timestamp(({e}) * 1000000),"
+        " '%a, %d %b %Y %H:%M:%S') || ' GMT'"
+    )
+    hdr = _CACHE_HDR.format(
+        V="VARCHAR",
+        CRLF="(chr(13) || chr(10))",
+        FMT_D=fmt.format(e=es),
+        FMT_EXP=fmt.format(e=f"({es} + user_id % 2000 - 500)"),
+        FMT_LM=fmt.format(e=f"({es} - user_id % 90000)"),
+    )
+    # .replace, not .format: wd's '{3}' quantifier would read as a
+    # positional format index
+    def dparse(v: str) -> str:
+        # CAST to BIGINT immediately: DuckDB epoch() returns DOUBLE,
+        # and double // is plain division (8.0 // 10 = 0.8) that a
+        # later BIGINT cast ROUNDS — the heuristic branch would be off
+        # by one for diffs ending in 5-9
+        return (
+            "CAST(epoch(try_strptime(regexp_replace(@V@, " + wd + ", ''),"
+            " '%d %b %Y %H:%M:%S GMT')) AS BIGINT)"
+        ).replace("@V@", v)
+    return f"""
+    WITH r AS (SELECT event_id AS url_id, {hdr} AS h FROM events),
+    x AS (SELECT url_id,
+            trim(regexp_extract(h, {cc_re}, 1)) AS cc,
+            trim(regexp_extract(h, {age_re}, 1)) AS age_v,
+            trim(regexp_extract(h, {date_re}, 1)) AS date_v,
+            trim(regexp_extract(h, {exp_re}, 1)) AS exp_v,
+            trim(regexp_extract(h, {lm_re}, 1)) AS lm_v
+          FROM r),
+    y AS (SELECT url_id,
+            TRY_CAST(regexp_extract(cc, {maxage_re}, 1) AS BIGINT)
+              AS max_age,
+            TRY_CAST(regexp_extract(cc, {smax_re}, 1) AS BIGINT)
+              AS s_maxage,
+            regexp_matches(cc, {nostore_re}) AS no_store,
+            regexp_matches(cc, {nocache_re}) AS no_cache,
+            regexp_matches(cc, {private_re}) AS private,
+            GREATEST(COALESCE(TRY_CAST(age_v AS BIGINT), 0), 0) AS age_s,
+            {dparse("CASE WHEN date_v <> '' THEN date_v END")}
+              AS date_s,
+            {dparse("CASE WHEN exp_v <> '' THEN exp_v END")}
+              AS expires_s,
+            {dparse("CASE WHEN lm_v <> '' THEN lm_v END")}
+              AS lastmod_s
+          FROM x),
+    z AS (SELECT *,
+            CAST(CASE
+              WHEN s_maxage IS NOT NULL THEN s_maxage
+              WHEN max_age IS NOT NULL THEN max_age
+              WHEN expires_s IS NOT NULL AND date_s IS NOT NULL
+                THEN GREATEST(expires_s - date_s, 0)
+              WHEN lastmod_s IS NOT NULL AND date_s IS NOT NULL
+                THEN GREATEST(date_s - lastmod_s, 0) // 10
+              ELSE 0 END AS BIGINT) AS lifetime_s
+          FROM y)
+    SELECT url_id,
+           CAST(COALESCE(max_age, -1) AS BIGINT) AS max_age_s,
+           CAST(COALESCE(s_maxage, -1) AS BIGINT) AS s_maxage_s,
+           no_store, no_cache, private,
+           CAST(age_s AS BIGINT) AS age_s,
+           lifetime_s,
+           CASE WHEN no_store THEN 'no_store'
+                WHEN private THEN 'private'
+                WHEN no_cache THEN 'revalidate'
+                WHEN lifetime_s > age_s THEN 'fresh'
+                ELSE 'stale' END AS verdict,
+           CAST(COALESCE(date_s + lifetime_s, -1) AS BIGINT)
+             AS stale_at_s
+    FROM z
+    """
+
+
+register("cache_control_ttl", _q_cache_control, _cache_control_oracle())
+
+
 # ----------- WARC multi-record fetch-store framing (record splitter)
 
 # Per-document payload: an HTTP envelope (CRLF) whose BODY carries an
@@ -6173,6 +6322,88 @@ def _warc_digest_oracle() -> str:
 
 
 register("warc_digest_dedup", _q_warc_digest_dedup, _warc_digest_oracle())
+
+
+def _q_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC revisit-record construction (ISO 28500 §6.7.2 shape, the
+    archive-side OUTPUT of digest dedup): every duplicate-digest
+    record becomes a revisit row pointing at its canonical original
+    (first occurrence by blob_id, recno) with the payload digest and
+    the chars the archive saves by storing a reference instead of the
+    body. Only digests and record keys shuffle; bodies are read once
+    in the scan for length + digest and never move."""
+    from pyspark.sql import Window
+
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    blobs = _warc_blobs(spark, sf_dir, _WARC_DUP_PAYLOAD)
+    recs = blobs.select(
+        "blob_id",
+        F.posexplode(
+            _text.warc_records("blob", max_records=_WARC_MAX_RECORDS)
+        ).alias("pos", "rec"),
+    )
+    env = _text.warc_envelope(recs).select(
+        "blob_id",
+        (F.col("pos") + 1).cast("bigint").alias("recno"),
+        F.col("url").alias("target_uri"),
+        F.md5(F.encode("body", "UTF-8")).alias("digest"),
+        F.length("body").cast("bigint").alias("body_chars"),
+    )
+    w = Window.partitionBy("digest").orderBy("blob_id", "recno")
+    marked = env.withColumn("rk", F.row_number().over(w))
+    canon = marked.where(F.col("rk") == 1).select(
+        "digest",
+        F.col("blob_id").alias("refers_to_blob"),
+        F.col("recno").alias("refers_to_recno"),
+        F.col("target_uri").alias("refers_to_uri"),
+    )
+    return (
+        marked.where(F.col("rk") > 1)
+        .join(canon, "digest")
+        .select(
+            "blob_id",
+            "recno",
+            "target_uri",
+            "digest",
+            "refers_to_blob",
+            "refers_to_recno",
+            "refers_to_uri",
+            F.col("body_chars").alias("saved_chars"),
+        )
+    )
+
+
+def _warc_revisit_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    uri_re = _sql_lit(_text.http_header_pattern("WARC-Target-URI"))
+    body_re = _sql_lit(_text.HTTP_BODY_RE)
+    return f"""
+    WITH RECURSIVE
+    {_warc_walk_ctes(payload_expr=_WARC_DUP_PAYLOAD)},
+    env AS (SELECT blob_id, CAST(recno AS BIGINT) AS recno,
+              trim(regexp_extract(head, {uri_re}, 1)) AS target_uri,
+              md5(regexp_extract(payload, {body_re}, 1)) AS digest,
+              CAST(length(regexp_extract(payload, {body_re}, 1))
+                AS BIGINT) AS body_chars
+            FROM walk WHERE recno >= 1),
+    marked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY digest
+                 ORDER BY blob_id, recno) AS rk
+               FROM env),
+    canon AS (SELECT digest, blob_id AS refers_to_blob,
+                     recno AS refers_to_recno,
+                     target_uri AS refers_to_uri
+              FROM marked WHERE rk = 1)
+    SELECT m.blob_id, m.recno, m.target_uri, m.digest,
+           c.refers_to_blob, c.refers_to_recno, c.refers_to_uri,
+           m.body_chars AS saved_chars
+    FROM marked m JOIN canon c USING (digest)
+    WHERE m.rk > 1
+    """
+
+
+register("warc_revisit_records", _q_warc_revisit, _warc_revisit_oracle())
 
 
 # ------------------ robots.txt Crawl-delay extraction (politeness)

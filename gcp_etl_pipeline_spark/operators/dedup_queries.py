@@ -2407,6 +2407,64 @@ def _q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance — the production ANN shape: the
+    codebook is trained ONCE on the base corpus (vec_id % 10 != 0)
+    and FROZEN; newly-arrived vectors (the % 10 == 0 delta) are
+    encoded against it without retraining. Per-vector encode is
+    embarrassingly parallel, so appends never touch the existing code
+    table — the invariant that makes a PQ index maintainable at
+    billion-vector scale. Graded: the delta slice's (vec_id, sub,
+    code) under the frozen base codebook; the oracle retrains base-
+    only Lloyd and encodes the delta independently."""
+    embs = _embs(spark, sf_dir)
+    base = embs.where(F.col("vec_id") % 10 != 0)
+    delta = embs.where(F.col("vec_id") % 10 == 0)
+    cb = similarity.pq_codebook(
+        base, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS
+    )
+    return similarity.pq_codes(delta, cb, m=_PQ_M, dsub=_PQ_DSUB)
+
+
+register(
+    "similarity_pq_append",
+    _q_pq_append,
+    f"""
+    WITH e AS (SELECT vec_id,
+            list_transform(embedding,
+              v -> CAST(ROUND(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))
+              AS qv
+          FROM embeddings),
+    eb AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+    ed AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+    seeds AS (SELECT vec_id, qv FROM eb ORDER BY vec_id
+              LIMIT {_PQ_KSUB}),
+    cb0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+                  AS BIGINT) AS code, qv
+            FROM seeds),
+    subs AS (SELECT CAST(unnest(range({_PQ_M})) AS BIGINT) AS sub),
+    pcb0 AS (SELECT sub, code,
+               qv[CAST(sub * {_PQ_DSUB} + 1 AS INT):CAST(sub * {_PQ_DSUB} + {_PQ_DSUB} AS INT)] AS cw
+             FROM cb0, subs),
+    dsub AS MATERIALIZED (SELECT vec_id, sub,
+               qv[CAST(sub * {_PQ_DSUB} + 1 AS INT):CAST(sub * {_PQ_DSUB} + {_PQ_DSUB} AS INT)] AS sv
+             FROM eb, subs)
+    {"".join(_pq_lloyd_iter(i) for i in range(1, _PQ_ITERS + 1))},
+    cb AS (SELECT sub, code, cw FROM pcb{_PQ_ITERS}),
+    ddsub AS (SELECT vec_id, sub,
+               qv[CAST(sub * {_PQ_DSUB} + 1 AS INT):CAST(sub * {_PQ_DSUB} + {_PQ_DSUB} AS INT)] AS sv
+             FROM ed, subs),
+    cdist AS (SELECT vec_id, sub, code, {_pq_d2('sv', 'cw')} AS d2
+              FROM ddsub JOIN cb USING (sub))
+    SELECT vec_id, sub, code FROM
+      (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                   ORDER BY d2 ASC, code ASC) AS rn
+       FROM cdist)
+    WHERE rn = 1
+    """,
+)
+
+
 _IVFPQ_RERANK = 32
 
 

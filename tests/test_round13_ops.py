@@ -238,3 +238,68 @@ def test_robots_filter_wildcards_verdicts(spark):
         "https://h.test/search": False,
         "https://h.test/search/x": True,
     }
+
+
+# --------------------------------------------- RFC 9111 cache freshness
+
+def test_cache_freshness_branches(spark):
+    from gcp_etl_pipeline_spark.operators.curation import cache_freshness
+
+    d = "Date: Fri, 05 Jan 2024 12:00:00 GMT"
+    rows = [
+        # s-maxage overrides max-age; fresh (600 > 30)
+        (1, f"{d}\r\nAge: 30\r\nCache-Control: max-age=10, s-maxage=600"),
+        # stale: age beats max-age
+        (2, f"{d}\r\nAge: 900\r\nCache-Control: max-age=600"),
+        # no-store beats everything
+        (3, f"{d}\r\nAge: 0\r\nCache-Control: no-store, max-age=999"),
+        # private: shared cache must not store
+        (4, f"{d}\r\nAge: 0\r\nCache-Control: private, max-age=999"),
+        # case-noised no-cache -> revalidate
+        (5, f"{d}\r\nAge: 0\r\ncache-control: No-Cache, max-age=600"),
+        # Expires fallback (+300s), fresh
+        (6, f"{d}\r\nAge: 10\r\n"
+            "Expires: Fri, 05 Jan 2024 12:05:00 GMT"),
+        # Expires before Date clamps to 0 -> stale
+        (7, f"{d}\r\nAge: 0\r\n"
+            "Expires: Fri, 05 Jan 2024 11:00:00 GMT"),
+        # heuristic: (Date - Last-Modified) / 10 = 8640, fresh
+        (8, f"{d}\r\nAge: 100\r\n"
+            "Last-Modified: Thu, 04 Jan 2024 12:00:00 GMT"),
+        # malformed max-age treated as absent -> lifetime 0 -> stale
+        (9, f"{d}\r\nAge: 0\r\nCache-Control: max-age=abc"),
+        # invalid Age -> 0; max-age 60 -> fresh
+        (10, f"{d}\r\nAge: xx\r\nCache-Control: max-age=60"),
+    ]
+    df = spark.createDataFrame(rows, "url_id bigint, headers string")
+    got = {
+        r.url_id: (r.lifetime_s, r.age_s, r.verdict)
+        for r in cache_freshness(df).collect()
+    }
+    assert got == {
+        1: (600, 30, "fresh"),
+        2: (600, 900, "stale"),
+        3: (999, 0, "no_store"),
+        4: (999, 0, "private"),
+        5: (600, 0, "revalidate"),
+        6: (300, 10, "fresh"),
+        7: (0, 0, "stale"),
+        8: (8640, 100, "fresh"),
+        9: (0, 0, "stale"),
+        10: (60, 0, "fresh"),
+    }
+
+
+def test_cache_freshness_stale_at(spark):
+    from gcp_etl_pipeline_spark.operators.curation import cache_freshness
+
+    df = spark.createDataFrame(
+        [
+            (1, "Date: Fri, 05 Jan 2024 12:00:00 GMT\r\n"
+                "Cache-Control: max-age=600"),
+            (2, "Cache-Control: max-age=600"),  # no Date -> -1
+        ],
+        "url_id bigint, headers string",
+    )
+    got = {r.url_id: r.stale_at_s for r in cache_freshness(df).collect()}
+    assert got == {1: 1704456000 + 600, 2: -1}
