@@ -195,6 +195,21 @@ BENCH_QUERIES = [
     "warc_digest_dedup",
     "robots_crawl_delay",
     "sitemap_discovery_pipeline",
+    # round-13 additions — every new graded query enters the gate the
+    # round it ships (the r12 batch-2 lesson)
+    "similarity_knn_ivfpq",
+    "similarity_ivfpq_recall",
+    "similarity_ivfpq_rerank",
+    "similarity_pq_append",
+    "warc_record_fetch",
+    "recrawl_sitemap_boost",
+    "stream_sitemap_discovery",
+    "robots_wildcard_eval",
+    "cache_control_ttl",
+    "cache_revalidation_pipeline",
+    "warc_revisit_records",
+    "feed_discovery",
+    "recrawl_feed_boost",
 ]
 
 

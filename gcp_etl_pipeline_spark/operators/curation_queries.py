@@ -3946,7 +3946,9 @@ _CACHE_HDR = (
     "WHEN 3 THEN 'Cache-Control: no-store, max-age=100' "
     "WHEN 4 THEN 'Cache-Control: private, max-age=300' "
     "WHEN 5 THEN 'Expires: ' || {FMT_EXP} "
-    "ELSE 'Last-Modified: ' || {FMT_LM} END"
+    "ELSE 'Last-Modified: ' || {FMT_LM} END "
+    "|| CASE WHEN event_id % 3 = 0 THEN {CRLF} || 'ETag: ' || chr(34) "
+    "|| 'e' || CAST(user_id AS {V}) || chr(34) ELSE '' END"
 )
 
 
@@ -3978,7 +3980,27 @@ def _q_cache_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cur.cache_freshness(responses)
 
 
-def _cache_control_oracle() -> str:
+def _cache_hdr_sql() -> str:
+    """The DuckDB twin of the engine's header fixture expression."""
+    es = "(epoch_us(ts) // 1000000)"
+    fmt = (
+        "strftime(make_timestamp(({e}) * 1000000),"
+        " '%a, %d %b %Y %H:%M:%S') || ' GMT'"
+    )
+    return _CACHE_HDR.format(
+        V="VARCHAR",
+        CRLF="(chr(13) || chr(10))",
+        FMT_D=fmt.format(e=es),
+        FMT_EXP=fmt.format(e=f"({es} + user_id % 2000 - 500)"),
+        FMT_LM=fmt.format(e=f"({es} - user_id % 90000)"),
+    )
+
+
+def _cache_parse_ctes() -> str:
+    """Shared oracle chain r -> x -> y -> z -> v: header fixture,
+    header-field extraction (incl. ETag for the revalidation
+    composition), directive/epoch parsing, freshness lifetime, and
+    the verdict ladder — both cache oracles ride one definition."""
     from gcp_etl_pipeline_spark.operators import text as _text
 
     cc_re = _sql_lit(_text.http_header_pattern("Cache-Control"))
@@ -3986,6 +4008,7 @@ def _cache_control_oracle() -> str:
     date_re = _sql_lit(_text.http_header_pattern("Date"))
     exp_re = _sql_lit(_text.http_header_pattern("Expires"))
     lm_re = _sql_lit(_text.http_header_pattern("Last-Modified"))
+    etag_re = _sql_lit(_text.http_header_pattern("ETag"))
     num = r"(?i)(?:^|[,\s])%s\s*=\s*\x22?(\d+)"
     tok = r"(?i)(?:^|[,\s])%s($|[,\s])"
     maxage_re = _sql_lit(num % "max-age")
@@ -3994,39 +4017,29 @@ def _cache_control_oracle() -> str:
     nocache_re = _sql_lit(tok % "no-cache")
     private_re = _sql_lit(tok % "private")
     wd = "'^[A-Za-z]{3}, '"
-    es = "(epoch_us(ts) // 1000000)"
-    fmt = (
-        "strftime(make_timestamp(({e}) * 1000000),"
-        " '%a, %d %b %Y %H:%M:%S') || ' GMT'"
-    )
-    hdr = _CACHE_HDR.format(
-        V="VARCHAR",
-        CRLF="(chr(13) || chr(10))",
-        FMT_D=fmt.format(e=es),
-        FMT_EXP=fmt.format(e=f"({es} + user_id % 2000 - 500)"),
-        FMT_LM=fmt.format(e=f"({es} - user_id % 90000)"),
-    )
-    # .replace, not .format: wd's '{3}' quantifier would read as a
-    # positional format index
+    hdr = _cache_hdr_sql()
+
     def dparse(v: str) -> str:
         # CAST to BIGINT immediately: DuckDB epoch() returns DOUBLE,
         # and double // is plain division (8.0 // 10 = 0.8) that a
         # later BIGINT cast ROUNDS — the heuristic branch would be off
-        # by one for diffs ending in 5-9
+        # by one for diffs ending in 5-9. (.replace, not .format: wd's
+        # '{3}' quantifier would read as a positional format index.)
         return (
             "CAST(epoch(try_strptime(regexp_replace(@V@, " + wd + ", ''),"
             " '%d %b %Y %H:%M:%S GMT')) AS BIGINT)"
         ).replace("@V@", v)
-    return f"""
-    WITH r AS (SELECT event_id AS url_id, {hdr} AS h FROM events),
+
+    return f"""r AS (SELECT event_id AS url_id, {hdr} AS h FROM events),
     x AS (SELECT url_id,
             trim(regexp_extract(h, {cc_re}, 1)) AS cc,
             trim(regexp_extract(h, {age_re}, 1)) AS age_v,
             trim(regexp_extract(h, {date_re}, 1)) AS date_v,
             trim(regexp_extract(h, {exp_re}, 1)) AS exp_v,
-            trim(regexp_extract(h, {lm_re}, 1)) AS lm_v
+            trim(regexp_extract(h, {lm_re}, 1)) AS lm_v,
+            trim(regexp_extract(h, {etag_re}, 1)) AS etag_v
           FROM r),
-    y AS (SELECT url_id,
+    y AS (SELECT url_id, lm_v, etag_v,
             TRY_CAST(regexp_extract(cc, {maxage_re}, 1) AS BIGINT)
               AS max_age,
             TRY_CAST(regexp_extract(cc, {smax_re}, 1) AS BIGINT)
@@ -4051,25 +4064,116 @@ def _cache_control_oracle() -> str:
               WHEN lastmod_s IS NOT NULL AND date_s IS NOT NULL
                 THEN GREATEST(date_s - lastmod_s, 0) // 10
               ELSE 0 END AS BIGINT) AS lifetime_s
-          FROM y)
+          FROM y),
+    v AS (SELECT *,
+            CASE WHEN no_store THEN 'no_store'
+                 WHEN private THEN 'private'
+                 WHEN no_cache THEN 'revalidate'
+                 WHEN lifetime_s > age_s THEN 'fresh'
+                 ELSE 'stale' END AS verdict
+          FROM z)"""
+
+
+def _cache_control_oracle() -> str:
+    return f"""
+    WITH {_cache_parse_ctes()}
     SELECT url_id,
            CAST(COALESCE(max_age, -1) AS BIGINT) AS max_age_s,
            CAST(COALESCE(s_maxage, -1) AS BIGINT) AS s_maxage_s,
            no_store, no_cache, private,
            CAST(age_s AS BIGINT) AS age_s,
            lifetime_s,
-           CASE WHEN no_store THEN 'no_store'
-                WHEN private THEN 'private'
-                WHEN no_cache THEN 'revalidate'
-                WHEN lifetime_s > age_s THEN 'fresh'
-                ELSE 'stale' END AS verdict,
+           verdict,
            CAST(COALESCE(date_s + lifetime_s, -1) AS BIGINT)
              AS stale_at_s
-    FROM z
+    FROM v
     """
 
 
 register("cache_control_ttl", _q_cache_control, _cache_control_oracle())
+
+
+def _q_cache_reval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full HTTP caching loop composed (RFC 9111 + conditional
+    fetching): cache_freshness decides WHETHER a fetch happens, the
+    stored validators decide HOW — fresh responses are served from
+    cache (no request), revalidate/stale responses become cheap
+    conditional checks (If-None-Match preferred over
+    If-Modified-Since), and no_store/private/validator-less responses
+    fall back to full fetches. The action split is the request-volume
+    story of a polite recrawl at scale."""
+    from gcp_etl_pipeline_spark.operators import curation as _cur
+    from gcp_etl_pipeline_spark.operators.text import http_header
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    es = "(unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000)"
+    fmt = (
+        "date_format(timestamp_seconds({e}),"
+        " 'EEE, dd MMM yyyy HH:mm:ss') || ' GMT'"
+    )
+    hdr = _CACHE_HDR.format(
+        V="STRING",
+        CRLF="(chr(13) || chr(10))",
+        FMT_D=fmt.format(e=es),
+        FMT_EXP=fmt.format(e=f"({es} + user_id % 2000 - 500)"),
+        FMT_LM=fmt.format(e=f"({es} - user_id % 90000)"),
+    )
+    responses = ev.select(
+        F.col("event_id").alias("url_id"), F.expr(hdr).alias("headers")
+    )
+    cf = _cur.cache_freshness(responses, keep=("url_id", "headers"))
+    etag = http_header(F.col("headers"), "ETag")
+    lm = http_header(F.col("headers"), "Last-Modified")
+    conditional_ok = (
+        (F.col("verdict") == "revalidate") | (F.col("verdict") == "stale")
+    )
+    action = (
+        F.when(F.col("verdict") == "fresh", F.lit("serve_cached"))
+        .when(conditional_ok & (etag != ""), F.lit("conditional_etag"))
+        .when(conditional_ok & (lm != ""), F.lit("conditional_modified"))
+        .otherwise(F.lit("full_fetch"))
+    )
+    validator = (
+        F.when(conditional_ok & (etag != ""), etag)
+        .when(conditional_ok & (lm != ""), lm)
+        .otherwise(F.lit(""))
+    )
+    return cf.select(
+        "url_id",
+        "verdict",
+        action.alias("action"),
+        validator.alias("validator"),
+        "lifetime_s",
+        "age_s",
+    )
+
+
+def _cache_reval_oracle() -> str:
+    return f"""
+    WITH {_cache_parse_ctes()}
+    SELECT url_id, verdict,
+           CASE WHEN verdict = 'fresh' THEN 'serve_cached'
+                WHEN verdict IN ('revalidate', 'stale') AND etag_v <> ''
+                  THEN 'conditional_etag'
+                WHEN verdict IN ('revalidate', 'stale') AND lm_v <> ''
+                  THEN 'conditional_modified'
+                ELSE 'full_fetch' END AS action,
+           CASE WHEN verdict IN ('revalidate', 'stale') AND etag_v <> ''
+                  THEN etag_v
+                WHEN verdict IN ('revalidate', 'stale') AND lm_v <> ''
+                  THEN lm_v
+                ELSE '' END AS validator,
+           lifetime_s,
+           CAST(age_s AS BIGINT) AS age_s
+    FROM v
+    """
+
+
+register(
+    "cache_revalidation_pipeline",
+    _q_cache_reval_pipeline,
+    _cache_reval_oracle(),
+)
 
 
 # ----------- WARC multi-record fetch-store framing (record splitter)
@@ -5525,6 +5629,312 @@ def _robots_wildcard_oracle() -> str:
 
 register(
     "robots_wildcard_eval", _q_robots_wildcard, _robots_wildcard_oracle()
+)
+
+
+# ----------- RSS 2.0 / Atom feed discovery (the other standing channel)
+
+# per-entry markup: even host classes publish RSS items (text-node
+# <link>, IMF-fixdate <pubDate>), odd classes publish Atom entries
+# (href ATTRIBUTE links, ISO 8601 <updated>); every third entry has no
+# date, every seventh Atom entry has a rel-only <link> with no href —
+# the ragged shapes per-element sub-extraction must never misalign
+_FEED_URL = (
+    "'HTTPS://Host' || CAST(o_orderkey % 8 AS {V}) || '.Example.org/a/'"
+    " || CAST(o_orderkey AS {V}) || '/'"
+)
+_FEED_ITEM = (
+    "CASE WHEN (o_orderkey % 8) % 2 = 0 THEN "
+    "'<item><title>t' || CAST(o_orderkey AS {V}) || '</title><link> '"
+    " || {URL} || ' </link>' || "
+    "CASE WHEN o_orderkey % 3 = 0 THEN '' "
+    "ELSE '<pubDate>' || {FMT_IMF} || '</pubDate>' END || '</item>' "
+    "ELSE "
+    "'<entry><title>t' || CAST(o_orderkey AS {V}) || '</title>' || "
+    "CASE WHEN o_orderkey % 7 = 0 THEN "
+    "'<link rel=' || chr(34) || 'alternate' || chr(34) || '/>' "
+    "ELSE '<link href=' || chr(34) || {URL} || chr(34) || '/>' END || "
+    "CASE WHEN o_orderkey % 3 = 0 THEN '' "
+    "ELSE '<updated>' || {FMT_ISO} || '</updated>' END || '</entry>' "
+    "END"
+)
+
+
+def _q_feed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-based discovery end to end: per-host RSS 2.0 / Atom feed
+    documents -> parse_feed (root-element kind sniff, whole-element
+    explode, per-element link/date sub-extraction) -> normalized page
+    URLs + published epochs (IMF-fixdate pubDate for RSS, ISO 8601
+    updated for Atom — both GENERATED engine-side from epoch seconds
+    so the format round-trips through the differential gate). Ragged
+    entries survive: no-date rows carry published_s = -1, rel-only
+    Atom links carry url = ''."""
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    # feed clock rebased into the fetch-log window (Jan 2024 + ~34
+    # days): TPC-H orderdates live in the 1990s, which would leave
+    # every published hint older than every observed fetch — the
+    # recrawl_feed_boost jump branch could never fire
+    es = "(1704067200 + (o_orderkey * 40009) % 3000000)"
+    imf = (
+        "date_format(timestamp_seconds(" + es + "),"
+        " 'EEE, dd MMM yyyy HH:mm:ss') || ' GMT'"
+    )
+    iso = (
+        "date_format(timestamp_seconds(" + es + "),"
+        " 'yyyy-MM-dd') || 'T' || "
+        "date_format(timestamp_seconds(" + es + "), 'HH:mm:ss') || 'Z'"
+    )
+    item = _FEED_ITEM.format(
+        V="STRING", URL=_FEED_URL.format(V="STRING"),
+        FMT_IMF=imf, FMT_ISO=iso,
+    )
+    entries = orders.select(
+        (F.col("o_orderkey") % 8).alias("host_id"),
+        F.col("o_orderkey").alias("k"),
+        F.expr(item).alias("entry"),
+    )
+    feeds = entries.groupBy("host_id").agg(
+        F.concat(
+            F.when(
+                F.col("host_id") % 2 == 0,
+                F.lit('<rss version="2.0"><channel>'),
+            ).otherwise(
+                F.lit('<feed xmlns="http://www.w3.org/2005/Atom">')
+            ),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "entry"))),
+                    lambda st: st["entry"],
+                ),
+                "",
+            ),
+            F.when(
+                F.col("host_id") % 2 == 0, F.lit("</channel></rss>")
+            ).otherwise(F.lit("</feed>")),
+        ).alias("xml")
+    )
+    parsed = _text.parse_feed(feeds, "xml")
+    wd_strip = F.regexp_replace("published", r"^[A-Za-z]{3},[ ]", "")
+    pub_s = F.when(
+        F.col("published") == "", F.lit(None).cast("bigint")
+    ).otherwise(
+        F.when(
+            F.col("kind") == "rss",
+            F.unix_timestamp(wd_strip, "dd MMM yyyy HH:mm:ss 'GMT'"),
+        ).otherwise(
+            F.unix_timestamp(
+                F.col("published"), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+            )
+        )
+    )
+    return parsed.select(
+        "host_id",
+        "entry_no",
+        "kind",
+        F.when(F.col("link") == "", F.lit("")).otherwise(
+            _text.normalize_url("link")
+        ).alias("url"),
+        F.coalesce(pub_s, F.lit(-1)).cast("bigint").alias("published_s"),
+    )
+
+
+def _feed_disc_ctes() -> str:
+    """The feed-discovery oracle chain ending in `fd` (host_id,
+    entry_no, kind, url, published_s) — factored so the recrawl
+    composition grades against the IDENTICAL parse."""
+    wd = "'^[A-Za-z]{3}, '"
+    es = "(1704067200 + (o_orderkey * 40009) % 3000000)"
+    imf = (
+        "strftime(make_timestamp((" + es + ") * 1000000),"
+        " '%a, %d %b %Y %H:%M:%S') || ' GMT'"
+    )
+    iso = (
+        "strftime(make_timestamp((" + es + ") * 1000000),"
+        " '%Y-%m-%dT%H:%M:%SZ')"
+    )
+    item = _FEED_ITEM.format(
+        V="VARCHAR", URL=_FEED_URL.format(V="VARCHAR"),
+        FMT_IMF=imf, FMT_ISO=iso,
+    )
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    rss_doc = _sql_lit(_text.FEED_RSS_DOC_RE)
+    rss_item = _sql_lit(_text.FEED_RSS_ITEM_RE)
+    atom_entry = _sql_lit(_text.FEED_ATOM_ENTRY_RE)
+    rss_link = _sql_lit(_text.FEED_RSS_LINK_RE)
+    rss_pub = _sql_lit(_text.FEED_RSS_PUBDATE_RE)
+    atom_href = _sql_lit(_text.FEED_ATOM_HREF_RE)
+    atom_upd = _sql_lit(_text.FEED_ATOM_UPDATED_RE)
+    return f"""e AS (SELECT o_orderkey % 8 AS host_id, o_orderkey AS k,
+                 {item} AS entry
+               FROM orders),
+    feeds AS (SELECT host_id,
+                CASE WHEN host_id % 2 = 0
+                     THEN '<rss version="2.0"><channel>'
+                     ELSE '<feed xmlns="http://www.w3.org/2005/Atom">'
+                END || string_agg(entry, '' ORDER BY k) ||
+                CASE WHEN host_id % 2 = 0 THEN '</channel></rss>'
+                     ELSE '</feed>' END AS xml
+              FROM e GROUP BY 1),
+    kd AS (SELECT host_id, xml,
+             regexp_matches(xml, {rss_doc}) AS is_rss
+           FROM feeds),
+    el AS (SELECT host_id, is_rss,
+             CASE WHEN is_rss
+                  THEN regexp_extract_all(xml, {rss_item}, 1)
+                  ELSE regexp_extract_all(xml, {atom_entry}, 1)
+             END AS entries
+           FROM kd),
+    x AS (SELECT host_id, is_rss,
+            CAST(unnest(range(len(entries))) AS BIGINT) AS entry_no,
+            unnest(entries) AS el
+          FROM el),
+    ff AS (SELECT host_id, entry_no,
+            CASE WHEN is_rss THEN 'rss' ELSE 'atom' END AS kind,
+            CASE WHEN is_rss THEN regexp_extract(el, {rss_link}, 1)
+                 ELSE regexp_extract(el, {atom_href}, 1) END AS link,
+            CASE WHEN is_rss THEN regexp_extract(el, {rss_pub}, 1)
+                 ELSE regexp_extract(el, {atom_upd}, 1) END AS pub
+          FROM x),
+    n AS (SELECT host_id, entry_no, kind, pub,
+            lower(regexp_extract(link, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+              AS scheme,
+            regexp_replace(link, '^[A-Za-z][A-Za-z0-9+.-]*://', '')
+              AS rest,
+            link
+          FROM ff),
+    n2 AS (SELECT host_id, entry_no, kind, pub, link, scheme,
+             lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS auth,
+             regexp_replace(regexp_replace(rest, '^[^/?#]*', ''),
+                            '#.*$', '') AS tail
+           FROM n),
+    n3 AS (SELECT host_id, entry_no, kind, pub,
+             CASE WHEN link = '' THEN '' ELSE
+               scheme || '://' ||
+               CASE WHEN scheme = 'http'
+                    THEN regexp_replace(auth, ':80$', '')
+                    WHEN scheme = 'https'
+                    THEN regexp_replace(auth, ':443$', '')
+                    ELSE auth END ||
+               regexp_replace(regexp_extract(tail, '^([^?]*)', 1),
+                              '/+$', '')
+               || regexp_replace(tail, '^[^?]*', '')
+             END AS url
+           FROM n2),
+    fd AS (SELECT host_id, entry_no, kind, url,
+           CAST(COALESCE(CASE WHEN pub = '' THEN NULL
+             WHEN kind = 'rss' THEN
+               CAST(epoch(try_strptime(regexp_replace(pub, {wd}, ''),
+                 '%d %b %Y %H:%M:%S GMT')) AS BIGINT)
+             ELSE
+               CAST(epoch(try_strptime(pub, '%Y-%m-%dT%H:%M:%SZ'))
+                 AS BIGINT)
+             END, -1) AS BIGINT) AS published_s
+    FROM n3)"""
+
+
+def _feed_discovery_oracle() -> str:
+    return f"""
+    WITH {_feed_disc_ctes()}
+    SELECT host_id, entry_no, kind, url, published_s FROM fd
+    """
+
+
+register("feed_discovery", _q_feed_discovery, _feed_discovery_oracle())
+
+
+def _q_recrawl_feed_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed freshness composed into the recrawl scheduler — the
+    sitemap_boost operator applied to the OTHER discovery channel:
+    RSS/Atom <pubDate>/<updated> hints (µs epochs) jump a URL's due
+    queue when the feed declares a publication after our last
+    observed fetch. One operator, two hint sources — the composition
+    seam is the point. URL contract: fetch-log url_id maps to
+    https://host{{url_id % 8}}.example.org/a/{{url_id}}, the feed
+    fixture's page universe."""
+    from gcp_etl_pipeline_spark.operators import curation as _cur
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    fetches = ev.select(
+        F.expr(_FETCH_URL_ID).alias("url_id"),
+        "ts",
+        F.col("event_id").alias("fetch_id"),
+        F.expr(
+            _FETCH_FP.format(
+                V="STRING",
+                EU="unix_micros(CAST(ts AS TIMESTAMP))",
+                IDIV="DIV",
+            )
+        ).alias("content_fp"),
+    )
+    sched = _cur.recrawl_schedule(fetches)
+    last = fetches.groupBy("url_id").agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+        .cast("bigint")
+        .alias("last_fetch_us")
+    )
+    hints = (
+        _q_feed_discovery(spark, sf_dir)
+        .where((F.col("published_s") != -1) & (F.col("url") != ""))
+        .select(
+            "url",
+            (F.col("published_s") * F.lit(1_000_000)).alias("lastmod_us"),
+        )
+    )
+    keyed = sched.join(last, "url_id").withColumn(
+        "url",
+        F.concat(
+            F.lit("https://host"),
+            (F.col("url_id") % 8).cast("string"),
+            F.lit(".example.org/a/"),
+            F.col("url_id").cast("string"),
+        ),
+    )
+    return _cur.sitemap_boost(keyed, hints).select(
+        "url_id",
+        "n_fetches",
+        "recrawl_tier",
+        "recrawl_interval_us",
+        "last_fetch_us",
+        F.col("sitemap_lastmod_us").alias("feed_published_us"),
+        F.col("sitemap_jump").alias("feed_jump"),
+        "next_due_us",
+    )
+
+
+def _recrawl_feed_boost_oracle() -> str:
+    return f"""
+    WITH {_recrawl_ctes()},
+    lastf AS (SELECT url_id, MAX(epoch_us(ts)) AS last_fetch_us
+              FROM f GROUP BY 1),
+    {_feed_disc_ctes()},
+    hints AS (SELECT url,
+                published_s * CAST(1000000 AS BIGINT) AS lastmod_us
+              FROM fd WHERE published_s <> -1 AND url <> ''),
+    keyed AS (SELECT s.*, l.last_fetch_us,
+                'https://host' || CAST(s.url_id % 8 AS VARCHAR)
+                || '.example.org/a/' || CAST(s.url_id AS VARCHAR) AS url
+              FROM sched s JOIN lastf l USING (url_id))
+    SELECT k.url_id, k.n_fetches, k.recrawl_tier, k.recrawl_interval_us,
+           CAST(k.last_fetch_us AS BIGINT) AS last_fetch_us,
+           CAST(COALESCE(h.lastmod_us, -1) AS BIGINT)
+             AS feed_published_us,
+           (h.lastmod_us IS NOT NULL
+            AND h.lastmod_us > k.last_fetch_us) AS feed_jump,
+           CAST(CASE WHEN h.lastmod_us IS NOT NULL
+                          AND h.lastmod_us > k.last_fetch_us
+                     THEN k.last_fetch_us
+                     ELSE k.last_fetch_us + k.recrawl_interval_us
+                END AS BIGINT) AS next_due_us
+    FROM keyed k LEFT JOIN hints h USING (url)
+    """
+
+
+register(
+    "recrawl_feed_boost", _q_recrawl_feed_boost,
+    _recrawl_feed_boost_oracle(),
 )
 
 

@@ -1516,3 +1516,72 @@ def parse_html_tables(
         (F.lower(F.substring("__c", 1, 3)) == "<th").alias("is_header"),
         text.alias("cell"),
     )
+
+
+# ---------------------------------------------------------------- feeds
+# RSS 2.0 / Atom discovery feeds — the other standing discovery channel
+# next to sitemaps. Same structural discipline as parse_sitemap: whole
+# <item>/<entry> elements extract first, fields sub-extract PER
+# ELEMENT, so ragged feeds (items without dates, entries without hrefs)
+# can never misalign. CDATA sections are out of scope (text nodes and
+# the Atom href attribute only).
+
+FEED_RSS_DOC_RE = "(?is)<rss[\\s>]"
+FEED_RSS_ITEM_RE = "(?is)<item>(.*?)</item>"
+FEED_ATOM_ENTRY_RE = "(?is)<entry>(.*?)</entry>"
+FEED_RSS_LINK_RE = "(?is)<link>\\s*([^<]*?)\\s*</link>"
+FEED_RSS_PUBDATE_RE = "(?is)<pubdate>\\s*([^<]*?)\\s*</pubdate>"
+FEED_ATOM_HREF_RE = "(?is)<link[^>]*href=\"([^\"]*)\""
+FEED_ATOM_UPDATED_RE = "(?is)<updated>\\s*([^<]*?)\\s*</updated>"
+
+
+def parse_feed(
+    df: DataFrame, xml_col: str = "xml", keep: list[str] | None = None
+) -> DataFrame:
+    """Explode RSS 2.0 / Atom feed documents into one row per item:
+    ``entry_no`` (document order), ``kind`` ('rss' | 'atom'), ``link``
+    (raw — RSS <link> text node, Atom <link href=...> attribute; ''
+    when absent), ``published`` (raw RSS <pubDate> / Atom <updated>
+    text, '' when absent). The document kind is sniffed from the root
+    element (<rss ...> vs anything else = Atom). Zero Python, zero
+    shuffle — regex extracts fuse into the scan, the explode is a JVM
+    generator."""
+    keep = keep if keep is not None else [
+        c for c in df.columns if c != xml_col
+    ]
+    is_rss = F.col(xml_col).rlike(FEED_RSS_DOC_RE)
+    entries = F.when(
+        is_rss,
+        F.regexp_extract_all(xml_col, F.lit(FEED_RSS_ITEM_RE), F.lit(1)),
+    ).otherwise(
+        F.regexp_extract_all(
+            xml_col, F.lit(FEED_ATOM_ENTRY_RE), F.lit(1)
+        )
+    )
+    arr = df.select(
+        *keep,
+        F.when(is_rss, F.lit("rss")).otherwise(F.lit("atom")).alias(
+            "__kind"
+        ),
+        entries.alias("__entries"),
+    )
+    z = arr.select(
+        *keep,
+        "__kind",
+        F.posexplode("__entries").alias("__no", "__e"),
+    )
+    link = F.when(
+        F.col("__kind") == "rss",
+        F.regexp_extract("__e", FEED_RSS_LINK_RE, 1),
+    ).otherwise(F.regexp_extract("__e", FEED_ATOM_HREF_RE, 1))
+    published = F.when(
+        F.col("__kind") == "rss",
+        F.regexp_extract("__e", FEED_RSS_PUBDATE_RE, 1),
+    ).otherwise(F.regexp_extract("__e", FEED_ATOM_UPDATED_RE, 1))
+    return z.select(
+        *keep,
+        F.col("__no").cast("bigint").alias("entry_no"),
+        F.col("__kind").alias("kind"),
+        link.alias("link"),
+        published.alias("published"),
+    )

@@ -303,3 +303,37 @@ def test_cache_freshness_stale_at(spark):
     )
     got = {r.url_id: r.stale_at_s for r in cache_freshness(df).collect()}
     assert got == {1: 1704456000 + 600, 2: -1}
+
+
+# ------------------------------------------------- RSS/Atom feed parse
+
+def test_parse_feed_rss_and_atom(spark):
+    from gcp_etl_pipeline_spark.operators.text import parse_feed
+
+    rss = (
+        '<rss version="2.0"><channel>'
+        "<item><title>a</title><link> http://h/x </link>"
+        "<pubDate>Fri, 05 Jan 2024 12:00:00 GMT</pubDate></item>"
+        "<item><title>no date</title><link>http://h/y</link></item>"
+        "</channel></rss>"
+    )
+    atom = (
+        '<feed xmlns="http://www.w3.org/2005/Atom">'
+        '<entry><title>b</title><link href="http://h/z"/>'
+        "<updated>2024-01-05T12:00:00Z</updated></entry>"
+        '<entry><title>rel only</title><link rel="alternate"/></entry>'
+        "</feed>"
+    )
+    df = spark.createDataFrame(
+        [(1, rss), (2, atom)], "feed_id bigint, xml string"
+    )
+    got = {
+        (r.feed_id, r.entry_no): (r.kind, r.link, r.published)
+        for r in parse_feed(df).collect()
+    }
+    assert got == {
+        (1, 0): ("rss", "http://h/x", "Fri, 05 Jan 2024 12:00:00 GMT"),
+        (1, 1): ("rss", "http://h/y", ""),
+        (2, 0): ("atom", "http://h/z", "2024-01-05T12:00:00Z"),
+        (2, 1): ("atom", "", ""),
+    }
