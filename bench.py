@@ -210,6 +210,8 @@ BENCH_QUERIES = [
     "warc_revisit_records",
     "feed_discovery",
     "recrawl_feed_boost",
+    "feed_autodiscovery",
+    "stream_feed_discovery",
 ]
 
 

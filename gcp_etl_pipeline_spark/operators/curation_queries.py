@@ -5660,17 +5660,8 @@ _FEED_ITEM = (
 )
 
 
-def _q_feed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feed-based discovery end to end: per-host RSS 2.0 / Atom feed
-    documents -> parse_feed (root-element kind sniff, whole-element
-    explode, per-element link/date sub-extraction) -> normalized page
-    URLs + published epochs (IMF-fixdate pubDate for RSS, ISO 8601
-    updated for Atom — both GENERATED engine-side from epoch seconds
-    so the format round-trips through the differential gate). Ragged
-    entries survive: no-date rows carry published_s = -1, rel-only
-    Atom links carry url = ''."""
-    from gcp_etl_pipeline_spark.operators import text as _text
-
+def _feed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed fixture: per-host (host_id, xml) RSS/Atom documents."""
     orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
     # feed clock rebased into the fetch-log window (Jan 2024 + ~34
     # days): TPC-H orderdates live in the 1990s, which would leave
@@ -5715,6 +5706,28 @@ def _q_feed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit("</feed>")),
         ).alias("xml")
     )
+    return feeds
+
+
+def _q_feed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-based discovery end to end: per-host RSS 2.0 / Atom feed
+    documents -> parse_feed (root-element kind sniff, whole-element
+    explode, per-element link/date sub-extraction) -> normalized page
+    URLs + published epochs (IMF-fixdate pubDate for RSS, ISO 8601
+    updated for Atom — both GENERATED engine-side from epoch seconds
+    so the format round-trips through the differential gate). Ragged
+    entries survive: no-date rows carry published_s = -1, rel-only
+    Atom links carry url = ''."""
+    return feed_discovery_stage(_feed_docs(spark, sf_dir))
+
+
+def feed_discovery_stage(feeds: DataFrame) -> DataFrame:
+    """The per-host feed-discovery chain over an ALREADY-LOADED
+    (host_id, xml) frame: parse_feed -> normalized URLs + published
+    epochs. Per-host stateless, so the streaming twin's micro-batch
+    union equals the batch run — shared by both."""
+    from gcp_etl_pipeline_spark.operators import text as _text
+
     parsed = _text.parse_feed(feeds, "xml")
     wd_strip = F.regexp_replace("published", r"^[A-Za-z]{3},[ ]", "")
     pub_s = F.when(
@@ -5738,6 +5751,41 @@ def _q_feed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url"),
         F.coalesce(pub_s, F.lit(-1)).cast("bigint").alias("published_s"),
     )
+
+
+def feed_stream_src(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached SOURCE DIRECTORY for the streaming feed twin:
+    the per-host feed documents split into two host_id-ordered,
+    mtime-ordered parquet files."""
+    import glob as _glob
+    import os
+    import re as _re
+    import shutil
+
+    tag = "feedsrc_" + _re.sub(r"\W+", "_", sf_dir).strip("_")
+
+    def _build(root: str) -> str:
+        src = root + "/in"
+        os.makedirs(src)
+        feeds = _feed_docs(spark, sf_dir).localCheckpoint(eager=True)
+        t = feeds.agg(F.floor(F.max("host_id") / 2)).collect()[0][0]
+        for i, pred in enumerate((f"host_id <= {t}", f"host_id > {t}")):
+            tmp = f"{root}/tmp{i}"
+            feeds.where(pred).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = sorted(_glob.glob(f"{tmp}/part-*.parquet"))[0]
+            dst = f"{src}/b{i}.parquet"
+            shutil.copy(part, dst)
+            os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+        return src
+
+    def _validate(path: str) -> str:
+        if sorted(os.listdir(path)) != ["b0.parquet", "b1.parquet"]:
+            raise RuntimeError("feed stream source files missing")
+        return path
+
+    return _session_cached_path(spark, tag, _build, _validate)
 
 
 def _feed_disc_ctes() -> str:
@@ -5843,6 +5891,110 @@ def _feed_discovery_oracle() -> str:
 
 
 register("feed_discovery", _q_feed_discovery, _feed_discovery_oracle())
+
+
+# -------- feed autodiscovery from HTML <link> elements
+
+# fixture hazards per doc class: 0 = plain double-quoted rss link;
+# 1 = UPPERCASE attribute names, single quotes, scrambled attribute
+# order, multi-token rel ('alternate home'); 2 = decoys only — a
+# stylesheet link and rel='alternates' (the word-boundary near-miss);
+# 3 = two feeds on one page (rss then atom, document order graded)
+_FEEDLINK_HTML = (
+    "'<html><head><title>d' || CAST(doc_id AS {V}) || '</title>' || "
+    "CASE doc_id % 4 "
+    "WHEN 0 THEN '<link rel=' || {DQ} || 'alternate' || {DQ} "
+    "|| ' type=' || {DQ} || 'application/rss+xml' || {DQ} "
+    "|| ' href=' || {DQ} || 'https://h' || CAST(doc_id % 8 AS {V}) "
+    "|| '.test/feed.xml' || {DQ} || '>' "
+    "WHEN 1 THEN '<LINK TYPE=' || {SQ} || 'application/atom+xml' || {SQ} "
+    "|| ' HREF=' || {SQ} || '/a' || CAST(doc_id AS {V}) || '.xml' || {SQ} "
+    "|| ' REL=' || {SQ} || 'alternate home' || {SQ} || '>' "
+    "WHEN 2 THEN '<link rel=' || {DQ} || 'stylesheet' || {DQ} "
+    "|| ' href=' || {DQ} || '/s.css' || {DQ} || '>' "
+    "|| '<link rel=' || {DQ} || 'alternates' || {DQ} || ' type=' "
+    "|| {DQ} || 'application/rss+xml' || {DQ} || ' href=' || {DQ} "
+    "|| '/no.xml' || {DQ} || '>' "
+    "ELSE '<link rel=' || {DQ} || 'alternate' || {DQ} || ' type=' "
+    "|| {DQ} || 'application/rss+xml' || {DQ} || ' href=' || {DQ} "
+    "|| '/f1.xml' || {DQ} || '>' "
+    "|| '<link rel=' || {DQ} || 'alternate' || {DQ} || ' type=' "
+    "|| {DQ} || 'application/atom+xml' || {DQ} || ' href=' || {DQ} "
+    "|| '/f2.xml' || {DQ} || '>' END "
+    "|| '</head><body><a href=' || {DQ} || '/x' || {DQ} "
+    "|| '>y</a></body></html>'"
+)
+
+
+def _q_feed_autodiscovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed autodiscovery from page markup — how a crawler finds the
+    feeds `feed_discovery` then consumes: whole <link ...> elements
+    extract, rel/type/href sub-extract per element in either quote
+    style and any attribute order, and a tag qualifies iff rel carries
+    the 'alternate' token (word match — 'alternates' must not) with a
+    feed MIME type. Raw hrefs (base-URL resolution is the frontier's
+    step), document order per page."""
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    docs = _docs(spark, sf_dir)
+    html = docs.select(
+        "doc_id",
+        F.expr(
+            _FEEDLINK_HTML.format(
+                V="STRING", DQ="chr(34)", SQ="chr(39)"
+            )
+        ).alias("html"),
+    )
+    return _text.feed_links(html, "html")
+
+
+def _feed_autodiscovery_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators import text as _text
+
+    tag_re = _sql_lit(_text.FEED_LINK_TAG_RE)
+
+    def attr(name: str) -> str:
+        dq = _sql_lit(_text._ATTR_DQ.format(name=name))
+        sq = _sql_lit(_text._ATTR_SQ.format(name=name))
+        return (
+            f"CASE WHEN regexp_extract(tag, {dq}, 1) <> '' "
+            f"THEN regexp_extract(tag, {dq}, 1) "
+            f"ELSE regexp_extract(tag, {sq}, 1) END"
+        )
+
+    html = _FEEDLINK_HTML.format(V="VARCHAR", DQ="chr(34)", SQ="chr(39)")
+    return f"""
+    WITH h AS (SELECT doc_id, {html} AS html FROM documents),
+    tt AS (SELECT doc_id,
+             regexp_extract_all(html, {tag_re}, 1) AS tags
+           FROM h),
+    t AS (SELECT doc_id,
+            CAST(unnest(range(len(tags))) AS BIGINT) AS tagno,
+            unnest(tags) AS tag
+          FROM tt),
+    a AS (SELECT doc_id, tagno,
+            lower({attr('rel')}) AS rel,
+            lower({attr('type')}) AS typ,
+            {attr('href')} AS href
+          FROM t),
+    q AS (SELECT doc_id, tagno, href,
+            CASE typ WHEN 'application/rss+xml' THEN 'rss'
+                     WHEN 'application/atom+xml' THEN 'atom' END AS kind
+          FROM a
+          WHERE typ IN ('application/rss+xml', 'application/atom+xml')
+            AND regexp_matches(rel, '(^|\\s)alternate($|\\s)'))
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tagno)
+                - 1 AS BIGINT) AS link_no,
+           kind, href
+    FROM q
+    """
+
+
+register(
+    "feed_autodiscovery", _q_feed_autodiscovery,
+    _feed_autodiscovery_oracle(),
+)
 
 
 def _q_recrawl_feed_boost(spark: SparkSession, sf_dir: str) -> DataFrame:

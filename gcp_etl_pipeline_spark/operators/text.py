@@ -1585,3 +1585,64 @@ def parse_feed(
         link.alias("link"),
         published.alias("published"),
     )
+
+
+FEED_LINK_TAG_RE = "(?is)<link\\b([^>]*)>"
+_ATTR_DQ = "(?is){name}\\s*=\\s*\"([^\"]*)\""
+_ATTR_SQ = "(?is){name}\\s*=\\s*'([^']*)'"
+FEED_MIME_KIND = {
+    "application/rss+xml": "rss",
+    "application/atom+xml": "atom",
+}
+
+
+def _tag_attr(tag: Column, name: str) -> Column:
+    """First value of attribute ``name`` in a tag's attribute text,
+    either quote style (double-quoted tried first), '' when absent."""
+    dq = F.regexp_extract(tag, _ATTR_DQ.format(name=name), 1)
+    sq = F.regexp_extract(tag, _ATTR_SQ.format(name=name), 1)
+    return F.when(dq != "", dq).otherwise(sq)
+
+
+def feed_links(
+    df: DataFrame, html_col: str = "html", keep: list[str] | None = None
+) -> DataFrame:
+    """RSS/Atom autodiscovery from HTML <link> elements (the HTML 4.01
+    / WHATWG convention every browser and crawler honors): whole
+    <link ...> tags extract first, rel/type/href sub-extract PER
+    ELEMENT in either quote style and any attribute order, and a tag
+    qualifies iff its rel contains the 'alternate' token (word match,
+    case-folded — 'alternate home' qualifies, 'alternates' does not)
+    and its type is a feed MIME type. Returns one row per discovered
+    feed: ``link_no`` (document order among qualifying tags), ``kind``
+    ('rss' | 'atom'), ``href`` (raw — resolution against a base URL is
+    the caller's step). Zero Python, zero shuffle."""
+    keep = keep if keep is not None else [
+        c for c in df.columns if c != html_col
+    ]
+    from pyspark.sql import Window
+
+    tags = F.regexp_extract_all(
+        html_col, F.lit(FEED_LINK_TAG_RE), F.lit(1)
+    )
+    z = df.select(*keep, F.posexplode(tags).alias("__no", "__t"))
+    rel = F.lower(_tag_attr(F.col("__t"), "rel"))
+    typ = F.lower(_tag_attr(F.col("__t"), "type"))
+    href = _tag_attr(F.col("__t"), "href")
+    kind = F.when(
+        typ == "application/rss+xml", F.lit("rss")
+    ).when(typ == "application/atom+xml", F.lit("atom"))
+    flt = z.where(
+        kind.isNotNull() & rel.rlike("(?:^|\\s)alternate(?:$|\\s)")
+    )
+    w = (
+        Window.partitionBy(*keep).orderBy("__no")
+        if keep
+        else Window.orderBy("__no")
+    )
+    return flt.select(
+        *keep,
+        (F.row_number().over(w) - 1).cast("bigint").alias("link_no"),
+        kind.alias("kind"),
+        href.alias("href"),
+    )

@@ -1255,3 +1255,56 @@ register(
     _q_stream_sitemap_discovery,
     _stream_sitemap_discovery_oracle(),
 )
+
+
+def _q_stream_feed_discovery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of feed-based discovery: per-host RSS/Atom feed
+    documents land one file per micro-batch; each foreachBatch
+    invocation runs the SHARED ``feed_discovery_stage`` (kind sniff ->
+    per-element parse -> normalized URLs + published epochs). Per-host
+    stateless, so the micro-batch union equals the batch twin — the
+    oracle is ``_feed_discovery_oracle()`` shared verbatim."""
+    from gcp_etl_pipeline_spark.operators.curation_queries import (
+        feed_discovery_stage,
+        feed_stream_src,
+    )
+
+    root = tempfile.mkdtemp(prefix="graft_sfeed_")
+    src = feed_stream_src(spark, sf_dir)
+    out_dir = f"{root}/parsed"
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        feed_discovery_stage(batch).write.mode("overwrite").parquet(
+            f"{out_dir}/batch={batch_id}"
+        )
+
+    q = (
+        spark.readStream.schema("host_id BIGINT, xml STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "host_id", "entry_no", "kind", "url", "published_s"
+    )
+
+
+def _stream_feed_discovery_oracle() -> str:
+    from gcp_etl_pipeline_spark.operators.curation_queries import (
+        _feed_discovery_oracle,
+    )
+
+    return _feed_discovery_oracle()
+
+
+register(
+    "stream_feed_discovery",
+    _q_stream_feed_discovery,
+    _stream_feed_discovery_oracle(),
+)
