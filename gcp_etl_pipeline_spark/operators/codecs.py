@@ -386,10 +386,12 @@ def _pdf_streams(data: bytes) -> list[bytes]:
     # the FLAT-dict pattern cannot match a stream whose dictionary
     # nests another dict (/DecodeParms << ... >>); without this check
     # such a stream would be SILENTLY skipped, against the module's
-    # loud-rejection contract (ADVICE r12). Any standalone 'stream'
-    # keyword outside the matched frames and their payloads marks an
-    # unframed stream.
-    for t in re.finditer(rb"(?<![0-9A-Za-z])stream(?![0-9A-Za-z])", data):
+    # loud-rejection contract (ADVICE r12). The detector looks for the
+    # FRAMING SIGNATURE '>> stream<EOL>' outside matched frames — not
+    # bare 'stream' tokens, which are legal content anywhere (a title
+    # string '(live stream)' must not abort a valid document; r13
+    # review caught the token form false-rejecting exactly that).
+    for t in re.finditer(rb">>\s*stream(\r\n|\n)", data):
         o = t.start()
         if not any(s <= o < e for s, e in spans):
             raise ValueError(

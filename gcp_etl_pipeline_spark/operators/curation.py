@@ -1230,16 +1230,23 @@ def robots_filter(
         (F.col("__host") == F.col("__rhost")) & match,
         "left",
     )
-    # RFC precedence as one aggregate: max over (prefix length, allow)
-    # — longest wins, Allow wins the tie (true > false); max_by skips
-    # the null no-match row, so an unmatched URL aggregates to NULL and
-    # coalesces to the default-allow verdict. Two DISTINCT same-length
-    # prefixes can never both match one path, so the pick is total.
+    # RFC precedence as one aggregate: max over (pattern length, allow,
+    # pattern) — longest wins, Allow wins the length tie (true >
+    # false), and the pattern string itself breaks the remaining tie.
+    # In prefix mode two DISTINCT same-length prefixes can never both
+    # match one path, so the third key is inert there; under wildcards
+    # two distinct same-length patterns CAN both match ('/a*' and
+    # '/*a' on '/aa' — r13 review), and without the total order the
+    # matched_prefix pick would be nondeterministic. max_by skips the
+    # null no-match row, so an unmatched URL aggregates to NULL and
+    # coalesces to the default-allow verdict.
     group_cols = list(urls.columns) if assume_distinct else [url_col]
     verdict = cand.groupBy(*group_cols).agg(
         F.max_by(
             F.struct(F.col("__allow").alias("a"), F.col("__pfx").alias("p")),
-            F.struct(F.length("__pfx"), F.col("__allow")),
+            F.struct(
+                F.length("__pfx"), F.col("__allow"), F.col("__pfx")
+            ),
         ).alias("__v")
     ).select(
         *group_cols,

@@ -2747,7 +2747,7 @@ def _robots_oracle() -> str:
              FROM g LEFT JOIN rules r
                ON g.hostname = r.host AND starts_with(g.path, r.pfx)),
     rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY url
-             ORDER BY length(pfx) DESC, allow DESC) AS rn
+             ORDER BY length(pfx) DESC, allow DESC, pfx DESC) AS rn
            FROM cand)
     SELECT o_orderkey, url,
            COALESCE(allow, true) AS allowed,
@@ -2891,7 +2891,7 @@ def _frontier_verdict_cte() -> str:
              FROM pq LEFT JOIN rules r
                ON pq.hostname = r.host AND starts_with(pq.path, r.pfx)),
     vrk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY url
-              ORDER BY length(pfx) DESC, allow DESC) AS vrn
+              ORDER BY length(pfx) DESC, allow DESC, pfx DESC) AS vrn
             FROM cand),
     verd AS (SELECT url, first_key, n_raw, hostname,
                COALESCE(allow, true) AS allowed
@@ -3952,15 +3952,10 @@ _CACHE_HDR = (
 )
 
 
-def _q_cache_control(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFC 9111 shared-cache freshness end to end: raw header blocks
-    (IMF-fixdate Date/Expires/Last-Modified GENERATED engine-side from
-    epoch seconds, so the differential gate covers the format
-    round-trip) -> cache_freshness -> per-response lifetime, verdict
-    and stale-at. The fixture rotates every §4.2 branch including the
-    conservative malformed-max-age fall-through and an invalid Age."""
-    from gcp_etl_pipeline_spark.operators import curation as _cur
-
+def _cache_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared (url_id, headers) fixture both cache queries grade
+    against — ONE construction, so a header-class edit can never
+    silently diverge the two (r13 review)."""
     ev = read_parquet(spark, f"{sf_dir}/events.parquet")
     es = "(unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000)"
     fmt = (
@@ -3974,10 +3969,21 @@ def _q_cache_control(spark: SparkSession, sf_dir: str) -> DataFrame:
         FMT_EXP=fmt.format(e=f"({es} + user_id % 2000 - 500)"),
         FMT_LM=fmt.format(e=f"({es} - user_id % 90000)"),
     )
-    responses = ev.select(
+    return ev.select(
         F.col("event_id").alias("url_id"), F.expr(hdr).alias("headers")
     )
-    return _cur.cache_freshness(responses)
+
+
+def _q_cache_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9111 shared-cache freshness end to end: raw header blocks
+    (IMF-fixdate Date/Expires/Last-Modified GENERATED engine-side from
+    epoch seconds, so the differential gate covers the format
+    round-trip) -> cache_freshness -> per-response lifetime, verdict
+    and stale-at. The fixture rotates every §4.2 branch including the
+    conservative malformed-max-age fall-through and an invalid Age."""
+    from gcp_etl_pipeline_spark.operators import curation as _cur
+
+    return _cur.cache_freshness(_cache_responses(spark, sf_dir))
 
 
 def _cache_hdr_sql() -> str:
@@ -4105,22 +4111,7 @@ def _q_cache_reval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gcp_etl_pipeline_spark.operators import curation as _cur
     from gcp_etl_pipeline_spark.operators.text import http_header
 
-    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
-    es = "(unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000)"
-    fmt = (
-        "date_format(timestamp_seconds({e}),"
-        " 'EEE, dd MMM yyyy HH:mm:ss') || ' GMT'"
-    )
-    hdr = _CACHE_HDR.format(
-        V="STRING",
-        CRLF="(chr(13) || chr(10))",
-        FMT_D=fmt.format(e=es),
-        FMT_EXP=fmt.format(e=f"({es} + user_id % 2000 - 500)"),
-        FMT_LM=fmt.format(e=f"({es} - user_id % 90000)"),
-    )
-    responses = ev.select(
-        F.col("event_id").alias("url_id"), F.expr(hdr).alias("headers")
-    )
+    responses = _cache_responses(spark, sf_dir)
     cf = _cur.cache_freshness(responses, keep=("url_id", "headers"))
     etag = http_header(F.col("headers"), "ETag")
     lm = http_header(F.col("headers"), "Last-Modified")
@@ -5462,7 +5453,7 @@ def _robots_parse_oracle() -> str:
              FROM q LEFT JOIN rules r
                ON q.hostname = r.host AND starts_with(q.path, r.pfx)),
     rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY url, o_orderkey
-             ORDER BY length(pfx) DESC, allow DESC) AS rn
+             ORDER BY length(pfx) DESC, allow DESC, pfx DESC) AS rn
            FROM cand)
     SELECT o_orderkey, url,
            COALESCE(allow, true) AS allowed,
@@ -5618,7 +5609,7 @@ def _robots_wildcard_oracle() -> str:
              FROM u LEFT JOIN rx r
                ON u.hostname = r.host AND regexp_matches(u.pth, r.rex)),
     rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
-             ORDER BY length(pfx) DESC, allow DESC) AS rn
+             ORDER BY length(pfx) DESC, allow DESC, pfx DESC) AS rn
            FROM cand)
     SELECT o_orderkey, url,
            COALESCE(allow, true) AS allowed,
@@ -5757,37 +5748,12 @@ def feed_stream_src(spark: SparkSession, sf_dir: str) -> str:
     """Session-cached SOURCE DIRECTORY for the streaming feed twin:
     the per-host feed documents split into two host_id-ordered,
     mtime-ordered parquet files."""
-    import glob as _glob
-    import os
     import re as _re
-    import shutil
 
     tag = "feedsrc_" + _re.sub(r"\W+", "_", sf_dir).strip("_")
-
-    def _build(root: str) -> str:
-        src = root + "/in"
-        os.makedirs(src)
-        feeds = _feed_docs(spark, sf_dir).localCheckpoint(eager=True)
-        t = feeds.agg(F.floor(F.max("host_id") / 2)).collect()[0][0]
-        for i, pred in enumerate((f"host_id <= {t}", f"host_id > {t}")):
-            tmp = f"{root}/tmp{i}"
-            feeds.where(pred).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(tmp)
-            part = sorted(_glob.glob(f"{tmp}/part-*.parquet"))[0]
-            dst = f"{src}/b{i}.parquet"
-            shutil.copy(part, dst)
-            os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
-        return src
-
-    def _validate(path: str) -> str:
-        if sorted(os.listdir(path)) != ["b0.parquet", "b1.parquet"]:
-            raise RuntimeError("feed stream source files missing")
-        return path
-
-    return _session_cached_path(spark, tag, _build, _validate)
-
-
+    return _two_file_stream_src(
+        spark, tag, lambda: _feed_docs(spark, sf_dir), "host_id"
+    )
 def _feed_disc_ctes() -> str:
     """The feed-discovery oracle chain ending in `fd` (host_id,
     entry_no, kind, url, published_s) — factored so the recrawl
@@ -7258,32 +7224,30 @@ def sitemap_discovery_stage(
     )
 
 
-def sitemap_disc_stream_src(spark: SparkSession, sf_dir: str) -> str:
-    """Session-cached SOURCE DIRECTORY for the streaming discovery
-    twin: per-host discovery bundles (robots.txt + that host's sitemap
-    document at its canonical URL) split into two host_id-ordered,
-    mtime-ordered parquet files — the shape of discovery crawl results
-    landing one chunk at a time. Same ``_session_cached_path``
-    discipline as every cached fixture."""
+def _two_file_stream_src(
+    spark: SparkSession,
+    tag: str,
+    build_frame,
+    split_col: str,
+) -> str:
+    """Shared builder for the two-file streaming source fixtures: a
+    frame split at its ``split_col`` midpoint into two ordered,
+    mtime-ordered parquet files (the object-storage
+    one-chunk-at-a-time arrival shape). One definition for every
+    per-key-split twin (r13 review: three near-identical builders)."""
     import glob as _glob
     import os
-    import re as _re
     import shutil
-
-    tag = "sitemapdiscsrc_" + _re.sub(r"\W+", "_", sf_dir).strip("_")
 
     def _build(root: str) -> str:
         src = root + "/in"
         os.makedirs(src)
-        bundles = (
-            _disc_robots(spark, sf_dir)
-            .join(_disc_sitemaps(spark, sf_dir), "host_id", "left")
-            .localCheckpoint(eager=True)
-        )
-        t = bundles.agg(F.floor(F.max("host_id") / 2)).collect()[0][0]
-        for i, pred in enumerate((f"host_id <= {t}", f"host_id > {t}")):
+        frame = build_frame().localCheckpoint(eager=True)
+        t = frame.agg(F.floor(F.max(split_col) / 2)).collect()[0][0]
+        preds = (f"{split_col} <= {t}", f"{split_col} > {t}")
+        for i, pred in enumerate(preds):
             tmp = f"{root}/tmp{i}"
-            bundles.where(pred).coalesce(1).write.mode(
+            frame.where(pred).coalesce(1).write.mode(
                 "overwrite"
             ).parquet(tmp)
             part = sorted(_glob.glob(f"{tmp}/part-*.parquet"))[0]
@@ -7293,11 +7257,30 @@ def sitemap_disc_stream_src(spark: SparkSession, sf_dir: str) -> str:
         return src
 
     def _validate(path: str) -> str:
+        import os
+
         if sorted(os.listdir(path)) != ["b0.parquet", "b1.parquet"]:
-            raise RuntimeError("sitemap disc stream source files missing")
+            raise RuntimeError(f"{tag}: stream source files missing")
         return path
 
     return _session_cached_path(spark, tag, _build, _validate)
+
+
+def sitemap_disc_stream_src(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached SOURCE DIRECTORY for the streaming discovery
+    twin: per-host discovery bundles (robots.txt + that host's sitemap
+    document at its canonical URL)."""
+    import re as _re
+
+    tag = "sitemapdiscsrc_" + _re.sub(r"\W+", "_", sf_dir).strip("_")
+    return _two_file_stream_src(
+        spark,
+        tag,
+        lambda: _disc_robots(spark, sf_dir).join(
+            _disc_sitemaps(spark, sf_dir), "host_id", "left"
+        ),
+        "host_id",
+    )
 
 
 def _sitemap_discovery_parsed(

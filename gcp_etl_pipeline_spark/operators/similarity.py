@@ -1387,13 +1387,17 @@ class IvfPqIndex:
     frames at any corpus size; ``codes`` (vec_id, list_id, sub, code)
     is the compressed index — the only corpus-sized thing, m bytes of
     code identity per vector; ``assigned`` (vec_id, list_id) is the
-    membership map (kept for scanned-candidate accounting)."""
+    membership map (kept for scanned-candidate accounting). ``dim``
+    and ``dsub`` are recorded at build time so search calls never pay
+    a Spark action just to re-learn geometry (r13 review)."""
 
-    def __init__(self, cent, codebook, assigned, codes):
+    def __init__(self, cent, codebook, assigned, codes, dim, dsub):
         self.cent = cent
         self.codebook = codebook
         self.assigned = assigned
         self.codes = codes
+        self.dim = dim
+        self.dsub = dsub
 
 
 def _coarse_centroids(
@@ -1467,8 +1471,16 @@ def ivfpq_index(
         cent = ccb.select(
             F.col("code").alias("list_id"), F.col("cw").alias("cvec")
         )
-    else:
+    elif coarse == "lowest_id":
         cent = _coarse_centroids(corpus, n_lists, id_col, vec_col)
+    else:
+        # loud misconfiguration (the robots_filter scope contract): a
+        # typo'd coarse mode silently falling back to lowest-id seeding
+        # would roughly halve pruned recall per the r13 sweep
+        raise ValueError(
+            f"ivfpq_index: coarse must be 'kmeans' or 'lowest_id', "
+            f"got {coarse!r}"
+        )
     cand = qcorp.join(F.broadcast(cent), how="cross").select(
         id_col,
         "__qv",
@@ -1495,6 +1507,8 @@ def ivfpq_index(
         pre_quantized=True,
     )
     dim = len(cent.first()["cvec"])
+    if dim % m != 0:
+        raise ValueError(f"ivfpq_index: dim={dim} not divisible by m={m}")
     codes = (
         pq_codes(
             res, cb, m, dim // m, id_col=id_col, vec_col="__rv",
@@ -1509,6 +1523,8 @@ def ivfpq_index(
         cb,
         _release_on_gc(membership, assigned),
         _release_on_gc(codes, assigned),
+        dim,
+        dim // m,
     )
 
 
@@ -1562,9 +1578,8 @@ def ivfpq_adc_topk(
 
     Query-id contract: as ``knn_pq`` — query ids must be corpus
     vec_ids (self-matches excluded by id equality)."""
-    dim_sub = len(index.codebook.first()["cw"])
     lut = _pq_subvectors(
-        probes, [qid_col, "list_id"], "__qres", m, dim_sub
+        probes, [qid_col, "list_id"], "__qres", m, index.dsub
     ).join(F.broadcast(index.codebook), "sub").select(
         qid_col,
         "list_id",

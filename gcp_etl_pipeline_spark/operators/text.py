@@ -1588,8 +1588,12 @@ def parse_feed(
 
 
 FEED_LINK_TAG_RE = "(?is)<link\\b([^>]*)>"
-_ATTR_DQ = "(?is){name}\\s*=\\s*\"([^\"]*)\""
-_ATTR_SQ = "(?is){name}\\s*=\\s*'([^']*)'"
+# the (?:^|[^-\w]) guard (an explicit boundary class — RE2 has no
+# lookbehind, so the oracle twin shares the consumed-char form) stops
+# 'rel' matching inside 'data-rel', 'href' inside 'data-href' etc.
+# (r13 review: a data-rel="nofollow" attribute shadowed the real rel)
+_ATTR_DQ = "(?is)(?:^|[^-\\w]){name}\\s*=\\s*\"([^\"]*)\""
+_ATTR_SQ = "(?is)(?:^|[^-\\w]){name}\\s*=\\s*'([^']*)'"
 FEED_MIME_KIND = {
     "application/rss+xml": "rss",
     "application/atom+xml": "atom",

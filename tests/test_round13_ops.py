@@ -337,3 +337,68 @@ def test_parse_feed_rss_and_atom(spark):
         (2, 0): ("atom", "http://h/z", "2024-01-05T12:00:00Z"),
         (2, 1): ("atom", "", ""),
     }
+
+
+# ------------------------------------------- r13 code-review regressions
+
+def test_pdf_bare_stream_token_in_content_ok():
+    # review finding: the unframed-stream detector must key on the
+    # FRAMING SIGNATURE ('>> stream<EOL>'), not bare 'stream' tokens —
+    # a title string or comment saying 'stream' is legal content
+    from gcp_etl_pipeline_spark.operators.codecs import PDF_MAGIC, pdf_text
+
+    raw = b"BT (live stream) Tj ET"
+    body = (
+        b"<< /Length " + str(len(raw)).encode() + b" >>\nstream\n"
+        + raw + b"\nendstream"
+    )
+    doc = (
+        PDF_MAGIC + b"\n1 0 obj\n<< /Title (live stream) >>\nendobj\n"
+        b"2 0 obj\n" + body + b"\nendobj\n% stream comment\n%%EOF\n"
+    )
+    assert pdf_text(doc) == "live stream"
+
+
+def test_feed_links_data_rel_does_not_shadow(spark):
+    # review finding: 'rel' must not match inside 'data-rel' (etc.)
+    from gcp_etl_pipeline_spark.operators.text import feed_links
+
+    html = (
+        '<html><head><link data-rel="nofollow" rel="alternate" '
+        'type="application/rss+xml" href="/f.xml">'
+        '<link data-href="/decoy" rel="alternate" '
+        'type="application/atom+xml" href="/g.xml"></head></html>'
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id bigint, html string")
+    got = [
+        (r.link_no, r.kind, r.href) for r in feed_links(df).collect()
+    ]
+    assert got == [(0, "rss", "/f.xml"), (1, "atom", "/g.xml")]
+
+
+def test_robots_wildcard_same_length_tie_total(spark):
+    # review finding: '/a*' and '/*a' (same length, same allow) both
+    # match '/aa' — the precedence pick must be deterministic
+    from gcp_etl_pipeline_spark.operators.curation import robots_filter
+
+    rules = spark.createDataFrame(
+        [("h.test", "/a*", False), ("h.test", "/*a", False)],
+        "host string, path_prefix string, allow boolean",
+    )
+    urls = spark.createDataFrame([("https://h.test/aa",)], ["url"])
+    for _ in range(3):
+        got = robots_filter(urls, rules, wildcards=True).collect()
+        assert [(r.allowed, r.matched_prefix) for r in got] == [
+            (False, "/a*")  # max over (len, allow, pattern): '/a*' > '/*a'
+        ]
+
+
+def test_ivfpq_index_rejects_unknown_coarse(spark):
+    from gcp_etl_pipeline_spark.operators.similarity import ivfpq_index
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in range(20)],
+        "vec_id bigint, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="coarse must be"):
+        ivfpq_index(vecs, n_lists=4, m=4, ksub=8, coarse="Kmeans")
