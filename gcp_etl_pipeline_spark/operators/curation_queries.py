@@ -16,6 +16,17 @@ from gcp_etl_pipeline_spark.operators.text import tokens
 from gcp_etl_pipeline_spark.queries_relational import ensure_views, shared_sql
 from gcp_etl_pipeline_spark.registry import register
 from gcp_etl_pipeline_spark.sources.files import read_parquet
+from gcp_etl_pipeline_spark.operators.parallel import spread
+
+
+def _scan(spark: SparkSession, path: str) -> DataFrame:
+    """Fixture-table scan with the partition-spread guard: a test-SF
+    parquet file is ONE input split, which would serialize every fused
+    downstream projection (the regex parse chains this module is made
+    of) onto a single core. At real scale the scan already yields >=
+    cluster-parallelism splits and spread() is a no-op
+    (operators/parallel.py)."""
+    return spread(read_parquet(spark, path))
 
 def _sql_lit(s: str) -> str:
     """A DuckDB single-quoted string literal: the ONE escape path every
@@ -36,7 +47,7 @@ tok AS (
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return _scan(spark, f"{sf_dir}/documents.parquet")
 
 
 # ------------------------------------------------------------ PII redaction
@@ -278,7 +289,7 @@ shared_sql(
 # exactly as integers, and one deterministic division closes it out.
 
 def _q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    embs = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    embs = _scan(spark, f"{sf_dir}/embeddings.parquet")
     exploded = embs.select(
         "label", F.posexplode("embedding").alias("i", "v")
     ).select(
@@ -838,7 +849,7 @@ register(
 def _q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gcp_etl_pipeline_spark.operators.similarity import quantize_int8_error
 
-    embs = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    embs = _scan(spark, f"{sf_dir}/embeddings.parquet")
     return quantize_int8_error(embs)
 
 
@@ -2135,7 +2146,7 @@ def _q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     if any normalization step drifts. One scan + one groupBy shuffle."""
     from gcp_etl_pipeline_spark.operators import text as _text
 
-    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    orders = _scan(spark, f"{sf_dir}/orders.parquet")
     raw = orders.select(
         "o_orderkey",
         F.expr(_RAW_URL.format(V="STRING")).alias("__raw"),
@@ -2308,7 +2319,7 @@ def _q_per_host_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact 100-URL budget per host picked in md5(url) order — the
     deterministic two-level top-q (stratified_take discipline). The
     oracle replays host extraction and the ranked pick."""
-    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    orders = _scan(spark, f"{sf_dir}/orders.parquet")
     urls = orders.select(
         "o_orderkey", F.expr(_HOST_URL.format(V="STRING")).alias("url")
     )
@@ -2522,7 +2533,7 @@ def _q_url_strip_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     if any class canonicalizes wrong. One scan + one shuffle."""
     from gcp_etl_pipeline_spark.operators import text as _text
 
-    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    orders = _scan(spark, f"{sf_dir}/orders.parquet")
     raw = orders.select(
         "o_orderkey", F.expr(_TRK_URL.format(V="STRING")).alias("__raw")
     )
@@ -2709,7 +2720,7 @@ def _q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts (plan census); precedence is one max_by aggregate over
     distinct URLs, joined back so duplicate frontier rows each keep a
     verdict."""
-    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    orders = _scan(spark, f"{sf_dir}/orders.parquet")
     urls = orders.select(
         "o_orderkey", F.expr(_HOST_URL.format(V="STRING")).alias("url")
     )
@@ -2792,7 +2803,7 @@ def _q_frontier_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quota pick breaks the hash."""
     from gcp_etl_pipeline_spark.operators import text as _text
 
-    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    orders = _scan(spark, f"{sf_dir}/orders.parquet")
     raw = orders.select(
         "o_orderkey", F.expr(_FRONTIER_URL.format(V="STRING")).alias("__raw")
     )
@@ -2966,7 +2977,7 @@ def _q_url_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a /2024/05/17/ archive page must stay enqueueable)."""
     from gcp_etl_pipeline_spark.operators import text as _text
 
-    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    orders = _scan(spark, f"{sf_dir}/orders.parquet")
     urls = orders.select(
         "o_orderkey", F.expr(_TRAP_URL.format(V="STRING")).alias("url")
     )
@@ -3059,7 +3070,7 @@ def _q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     both the lag window and the aggregate."""
     from gcp_etl_pipeline_spark.operators import curation as _cur
 
-    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    ev = _scan(spark, f"{sf_dir}/events.parquet")
     fetches = ev.select(
         F.expr(_FETCH_URL_ID).alias("url_id"),
         "ts",
@@ -3149,7 +3160,7 @@ def _q_host_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup itself is graded. One partial-aggregated exchange."""
     from gcp_etl_pipeline_spark.operators import curation as _cur
 
-    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    docs = _scan(spark, f"{sf_dir}/documents.parquet")
     sig = docs.select(
         F.concat(
             F.lit("h"), (F.col("doc_id") % 23).cast("string"),
@@ -3213,7 +3224,7 @@ def _q_snapshot_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever shuffle in tier 2, never payloads."""
     from pyspark.sql import Window
 
-    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    ev = _scan(spark, f"{sf_dir}/events.parquet")
     snaps = ev.select(
         F.expr(_FETCH_URL_ID).alias("url_id"),
         "ts",
@@ -3287,7 +3298,7 @@ def _q_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     a scan-fused projection + generator, zero Python."""
     from gcp_etl_pipeline_spark.operators import text as _text
 
-    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    orders = _scan(spark, f"{sf_dir}/orders.parquet")
     entries = orders.select(
         (F.col("o_orderkey") % 8).alias("host_id"),
         F.col("o_orderkey").alias("k"),
@@ -3386,7 +3397,7 @@ def _q_sitemap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-able join on child loc, explodes fused into scans."""
     from gcp_etl_pipeline_spark.operators import text as _text
 
-    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    orders = _scan(spark, f"{sf_dir}/orders.parquet")
     entries = orders.select(
         (F.col("o_orderkey") % 8).alias("host_id"),
         F.expr("(o_orderkey DIV 8) % 3").alias("child_id"),
@@ -3536,7 +3547,7 @@ def _q_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from gcp_etl_pipeline_spark.operators import text as _text
 
-    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    docs = _scan(spark, f"{sf_dir}/documents.parquet")
     pages = docs.select(
         "doc_id", F.expr(_LINKPAGE_SQL.format(V="STRING")).alias("html")
     )
@@ -3674,7 +3685,7 @@ def _q_fetch_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange for the per-class census the crawl dashboard reads."""
     from gcp_etl_pipeline_spark.operators import text as _text
 
-    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    docs = _scan(spark, f"{sf_dir}/documents.parquet")
     pages = docs.select(
         "doc_id", F.expr(_TRIAGE_TEXT.format(V="STRING")).alias("page")
     )
@@ -3721,7 +3732,7 @@ def frontier_stream_src(spark: SparkSession, sf_dir: str) -> str:
     def _build(root: str) -> str:
         src = root + "/in"
         os.makedirs(src)
-        orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+        orders = _scan(spark, f"{sf_dir}/orders.parquet")
         raw = orders.select(
             "o_orderkey",
             F.expr(_FRONTIER_URL.format(V="STRING")).alias("raw_url"),
@@ -3775,7 +3786,7 @@ def _q_http_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     records into the HTML intake chain."""
     from gcp_etl_pipeline_spark.operators import text as _text
 
-    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    docs = _scan(spark, f"{sf_dir}/documents.parquet")
     nl = "CASE WHEN doc_id % 2 = 0 THEN chr(13) || chr(10) ELSE chr(10) END"
     raw = docs.select(
         "doc_id",
@@ -3865,7 +3876,7 @@ def _q_revalidation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     fetches."""
     from gcp_etl_pipeline_spark.operators import text as _text
 
-    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    docs = _scan(spark, f"{sf_dir}/documents.parquet")
     nl = "CASE WHEN doc_id % 2 = 0 THEN chr(13) || chr(10) ELSE chr(10) END"
     raw = docs.select(
         "doc_id",
@@ -3956,7 +3967,7 @@ def _cache_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared (url_id, headers) fixture both cache queries grade
     against — ONE construction, so a header-class edit can never
     silently diverge the two (r13 review)."""
-    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    ev = _scan(spark, f"{sf_dir}/events.parquet")
     es = "(unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000)"
     fmt = (
         "date_format(timestamp_seconds({e}),"
@@ -4209,7 +4220,7 @@ def _warc_record_rows(
     oracle side's payload_expr parameter on _warc_walk_ctes (round-12
     review: three hand-copied twins of this block could drift)."""
     nl = "chr(13) || chr(10)"
-    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    docs = _scan(spark, f"{sf_dir}/documents.parquet")
     payload = docs.select(
         "doc_id",
         F.expr(
@@ -4902,7 +4913,7 @@ def _q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gcp_etl_pipeline_spark.operators import text as _text
     from gcp_etl_pipeline_spark.operators.codecs import encode_pdf
 
-    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").select(
+    docs = _scan(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
 
@@ -5145,7 +5156,7 @@ def _q_revalidation_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB — co-partitioned store and fetch log make it shuffle-free)."""
     from gcp_etl_pipeline_spark.operators import text as _text
 
-    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    docs = _scan(spark, f"{sf_dir}/documents.parquet")
     nl = "CASE WHEN doc_id % 2 = 0 THEN chr(13) || chr(10) ELSE chr(10) END"
 
     def sided(raw_expr: str, prefix: str, with_status: bool) -> DataFrame:
@@ -5378,7 +5389,7 @@ def _q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier. Documents are host-sized; only the frontier scales."""
     from gcp_etl_pipeline_spark.operators import curation as _cur
 
-    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    orders = _scan(spark, f"{sf_dir}/orders.parquet")
     hosts = orders.select(
         (F.col("o_orderkey") % 12).alias("h")
     ).distinct()
@@ -5516,7 +5527,7 @@ def _q_robots_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     group names another agent (default allow despite rules)."""
     from gcp_etl_pipeline_spark.operators import curation as _cur
 
-    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    orders = _scan(spark, f"{sf_dir}/orders.parquet")
     hosts = orders.select(
         (F.col("o_orderkey") % 6).alias("h")
     ).distinct()
@@ -5653,7 +5664,7 @@ _FEED_ITEM = (
 
 def _feed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feed fixture: per-host (host_id, xml) RSS/Atom documents."""
-    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    orders = _scan(spark, f"{sf_dir}/orders.parquet")
     # feed clock rebased into the fetch-log window (Jan 2024 + ~34
     # days): TPC-H orderdates live in the 1990s, which would leave
     # every published hint older than every observed fetch — the
@@ -5974,7 +5985,7 @@ def _q_recrawl_feed_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture's page universe."""
     from gcp_etl_pipeline_spark.operators import curation as _cur
 
-    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    ev = _scan(spark, f"{sf_dir}/events.parquet")
     fetches = ev.select(
         F.expr(_FETCH_URL_ID).alias("url_id"),
         "ts",
@@ -6072,7 +6083,7 @@ def recrawl_stream_src(spark: SparkSession, sf_dir: str) -> str:
     def _build(root: str) -> str:
         src = root + "/in"
         os.makedirs(src)
-        ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+        ev = _scan(spark, f"{sf_dir}/events.parquet")
         fetches = ev.select(
             F.expr(_FETCH_URL_ID).alias("url_id"),
             "ts",
@@ -6134,7 +6145,7 @@ def _q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     slogan signal. Only 32-byte sentence fingerprints shuffle."""
     from gcp_etl_pipeline_spark.operators import text as _text
 
-    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    docs = _scan(spark, f"{sf_dir}/documents.parquet")
     prose = docs.select(
         "doc_id", F.expr(_SENT_TEXT.format(V="STRING")).alias("body")
     )
@@ -6224,7 +6235,7 @@ def _q_fetch_due_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from gcp_etl_pipeline_spark.operators import curation as _cur
 
-    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    ev = _scan(spark, f"{sf_dir}/events.parquet")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     fetches = ev.select(
         F.expr(_FETCH_URL_ID).alias("url_id"),
@@ -6355,7 +6366,7 @@ def _q_host_latency_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate."""
     from pyspark.sql import Window
 
-    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    ev = _scan(spark, f"{sf_dir}/events.parquet")
     f = ev.select(
         F.expr(_DELAY_HOST.format(V="STRING")).alias("host"),
         F.round(F.col("value") * 100).cast("bigint").alias("lat_c"),
@@ -6444,7 +6455,7 @@ def _q_lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-paragraph rows, so an all-whitespace body is absent there)."""
     from gcp_etl_pipeline_spark.operators import text as _text
 
-    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    docs = _scan(spark, f"{sf_dir}/documents.parquet")
     body = docs.select(
         "doc_id",
         F.expr(_MIXED_BODY.format(NL="chr(10)")).alias("body"),
@@ -6559,7 +6570,7 @@ def _q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     sitemap_url_extract / sitemap_index_expand's front door."""
     from gcp_etl_pipeline_spark.operators import curation as _cur
 
-    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    orders = _scan(spark, f"{sf_dir}/orders.parquet")
     docs = orders.select(
         F.concat(
             F.lit("h"), F.col("o_orderkey").cast("string"), F.lit(".test")
@@ -6652,7 +6663,7 @@ def _q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python. The tabular twin of html_extract_text's running-text path."""
     from gcp_etl_pipeline_spark.operators import text as _text
 
-    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    orders = _scan(spark, f"{sf_dir}/orders.parquet")
     docs = orders.select(
         F.col("o_orderkey").alias("doc_id"),
         F.expr(_HTML_TABLE_DOC.format(V="STRING")).alias("html"),
@@ -6963,7 +6974,7 @@ def _q_robots_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection, integer-validated values, MAX per host."""
     from gcp_etl_pipeline_spark.operators import curation as _cur
 
-    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    orders = _scan(spark, f"{sf_dir}/orders.parquet")
     docs = orders.select(
         F.concat(
             F.lit("h"), F.col("o_orderkey").cast("string"), F.lit(".test")
@@ -7053,7 +7064,7 @@ def _q_table_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
     repaired byte that lands in the wrong cell breaks the hash."""
     from gcp_etl_pipeline_spark.operators import text as _text
 
-    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    orders = _scan(spark, f"{sf_dir}/orders.parquet")
     docs = orders.select(
         F.col("o_orderkey").alias("doc_id"),
         _text.repair_encoding(
@@ -7155,7 +7166,7 @@ _ROBOTS_DISC_TXT = (
 def _disc_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discovery fixture: per-host robots.txt (host_id, host,
     robots_txt) — hosts % 4 == 3 publish no Sitemap directive."""
-    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    orders = _scan(spark, f"{sf_dir}/orders.parquet")
     hosts = orders.select(
         (F.col("o_orderkey") % 8).alias("host_id")
     ).distinct()
@@ -7172,7 +7183,7 @@ def _disc_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _disc_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discovery fixture: per-host sitemap documents (host_id,
     sitemap_url, xml) at their canonical URLs."""
-    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    orders = _scan(spark, f"{sf_dir}/orders.parquet")
     entries = orders.select(
         (F.col("o_orderkey") % 8).alias("host_id"),
         F.col("o_orderkey").alias("k"),
@@ -7440,7 +7451,7 @@ def _q_recrawl_sitemap_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays |URLs| rows."""
     from gcp_etl_pipeline_spark.operators import curation as _cur
 
-    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    ev = _scan(spark, f"{sf_dir}/events.parquet")
     fetches = ev.select(
         F.expr(_FETCH_URL_ID).alias("url_id"),
         "ts",

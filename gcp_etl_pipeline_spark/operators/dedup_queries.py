@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gcp_etl_pipeline_spark.operators import dedup, similarity, text
+from gcp_etl_pipeline_spark.operators.parallel import spread
 from gcp_etl_pipeline_spark.queries_relational import ensure_views
 from gcp_etl_pipeline_spark.registry import register
 from gcp_etl_pipeline_spark.sources.files import read_parquet
@@ -40,11 +41,19 @@ sh AS (
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return read_parquet(spark, f"{sf_dir}/documents.parquet")
+    # spread: a test-SF fixture file scans as ONE split, serializing every
+    # fused downstream projection (tokenize/shingle/distance folds) onto a
+    # single core; at real scale the scan already has >= parallelism
+    # splits and the guard is a no-op (operators/parallel.py)
+    return spread(
+        read_parquet(spark, f"{sf_dir}/documents.parquet"), "doc_id"
+    )
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    return spread(
+        read_parquet(spark, f"{sf_dir}/embeddings.parquet"), "vec_id"
+    )
 
 
 # ------------------------------------------------------------- text stats
@@ -2108,7 +2117,9 @@ def _q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = qv.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("__qv").alias("__quv")
     )
-    d2 = similarity._l2q(F.col("__qv"), F.col("__quv"))
+    # static unroll over the known embedding width (codegen; exact-equal
+    # to the HOF fold — see similarity._l2q_n)
+    d2 = similarity._l2q_n(F.col("__qv"), F.col("__quv"), _IVFPQ_DIM)
     w = Window.partitionBy("query_id").orderBy(
         F.asc("d2"), F.asc("neighbor_id")
     )
@@ -2316,7 +2327,9 @@ def _ivfpq_parts(spark: SparkSession, sf_dir: str):
     queries = embs.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    probes = ivfpq_probes(queries, index.cent, n_probe=_IVFPQ_NPROBE)
+    probes = ivfpq_probes(
+        queries, index.cent, n_probe=_IVFPQ_NPROBE, dim=index.dim
+    )
     return index, probes
 
 
@@ -2354,7 +2367,7 @@ def _q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from gcp_etl_pipeline_spark.operators.similarity import (
-        _l2q,
+        _l2q_n,
         ivfpq_adc_topk,
         quantized,
     )
@@ -2364,7 +2377,7 @@ def _q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = qv.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("__qv").alias("__quv")
     )
-    d2 = _l2q(F.col("__qv"), F.col("__quv"))
+    d2 = _l2q_n(F.col("__qv"), F.col("__quv"), _IVFPQ_DIM)
     w = Window.partitionBy("query_id").orderBy(
         F.asc("d2"), F.asc("neighbor_id")
     )
