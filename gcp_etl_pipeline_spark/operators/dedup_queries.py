@@ -41,16 +41,18 @@ sh AS (
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # spread: a test-SF fixture file scans as ONE split, serializing every
-    # fused downstream projection (tokenize/shingle/distance folds) onto a
-    # single core; at real scale the scan already has >= parallelism
-    # splits and the guard is a no-op (operators/parallel.py)
-    return spread(
-        read_parquet(spark, f"{sf_dir}/documents.parquet"), "doc_id"
-    )
+    # NOT spread here: every heavy consumer goes through the dedup
+    # operators' internal Arrow-stage spread (shingle_arrays etc.), and
+    # the iterative consumers (BPE) re-execute this subtree per round —
+    # an exchange here is pure per-round overhead (A/B: bpe_k8 3.0->3.9s)
+    return read_parquet(spark, f"{sf_dir}/documents.parquet")
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # spread: the similarity operators run their distance folds in the
+    # scan stage (no internal spread), and a test-SF fixture file is ONE
+    # split — single-core without the guard; no-op at real scale
+    # (operators/parallel.py)
     return spread(
         read_parquet(spark, f"{sf_dir}/embeddings.parquet"), "vec_id"
     )

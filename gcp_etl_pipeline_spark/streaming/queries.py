@@ -17,6 +17,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from gcp_etl_pipeline_spark.operators.parallel import spread
 from gcp_etl_pipeline_spark.registry import register
 from gcp_etl_pipeline_spark.streaming import core, stateful
 
@@ -790,7 +791,9 @@ def _q_stream_html_intake(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = f"{root}/accepted"
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        extracted = batch.select(
+        # spread: a one-file micro-batch is ONE split — without the
+        # guard the fused extract chain runs on a single core
+        extracted = spread(batch).select(
             "doc_id",
             "source",
             _text.html_to_text(_text.repair_encoding("html")).alias("text"),
@@ -993,7 +996,8 @@ def _q_stream_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        canon = batch.select(
+        # spread before the 15-regex canonicalization (one-file batch)
+        canon = spread(batch).select(
             "o_orderkey",
             _text.strip_tracking_params(
                 _text.normalize_url("raw_url")
@@ -1209,9 +1213,10 @@ def _q_stream_sitemap_discovery(
     out_dir = f"{root}/parsed"
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        b = spread(batch)  # one-file micro-batch = one split
         parsed = sitemap_discovery_stage(
-            batch.select("host", "robots_txt"),
-            batch.select("host_id", "sitemap_url", "xml"),
+            b.select("host", "robots_txt"),
+            b.select("host_id", "sitemap_url", "xml"),
         )
         parsed.select(
             "host_id",
@@ -1276,7 +1281,7 @@ def _q_stream_feed_discovery(
     out_dir = f"{root}/parsed"
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        feed_discovery_stage(batch).write.mode("overwrite").parquet(
+        feed_discovery_stage(spread(batch)).write.mode("overwrite").parquet(
             f"{out_dir}/batch={batch_id}"
         )
 
