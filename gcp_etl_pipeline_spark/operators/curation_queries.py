@@ -753,8 +753,13 @@ register(
 # threshold rounding, or hex-comparison semantics all break the hash.
 
 def _q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deliberately UNSPREAD: split assignment is one md5 per row — a pure
+    # projection that must fuse into the scan with zero exchanges (the
+    # tests/test_physical_plans.py no-shuffle assertion); an exchange here
+    # would cost more than the map work at every scale
     return curation.dataset_split(
-        _docs(spark, sf_dir), "doc_id", val_pct=5.0, test_pct=5.0
+        read_parquet(spark, f"{sf_dir}/documents.parquet"),
+        "doc_id", val_pct=5.0, test_pct=5.0,
     ).select("doc_id", "lang", "split")
 
 
@@ -5389,7 +5394,7 @@ def _q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier. Documents are host-sized; only the frontier scales."""
     from gcp_etl_pipeline_spark.operators import curation as _cur
 
-    orders = _scan(spark, f"{sf_dir}/orders.parquet")
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
     hosts = orders.select(
         (F.col("o_orderkey") % 12).alias("h")
     ).distinct()
