@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gcp_etl_pipeline_spark.operators import curation, dedup, sketches, similarity
-from gcp_etl_pipeline_spark.operators.parallel import spread
+from gcp_etl_pipeline_spark.operators.parallel import spread_scan
 from gcp_etl_pipeline_spark.registry import register
 from gcp_etl_pipeline_spark.sources.files import read_parquet
 
@@ -28,7 +28,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spread(read_parquet(spark, f"{sf_dir}/embeddings.parquet"))
+    return spread_scan(read_parquet(spark, f"{sf_dir}/embeddings.parquet"), f"{sf_dir}/embeddings.parquet")
 
 
 def _hex12(expr: str) -> str:
@@ -357,7 +357,7 @@ register(
 # no float exp anywhere.
 
 def _q_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = spread(read_parquet(spark, f"{sf_dir}/events.parquet"))
+    ev = spread_scan(read_parquet(spark, f"{sf_dir}/events.parquet"), f"{sf_dir}/events.parquet")
     return curation.halflife_decay_engagement(ev)
 
 
@@ -628,7 +628,7 @@ register(
 def _q_pr_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    orders = spread(read_parquet(spark, f"{sf_dir}/orders.parquet"))
+    orders = spread_scan(read_parquet(spark, f"{sf_dir}/orders.parquet"), f"{sf_dir}/orders.parquet")
     wp = Window.partitionBy("o_orderpriority")
     w_rank = wp.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
     w_range = wp.orderBy(F.col("o_totalprice").asc()).rangeBetween(

@@ -30,7 +30,7 @@ from gcp_etl_pipeline_spark.operators.components import connected_components
 from gcp_etl_pipeline_spark.operators.dedup_queries import _SIMHASH_CTES
 from gcp_etl_pipeline_spark.operators.quality import profile, validate
 from gcp_etl_pipeline_spark.queries_relational import ensure_views
-from gcp_etl_pipeline_spark.operators.parallel import spread
+from gcp_etl_pipeline_spark.operators.parallel import spread_scan
 from gcp_etl_pipeline_spark.registry import register
 from gcp_etl_pipeline_spark.sources.files import read_parquet
 
@@ -38,7 +38,7 @@ from gcp_etl_pipeline_spark.sources.files import read_parquet
 # ------------------------------------------------- dedup cluster closure
 
 def _q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    docs = spread_scan(read_parquet(spark, f"{sf_dir}/documents.parquet"), f"{sf_dir}/documents.parquet")
     pairs = dedup.simhash_neardup_pairs(docs, max_hamming=3)
     nodes = docs.select(F.col("doc_id").alias("node"))
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
@@ -139,7 +139,7 @@ register("dedup_components", _q_components, _unrolled_cc_sql(_CC_ROUNDS))
 # joined back to the corpus; the poison row carries the output schema.
 
 def _q_neardup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(read_parquet(spark, f"{sf_dir}/documents.parquet"))
+    docs = spread_scan(read_parquet(spark, f"{sf_dir}/documents.parquet"), f"{sf_dir}/documents.parquet")
     return dedup.dedup_neardup_transitive(docs).select(
         "doc_id", "lang", "n_chars"
     )
@@ -242,7 +242,7 @@ def _q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     from gcp_etl_pipeline_spark.sources.files import read_parquet
 
-    orders = spread(read_parquet(spark, f"{sf_dir}/orders.parquet"))
+    orders = spread_scan(read_parquet(spark, f"{sf_dir}/orders.parquet"), f"{sf_dir}/orders.parquet")
     x = orders.select(
         "o_orderkey",
         "o_orderpriority",

@@ -16,7 +16,7 @@ from gcp_etl_pipeline_spark.operators.text import tokens
 from gcp_etl_pipeline_spark.queries_relational import ensure_views, shared_sql
 from gcp_etl_pipeline_spark.registry import register
 from gcp_etl_pipeline_spark.sources.files import read_parquet
-from gcp_etl_pipeline_spark.operators.parallel import spread
+from gcp_etl_pipeline_spark.operators.parallel import spread, spread_scan
 
 
 def _scan(spark: SparkSession, path: str) -> DataFrame:
@@ -24,9 +24,9 @@ def _scan(spark: SparkSession, path: str) -> DataFrame:
     parquet file is ONE input split, which would serialize every fused
     downstream projection (the regex parse chains this module is made
     of) onto a single core. At real scale the scan already yields >=
-    cluster-parallelism splits and spread() is a no-op
-    (operators/parallel.py)."""
-    return spread(read_parquet(spark, path))
+    cluster-parallelism splits and the guard is a no-op; the
+    needs-spread probe is memoized per path (operators/parallel.py)."""
+    return spread_scan(read_parquet(spark, path), path)
 
 def _sql_lit(s: str) -> str:
     """A DuckDB single-quoted string literal: the ONE escape path every
@@ -3737,7 +3737,11 @@ def frontier_stream_src(spark: SparkSession, sf_dir: str) -> str:
     def _build(root: str) -> str:
         src = root + "/in"
         os.makedirs(src)
-        orders = _scan(spark, f"{sf_dir}/orders.parquet")
+        # plain read, NOT _scan (the dataset_split carve-out, ADVICE
+        # r13): the builder lands each half via coalesce(1) — one task
+        # regardless — so a spread exchange buys nothing and breaks the
+        # key-ordered file layout this docstring promises
+        orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
         raw = orders.select(
             "o_orderkey",
             F.expr(_FRONTIER_URL.format(V="STRING")).alias("raw_url"),
@@ -4225,7 +4229,11 @@ def _warc_record_rows(
     oracle side's payload_expr parameter on _warc_walk_ctes (round-12
     review: three hand-copied twins of this block could drift)."""
     nl = "chr(13) || chr(10)"
-    docs = _scan(spark, f"{sf_dir}/documents.parquet")
+    # plain read, NOT _scan (r14 A/B, the r13-judge flagged row): the
+    # sentence explode + md5 shrink rows before the df-count shuffle,
+    # and the spread exchange shuffled full document payloads for less
+    # map work than the exchange cost (2.26 -> 0.99 s warm)
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     payload = docs.select(
         "doc_id",
         F.expr(
@@ -6088,7 +6096,9 @@ def recrawl_stream_src(spark: SparkSession, sf_dir: str) -> str:
     def _build(root: str) -> str:
         src = root + "/in"
         os.makedirs(src)
-        ev = _scan(spark, f"{sf_dir}/events.parquet")
+        # plain read, NOT _scan: single-task coalesce(1) landing — see
+        # frontier_stream_src's carve-out comment (ADVICE r13)
+        ev = read_parquet(spark, f"{sf_dir}/events.parquet")
         fetches = ev.select(
             F.expr(_FETCH_URL_ID).alias("url_id"),
             "ts",
@@ -6150,7 +6160,11 @@ def _q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     slogan signal. Only 32-byte sentence fingerprints shuffle."""
     from gcp_etl_pipeline_spark.operators import text as _text
 
-    docs = _scan(spark, f"{sf_dir}/documents.parquet")
+    # plain read, NOT _scan (r14 A/B, the r13-judge flagged row): the
+    # sentence explode + md5 shrink rows before the df-count shuffle,
+    # and the spread exchange shuffled full document payloads for less
+    # map work than the exchange cost (2.26 -> 0.99 s warm)
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     prose = docs.select(
         "doc_id", F.expr(_SENT_TEXT.format(V="STRING")).alias("body")
     )
@@ -6240,7 +6254,10 @@ def _q_fetch_due_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from gcp_etl_pipeline_spark.operators import curation as _cur
 
-    ev = _scan(spark, f"{sf_dir}/events.parquet")
+    # plain read, NOT _scan (r14 A/B, flagged row): thin projection
+    # straight into window/join exchanges — spread was pure overhead
+    # (2.38 -> 1.48 s warm)
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     fetches = ev.select(
         F.expr(_FETCH_URL_ID).alias("url_id"),
@@ -6371,7 +6388,10 @@ def _q_host_latency_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate."""
     from pyspark.sql import Window
 
-    ev = _scan(spark, f"{sf_dir}/events.parquet")
+    # plain read, NOT _scan (r14 A/B, ADVICE thin-aggregate item): the
+    # one light projection lands in a host-window shuffle anyway
+    # (0.87 -> 0.55 s warm)
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
     f = ev.select(
         F.expr(_DELAY_HOST.format(V="STRING")).alias("host"),
         F.round(F.col("value") * 100).cast("bigint").alias("lat_c"),

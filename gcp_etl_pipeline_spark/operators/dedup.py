@@ -308,8 +308,9 @@ def neardup_incremental(
         shares any LSH band with it;
       - cross-run: a surviving doc is dropped iff it shares any band
         with the ledger;
-      - survivors' band rows are appended to the ledger (checkpointed
-        BEFORE the append — the same self-read hazard as
+      - survivors' band rows are appended to the ledger (the dropped-id
+        union is checkpointed BEFORE the append so no post-append plan
+        re-reads the store — the same self-read hazard as
         ``dedup_incremental``). Same replay contract too: pass a stable
         ``attempt_id`` to make a crashed-and-retried batch overwrite its
         own ``attempt=<id>`` partition (read-excluded from its own
@@ -359,16 +360,23 @@ def neardup_incremental(
                 .select(id_col)
                 .distinct()
             )
-            surv = surv.join(led_dropped, id_col, "left_anti")
             dropped = dropped.unionByName(led_dropped)
-        # checkpoint BOTH outputs before touching the ledger: `dropped` is
-        # consumed by the caller-facing anti-join AFTER the append, and a
-        # lazy led_dropped leg re-reading the store would then see this
-        # batch's own band rows (the dedup_incremental self-read hazard)
-        surv = surv.localCheckpoint(eager=True)
+        # checkpoint ONLY the dropped-id union before touching the
+        # ledger: it is consumed by the caller-facing anti-join AFTER
+        # the append, and a lazy led_dropped leg re-reading the store
+        # would then see this batch's own band rows (the
+        # dedup_incremental self-read hazard). `surv` is equivalently
+        # "stacked minus ALL dropped ids" — deriving it from the cached
+        # band table and the just-checkpointed ids lets the append
+        # compute it in one anti-join instead of paying a second
+        # window+store-read materialization (r13 "ledger second
+        # checkpoint" item): the write below executes INSIDE the guard,
+        # its only ledger input is the checkpointed id set, and its own
+        # output goes to a path the pinned listing excludes.
         dropped = dropped.localCheckpoint(eager=True)
-        stacked.unpersist()
+        surv = stacked.join(dropped, id_col, "left_anti")
         txn.write(surv)
+        stacked.unpersist()
     # anti-join on dropped ids (not semi on survivors): short/empty docs
     # have no bands, hence no survivor rows, but they are still accepted
     return new_docs.join(
@@ -1751,9 +1759,10 @@ def phash_incremental(
         increment shares any band with it;
       - cross-run: a survivor is dropped iff it shares any band with
         the ledger;
-      - survivors' band rows are appended (checkpointed BEFORE the
-        append — the self-read hazard), or OVERWRITE their
-        ``attempt=<id>`` partition for replay-idempotent retries;
+      - survivors' band rows are appended (the dropped-id union is
+        checkpointed BEFORE the append — the self-read hazard), or
+        OVERWRITE their ``attempt=<id>`` partition for replay-idempotent
+        retries;
         compact with ``compact_ledger`` between increments.
     Band collision IS the drop criterion (the crawl-pipeline trade —
     exact Hamming verification against history would need full hashes
@@ -1806,10 +1815,14 @@ def phash_incremental(
                     .select(id_col)
                     .distinct()
                 )
-                surv = surv.join(led_dropped, id_col, "left_anti")
                 dropped = dropped.unionByName(led_dropped)
-            surv = surv.localCheckpoint(eager=True)
+            # checkpoint only the dropped-id union; derive the survivor
+            # band rows lazily from the cached band table + checkpointed
+            # ids so the append pays one anti-join, not a second
+            # window+store-read materialization (the neardup_incremental
+            # restructure — see its in-guard comment for the reasoning)
             dropped = dropped.localCheckpoint(eager=True)
+            surv = stacked.join(dropped, id_col, "left_anti")
             txn.write(surv)
     finally:
         stacked.unpersist()

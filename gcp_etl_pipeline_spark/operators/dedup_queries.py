@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gcp_etl_pipeline_spark.operators import dedup, similarity, text
-from gcp_etl_pipeline_spark.operators.parallel import spread
+from gcp_etl_pipeline_spark.operators.parallel import spread_scan
 from gcp_etl_pipeline_spark.queries_relational import ensure_views
 from gcp_etl_pipeline_spark.registry import register
 from gcp_etl_pipeline_spark.sources.files import read_parquet
@@ -53,8 +53,10 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan stage (no internal spread), and a test-SF fixture file is ONE
     # split — single-core without the guard; no-op at real scale
     # (operators/parallel.py)
-    return spread(
-        read_parquet(spark, f"{sf_dir}/embeddings.parquet"), "vec_id"
+    return spread_scan(
+        read_parquet(spark, f"{sf_dir}/embeddings.parquet"),
+        f"{sf_dir}/embeddings.parquet",
+        "vec_id",
     )
 
 
@@ -2114,13 +2116,14 @@ def _q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (test-SF only); the PQ side is the at-scale path being graded."""
     from pyspark.sql import Window
 
+    _guard_fixture_dim(sf_dir)
     embs = _embs(spark, sf_dir)
     qv = embs.select("vec_id", similarity.quantized("embedding").alias("__qv"))
     queries = qv.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("__qv").alias("__quv")
     )
     # static unroll over the known embedding width (codegen; exact-equal
-    # to the HOF fold — see similarity._l2q_n)
+    # to the HOF fold — see similarity._l2q_n; width guarded above)
     d2 = similarity._l2q_n(F.col("__qv"), F.col("__quv"), _IVFPQ_DIM)
     w = Window.partitionBy("query_id").orderBy(
         F.asc("d2"), F.asc("neighbor_id")
@@ -2207,6 +2210,32 @@ _IVFPQ_M, _IVFPQ_KSUB = 32, 64
 _IVFPQ_CITERS, _IVFPQ_PITERS = 2, 2
 _IVFPQ_DIM = 64
 _IVFPQ_DSUB = _IVFPQ_DIM // _IVFPQ_M
+
+
+def _guard_fixture_dim(sf_dir: str) -> None:
+    """Fail LOUDLY if the fixture's embedding width drifts from the
+    ``_IVFPQ_DIM`` both the static ``_l2q_n`` unrolls and the SQL
+    oracles hardcode (ADVICE r13): with a wider fixture, element_at
+    past the constant would silently sum only the first ``_IVFPQ_DIM``
+    components on BOTH engines and the differential gate would pass on
+    a wrong ground truth. One pyarrow metadata+first-row read per
+    (process, sf_dir) — no Spark job."""
+    dim = _FIXTURE_EMB_DIM.get(sf_dir)
+    if dim is None:
+        import pyarrow.dataset as _pads
+
+        tbl = _pads.dataset(f"{sf_dir}/embeddings.parquet").head(1)
+        dim = len(tbl.column("embedding")[0])
+        _FIXTURE_EMB_DIM[sf_dir] = dim
+    if dim != _IVFPQ_DIM:
+        raise ValueError(
+            f"embeddings fixture at {sf_dir} has dim={dim}, but the "
+            f"brute-force legs and SQL oracles unroll _IVFPQ_DIM="
+            f"{_IVFPQ_DIM} — a silent truncation, not a tolerable drift"
+        )
+
+
+_FIXTURE_EMB_DIM: dict[str, int] = {}
 
 
 def _ivfpq_slice(col: str) -> str:
@@ -2374,6 +2403,7 @@ def _q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantized,
     )
 
+    _guard_fixture_dim(sf_dir)
     embs = _embs(spark, sf_dir)
     qv = embs.select("vec_id", quantized("embedding").alias("__qv"))
     queries = qv.where(F.col("vec_id") % 50 == 0).select(

@@ -30,3 +30,30 @@ def spread(df: DataFrame, *keys: str) -> DataFrame:
     if keys:
         return df.repartition(target, *[F.col(k) for k in keys])
     return df.repartition(target)
+
+
+# needs-spread decisions for path-rooted scans, keyed by (path, cluster
+# parallelism). A decision is planning METADATA (how many splits the
+# scan yields), not data — fixtures are immutable for a process
+# lifetime, so re-deriving it for every query construction over the
+# same path only re-pays the logical→physical planning round the probe
+# forces (ADVICE r13: avoidable driver latency × hundreds of
+# constructions).
+_SCAN_DECISIONS: dict[tuple[str, int], bool] = {}
+
+
+def spread_scan(df: DataFrame, path: str, *keys: str) -> DataFrame:
+    """``spread`` for a DataFrame freshly read from ``path``, with the
+    needs-spread probe memoized per (path, defaultParallelism)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    key = (path, target)
+    needs = _SCAN_DECISIONS.get(key)
+    if needs is None:
+        needs = df.rdd.getNumPartitions() < target
+        _SCAN_DECISIONS[key] = needs
+    if not needs:
+        return df
+    if keys:
+        return df.repartition(target, *[F.col(k) for k in keys])
+    return df.repartition(target)

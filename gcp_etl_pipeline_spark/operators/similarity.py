@@ -271,6 +271,45 @@ def _centroids(
     return cent_ids, C, cn
 
 
+def _kmeans_stats_rows(qv_df: DataFrame, C: np.ndarray, cn: np.ndarray) -> list:
+    """One distributed Lloyd round for the cosine k-means, fused into a
+    single pass: per batch, assign rows to their nearest centroid with
+    EXACTLY ``_nearest_lists_fn`` (same float cosine, same (cos desc,
+    index asc) lexsort tie-break) and emit per-(list, dim) integer
+    partial sums/counts — k×dim rows per batch instead of the n×dim
+    posexplode shuffle. Exact: the sums are int64 additions."""
+    k, dim = C.shape
+    nearest = _nearest_lists_fn(C, cn)
+
+    def stats_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = _mat(pdf["__cv"])
+            lists = nearest(X, 1)[:, 0]
+            sums = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(sums, lists, X)
+            counts = np.bincount(lists, minlength=k)
+            nz = np.flatnonzero(counts)
+            yield pd.DataFrame(
+                {
+                    "list_id": np.repeat(nz.astype(np.int64), dim),
+                    "d": np.tile(np.arange(dim, dtype=np.int64), nz.size),
+                    "s": sums[nz].reshape(-1),
+                    "n": np.repeat(counts[nz].astype(np.int64), dim),
+                }
+            )
+
+    return (
+        qv_df.mapInPandas(
+            stats_fn, "list_id bigint, d bigint, s bigint, n bigint"
+        )
+        .groupBy("list_id", "d")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .collect()
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     k: int,
@@ -292,24 +331,25 @@ def kmeans_centroids(
     mean (floor division) in µ-units. Empty lists keep their previous
     centroid.
 
-    Physical shape per iteration: one assignment matmul pass
-    (mapInPandas) + one posexplode shuffle of n×dim (list, dim, value)
-    rows into k×dim integer partial sums — the standard distributed
-    Lloyd step; k×dim collects to the driver (tiny).
+    Physical shape per iteration: ONE fused assignment+partial-sums
+    matmul pass (mapInPandas — each batch emits k×dim (list, dim,
+    partial sum, count) rows) + a tiny k×dim final aggregate that
+    collects to the driver. The r13 shape shuffled n×dim posexploded
+    (list, dim, value) rows per iteration to compute those same sums;
+    integer addition is associative, so per-batch partials are exact
+    and partitioning-independent (guide §2.3 "aggregate before you
+    shuffle").
 
     Returns (cent_ids = 0..k-1 list labels, C, cn) ready for
     ``_ivf_assign`` / ``knn_ivf(centroids=...)``.
     """
     _, C, cn = _centroids(corpus, k, id_col, vec_col)
     labels = np.arange(C.shape[0], dtype=np.int64)
+    qv_df = spread(corpus, id_col).select(
+        quantized(vec_col).alias("__cv")
+    )
     for _ in range(iters):
-        assigned = _ivf_assign(corpus, labels, C, cn, id_col, vec_col)
-        stats = (
-            assigned.select("list_id", F.posexplode("__cv").alias("d", "x"))
-            .groupBy("list_id", "d")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
+        stats = _kmeans_stats_rows(qv_df, C, cn)
         newC = C.copy()
         per_list: dict[int, list] = {}
         for r in stats:
@@ -1155,6 +1195,101 @@ def _l2q_n(a: Column, b: Column, n: int) -> Column:
     return out.cast("long")
 
 
+def _np_rows(col) -> np.ndarray:
+    """(n, width) int64 matrix from an Arrow list<int64> column — one
+    flatten (offset-aware) + reshape, zero row loops. Width is fixed by
+    construction for every quantized-vector column in this module."""
+    values = np.asarray(col.flatten(), dtype=np.int64)
+    return values.reshape(len(col), -1)
+
+
+def _lloyd_chunk(ksub: int, dsub: int) -> int:
+    """Row-chunk size keeping the (rows, ksub, dsub) int64 distance
+    tensor near 8 MB so per-task memory stays flat at any batch size."""
+    return max(256, 1_000_000 // max(ksub * dsub, 1))
+
+
+def _argmin_codes(X: np.ndarray, cw: np.ndarray) -> np.ndarray:
+    """Row-wise nearest-codeword index by EXACT int64 squared L2 with
+    the (d2 asc, code asc) tie-break — ``np.argmin`` returns the FIRST
+    minimum and codewords are ordered by code, so ties go to the lowest
+    code, exactly the ``min(struct(d2, code))`` ordering the join form
+    used. Chunked so the (rows, ksub, dsub) diff tensor stays bounded."""
+    n = X.shape[0]
+    ksub, dsub = cw.shape
+    out = np.empty(n, dtype=np.int64)
+    step = _lloyd_chunk(ksub, dsub)
+    for lo in range(0, n, step):
+        hi = min(lo + step, n)
+        diff = X[lo:hi, None, :] - cw[None, :, :]
+        d2 = np.einsum("nkd,nkd->nk", diff, diff)
+        out[lo:hi] = d2.argmin(axis=1)
+    return out
+
+
+def _lloyd_stats_rows(qv_df: DataFrame, C_arr: np.ndarray) -> list:
+    """One distributed Lloyd round fused into a single Arrow pass: per
+    batch, assign every subvector to its nearest codeword (exact int64,
+    ties code asc) and emit PARTIAL per-(sub, code, dim) integer sums
+    and counts — m*ksub*dsub rows per batch instead of the n*m
+    assignment rows the join+shuffle form produced. The tiny final
+    aggregate combines partials (integer addition — associative, so
+    results are partitioning-independent) and collects to the driver.
+
+    Replaces the broadcast-join + corpus-wide ``groupBy(id, sub)``
+    min-struct shuffle per round (guide §2.3/§2.4: the shuffle carried
+    every subvector; nothing downstream needed per-id rows) with
+    vectorized native batch work (guide §4.2). Arithmetic and
+    tie-breaks are exactly the join form's — same codebook, bit for
+    bit."""
+    import pyarrow as pa
+
+    m, ksub, dsub = C_arr.shape
+    out_schema = "sub bigint, code bigint, d bigint, s bigint, n bigint"
+
+    def stats_fn(batches):
+        for batch in batches:
+            col = batch.column(0)
+            n_rows = len(col)
+            if n_rows == 0:
+                continue
+            X = _np_rows(col)
+            subs = []
+            codes = []
+            ds = []
+            sums_out = []
+            ns = []
+            for s in range(m):
+                Xs = X[:, s * dsub : (s + 1) * dsub]
+                code = _argmin_codes(Xs, C_arr[s])
+                sums = np.zeros((ksub, dsub), dtype=np.int64)
+                np.add.at(sums, code, Xs)
+                counts = np.bincount(code, minlength=ksub)
+                nz = np.flatnonzero(counts)
+                subs.append(np.full(nz.size * dsub, s, dtype=np.int64))
+                codes.append(np.repeat(nz.astype(np.int64), dsub))
+                ds.append(np.tile(np.arange(dsub, dtype=np.int64), nz.size))
+                sums_out.append(sums[nz].reshape(-1))
+                ns.append(np.repeat(counts[nz].astype(np.int64), dsub))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(subs)),
+                    pa.array(np.concatenate(codes)),
+                    pa.array(np.concatenate(ds)),
+                    pa.array(np.concatenate(sums_out)),
+                    pa.array(np.concatenate(ns)),
+                ],
+                names=["sub", "code", "d", "s", "n"],
+            )
+
+    return (
+        qv_df.mapInArrow(stats_fn, out_schema)
+        .groupBy("sub", "code", "d")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .collect()
+    )
+
+
 def _pq_subvectors(
     df: DataFrame, keep: list[str], qv_col: str, m: int, dsub: int
 ) -> DataFrame:
@@ -1193,10 +1328,13 @@ def pq_codebook(
     division means, empty or all-zero codes keep the previous
     codeword. Determinism is partitioning-independent end to end.
 
-    Physical shape per round: one broadcast assignment join over the
-    (vec_id, sub, sv) subvector rows + one m*ksub*dsub integer-sum
-    aggregate that collects to the driver (1k rows at the defaults) —
-    the same distributed-Lloyd step kmeans_centroids runs. The
+    Physical shape per round: ONE Arrow pass over the quantized
+    vectors (vectorized exact-int64 argmin + per-batch partial
+    per-(sub, code, dim) sums — ``_lloyd_stats_rows``) feeding an
+    m*ksub*dsub integer-sum aggregate that collects to the driver
+    (1k rows at the defaults). No corpus-sized shuffle per round: the
+    r13 join form shuffled every (vec_id, sub, sv) row per iteration
+    to compute an argmin nothing downstream needed per id. The
     returned codebook is m*ksub literal rows — broadcast scale at any
     corpus size."""
     spark = corpus.sparkSession
@@ -1243,40 +1381,15 @@ def pq_codebook(
             "sub bigint, code bigint, cw array<bigint>",
         )
 
-    dsubv = _pq_subvectors(
-        corpus.select(
-            F.col(id_col),
-            _vec_quantized(vec_col, pre_quantized).alias("__qv"),
-        ),
-        [id_col],
-        "__qv",
-        m,
-        dsub,
+    # only the vector column crosses the Arrow boundary (guide §4.1)
+    qv_df = corpus.select(
+        _vec_quantized(vec_col, pre_quantized).alias("__qv")
     )
     for _ in range(iters):
-        cand = dsubv.join(F.broadcast(_cb_df()), "sub").select(
-            id_col,
-            "sub",
-            "sv",
-            "code",
-            _l2q_n(F.col("sv"), F.col("cw"), dsub).alias("d2"),
-        )
-        assigned = (
-            cand.groupBy(id_col, "sub")
-            .agg(F.min(F.struct("d2", "code", "sv")).alias("__m"))
-            .select(
-                "sub", F.col("__m.code").alias("code"),
-                F.col("__m.sv").alias("sv"),
-            )
-        )
-        stats = (
-            assigned.select(
-                "sub", "code", F.posexplode("sv").alias("d", "x")
-            )
-            .groupBy("sub", "code", "d")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
+        C_arr = np.stack(
+            [C[(s, c)] for s in range(m) for c in range(ksub)]
+        ).reshape(m, ksub, dsub)
+        stats = _lloyd_stats_rows(qv_df, C_arr)
         per_code: dict[tuple, list] = {}
         for r in stats:
             per_code.setdefault((int(r["sub"]), int(r["code"])), []).append(r)
@@ -1299,33 +1412,67 @@ def pq_codes(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     pre_quantized: bool = False,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Encode the corpus: (vec_id, sub, code) — each subvector maps to
-    its nearest codeword by exact integer L2, ties (d2 asc, code asc).
-    One broadcast join (n*m x ksub candidate rows, JVM fold distance)
-    + one (vec_id, sub) min-struct aggregate; text/vectors never
-    shuffle, only codes do."""
-    dsubv = _pq_subvectors(
-        corpus.select(
-            F.col(id_col),
-            _vec_quantized(vec_col, pre_quantized).alias("__qv"),
-        ),
-        [id_col],
-        "__qv",
-        m,
-        dsub,
+    """Encode the corpus: (vec_id[, *carry], sub, code) — each
+    subvector maps to its nearest codeword by exact integer L2, ties
+    (d2 asc, code asc). One Arrow pass (vectorized int64 argmin per
+    subspace — guide §4.2); nothing corpus-sized shuffles or joins.
+    The codebook is m*ksub literal rows by contract (``pq_codebook``'s
+    output) — it is pulled to the driver and closed over, replacing
+    the broadcast join + (vec_id, sub) min-struct shuffle the r13 form
+    paid per encode. ``carry`` columns pass through unchanged (lets
+    ``ivfpq_index`` keep list_id on the code rows without a
+    corpus-sized re-join on vec_id)."""
+    import pyarrow as pa
+
+    cb_rows = codebook.collect()
+    ksub = max(int(r["code"]) for r in cb_rows) + 1
+    if len(cb_rows) != m * ksub:
+        raise ValueError(
+            f"pq_codes: codebook has {len(cb_rows)} rows, expected "
+            f"m*ksub = {m}*{ksub} (every (sub, code) pair exactly once)"
+        )
+    C_arr = np.zeros((m, ksub, dsub), dtype=np.int64)
+    for r in cb_rows:
+        C_arr[int(r["sub"]), int(r["code"])] = np.array(
+            list(r["cw"]), dtype=np.int64
+        )
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    carry_types = [
+        (c, corpus.schema[c].dataType.simpleString()) for c in carry
+    ]
+    out_schema = ", ".join(
+        [f"{id_col} {id_type}"]
+        + [f"{c} {t}" for c, t in carry_types]
+        + ["sub bigint", "code bigint"]
     )
-    cand = dsubv.join(F.broadcast(codebook), "sub").select(
-        id_col,
-        "sub",
-        "code",
-        _l2q_n(F.col("sv"), F.col("cw"), dsub).alias("d2"),
+
+    def encode_fn(batches):
+        for batch in batches:
+            n_rows = batch.num_rows
+            if n_rows == 0:
+                continue
+            X = _np_rows(batch.column(batch.num_columns - 1))
+            code_mat = np.empty((n_rows, m), dtype=np.int64)
+            for s in range(m):
+                code_mat[:, s] = _argmin_codes(
+                    X[:, s * dsub : (s + 1) * dsub], C_arr[s]
+                )
+            take = pa.array(np.repeat(np.arange(n_rows), m))
+            cols = [batch.column(i).take(take) for i in range(len(carry) + 1)]
+            cols.append(pa.array(np.tile(np.arange(m, dtype=np.int64), n_rows)))
+            cols.append(pa.array(code_mat.reshape(-1)))
+            yield pa.RecordBatch.from_arrays(
+                cols, names=[id_col, *carry, "sub", "code"]
+            )
+
+    src = corpus.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        _vec_quantized(vec_col, pre_quantized).alias("__qv"),
     )
-    return (
-        cand.groupBy(id_col, "sub")
-        .agg(F.min(F.struct("d2", "code")).alias("__m"))
-        .select(id_col, "sub", F.col("__m.code").alias("code"))
-    )
+    return src.mapInArrow(encode_fn, out_schema)
 
 
 def knn_pq(
@@ -1472,14 +1619,16 @@ def ivfpq_index(
     lowest-id seeding (geometry sweep, SCALE.md r13);
     ``coarse="lowest_id"`` keeps the seeded placement for A/B.
 
-    Plan shape: assignment is one broadcast join (n × n_lists
-    candidate rows, JVM fold distance) + a min-struct aggregate —
-    at very large n_lists swap in the ``_ivf_assign`` matmul pass;
-    residuals are a zip_with against the broadcast centroid row;
-    training/encoding is pq_codebook's bounded-collect Lloyd loop.
-    The ``assigned`` leg is persisted for the duration of codebook
-    training (it feeds every Lloyd round) and released when the codes
-    frame is GC'd."""
+    Plan shape: coarse assignment + residual subtraction fuse into ONE
+    Arrow pass over the corpus (vectorized exact-int64 argmin, the
+    ``_ivf_assign`` matmul shape — no join, no corpus shuffle; the r13
+    form shuffled every (vec_id, d2, list_id, __qv) row through a
+    min-struct aggregate); training/encoding is pq_codebook's
+    bounded-collect Lloyd loop, and the encode CARRIES list_id through
+    the Arrow pass instead of re-joining the corpus-sized codes frame
+    to the assignment on vec_id. The residual leg is persisted for the
+    duration of codebook training (it feeds every Lloyd round and the
+    encode) and released when the codes frame is GC'd."""
     qcorp = corpus.select(
         F.col(id_col), quantized(vec_col).alias("__qv")
     )
@@ -1501,50 +1650,62 @@ def ivfpq_index(
             f"ivfpq_index: coarse must be 'kmeans' or 'lowest_id', "
             f"got {coarse!r}"
         )
-    # dim read from the (local, n_lists-row) centroid frame BEFORE the
-    # assignment join so the distance fold can unroll statically
-    dim = len(cent.first()["cvec"])
+    # centroids pulled to the driver (n_lists literal rows by
+    # construction — both coarse modes build ``cent`` from a local
+    # relation) so assignment + residual run as one vectorized pass
+    import pyarrow as pa
+
+    cent_rows = sorted(cent.collect(), key=lambda r: int(r["list_id"]))
+    if [int(r["list_id"]) for r in cent_rows] != list(range(len(cent_rows))):
+        raise ValueError(
+            "ivfpq_index: coarse list_ids must be contiguous 0..n-1 "
+            f"(got {[int(r['list_id']) for r in cent_rows]})"
+        )
+    C0 = np.array([list(r["cvec"]) for r in cent_rows], dtype=np.int64)
+    dim = C0.shape[1]
     if dim % m != 0:
         raise ValueError(f"ivfpq_index: dim={dim} not divisible by m={m}")
-    cand = qcorp.join(F.broadcast(cent), how="cross").select(
-        id_col,
-        "__qv",
-        "list_id",
-        _l2q_n(F.col("__qv"), F.col("cvec"), dim).alias("d2"),
-    )
-    assigned = (
-        cand.groupBy(id_col)
-        .agg(F.min(F.struct("d2", "list_id", "__qv")).alias("__m"))
-        .select(
-            id_col,
-            F.col("__m.list_id").alias("list_id"),
-            F.col("__m.__qv").alias("__qv"),
-        )
-        .persist()
-    )
-    res = assigned.join(F.broadcast(cent), "list_id").select(
-        id_col,
-        "list_id",
-        F.zip_with("__qv", "cvec", lambda x, c: x - c).alias("__rv"),
-    )
+
+    def assign_res_fn(batches):
+        for batch in batches:
+            n_rows = batch.num_rows
+            if n_rows == 0:
+                continue
+            X = _np_rows(batch.column(1))
+            lid = _argmin_codes(X, C0)
+            RV = X - C0[lid]
+            offsets = np.arange(0, (n_rows + 1) * dim, dim, dtype=np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pa.array(lid),
+                    pa.ListArray.from_arrays(
+                        pa.array(offsets, type=pa.int32()),
+                        pa.array(RV.reshape(-1)),
+                    ),
+                ],
+                names=[id_col, "list_id", "__rv"],
+            )
+
+    id_type = qcorp.schema[id_col].dataType.simpleString()
+    res = qcorp.mapInArrow(
+        assign_res_fn,
+        f"{id_col} {id_type}, list_id bigint, __rv array<bigint>",
+    ).persist()
     cb = pq_codebook(
         res, m, ksub, iters, id_col=id_col, vec_col="__rv",
         pre_quantized=True,
     )
-    codes = (
-        pq_codes(
-            res, cb, m, dim // m, id_col=id_col, vec_col="__rv",
-            pre_quantized=True,
-        )
-        .join(assigned.select(id_col, "list_id"), id_col)
-        .select(id_col, "list_id", "sub", "code")
-    )
-    membership = assigned.select(id_col, "list_id")
+    codes = pq_codes(
+        res, cb, m, dim // m, id_col=id_col, vec_col="__rv",
+        pre_quantized=True, carry=("list_id",),
+    ).select(id_col, "list_id", "sub", "code")
+    membership = res.select(id_col, "list_id")
     return IvfPqIndex(
         cent,
         cb,
-        _release_on_gc(membership, assigned),
-        _release_on_gc(codes, assigned),
+        _release_on_gc(membership, res),
+        _release_on_gc(codes, res),
         dim,
         dim // m,
     )

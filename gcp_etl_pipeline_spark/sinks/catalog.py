@@ -43,6 +43,37 @@ def ensure_namespaces(
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {ns} LOCATION '{root}/{ns}.db'")
 
 
+TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def scan_bytes(df: DataFrame) -> int:
+    """On-disk bytes of a (bare-scan) DataFrame from the optimized
+    plan's statistics — file-index metadata, no job. Accurate for a
+    plain ``spark.table``/path scan (the stats are the summed file
+    sizes); join/aggregate plans multiply estimates, so size writes
+    from their SOURCE table's scan, not from the derived plan."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def sized_for_write(
+    df: DataFrame,
+    source_bytes: int,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+) -> DataFrame:
+    """Coalesce ``df`` to ≈ceil(source_bytes / target) partitions before
+    a ``saveAsTable``: AQE's partition coalescing does not reach the V1
+    CTAS path and a REBALANCE hint is ignored there (measured, r13), so
+    without this a narrow semantic table lands as one near-empty file
+    per task of its final stage — the small-files tax (guide §6) on
+    every catalog write. ``coalesce`` never ADDS an exchange and never
+    increases the partition count, so at scale (where the final stage
+    already has ≥ the target partitions only when the data is big
+    enough to warrant them) this is proportional, not a local[32]
+    constant."""
+    n = max(1, (int(source_bytes) + target_file_bytes - 1) // target_file_bytes)
+    return df.coalesce(n)
+
+
 def save_table(
     df: DataFrame,
     name: str,
@@ -89,11 +120,17 @@ def run_gosales_catalog(spark: SparkSession, sf_dir: str, root: str) -> DataFram
         save_table(gosales.cached_stage(t, spark, sf_dir), f"curated.{t}")
     save_table(gosales.sales_fact(spark, sf_dir), "curated.sales_fact")
 
+    fact = spark.table("curated.sales_fact")
     overview = gosales.overview_from_tables(
-        spark.table("curated.sales_fact"),
+        fact,
         spark.table("curated.retailer_dim"),
         spark.table("curated.product_lkp"),
         spark.table("curated.method_hlp"),
     )
-    save_table(overview, "semantic.tl_sales_overview")
+    # the overview is row-for-row the fact with broadcast-joined dims,
+    # so the fact scan's on-disk bytes are the right (upper) size proxy
+    save_table(
+        sized_for_write(overview, scan_bytes(fact)),
+        "semantic.tl_sales_overview",
+    )
     return spark.table("semantic.tl_sales_overview")

@@ -1,11 +1,11 @@
-"""Round-13 optimization probe: time individual queries (5x warm, noop
+"""Round-13/14 optimization probe: time individual queries (5x warm, noop
 sink, median) and dump their .explain("formatted") plans.
 
 Usage:
   python tools/opt_probe.py [--sf DIR] [--plans SUFFIX] q1 q2 ...
 
 With --plans SUFFIX each query's formatted plan is written to
-plans/r13/<query>_<SUFFIX>.txt (the judge-facing evidence files).
+plans/r14/<query>_<SUFFIX>.txt (the judge-facing evidence files).
 Timing methodology matches bench.py: construction + noop execution,
 median of the WARM runs (first run excluded as JIT/codegen warm-up).
 """
@@ -63,8 +63,8 @@ def main() -> None:
                 plan = df._sc._jvm.PythonSQLUtils.explainString(
                     df._jdf.queryExecution(), "formatted"
                 )
-                os.makedirs("plans/r13", exist_ok=True)
-                with open(f"plans/r13/{name}_{plans_suffix}.txt", "w") as fh:
+                os.makedirs("plans/r14", exist_ok=True)
+                with open(f"plans/r14/{name}_{plans_suffix}.txt", "w") as fh:
                     fh.write(plan)
             del df
             gc.collect()
