@@ -125,14 +125,19 @@ def pagerank_warm(
     for the gate. At 100 TB the gate's max-diff aggregate is node-sized
     and map-side combined — the edges never re-shuffle for it.
 
-    Each generation is ``localCheckpoint(eager=True)``-pinned rather
-    than persist+count: the gate makes high iteration counts normal
+    Each generation is ``localCheckpoint``-pinned rather than
+    persist+count: the gate makes high iteration counts normal
     (the fixed-round ``pagerank()`` keeps persist — A/B'd equal at 3
     rounds), and WITHOUT lineage truncation the logical plan doubles
     per round — by round ~20 bare analysis of the 2^20-node tree would
     dwarf the actual jobs (the plan-census caught the warm query at
-    17k operators in persist form). ContextCleaner frees the
-    checkpointed RDD blocks on GC."""
+    17k operators in persist form). The checkpoint is LAZY
+    (``eager=False``, r14): the logical plan is truncated at creation
+    either way (LogicalRDD), but laziness lets each round's GATE
+    aggregate materialize the generation's blocks in the SAME action —
+    one driver round trip per iteration instead of two (A/B:
+    8.09 → 6.70 s warm at sf0.1, control flat). ContextCleaner frees
+    the checkpointed RDD blocks on GC."""
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
@@ -157,7 +162,7 @@ def pagerank_warm(
             .cast("bigint")
             .alias("pr_u"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     for _ in range(max_iterations):
@@ -180,7 +185,7 @@ def pagerank_warm(
                     " DIV 100"
                 ).alias("pr_u"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # integer convergence gate: one node-sized 1-row aggregate
         diff = (
@@ -410,9 +415,11 @@ def hits_warm(
     Plan shape per half-round: identical to ``hits()`` (one groupBy
     shuffle + 1-row max cross join) plus one node-sized renorm join;
     the gate adds one node-sized diff aggregate, map-side combined —
-    edges never re-shuffle for it. Generations are
+    edges never re-shuffle for it. Generations are LAZILY
     localCheckpoint-pinned for the same lineage-doubling reason as
-    ``pagerank_warm``."""
+    ``pagerank_warm`` (and its one-action-per-round rationale: the
+    gate materializes hub_new and, through it, auth_new — A/B'd flat
+    locally, one fewer driver round trip per half-round)."""
     if max_iterations < 1:
         raise ValueError(
             f"hits_warm: max_iterations must be >= 1, got {max_iterations}"
@@ -435,7 +442,7 @@ def hits_warm(
             .cast("bigint")
             .alias("hub_u"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     renorm = (
         f"CAST(CAST(raw AS DECIMAL(38,0)) * {HITS_SCALE} DIV mx AS BIGINT)"
@@ -456,7 +463,7 @@ def hits_warm(
                 "node",
                 F.coalesce("auth_u", F.lit(0)).cast("bigint").alias("auth_u"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         h_raw = (
             edges.join(auth_new, edges[dst] == auth_new["node"])
@@ -472,7 +479,7 @@ def hits_warm(
                 "node",
                 F.coalesce("hub_u", F.lit(0)).cast("bigint").alias("hub_u"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         diff = (
             hub_new.select("node", F.col("hub_u").alias("__new_u"))
